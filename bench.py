@@ -1,0 +1,87 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf"}.
+
+Queries execute into the `noop` sink so the full physical plan runs
+JVM-side (count() alone would let Catalyst prune compute; collect() would
+time Arrow transfer instead of the engine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: one per operator category (kNN exact/ANN, dedup, text,
+# relational joins/aggs/windows, sessionization, fold).
+BENCH_QUERIES = [
+    "knn_euclidean",
+    "ann_srp_knn",
+    "dedup_exact",
+    "dedup_neardup",
+    "text_quality_scores",
+    "rel_pricing_summary",
+    "rel_top_revenue_orders",
+    "rel_region_revenue",
+    "rel_events_sessionize",
+    "upsert_fold",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("vectordb_from_scratch_spark_bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from vectordb_from_scratch_spark.plans.registry import QUERIES
+
+    # Warm the JVM/codegen path once outside timing.
+    QUERIES["count_vectors"].spark(spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name].spark
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""ANN recall harness — the reference's signature test (tests/recall_test.rs:
+18-80): exact brute-force is ground truth; the approximate index must hit
+recall@10 thresholds. The reference enforces ≥0.90/0.90/0.85 for HNSW at
+ef=100; we tune SRP-LSH (nbits, n_tables) to the same bar on the standing
+embeddings tables (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.operators import ann, knn
+
+N_PROBES = 20
+K = 10
+
+
+def _recall(exact_rows, approx_rows) -> float:
+    exact, approx = {}, {}
+    for r in exact_rows:
+        exact.setdefault(r.query_id, set()).add(r.id)
+    for r in approx_rows:
+        approx.setdefault(r.query_id, set()).add(r.id)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    return hits / total
+
+
+@pytest.fixture(scope="module")
+def probes(embeddings):
+    return embeddings.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+
+
+def test_srp_recall_at_10(embeddings, probes):
+    """SRP-LSH recall@10 ≥ 0.90 (reference threshold for n≈500-1000,
+    tests/recall_test.rs:67-75) with enough tables to cover."""
+    exact = knn.knn(embeddings, probes, k=K).collect()
+    # dim-64 uniform data has strong distance concentration: true top-10 are
+    # barely closer than random rows, so high recall requires a substantial
+    # candidate fraction — the same reason the reference needs ef=100 (20% of
+    # n=500) to pass its own thresholds (tests/recall_test.rs:51).
+    approx = ann.ann_knn_srp(
+        embeddings, probes, k=K, dim=64, nbits=2, n_tables=8
+    ).collect()
+    r = _recall(exact, approx)
+    assert r >= 0.90, f"SRP recall@10 = {r:.3f} < 0.90"
+
+
+def test_srp_fewer_tables_lower_recall_still_sane(embeddings, probes):
+    """The ef-style knob (H9 analog): fewer tables → recall may drop but
+    must stay usable (≥0.5) and never return wrong-ranked results."""
+    exact = knn.knn(embeddings, probes, k=K).collect()
+    approx = ann.ann_knn_srp(embeddings, probes, k=K, dim=64, nbits=3, n_tables=8)
+    rows = approx.collect()
+    r = _recall(exact, rows)
+    assert r >= 0.6, f"SRP recall@10 = {r:.3f} < 0.6"
+    # within each query, distances must be ascending in rank
+    by_q = {}
+    for row in rows:
+        by_q.setdefault(row.query_id, []).append(row)
+    for q_rows in by_q.values():
+        ds = [x.distance for x in sorted(q_rows, key=lambda x: x.rank)]
+        assert ds == sorted(ds)
+
+
+def test_mllib_lsh_recall(embeddings, probes):
+    """MLlib BucketedRandomProjectionLSH batch build + approxSimilarityJoin
+    (BASELINE.json approach) against the exact oracle."""
+    exact = knn.knn(embeddings, probes, k=K).collect()
+    radius = max(r.distance for r in exact) * 1.2
+    model, indexed = ann.build_mllib_lsh(
+        embeddings, bucket_length=4.0, num_hash_tables=6
+    )
+    joined = ann.ann_join_mllib(model, indexed, probes, threshold=radius)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    topk = joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= K)
+    r = _recall(exact, topk.collect())
+    assert r >= 0.85, f"MLlib LSH recall@10 = {r:.3f} < 0.85"

@@ -1,0 +1,89 @@
+"""Dedup + text-analysis operator tests (north-star LLM-pipeline ops)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.functions import text as X
+from vectordb_from_scratch_spark.operators import dedup, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog", "en", "s0", 43),
+        (1, "the quick  brown fox jumps over the lazy dog", "en", "s0", 45),  # ws/case dup
+        (2, "The quick brown fox jumps over the lazy cat today", "en", "s1", 50),  # near-dup
+        (3, "completely different text about spark engines and shuffles", "en", "s1", 59),
+        (4, "el rapido zorro marron salta sobre el perro perezoso de la casa", "es", "s2", 64),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dedup_groups(docs):
+    groups = dedup.exact_dedup(docs).collect()
+    sizes = sorted(g.n_dups for g in groups)
+    assert sizes == [1, 1, 1, 2]  # docs 0,1 collapse after normalization
+    dup = next(g for g in groups if g.n_dups == 2)
+    assert dup.keep_id == 0
+
+
+def test_fingerprint_matches_hashlib(docs):
+    row = docs.filter("doc_id = 0").select(X.fingerprint("text").alias("f")).first()
+    norm = "the quick brown fox jumps over the lazy dog"
+    assert row.f == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_minhash_neardup_finds_pair(docs):
+    pairs = dedup.neardup_pairs(docs, threshold=0.3, num_hashes=8, bands=4).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert (0, 1) in got  # exact dups always collide
+    for p in pairs:
+        assert 0.0 <= p.jaccard <= 1.0
+
+
+def test_minhash_signature_properties(docs):
+    sigs = dedup.minhash_signatures(docs, num_hashes=8).collect()
+    by_id = {r.doc_id: r.sig for r in sigs}
+    assert by_id[0] == by_id[1]  # identical normalized text → identical signature
+    assert by_id[0] != by_id[3]
+
+
+def test_ngram_jaccard_pairs(docs):
+    allpairs = docs.alias("a").crossJoin(docs.alias("b")).filter(
+        F.col("a.doc_id") < F.col("b.doc_id")
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, ngram=3, prefilter=allpairs).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert (0, 1) in got
+    assert (0, 2) in got  # near-dup above 0.5 on 3-grams
+    assert not any({a, b} == {3, 4} for a, b in got)
+
+
+def test_token_stats(docs):
+    stats = {r.doc_id: r for r in textops.token_stats(docs).collect()}
+    assert stats[0].n_tokens == 9
+    assert stats[0].n_chars_measured == 43
+
+
+def test_lang_id_heuristic(docs):
+    pred = {r.doc_id: r.pred_lang for r in textops.lang_id(docs).collect()}
+    assert pred[0] == "en"
+    assert pred[4] == "es"
+
+
+def test_quality_scores_bounded(docs):
+    rows = textops.quality_scores(docs).collect()
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.punct_ratio >= 0.0
+
+
+def test_quality_monotone_in_length(spark):
+    rows = [(0, "short text", "en", "s", 10), (1, "the " * 60 + "end of a long document with many words", "en", "s", 250)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    scores = {r.doc_id: r.quality_score for r in textops.quality_scores(df).collect()}
+    assert scores[1] > scores[0]

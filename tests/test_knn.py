@@ -1,0 +1,76 @@
+"""k-NN operator tests — mirrors the reference's integration/self-search
+pattern (tests/integration_test.rs:5-47: self-query top-1 is itself at
+distance 0 for all three metrics) plus batch/filtered semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.operators import knn
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine", "dot"])
+def test_self_search_top1(embeddings, metric):
+    res = knn.self_knn(embeddings, n_probes=3, k=5, metric=metric)
+    top1 = {r.query_id: r for r in res.filter(F.col("rank") == 1).collect()}
+    assert set(top1) == {0, 1, 2}
+    if metric != "dot":  # dot distance of self isn't 0, but self must rank where exact
+        for qid, r in top1.items():
+            assert r.id == qid
+            assert abs(r.distance) < 1e-9
+
+
+def test_k_truncation_and_ordering(embeddings):
+    res = knn.self_knn(embeddings, n_probes=2, k=7).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        assert len(rows) == 7
+        ds = [r.distance for r in sorted(rows, key=lambda r: r.rank)]
+        assert ds == sorted(ds)
+
+
+def test_matches_bruteforce_python(embeddings):
+    """FlatIndex-as-oracle (reference recall_test.rs:32-35): compare against
+    a driver-side exact computation on a small slice."""
+    import math
+
+    data = {r.vec_id: [float(x) for x in r.embedding] for r in embeddings.limit(60).collect()}
+    sub = embeddings.filter(F.col("vec_id") < 60)
+    probes = sub.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    got = [r.id for r in knn.knn(sub, probes, k=5).orderBy("rank").collect()]
+    q = data[5]
+    expect = sorted(
+        data, key=lambda i: (math.sqrt(sum((a - b) ** 2 for a, b in zip(data[i], q))), i)
+    )[:5]
+    assert got == expect
+
+
+def test_filtered_knn_prefilter_exact_k(embeddings):
+    probes = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    res = knn.knn_filtered(embeddings, probes, predicate=F.col("label") == 2, k=5)
+    rows = res.collect()
+    assert len(rows) == 5  # exactly k — no over-fetch starvation (divergence from ref)
+    labels = {
+        r.label
+        for r in embeddings.filter(F.col("vec_id").isin([x.id for x in rows])).collect()
+    }
+    assert labels == {2}
+
+
+def test_local_strategy_equivalent(embeddings):
+    probes = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    a = knn.knn(embeddings, probes, k=8, strategy="window").collect()
+    b = knn.knn(embeddings, probes, k=8, strategy="local").collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted([(r.query_id, r.id, r.rank) for r in a]) == sorted(
+        [(r.query_id, r.id, r.rank) for r in b]
+    )

@@ -1,0 +1,97 @@
+"""Structured Streaming slice tests: insert-log fold via foreachBatch
+(the reference's WAL replay, incremental) and watermarked windowed aggs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.operators import crud
+from vectordb_from_scratch_spark.streaming import (
+    fold_stream_foreach_batch,
+    windowed_event_counts,
+)
+
+
+def test_stream_fold_matches_batch_fold(spark, tmp_path):
+    """Streaming fold (availableNow over a file source) must land the same
+    state as the batch fold of the full log — replay equivalence, the
+    property the reference's crash-recovery tests assert
+    (src/persistence/engine.rs:259-391)."""
+    log_rows = [
+        (1, "insert", "a", [1.0, 0.0], {"v": "1"}),
+        (2, "insert", "b", [0.0, 1.0], {"v": "1"}),
+        (3, "insert", "a", [2.0, 0.0], {"v": "2"}),
+        (4, "delete", "b", None, None),
+        (5, "insert", "c", [3.0, 3.0], {"v": "9"}),
+    ]
+    log = spark.createDataFrame(log_rows, crud.LOG_SCHEMA)
+    src = str(tmp_path / "log_src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    log.write.parquet(src)
+
+    stream = spark.readStream.schema(crud.LOG_SCHEMA).parquet(src)
+    q = fold_stream_foreach_batch(spark, stream, state, ckpt).start()
+    q.awaitTermination(120)
+
+    got = {r.id: r for r in spark.read.parquet(state).collect()}
+    expect = {r.id: r for r in crud.fold_insert_log(log).collect()}
+    assert set(got) == set(expect) == {"a", "c"}
+    assert got["a"].metadata == {"v": "2"}
+    assert got["a"].embedding == expect["a"].embedding
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    """Streaming windowed agg (availableNow) equals the batch groupBy —
+    and the plan carries a watermark for late-data eviction."""
+    from vectordb_from_scratch_spark.sources import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_event_counts(stream)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt2")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = spark.read.parquet(src)
+    expect_df = (
+        batch.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    expect = {(r.hour, r.event_type): (r.n_events, r.sum_value) for r in expect_df.collect()}
+    # Append-mode watermark semantics: windows whose end is not yet older
+    # than (max event time − watermark) are withheld at end-of-stream, so
+    # the streaming output is the CLOSED-window subset of the batch result.
+    assert set(got) <= set(expect)
+    for k, v in got.items():
+        assert v == expect[k], k
+    import datetime
+
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - datetime.timedelta(hours=2)  # windows closed ≥1h before wm
+    closed = {
+        k for k in expect if datetime.datetime.strptime(k[0], "%Y-%m-%d %H:%M:%S") < cutoff
+    }
+    assert closed <= set(got)
+    assert len(got) > 0

@@ -1,0 +1,102 @@
+"""Known-answer vector math tests — mirrors the reference's epsilon tests
+(src/vector.rs:124-187, src/distance.rs:75-144; FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.functions import vectormath as vm
+
+EPS = 1e-6
+
+
+@pytest.fixture(scope="module")
+def lit_df(spark):
+    rows = [
+        ("basic", [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        ("identical", [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+        ("orthogonal", [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        ("opposite", [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]),
+        ("zero", [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),
+        ("threefour", [3.0, 4.0], [0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "name string, a array<double>, b array<double>")
+
+
+def _by_name(df, cols):
+    return {r["name"]: r for r in df.select("name", *cols).collect()}
+
+
+def test_euclidean_known_value(lit_df):
+    # reference: euclid([1,2,3],[4,5,6]) = 5.196152 (src/distance.rs:81-86)
+    r = _by_name(lit_df.withColumn("d", vm.euclidean_distance("a", "b")), ["d"])
+    assert abs(r["basic"]["d"] - 5.196152) < 1e-5
+    assert r["identical"]["d"] == 0.0
+
+
+def test_dot_product_known_value(lit_df):
+    # reference: dot([1,2,3],[4,5,6]) = 32.0 (src/distance.rs:96-101)
+    r = _by_name(lit_df.withColumn("d", vm.dot_product("a", "b")), ["d"])
+    assert abs(r["basic"]["d"] - 32.0) < EPS
+    assert abs(r["orthogonal"]["d"]) < EPS
+
+
+def test_cosine_known_values(lit_df):
+    # identical→0, orthogonal→1, opposite→2 (src/distance.rs:104-125)
+    r = _by_name(lit_df.withColumn("d", vm.cosine_distance("a", "b")), ["d"])
+    assert abs(r["identical"]["d"] - 0.0) < EPS
+    assert abs(r["orthogonal"]["d"] - 1.0) < EPS
+    assert abs(r["opposite"]["d"] - 2.0) < EPS
+
+
+def test_cosine_zero_vector_is_null(lit_df):
+    # reference raises on zero vector (src/distance.rs:51-55); ours → NULL
+    r = _by_name(lit_df.withColumn("d", vm.cosine_distance("a", "b")), ["d"])
+    assert r["zero"]["d"] is None
+
+
+def test_norm_and_normalize(lit_df):
+    # norm([3,4]) = 5; normalized([3,4]) = [0.6, 0.8] (src/vector.rs:137-149)
+    r = _by_name(
+        lit_df.withColumn("n", vm.norm("a")).withColumn("u", vm.normalize("a")), ["n", "u"]
+    )
+    assert abs(r["threefour"]["n"] - 5.0) < EPS
+    assert all(abs(x - y) < EPS for x, y in zip(r["threefour"]["u"], [0.6, 0.8]))
+    assert r["zero"]["u"] is None  # zero vector → NULL (ref raises, src/vector.rs:42-45)
+
+
+def test_negated_dot_metric(lit_df):
+    # DotProduct distance is negated so smaller = closer (src/distance.rs:31)
+    r = _by_name(lit_df.withColumn("d", vm.distance("dot", "a", "b")), ["d"])
+    assert abs(r["basic"]["d"] + 32.0) < EPS
+
+
+def test_parse_vector(spark):
+    df = spark.createDataFrame([("1.0, 2.5 ,3",), ("bad,2.0",)], "s string")
+    got = df.select(vm.parse_vector("s").alias("v")).collect()
+    assert got[0]["v"] == [1.0, 2.5, 3.0]
+    assert got[1]["v"][0] is None  # bad float → NULL element (ref raises)
+
+
+def test_add_sub_scale(lit_df):
+    r = _by_name(
+        lit_df.select(
+            "name",
+            vm.vec_add("a", "b").alias("s"),
+            vm.vec_sub("a", "b").alias("m"),
+            vm.vec_scale("a", 2.0).alias("x"),
+        ),
+        ["s", "m", "x"],
+    )
+    assert r["basic"]["s"] == [5.0, 7.0, 9.0]
+    assert r["basic"]["m"] == [-3.0, -3.0, -3.0]
+    assert r["basic"]["x"] == [2.0, 4.0, 6.0]
+
+
+def test_norm_matches_python(embeddings):
+    row = embeddings.select("embedding", vm.norm("embedding").alias("n")).first()
+    expect = math.sqrt(sum(float(x) * float(x) for x in row.embedding))
+    assert abs(row.n - expect) < 1e-9

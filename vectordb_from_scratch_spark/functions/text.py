@@ -1,0 +1,152 @@
+"""Text-analysis kernel — Column builders for the LLM-data-pipeline
+operators (BASELINE.json north star): tokenization, shingling, MinHash,
+quality scoring, language ID, fingerprinting.
+
+The reference has no text surface at all (SURVEY.md §2.6) — these are the
+"beyond the reference" operators, built Spark-first:
+
+- everything is built-in `pyspark.sql.functions` (codegen'd, no Python in
+  the hot path);
+- every function has an exact DuckDB-SQL twin (md5 / regexp_split /
+  list_transform produce identical values), so the driver's oracle can
+  hash-match them;
+- MinHash uses lexicographic-min over md5(seed:shingle) — a valid
+  uniform min-hash family that both engines compute identically, instead
+  of engine-specific numeric hashes (Spark xxhash64 ≠ DuckDB hash).
+
+Scale: all per-row O(len) expressions — narrow, pipelined, shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "tokens",
+    "token_count",
+    "word_shingles",
+    "char_ngrams",
+    "minhash_sig",
+    "fingerprint",
+    "quality_features",
+    "STOPWORDS_EN",
+]
+
+# Tiny embedded English stopword list (public-domain, most frequent words);
+# used for stopword-ratio quality features and the lang-id heuristic.
+STOPWORDS_EN = (
+    "the of and to in a is that it was for on are as with his they at be this "
+    "have from or one had by word but not what all were we when your can said"
+).split()
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(text: Column | str) -> Column:
+    """lower + collapse runs of whitespace + trim — canonical form for
+    exact-dup hashing."""
+    return F.trim(F.regexp_replace(F.lower(_col(text)), r"\s+", " "))
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of the lowercased text, empties removed.
+    Oracle twin: list_filter(regexp_split_to_array(lower(t),'\\s+'), x->x!='')."""
+    return F.filter(
+        F.split(F.lower(_col(text)), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """n-word shingles as space-joined strings; [] when fewer than n words.
+
+    PERF: built from slice+zip_with, NOT element_at inside a transform
+    lambda — array arguments of higher-order functions evaluate once per
+    row, whereas expressions referenced inside the lambda body re-evaluate
+    PER ELEMENT (the tokenizer would re-run O(len²) times per doc).
+    Oracle twin (same values): list_transform(range(...), i ->
+    concat_ws(' ', w[i], w[i+1], ...)).
+    """
+    w = tokens(text)
+    return shingles_from_tokens(w, n)
+
+
+def shingles_from_tokens(w: Column, n: int) -> Column:
+    cnt = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    acc = F.slice(w, 1, cnt)
+    for j in range(2, n + 1):
+        nxt = F.slice(w, j, cnt)
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return acc
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Character n-grams of normalized text; [] when shorter than n.
+
+    Same per-element-re-evaluation hazard as word_shingles: split into a
+    char array once, then slice+zip_with — never substr(t, i) inside a
+    lambda (it would re-run the normalizing regexp per character).
+    Oracle twin: list_transform(range(1, len(t)-n+2), i -> t[i:i+n-1]).
+    """
+    t = normalize_text(text)
+    chars = F.filter(F.split(t, ""), lambda c: c != F.lit(""))
+    cnt = F.greatest(F.size(chars) - F.lit(n - 1), F.lit(0))
+    acc = F.slice(chars, 1, cnt)
+    for j in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(chars, j, cnt), lambda a, b: F.concat(a, b))
+    return acc
+
+
+def minhash_sig(shingles: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature: array of ``num_hashes`` lexicographic minima of
+    md5(f"{h}:{shingle}"). Duplicate shingles can't affect a min, so no
+    distinct needed. NULL-safe: empty shingle set → array of NULLs.
+
+    This is the batch-build analog of the reference's per-insert index add
+    (SURVEY.md H4→"MLlib for batch index build"); hash family is engine-
+    portable (md5) so the DuckDB oracle reproduces it bit-for-bit.
+    """
+    def hash_fn(h: int):
+        # NB: must be a 1-arg lambda — a 2-arg lambda in F.transform is
+        # interpreted as (element, index) by PySpark.
+        prefix = f"{h}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, hash_fn(h))).alias(f"mh{h}") for h in range(num_hashes)]
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (exact-dup key)."""
+    return F.md5(normalize_text(text))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Deterministic quality-scoring features (length / punctuation /
+    stopword / digit ratios) — the heuristic features a pretraining pipeline
+    filters on. All replicable in ANSI SQL for the oracle.
+    """
+    t = _col(text)
+    n_chars = F.length(t).cast("double")
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("double")
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS_EN])))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "avg_token_len": F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars),
+        "digit_ratio": F.when(n_chars > 0, n_digit / n_chars),
+        "distinct_stopwords": stop_hits.cast("double"),
+    }

@@ -1,0 +1,186 @@
+"""Approximate nearest neighbor — the Spark-native replacement for the
+reference's HNSW graph (SURVEY.md §2.3).
+
+HNSW's insert/beam-search (reference src/hnsw/graph.rs:143-414) is
+inherently sequential pointer-chasing; the distributed equivalent is a
+BATCH-BUILT bucketed index + bucket-probe re-rank:
+
+  1. deterministic signed-random-projection (SRP) LSH: L hash tables,
+     each `nbits` sign-bits of projections onto ±1 vectors derived from
+     md5 (seeded, engine-portable → DuckDB oracle can reproduce bucket
+     assignment EXACTLY, something MLlib's RNG cannot);
+  2. candidates = rows sharing any table's bucket with the probe
+     (equi-join on the bucket key — hash-partition prunable, the
+     distributed analog of HNSW's beam candidate set);
+  3. exact re-rank of candidates only, per-query top-k.
+
+Recall is tuned by (nbits, L) — the ef/numHashTables analog
+(reference ef_search src/hnsw/graph.rs:41, H9). The recall harness in
+tests/ mirrors the reference's FlatIndex-as-oracle thresholds
+(tests/recall_test.rs:67-80: ≥0.90/0.90/0.85).
+
+An MLlib BucketedRandomProjectionLSH path is also provided
+(BASELINE.json: "MLlib for batch index build") for Euclidean
+approx-similarity joins; its random planes make it rows-only for the
+oracle, but the pytest recall harness covers it.
+
+Scale: index build is one narrow pass (fit/transform); search shuffles
+only (bucket_key) — candidates stay co-partitioned; no cross join exists
+anywhere in the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vectormath as vm
+from .knn import knn as exact_knn  # noqa: F401  (exact fallback / oracle)
+
+__all__ = [
+    "srp_planes",
+    "srp_bucket_cols",
+    "ann_knn_srp",
+    "build_mllib_lsh",
+    "ann_join_mllib",
+]
+
+
+def srp_planes(dim: int, nbits: int, table: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 projection planes. Component j of plane t is the
+    sign bit of md5(f"{seed}:{table}:{t}:{j}") — reproducible in any
+    engine and in plain Python (no RNG state, no Spark dependency)."""
+    planes = []
+    for t in range(nbits):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"{seed}:{table}:{t}:{j}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _srp_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Bucket key: integer whose bit t = sign(dot(vec, plane_t)) > 0.
+    Built-in fold per plane — codegen'd, no UDF."""
+    v = vm.as_double(vec)
+    bucket = F.lit(0).cast("long")
+    for t, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, lit_plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << t).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def srp_bucket_cols(vec: Column | str, dim: int, nbits: int = 8, n_tables: int = 2,
+                    seed: int = 42) -> list[Column]:
+    """One bucket-key Column per hash table."""
+    return [
+        _srp_bucket(vec, srp_planes(dim, nbits, table=l, seed=seed)).alias(f"bucket_{l}")
+        for l in range(n_tables)
+    ]
+
+
+def ann_knn_srp(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "euclidean",
+    *,
+    dim: int,
+    nbits: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """SRP-LSH approximate k-NN: union of per-table bucket joins → distinct
+    candidates → exact re-rank → per-query top-k.
+
+    May return fewer than k rows for probes in sparse buckets — the same
+    recall/latency trade the reference makes with ef (H9); raise nbits↓ /
+    n_tables↑ for recall.
+    """
+    from pyspark.sql import Window
+
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__vvec"),
+        *[c for c in srp_bucket_cols(vec_col, dim, nbits, n_tables, seed)],
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+        *[c for c in srp_bucket_cols(query_vec_col, dim, nbits, n_tables, seed)],
+    )
+    cands = None
+    for l in range(n_tables):
+        c = v.join(F.broadcast(q.select("query_id", "__qvec", f"bucket_{l}")), on=f"bucket_{l}") \
+             .select("query_id", "id", "__qvec", "__vvec")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["query_id", "id"])
+    dist = vm.distance(metric, "__qvec", "__vvec")
+    narrow = cands.select("query_id", "id", dist.alias("distance"))
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    return (
+        narrow.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
+
+
+def build_mllib_lsh(
+    vectors: DataFrame,
+    *,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Batch ANN index build via MLlib BucketedRandomProjectionLSH —
+    the distributed analog of HNSW bulk construction (reference
+    src/hnsw/mod.rs:34-42, which is sequential despite its rayon claim).
+    Returns (model, transformed_df with ml 'features' + 'hashes')."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(vm.as_double(vec_col)).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(feat)
+    return model, model.transform(feat)
+
+
+def ann_join_mllib(
+    model,
+    indexed: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """approxSimilarityJoin batch search (reference search_batch analog,
+    src/storage.rs:302-310): all pairs within euclidean `threshold`."""
+    from pyspark.ml.functions import array_to_vector
+
+    q = queries.select(
+        F.col(query_id_col), array_to_vector(vm.as_double(query_vec_col)).alias("features")
+    )
+    joined = model.approxSimilarityJoin(q, indexed, threshold, distCol="distance")
+    return joined.select(
+        F.col(f"datasetA.{query_id_col}").alias("query_id"),
+        F.col("datasetB.vec_id").alias("id"),
+        F.col("distance"),
+    )

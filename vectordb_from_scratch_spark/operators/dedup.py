@@ -1,0 +1,195 @@
+"""Deduplication operators over the `documents` table — exact, MinHash+LSH,
+and n-gram-Jaccard near-dup. Core LLM-training-pipeline operators
+(BASELINE.json north star); absent from the reference (its only dedup is
+upsert-by-id, src/storage.rs:156-161 — see operators/crud.py).
+
+Scale design (the part that must survive 100 TB):
+- exact dedup: md5 fingerprint → ONE hash-shuffle on the 32-byte digest
+  (never on the raw text); min(doc_id) representative keeps output
+  deterministic. Map-side partial aggregation halves the shuffle.
+- MinHash+LSH near-dup: per-row signatures (narrow, codegen'd) →
+  band-hash explode (rows × n_bands, each ~50 B) → self-join per band
+  bucket → candidate pairs → exact Jaccard verify on ONLY the candidates.
+  The quadratic blowup is confined inside a bucket; no all-pairs join
+  ever happens. Skewed buckets (boilerplate docs) are the known hazard —
+  AQE skew-join handles moderate skew; a bucket-size cap is the escape
+  hatch for adversarial corpora.
+- Jaccard verify re-joins text by doc_id (two broadcast-able semi-joins)
+  instead of carrying shingle arrays through the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..sources.tables import spread
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "neardup_pairs",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(normalized text) → (fingerprint,
+    keep_id = min id, n_dups). Join back on keep_id to materialize the
+    deduped corpus; here we return the group table (the interesting part)."""
+    return (
+        documents.select(F.col(id_col), X.fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig array<string>) — md5-family MinHash over word shingles.
+    Engine-portable (see functions/text.py) so the oracle reproduces it."""
+    sh = X.word_shingles(text_col, n=shingle_n)
+    return spread(documents).select(
+        F.col(id_col),
+        X.minhash_sig(sh, num_hashes=num_hashes).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded-LSH candidate pairs (a < b). num_hashes/bands rows per band;
+    a pair collides if ANY band's sub-signature matches exactly.
+
+    Plan: sigs → explode to (id, band_idx, band_key=md5(join(slice))) →
+    self-join on (band_idx, band_key) → distinct pairs. The join keys are
+    ~40-byte strings; the self-join is per-bucket, never all-pairs.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        documents, num_hashes=num_hashes, shingle_n=shingle_n, text_col=text_col, id_col=id_col
+    ).filter(F.size(F.filter(F.col("sig"), lambda x: x.isNotNull())) == F.lit(num_hashes))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        F.col(id_col), F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def _jaccard(a, b) -> F.Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def neardup_pairs(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-duplicates: LSH candidates → exact word-shingle
+    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    cands = lsh_candidate_pairs(
+        documents, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
+    )
+    sh = spread(documents).select(
+        F.col(id_col),
+        F.array_distinct(X.word_shingles(text_col, n=shingle_n)).alias("sh"),
+    )
+    j = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+    )
+    return j.filter(F.col("jaccard") >= F.lit(threshold))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    ngram: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """Character-n-gram Jaccard similarity over candidate pairs.
+
+    `prefilter` is a (id_a, id_b) candidate DataFrame (e.g. from LSH or a
+    blocking key); without it we block on (length bucket, first char) to
+    stay sub-quadratic (documented approximation — an all-pairs cross
+    join is never acceptable at scale; pairs differing in their first
+    character are missed, which the MinHash-LSH path covers instead).
+    """
+    grams = spread(documents).select(
+        F.col(id_col),
+        F.array_distinct(X.char_ngrams(text_col, n=ngram)).alias("g"),
+    )
+    if prefilter is None:
+        nt = X.normalize_text(text_col)
+        blocked = documents.select(
+            F.col(id_col),
+            (F.floor(F.length(nt) / F.lit(20))).alias("len_bucket"),
+            F.substring(nt, 1, 1).alias("head_char"),
+        )
+        l, r = blocked.alias("l"), blocked.alias("r")
+        prefilter = (
+            l.join(
+                r,
+                (F.col("l.len_bucket") == F.col("r.len_bucket"))
+                & (F.col("l.head_char") == F.col("r.head_char"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        )
+    return (
+        prefilter.join(grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("g", "g_a"), "id_a")
+        .join(grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("g", "g_b"), "id_b")
+        .select("id_a", "id_b", F.round(_jaccard(F.col("g_a"), F.col("g_b")), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )

@@ -1,0 +1,150 @@
+"""Exact k-nearest-neighbor search — the reference's flagship query.
+
+Re-expresses FlatIndex::search (reference src/flat_index.rs:52-65: distance
+to every row → sort asc → truncate k) and VectorStore::search/search_batch
+(src/storage.rs:217-245, 302-310) as a distributed DataFrame plan:
+
+    broadcast(queries) ⨯ vectors  →  distance column (JVM codegen)
+      →  project (query_id, id, distance)   [drop embeddings pre-shuffle]
+      →  per-query top-k
+
+Physical-plan reasoning for 100 TB:
+- The probe set is small; ``F.broadcast`` forces BroadcastNestedLoopJoin,
+  so the big vector table is scanned once, in place, with NO shuffle of
+  the big side and no replication across executors beyond the probes.
+- Distance math is built-in higher-order functions → whole-stage codegen.
+- Before any shuffle we project down to three narrow columns (~24 B/row);
+  the embedding arrays never move.
+- Per-query top-k has two strategies:
+    * "window": row_number over (query_id) — simple, one shuffle of the
+      narrow rows. Fine when n_queries × n_vectors stays modest.
+    * "local": per-partition top-k reduce first (mapInPandas, zero
+      shuffle), then the same window over ≤ n_partitions × n_queries × k
+      survivors. At 1000 executors × 100 TB this is the plan that holds:
+      the shuffle input shrinks from n×q rows to p×q×k.
+- Ties broken by (distance, id) ascending for deterministic output
+  (reference heaps tie-break on id too: src/hnsw/neighbor_queue.rs:36-43).
+
+Filtered search (reference src/storage.rs:249-290) PRE-filters here —
+predicate pushdown into the parquet scan — instead of the reference's
+"over-fetch 3k then post-filter" which can return fewer than k rows under
+selective filters (src/storage.rs:268-287). Strictly better semantics;
+divergence documented.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectormath as vm
+
+__all__ = ["knn", "knn_filtered", "self_knn"]
+
+
+def _local_topk(k: int) -> callable:
+    """Per-partition top-k reducer over (query_id, id, distance) batches.
+
+    Runs inside mapInPandas: the iterator spans one whole partition, so we
+    fold batches into a running per-query top-k and emit once — a map-side
+    combine for top-k that Spark SQL lacks natively.
+    """
+
+    def reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            both = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            both.sort_values(["distance", "id"], inplace=True, kind="stable")
+            acc = both.groupby("query_id", sort=False).head(k)
+        if acc is not None:
+            yield acc
+
+    return reduce
+
+
+def knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "euclidean",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    exclude_self: bool = False,
+    strategy: str = "window",
+) -> DataFrame:
+    """Batch exact k-NN: per probe, the k nearest vectors.
+
+    Returns (query_id, id, distance, rank) with rank 1..k ascending by
+    (distance, id). `k=10` default mirrors the reference HTTP API
+    (src/server/routes.rs:240).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qvec"),
+        )
+    )
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__vvec"),
+    )
+    joined = v.crossJoin(q)
+    if exclude_self:
+        joined = joined.filter(F.col("id") != F.col("query_id"))
+    dist = vm.distance(metric, "__qvec", "__vvec")
+    narrow = joined.select("query_id", "id", dist.alias("distance"))
+
+    if strategy == "local":
+        narrow = narrow.mapInPandas(
+            _local_topk(k), schema="query_id long, id long, distance double"
+        )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    return (
+        narrow.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
+
+
+def knn_filtered(
+    vectors: DataFrame,
+    queries: DataFrame,
+    predicate: Column,
+    k: int = 10,
+    metric: str = "euclidean",
+    **kwargs,
+) -> DataFrame:
+    """Filtered k-NN (reference search_with_filter, src/storage.rs:249-290).
+
+    Pre-filters the vector table so the predicate pushes into the scan;
+    always returns exactly min(k, n_matching) rows per query — unlike the
+    reference's 3k-over-fetch post-filter, which can starve (divergence).
+    """
+    return knn(vectors.filter(predicate), queries, k=k, metric=metric, **kwargs)
+
+
+def self_knn(
+    vectors: DataFrame,
+    n_probes: int,
+    k: int = 10,
+    metric: str = "euclidean",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """k-NN using the first ``n_probes`` rows (by id) of the table itself as
+    the probe set — the reference's own test pattern (self-query must return
+    itself at distance 0, tests/integration_test.rs:29-47)."""
+    probes = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(n_probes)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_embedding"))
+    )
+    return knn(vectors, probes, k=k, metric=metric, id_col=id_col, vec_col=vec_col, **kwargs)

@@ -1,0 +1,100 @@
+"""Document-level text analysis operators: language ID, quality scoring,
+token stats, fingerprinting. LLM-pipeline operators beyond the reference's
+surface (BASELINE.json north star). All pure built-in expressions —
+deterministic, codegen'd, and replicable in ANSI SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+__all__ = ["token_stats", "quality_scores", "lang_id", "fingerprints", "LANG_MARKERS"]
+
+# Tiny per-language marker wordlists for the n-gram/stopword heuristic
+# language-ID. Deterministic and SQL-twinnable; not a real LID model.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "les", "des", "est", "une", "dans", "pour", "que"],
+}
+
+
+def token_stats(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counting: whitespace tokens + a BPE-ish proxy
+    (word-char runs and single non-space symbols count separately)."""
+    t = F.col(text_col)
+    bpe_ish = F.size(
+        F.filter(
+            F.split(F.regexp_replace(F.lower(t), r"([^\w\s])", r" $1 "), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+    )
+    return documents.select(
+        F.col(id_col),
+        X.token_count(t).alias("n_tokens"),
+        bpe_ish.alias("n_subtokens"),
+        F.length(t).alias("n_chars_measured"),
+    )
+
+
+def quality_scores(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: rewards mid-length docs with low
+    punctuation/digit density and some stopword coverage — the standard
+    pretraining-filter shape (Gopher/C4-style rules, public recipes)."""
+    feats = X.quality_features(text_col)
+    len_score = F.least(feats["n_tokens"] / F.lit(50.0), F.lit(1.0))
+    punct_pen = F.least(F.coalesce(feats["punct_ratio"], F.lit(0.0)) * F.lit(4.0), F.lit(1.0))
+    digit_pen = F.least(F.coalesce(feats["digit_ratio"], F.lit(0.0)) * F.lit(4.0), F.lit(1.0))
+    stop_score = F.least(feats["distinct_stopwords"] / F.lit(8.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * stop_score
+        + F.lit(0.15) * (F.lit(1.0) - punct_pen)
+        + F.lit(0.15) * (F.lit(1.0) - digit_pen)
+    )
+    return documents.select(
+        F.col(id_col),
+        F.col("lang"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(F.coalesce(feats["avg_token_len"], F.lit(0.0)), 6).alias("avg_token_len"),
+        F.round(F.coalesce(feats["punct_ratio"], F.lit(0.0)), 6).alias("punct_ratio"),
+        F.round(F.coalesce(feats["digit_ratio"], F.lit(0.0)), 6).alias("digit_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: count distinct marker hits per language,
+    predict the argmax (ties broken by fixed language order), 'und' when
+    nothing hits. Returns (id, lang, pred_lang, hits per lang)."""
+    toks = X.tokens(text_col)
+    hit_cols = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[hit_cols[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier languages win ties
+        pred = F.when((hit_cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return documents.select(
+        F.col(id_col),
+        F.col("lang"),
+        pred.alias("pred_lang"),
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in langs],
+    )
+
+
+def fingerprints(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: exact md5 of normalized text plus a coarse
+    64-bit-style prefix bucket (rolling-hash stand-in for shard routing)."""
+    fp = X.fingerprint(text_col)
+    return documents.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard_key"),
+    )

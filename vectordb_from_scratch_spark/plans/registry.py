@@ -1,0 +1,976 @@
+"""Query registry — the driver-facing inventory of implemented operators.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with a DuckDB oracle SQL twin that computes the SAME values on the same
+parquet tables. Names cover SURVEY.md §2's inventory plus the
+LLM-pipeline extensions (dedup / similarity / text analysis / multimodal).
+
+Engine-parity rules used throughout (see also functions/vectormath.py):
+- vector reductions: left-fold in double (F.aggregate ↔ list_reduce) —
+  bitwise identical;
+- group aggregates of measures: exact DECIMAL accumulate (order-
+  independent), cast to double at the end;
+- hashes: md5 (identical hex in both engines); no engine-native hash
+  functions (Spark xxhash64 ≠ DuckDB hash) in compared output;
+- every computed column aliased IDENTICALLY on both sides;
+- floats in output rounded via round(x, 6) as defense-in-depth;
+- ranks/counts cast so Spark and DuckDB integer widths agree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..functions import vectormath as vm
+from ..operators import ann, crud, dedup, filters, knn, textops
+from ..sources import load_table
+from . import relational as rel
+
+# --------------------------------------------------------------------------
+# DuckDB SQL fragments (the oracle side of the parity contract)
+# --------------------------------------------------------------------------
+
+def _sql_fold_sum(arr: str) -> str:
+    return f"list_reduce({arr}, (a, b) -> a + b)"
+
+
+def _sql_norm(vec: str) -> str:
+    return f"sqrt({_sql_fold_sum(f'list_transform({vec}::DOUBLE[], x -> x * x)')})"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return _sql_fold_sum(f"list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), z -> z[1] * z[2])")
+
+
+def _sql_sqeuclid(a: str, b: str) -> str:
+    return _sql_fold_sum(
+        f"list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), z -> (z[1] - z[2]) * (z[1] - z[2]))"
+    )
+
+
+def _sql_euclid(a: str, b: str) -> str:
+    return f"sqrt({_sql_sqeuclid(a, b)})"
+
+
+def _sql_cosine_dist(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN {_sql_norm(a)} > 0 AND {_sql_norm(b)} > 0 THEN "
+        f"1.0 - least(greatest({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}), -1.0), 1.0) END"
+    )
+
+
+def _sql_dist(metric: str, a: str, b: str) -> str:
+    return {
+        "euclidean": _sql_euclid(a, b),
+        "cosine": _sql_cosine_dist(a, b),
+        "dot": f"-({_sql_dot(a, b)})",
+    }[metric]
+
+
+_SQL_TOKENS = "list_filter(regexp_split_to_array(lower({t}), '\\s+'), x -> x != '')"
+_SQL_NORMTEXT = "trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
+
+
+def _sql_shingles(words: str, n: int = 3) -> str:
+    parts = ", ".join(f"{words}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({words}) >= {n} THEN "
+        f"list_transform(range(1, len({words}) - {n - 2}), i -> concat_ws(' ', {parts})) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+def _sql_minhash(shingles: str, h: int) -> str:
+    return f"list_min(list_transform({shingles}, s -> md5('{h}:' || s)))"
+
+
+def _sql_char_ngrams(t: str, n: int = 5) -> str:
+    return (
+        f"CASE WHEN len({t}) >= {n} THEN "
+        f"list_transform(range(1, len({t}) - {n - 2}), i -> {t}[i:i+{n - 1}]) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+def _sql_jaccard(a: str, b: str) -> str:
+    inter = f"len(list_filter(list_distinct({a}), x -> list_contains({b}, x)))"
+    union = f"len(list_distinct({a})) + len(list_distinct({b})) - {inter}"
+    return f"CASE WHEN ({union}) > 0 THEN ({inter})::DOUBLE / ({union})::DOUBLE ELSE 0.0 END"
+
+
+def _sql_srp_dot(vec: str, plane: list[float]) -> str:
+    lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]::DOUBLE[]"
+    return _sql_dot(vec, lit)
+
+
+def _sql_srp_bucket(vec: str, planes: list[list[float]]) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_sql_srp_dot(vec, p)} > 0 THEN {1 << t} ELSE 0 END)"
+        for t, p in enumerate(planes)
+    )
+    return f"({terms})::BIGINT"
+
+
+# --------------------------------------------------------------------------
+# Registry plumbing
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL, or None → driver does rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: Optional[str], doc: str = ""):
+    def wrap(fn):
+        QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# 1. Vector math kernel (SURVEY §2.1 V1–V8, D1–D4)
+# --------------------------------------------------------------------------
+
+@_register(
+    "vec_norms",
+    f"""
+    SELECT vec_id, len(embedding)::INTEGER AS dim,
+           round({_sql_norm('embedding')}, 6) AS norm
+    FROM embeddings
+    """,
+    doc="V2+V3: dimension and L2 norm per vector (ref src/vector.rs:20-37)",
+)
+def _q_vec_norms(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        vm.dimension("embedding").alias("dim"),
+        F.round(vm.norm("embedding"), 6).alias("norm"),
+    )
+
+
+@_register(
+    "vec_normalize",
+    f"""
+    SELECT vec_id,
+           round(CASE WHEN {_sql_norm('embedding')} > 0
+                 THEN embedding[1]::DOUBLE / {_sql_norm('embedding')} END, 6) AS unit_head,
+           round(CASE WHEN {_sql_norm('embedding')} > 0
+                 THEN {_sql_norm(f"(CASE WHEN {_sql_norm('embedding')} > 0 THEN list_transform(embedding::DOUBLE[], x -> x / " + _sql_norm('embedding') + ") END)")} END, 6) AS unit_norm
+    FROM embeddings
+    """,
+    doc="V4: normalize to unit length; zero vector → NULL (ref src/vector.rs:40-58)",
+)
+def _q_vec_normalize(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    unit = vm.normalize("embedding")
+    return e.select(
+        "vec_id",
+        F.round(F.element_at(unit, 1), 6).alias("unit_head"),
+        F.round(vm.norm(unit), 6).alias("unit_norm"),
+    )
+
+
+@_register(
+    "vec_arithmetic",
+    f"""
+    SELECT a.vec_id,
+           round({_sql_dot('a.embedding', 'b.embedding')}, 6) AS dot,
+           round({_sql_euclid('a.embedding', 'b.embedding')}, 6) AS euclid,
+           round({_sql_cosine_dist('a.embedding', 'b.embedding')}, 6) AS cos_dist,
+           round(a.embedding[1]::DOUBLE + b.embedding[1]::DOUBLE, 6) AS add_head,
+           round(a.embedding[1]::DOUBLE - b.embedding[1]::DOUBLE, 6) AS sub_head,
+           round(a.embedding[1]::DOUBLE * 2.5, 6) AS scale_head
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+    doc="V6/V7/V8 + D1/D2/D3 over adjacent-id vector pairs (ref src/vector.rs:76-122, src/distance.rs:37-73)",
+)
+def _q_vec_arithmetic(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    ea, eb = F.col("a.embedding"), F.col("b.embedding")
+    return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.round(vm.dot_product(ea, eb), 6).alias("dot"),
+        F.round(vm.euclidean_distance(ea, eb), 6).alias("euclid"),
+        F.round(vm.cosine_distance(ea, eb), 6).alias("cos_dist"),
+        F.round(F.element_at(vm.vec_add(ea, eb), 1), 6).alias("add_head"),
+        F.round(F.element_at(vm.vec_sub(ea, eb), 1), 6).alias("sub_head"),
+        F.round(F.element_at(vm.vec_scale(ea, 2.5), 1), 6).alias("scale_head"),
+    )
+
+
+@_register(
+    "vec_parse",
+    """
+    SELECT vec_id,
+           list_transform(regexp_split_to_array(vec_id::VARCHAR || ',' || label::VARCHAR || ',' ||
+                         (vec_id + label)::VARCHAR, ','), x -> trim(x)::DOUBLE)[2] AS parsed_mid,
+           len(regexp_split_to_array(vec_id::VARCHAR || ',' || label::VARCHAR || ',' ||
+                         (vec_id + label)::VARCHAR, ','))::INTEGER AS parsed_dim
+    FROM embeddings
+    """,
+    doc="V5: parse 'a,b,c' string → vector (ref src/vector.rs:61-73)",
+)
+def _q_vec_parse(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    s = F.concat_ws(
+        ",",
+        F.col("vec_id").cast("string"),
+        F.col("label").cast("string"),
+        (F.col("vec_id") + F.col("label")).cast("string"),
+    )
+    parsed = vm.parse_vector(s)
+    return e.select(
+        "vec_id",
+        F.element_at(parsed, 2).alias("parsed_mid"),
+        vm.dimension(parsed).alias("parsed_dim"),
+    )
+
+
+@_register(
+    "distance_known_values",
+    f"""
+    WITH t(name, a, b) AS (VALUES
+      ('basic',      [1.0, 2.0, 3.0]::DOUBLE[], [4.0, 5.0, 6.0]::DOUBLE[]),
+      ('identical',  [1.0, 2.0, 3.0]::DOUBLE[], [1.0, 2.0, 3.0]::DOUBLE[]),
+      ('orthogonal', [1.0, 0.0, 0.0]::DOUBLE[], [0.0, 1.0, 0.0]::DOUBLE[]),
+      ('opposite',   [1.0, 0.0, 0.0]::DOUBLE[], [-1.0, 0.0, 0.0]::DOUBLE[]),
+      ('unit345',    [3.0, 4.0, 0.0]::DOUBLE[], [0.0, 0.0, 0.0]::DOUBLE[]))
+    SELECT name,
+           round({_sql_euclid('a', 'b')}, 6) AS euclid,
+           round({_sql_dot('a', 'b')}, 6) AS dot,
+           round({_sql_cosine_dist('a', 'b')}, 6) AS cos_dist,
+           round({_sql_norm('a')}, 6) AS norm_a
+    FROM t
+    """,
+    doc="FIXTURES §3 known answers: euclid([1,2,3],[4,5,6])=5.196152 etc. (ref src/distance.rs:75-144)",
+)
+def _q_distance_known(spark, sf_dir):
+    rows = [
+        ("basic", [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        ("identical", [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+        ("orthogonal", [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        ("opposite", [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]),
+        ("unit345", [3.0, 4.0, 0.0], [0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "name string, a array<double>, b array<double>")
+    return df.select(
+        "name",
+        F.round(vm.euclidean_distance("a", "b"), 6).alias("euclid"),
+        F.round(vm.dot_product("a", "b"), 6).alias("dot"),
+        F.round(vm.cosine_distance("a", "b"), 6).alias("cos_dist"),
+        F.round(vm.norm("a"), 6).alias("norm_a"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. CRUD / scan / fold (SURVEY §2.2 R1–R5, R9; §2.4 WAL fold)
+# --------------------------------------------------------------------------
+
+@_register(
+    "point_lookup",
+    f"""
+    SELECT vec_id, label, len(embedding)::INTEGER AS dim,
+           round({_sql_norm('embedding')}, 6) AS norm
+    FROM embeddings WHERE vec_id IN (7, 42, 123)
+    """,
+    doc="R3: point lookup by id (ref src/storage.rs:195-204)",
+)
+def _q_point_lookup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id").isin(7, 42, 123)).select(
+        "vec_id",
+        "label",
+        vm.dimension("embedding").alias("dim"),
+        F.round(vm.norm("embedding"), 6).alias("norm"),
+    )
+
+
+@_register(
+    "count_vectors",
+    """
+    SELECT count(*) AS n, count(DISTINCT label) AS n_labels,
+           min(vec_id) AS min_id, max(vec_id) AS max_id
+    FROM embeddings
+    """,
+    doc="R5: len/is_empty (ref src/storage.rs:207-214)",
+)
+def _q_count_vectors(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("label").alias("n_labels"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+    )
+
+
+@_register(
+    "list_ids",
+    "SELECT vec_id, label FROM embeddings",
+    doc="R4: list ids — scan + project (ref src/storage.rs:325-327)",
+)
+def _q_list_ids(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+
+
+_UPSERT_LOG_SQL = """
+    WITH log AS (
+      SELECT vec_id AS seq, 'insert' AS op, vec_id AS id, label FROM embeddings
+      UNION ALL
+      SELECT 100000 + vec_id, 'delete', vec_id, NULL FROM embeddings WHERE vec_id % 10 = 0
+      UNION ALL
+      SELECT 200000 + vec_id, 'insert', vec_id, label + 1000 FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    folded AS (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn FROM log
+    )
+    SELECT id, label FROM folded WHERE rn = 1 AND op = 'insert'
+"""
+
+
+@_register(
+    "upsert_fold",
+    _UPSERT_LOG_SQL,
+    doc="R1/R2/R9 + WAL replay: last-writer-wins fold with tombstones "
+    "(ref src/storage.rs:156-161, src/persistence/wal.rs:14-25, engine.rs:57-61)",
+)
+def _q_upsert_fold(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        F.col("vec_id").alias("seq"),
+        F.lit("insert").alias("op"),
+        F.col("vec_id").alias("id"),
+        F.col("label").cast("int").alias("label"),
+    )
+    deletes = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.lit(100000) + F.col("vec_id")).alias("seq"),
+        F.lit("delete").alias("op"),
+        F.col("vec_id").alias("id"),
+        F.lit(None).cast("int").alias("label"),
+    )
+    reinserts = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.lit(200000) + F.col("vec_id")).alias("seq"),
+        F.lit("insert").alias("op"),
+        F.col("vec_id").alias("id"),
+        (F.col("label") + 1000).cast("int").alias("label"),
+    )
+    log = base.unionByName(deletes).unionByName(reinserts)
+    return crud.fold_insert_log(log)
+
+
+# --------------------------------------------------------------------------
+# 3. Exact k-NN — the flagship (SURVEY §2.2 R6/R7/R10/R12)
+# --------------------------------------------------------------------------
+
+def _sql_knn(metric: str, k: int = 10, probe_pred: str = "vec_id < 5",
+             vector_pred: str = "TRUE") -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE {probe_pred}),
+    d AS (
+      SELECT q.query_id, e.vec_id AS id, {_sql_dist(metric, 'q.qv', 'e.embedding')} AS dist
+      FROM q CROSS JOIN (SELECT * FROM embeddings WHERE {vector_pred}) e
+    ),
+    ranked AS (
+      SELECT query_id, id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+      FROM d
+    )
+    SELECT query_id, id, round(dist, 6) AS distance, rnk::INTEGER AS rank
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+def _probes(spark, sf_dir, pred):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.filter(pred).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+
+
+def _knn_query(metric):
+    def q(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        res = knn.knn(e, _probes(spark, sf_dir, F.col("vec_id") < 5), k=10, metric=metric)
+        return res.withColumn("distance", F.round("distance", 6))
+
+    return q
+
+
+_register("knn_euclidean", _sql_knn("euclidean"),
+          doc="R6 flagship: brute-force euclidean k-NN (ref src/flat_index.rs:52-65)")(
+    _knn_query("euclidean"))
+_register("knn_cosine", _sql_knn("cosine"),
+          doc="R6 + D2: cosine-distance k-NN (ref src/distance.rs:47-64)")(
+    _knn_query("cosine"))
+_register("knn_dot", _sql_knn("dot"),
+          doc="R6 + D4: negated-dot-product k-NN (ref src/distance.rs:31)")(
+    _knn_query("dot"))
+
+
+@_register(
+    "knn_filtered",
+    _sql_knn("euclidean", k=10, probe_pred="vec_id < 5", vector_pred="label = 1"),
+    doc="R7: filtered k-NN — pre-filter + exact top-k; no over-fetch starvation "
+    "(ref src/storage.rs:249-290; divergence documented in operators/knn.py)",
+)
+def _q_knn_filtered(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    res = knn.knn_filtered(
+        e, _probes(spark, sf_dir, F.col("vec_id") < 5), predicate=F.col("label") == 1, k=10
+    )
+    return res.withColumn("distance", F.round("distance", 6))
+
+
+@_register(
+    "knn_batch_per_query_k",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, (vec_id % 3 + 2)::INTEGER AS k
+               FROM embeddings WHERE vec_id < 6),
+    d AS (
+      SELECT q.query_id, q.k, e.vec_id AS id, {_sql_euclid('q.qv', 'e.embedding')} AS dist
+      FROM q CROSS JOIN embeddings e
+    ),
+    ranked AS (
+      SELECT query_id, k, id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+      FROM d
+    )
+    SELECT query_id, id, round(dist, 6) AS distance, rnk::INTEGER AS rank
+    FROM ranked WHERE rnk <= k
+    """,
+    doc="R10/R11: batch search with per-query k (ref src/storage.rs:302-310)",
+)
+def _q_knn_batch_k(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+        (F.col("vec_id") % 3 + 2).cast("int").alias("k"),
+    )
+    res = knn.knn(e, probes.drop("k"), k=4, metric="euclidean")
+    return (
+        res.join(F.broadcast(probes.select("query_id", "k")), "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "id", F.round("distance", 6).alias("distance"), "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. ANN via deterministic SRP-LSH (SURVEY §2.3 H1–H10 Spark-native analog)
+# --------------------------------------------------------------------------
+
+_ANN_DIM, _ANN_BITS, _ANN_TABLES = 64, 8, 2
+_PLANES = [ann.srp_planes(_ANN_DIM, _ANN_BITS, table=l) for l in range(_ANN_TABLES)]
+
+
+@_register(
+    "ann_srp_buckets",
+    f"""
+    SELECT vec_id,
+           {_sql_srp_bucket('embedding', _PLANES[0])} AS bucket_0,
+           {_sql_srp_bucket('embedding', _PLANES[1])} AS bucket_1
+    FROM embeddings
+    """,
+    doc="H4 analog: batch LSH index build — deterministic signed-random-projection "
+    "bucket assignment (ref src/hnsw/graph.rs:245-342 replaced per SURVEY §2.3)",
+)
+def _q_ann_buckets(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", *ann.srp_bucket_cols("embedding", _ANN_DIM, _ANN_BITS, _ANN_TABLES)
+    )
+
+
+@_register(
+    "ann_srp_knn",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_sql_srp_bucket('embedding', _PLANES[0])} AS b0,
+             {_sql_srp_bucket('embedding', _PLANES[1])} AS b1
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS id
+      FROM q JOIN v ON q.b0 = v.b0
+      UNION
+      SELECT DISTINCT q.vec_id, v.vec_id FROM q JOIN v ON q.b1 = v.b1
+    ),
+    d AS (
+      SELECT c.query_id, c.id, {_sql_euclid('qe.embedding', 've.embedding')} AS dist
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ve ON ve.vec_id = c.id
+    ),
+    ranked AS (
+      SELECT query_id, id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+      FROM d
+    )
+    SELECT query_id, id, round(dist, 6) AS distance, rnk::INTEGER AS rank
+    FROM ranked WHERE rnk <= 10
+    """,
+    doc="H8 analog: LSH bucket-probe ANN — candidates from 2 hash tables, exact "
+    "re-rank (ref src/hnsw/graph.rs:386-414; recall harness in tests/)",
+)
+def _q_ann_knn(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    res = ann.ann_knn_srp(
+        e, probes, k=10, metric="euclidean",
+        dim=_ANN_DIM, nbits=_ANN_BITS, n_tables=_ANN_TABLES,
+    )
+    return res.withColumn("distance", F.round("distance", 6))
+
+
+# --------------------------------------------------------------------------
+# 5. Metadata filter algebra (SURVEY §2.2 R8)
+# --------------------------------------------------------------------------
+
+_META_FILTER_SPEC = {
+    "or": [
+        {"and": [{"eq": {"field": "lang", "value": "en"}},
+                 {"ne": {"field": "source", "value": "src1"}}]},
+        {"and": [{"exists": {"field": "source"}},
+                 {"eq": {"field": "lang", "value": "de"}}]},
+    ]
+}
+
+
+@_register(
+    "metadata_filter_algebra",
+    """
+    SELECT doc_id, lang, (source != 'src0') AS source_present
+    FROM documents
+    WHERE (lang = 'en' AND (source = 'src0' OR source != 'src1'))
+       OR (source != 'src0' AND lang = 'de')
+    """,
+    doc="R8: Eq/Ne/Exists/And/Or over map<string,string> metadata, incl. "
+    "Ne-true-when-absent (ref src/storage.rs:47-71, :65). Map built from "
+    "documents with 'source' key dropped when source='src0' to exercise absence.",
+)
+def _q_meta_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    meta = F.map_filter(
+        F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")),
+        lambda k, v: ~((k == F.lit("source")) & (v == F.lit("src0"))),
+    )
+    with_meta = d.select("doc_id", "lang", meta.alias("metadata"))
+    pred = filters.compile_filter(_META_FILTER_SPEC)
+    return with_meta.filter(pred).select(
+        "doc_id",
+        "lang",
+        F.element_at("metadata", F.lit("source")).isNotNull().alias("source_present"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. Dedup suite (LLM-pipeline north star)
+# --------------------------------------------------------------------------
+
+_NT = _SQL_NORMTEXT.format(t="text")
+_TOK = _SQL_TOKENS.format(t="text")
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NT}) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: md5(normalized text) groups, min-id representative",
+)
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_MH_SQL_COLS = ",\n           ".join(
+    f"{_sql_minhash(_sql_shingles('toks'), h)} AS mh{h}" for h in range(8)
+)
+
+
+@_register(
+    "dedup_minhash_sigs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+    SELECT doc_id,
+           {_MH_SQL_COLS}
+    FROM t
+    """,
+    doc="MinHash signatures (md5 family, 8 hashes over 3-word shingles) — "
+    "engine-portable batch index build",
+)
+def _q_minhash_sigs(spark, sf_dir):
+    sigs = dedup.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8)
+    return sigs.select("doc_id", *[F.col("sig")[h].alias(f"mh{h}") for h in range(8)])
+
+
+_LSH_BANDS_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    sig AS (
+      SELECT doc_id, {_MH_SQL_COLS}
+      FROM t
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_key FROM sig WHERE mh0 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig WHERE mh0 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig WHERE mh0 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig WHERE mh0 IS NOT NULL
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    )
+"""
+
+
+@_register(
+    "dedup_lsh_candidates",
+    _LSH_BANDS_SQL + "\n    SELECT id_a, id_b FROM pairs",
+    doc="Banded MinHash-LSH candidate pairs (4 bands × 2 rows)",
+)
+def _q_lsh_candidates(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(_t(spark, sf_dir, "documents"), num_hashes=8, bands=4)
+
+
+@_register(
+    "dedup_neardup",
+    _LSH_BANDS_SQL
+    + f""",
+    sh AS (SELECT doc_id, list_distinct({_sql_shingles('toks')}) AS sh
+           FROM t),
+    j AS (
+      SELECT p.id_a, p.id_b, round({_sql_jaccard('a.sh', 'b.sh')}, 6) AS jaccard
+      FROM pairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1
+    """,
+    doc="MinHash-LSH near-dup: candidates → exact word-shingle Jaccard ≥ 0.1",
+)
+def _q_neardup(spark, sf_dir):
+    return dedup.neardup_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH nt AS (SELECT doc_id, {_NT} AS t FROM documents),
+    blocked AS (SELECT doc_id, (len(t) // 20) AS len_bucket, t[1:1] AS head_char FROM nt),
+    pairs AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM blocked l JOIN blocked r
+        ON l.len_bucket = r.len_bucket AND l.head_char = r.head_char AND l.doc_id < r.doc_id
+    ),
+    grams AS (SELECT doc_id, list_distinct({_sql_char_ngrams('t')}) AS g FROM nt),
+    j AS (
+      SELECT p.id_a, p.id_b, round({_sql_jaccard('a.g', 'b.g')}, 6) AS jaccard
+      FROM pairs p JOIN grams a ON a.doc_id = p.id_a JOIN grams b ON b.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.15
+    """,
+    doc="n-gram Jaccard near-dup with length-bucket blocking (never all-pairs)",
+)
+def _q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.15, ngram=5)
+
+
+# --------------------------------------------------------------------------
+# 7. Text analysis (LLM-pipeline north star)
+# --------------------------------------------------------------------------
+
+@_register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOK})::INTEGER AS n_tokens,
+           len(list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '([^\\w\\s])', ' \\1 ', 'g'), '\\s+'),
+               x -> x != ''))::INTEGER AS n_subtokens,
+           length(text)::INTEGER AS n_chars_measured
+    FROM documents
+    """,
+    doc="Token counting: whitespace + BPE-ish symbol-splitting proxy",
+)
+def _q_token_stats(spark, sf_dir):
+    return textops.token_stats(_t(spark, sf_dir, "documents"))
+
+
+_QS_SQL = f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             length(text)::DOUBLE AS n_chars,
+             len({_TOK})::DOUBLE AS n_tokens,
+             len(list_filter(list_distinct({_TOK}),
+                 x -> list_contains(['the','of','and','to','in','a','is','that','it','was','for',
+                                     'on','are','as','with','his','they','at','be','this','have',
+                                     'from','or','one','had','by','word','but','not','what','all',
+                                     'were','we','when','your','can','said'], x)))::DOUBLE AS stop_hits,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digit
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           round(CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+           round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END, 6) AS digit_ratio,
+           round(0.4 * least(n_tokens / 50.0, 1.0)
+               + 0.3 * least(stop_hits / 8.0, 1.0)
+               + 0.15 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 4.0, 1.0))
+               + 0.15 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END * 4.0, 1.0)), 6) AS quality_score
+    FROM f
+"""
+
+
+@_register(
+    "text_quality_scores",
+    _QS_SQL,
+    doc="Heuristic quality scoring (length/punct/stopword/digit ratios)",
+)
+def _q_quality(spark, sf_dir):
+    return textops.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _sql_lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textops.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(list_distinct({_TOK}), x -> list_contains([{words}], x)))::INTEGER"
+    )
+
+
+_LANGS = list(textops.LANG_MARKERS)
+_LANG_PRED_SQL = "CASE "
+for _l in _LANGS:
+    _LANG_PRED_SQL += (
+        f"WHEN hits_{_l} = greatest(hits_en, hits_es, hits_de, hits_fr) "
+        f"AND greatest(hits_en, hits_es, hits_de, hits_fr) > 0 THEN '{_l}' "
+    )
+_LANG_PRED_SQL += "ELSE 'und' END"
+
+
+@_register(
+    "text_lang_id",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_sql_lang_hits('en')} AS hits_en,
+             {_sql_lang_hits('es')} AS hits_es,
+             {_sql_lang_hits('de')} AS hits_de,
+             {_sql_lang_hits('fr')} AS hits_fr
+      FROM documents
+    )
+    SELECT doc_id, lang, {_LANG_PRED_SQL} AS pred_lang,
+           hits_en, hits_es, hits_de, hits_fr
+    FROM h
+    """,
+    doc="Marker-word language ID heuristic (argmax with fixed tie order)",
+)
+def _q_lang_id(spark, sf_dir):
+    return textops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_fingerprints",
+    f"""
+    SELECT doc_id, md5({_NT}) AS fingerprint, substr(md5({_NT}), 1, 4) AS shard_key
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 of normalized text + shard prefix",
+)
+def _q_fingerprints(spark, sf_dir):
+    return textops.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# 8. Relational suite (joins/aggs/windows — SURVEY §2.6 categories)
+# --------------------------------------------------------------------------
+
+@_register(
+    "rel_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan-filter-aggregate, decimal-exact sums",
+)
+def _q_pricing(spark, sf_dir):
+    return rel.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "rel_top_revenue_orders",
+    """
+    SELECT l_orderkey, o_orderpriority,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective join → agg → deterministic top-k",
+)
+def _q_top_rev(spark, sf_dir):
+    return rel.top_revenue_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_register(
+    "rel_region_revenue",
+    """
+    SELECT r_name, n_name,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    """,
+    doc="TPC-H Q5 shape: snowflake join with local-supplier predicate",
+)
+def _q_region_rev(spark, sf_dir):
+    return rel.region_revenue(
+        _t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@_register(
+    "rel_customer_order_window",
+    """
+    SELECT o_custkey, o_orderkey,
+           year(o_orderdate)::INTEGER AS order_year,
+           row_number() OVER w ::INTEGER AS rn,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    doc="Window functions: row_number + running decimal sum per customer",
+)
+def _q_cust_window(spark, sf_dir):
+    return rel.customer_order_window(_t(spark, sf_dir, "orders"))
+
+
+@_register(
+    "rel_events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h window agg (batch twin of the streaming windowed agg)",
+)
+def _q_events_hourly(spark, sf_dir):
+    return rel.events_hourly(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "rel_events_sessionize",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id, value,
+             sum(new_sess) OVER
+                 (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM lagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM flagged GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30 min): lag → cumulative flag → agg",
+)
+def _q_sessionize(spark, sf_dir):
+    return rel.events_sessionize(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "rel_events_json",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+           min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+           max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON extraction from props + grouped integer aggregates",
+)
+def _q_events_json(spark, sf_dir):
+    return rel.events_json_stats(_t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# 9. Multimodal plumbing (binary column + Arrow-batched Python stage)
+# --------------------------------------------------------------------------
+
+@_register(
+    "multimodal_bytes",
+    """
+    SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS payload_md5
+    FROM documents
+    """,
+    doc="Multimodal columns: opaque binary payload + Arrow-batched Python "
+    "feature-extraction stage (decode stubbed — see operators/multimodal.py)",
+)
+def _q_multimodal(spark, sf_dir):
+    from ..operators.multimodal import payload_features
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payload_features(payloads)

@@ -1,0 +1,70 @@
+"""Parquet sources for the driver-generated star schema (TESTDATA.md).
+
+The reference's only "sources" are its own bincode WAL/snapshot files and
+a raw f32 mmap file (SURVEY.md §2.4) — columnar Parquet subsumes all of
+them as the large-dataset read path. At 100 TB these reads rely on
+Catalyst pushing filters/column pruning into the scan; loaders here stay
+lazy and unmaterialized so pushdown reaches the files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one table; filters/projections push down.
+
+    `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
+    default; read it as long (legacy flag, runtime-settable) and convert
+    to a microsecond timestamp with exact integer division — floor
+    semantics matching DuckDB's nanos→micros truncation.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure compute-heavy narrow stages get full parallelism.
+
+    A small single-file parquet scan arrives as ONE partition, serializing
+    any expensive per-row work (md5 minhashing, shingling) onto one core.
+    Repartition up to the cluster's default parallelism when the scan has
+    fewer splits; at real scale inputs arrive pre-split and this is a
+    no-op (no shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql can address it."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
