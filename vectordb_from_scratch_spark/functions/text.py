@@ -125,19 +125,66 @@ def minhash_sig(shingles: Column, num_hashes: int = 8) -> Column:
     )
 
 
+_HEXDIGITS = "0123456789abcdef"
+
+
+def token_hash16(tok: Column) -> Column:
+    """Portable 16-bit token hash: integer value of the first 4 hex chars
+    of md5(token). Built from substr+instr only, so the DuckDB oracle
+    reproduces it exactly (neither engine's native hash matches the
+    other's)."""
+    h = F.md5(tok)
+    val = F.lit(0)
+    for i in range(4):
+        digit = F.instr(F.lit(_HEXDIGITS), F.substring(h, i + 1, 1)) - F.lit(1)
+        val = val + digit * F.lit(16 ** (3 - i))
+    return val
+
+
+def simhash16(hashes: Column) -> Column:
+    """16-bit SimHash over a PRE-STAGED array of token_hash16 values: bit b
+    of the result is set iff Σ_tokens (±1 by bit b of the hash) > 0.
+    Duplicate tokens weigh by multiplicity (standard SimHash).
+
+    Callers must stage the hash array as a named column first — the 16
+    folds below each re-evaluate their array argument, so passing the
+    raw transform(tokens, token_hash16) expression would re-hash 16×.
+    Per-row narrow compute, codegen'd, shuffle-free; oracle twin uses
+    list_reduce over the same staged list.
+    """
+
+    def bit_sum(b: int) -> Column:
+        # closure over b — the merge lambda must stay exactly 2-arg
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    out = F.lit(0)
+    for b in range(16):
+        out = out + F.when(bit_sum(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text (exact-dup key)."""
     return F.md5(normalize_text(text))
 
 
-def quality_features(text: Column | str) -> dict[str, Column]:
+def quality_features(text: Column | str, toks: Column | None = None) -> dict[str, Column]:
     """Deterministic quality-scoring features (length / punctuation /
     stopword / digit ratios) — the heuristic features a pretraining pipeline
     filters on. All replicable in ANSI SQL for the oracle.
+
+    Pass a pre-staged ``toks`` column when calling from an operator so the
+    tokenizer isn't re-evaluated per feature.
     """
     t = _col(text)
     n_chars = F.length(t).cast("double")
-    toks = tokens(t)
+    if toks is None:
+        toks = tokens(t)
     n_tok = F.size(toks).cast("double")
     stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS_EN])))
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")

@@ -32,6 +32,8 @@ __all__ = [
     "lsh_candidate_pairs",
     "neardup_pairs",
     "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "embedding_neardup_pairs",
 ]
 
 
@@ -58,10 +60,17 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<string>) — md5-family MinHash over word shingles.
     Engine-portable (see functions/text.py) so the oracle reproduces it."""
-    sh = X.word_shingles(text_col, n=shingle_n)
-    return spread(documents).select(
+    # Stage the shingle array as a named column before fanning out into 8
+    # min-hash folds: each F.transform re-evaluates its array argument, so
+    # unstaged this would rebuild the shingles (and re-tokenize) per hash.
+    # CollapseProject keeps the stage because "__sh" is expensive and
+    # referenced num_hashes times.
+    staged = spread(documents).select(
+        F.col(id_col), X.word_shingles(text_col, n=shingle_n).alias("__sh")
+    )
+    return staged.select(
         F.col(id_col),
-        X.minhash_sig(sh, num_hashes=num_hashes).alias("sig"),
+        X.minhash_sig(F.col("__sh"), num_hashes=num_hashes).alias("sig"),
     )
 
 
@@ -115,6 +124,66 @@ def lsh_candidate_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def simhash_fingerprints(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) 16-bit SimHash fingerprints. Near-dups land at small
+    Hamming distance; equal fingerprints are candidate duplicates that a
+    groupBy(simhash) surfaces with one narrow shuffle of (id, int16).
+
+    Two staged projections (tokens → hash array → 16 folds) keep the
+    tokenizer and hasher at once-per-row each.
+    """
+    staged = spread(documents).select(
+        F.col(id_col), F.transform(X.tokens(text_col), X.token_hash16).alias("__th")
+    )
+    # empty-token docs carry no signal (and the oracle's list_reduce can't
+    # fold an empty list) — drop them on both sides
+    return staged.filter(F.size("__th") > 0).select(
+        F.col(id_col), X.simhash16(F.col("__th")).alias("simhash")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    *,
+    dim: int,
+    nbits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP-bucket blocking (vectors
+    with identical sign-projection buckets) → exact cosine similarity ≥
+    threshold. Returns (id_a, id_b, cos_sim).
+
+    Blocking note: same-bucket is a NECESSARY-ish condition for high
+    cosine (SRP collision probability rises with similarity), so the
+    bucket equi-join prunes the quadratic pair space to per-bucket
+    blocks — the same shape as the text LSH path, one shuffle on the
+    bucket key, never an all-pairs cross join.
+    """
+    from ..functions import vectormath as vm
+    from .ann import srp_bucket_cols
+
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        *srp_bucket_cols(vec_col, dim, nbits, n_tables=1, seed=seed),
+    )
+    l, r = v.alias("l"), v.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.bucket_0") == F.col("r.bucket_0")) & (F.col("l.id") < F.col("r.id")),
+    ).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.round(vm.cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= F.lit(threshold))
 
 
 def _jaccard(a, b) -> F.Column:

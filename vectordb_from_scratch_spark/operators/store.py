@@ -1,0 +1,149 @@
+"""VectorStore facade — API-level parity with the reference's
+``VectorStore`` (src/storage.rs:81-327): insert/insert_batch (upsert),
+delete, get/get_metadata, list_ids, len, search, search_with_filter,
+search_batch — re-expressed over an immutable DataFrame snapshot.
+
+This is deliberately a THIN facade: every method compiles to the
+set-oriented operators in this package (crud/knn/filters), so "state" is
+just the current folded DataFrame and mutation returns a NEW store —
+the DataFrame-native translation of the reference's &mut self methods.
+Dimension is enforced on first insert exactly like the reference
+(dimension inferred then checked, src/storage.rs:93-94, 145-154).
+
+Scale: the facade adds nothing to the plans — a 100 TB deployment calls
+the operators directly on partitioned tables; this class exists for
+API-parity tests and small interactive use.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import vectormath as vm
+from . import crud, knn
+from .filters import compile_filter
+
+STORE_SCHEMA = "id string, embedding array<double>, metadata map<string,string>"
+
+
+class DimensionMismatch(ValueError):
+    """Insert/query vector dimension differs from the store's
+    (reference src/error.rs:11-12)."""
+
+
+class VectorNotFound(KeyError):
+    """Delete of an absent id (reference src/storage.rs:177-179)."""
+
+
+@dataclass(frozen=True)
+class VectorStore:
+    spark: SparkSession
+    df: DataFrame
+    dimension: Optional[int] = None
+    metric: str = "euclidean"
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def empty(cls, spark: SparkSession, metric: str = "euclidean") -> "VectorStore":
+        return cls(spark, spark.createDataFrame([], STORE_SCHEMA), None, metric)
+
+    # -- writes (return a NEW store; reference mutates in place) ------------
+
+    def _check_dim(self, items: list[tuple]) -> int:
+        dims = {len(v) for _, v, *_ in items}
+        if self.dimension is not None:
+            dims.add(self.dimension)
+        if len(dims) > 1:
+            raise DimensionMismatch(f"expected dim {min(dims)}, got {dims}")
+        return next(iter(dims))
+
+    def insert(self, id: str, vector: list[float], metadata: dict | None = None) -> "VectorStore":
+        """Upsert one row (reference insert/insert_with_metadata,
+        src/storage.rs:130-172 — existing id replaced)."""
+        return self.insert_batch([(id, vector, metadata or {})])
+
+    def insert_batch(self, items: list[tuple]) -> "VectorStore":
+        """Batch upsert (reference insert_batch, src/storage.rs:293-298 —
+        but atomic rather than stop-at-first-error; divergence noted in
+        SURVEY §2.2 R9)."""
+        items3 = [(i, list(map(float, v)), m or {}) for i, v, *rest in items
+                  for m in [rest[0] if rest else {}]]
+        dim = self._check_dim(items3)
+        updates = self.spark.createDataFrame(items3, STORE_SCHEMA)
+        return replace(self, df=crud.upsert(self.df, updates), dimension=dim)
+
+    def delete(self, id: str) -> "VectorStore":
+        """Delete one id; raises VectorNotFound if absent (reference
+        src/storage.rs:175-192)."""
+        if self.df.filter(F.col("id") == id).isEmpty():
+            raise VectorNotFound(id)
+        ids = self.spark.createDataFrame([(id,)], "id string")
+        return replace(self, df=crud.delete_ids(self.df, ids))
+
+    # -- reads --------------------------------------------------------------
+
+    def get(self, id: str) -> Optional[list[float]]:
+        row = self.df.filter(F.col("id") == id).select("embedding").first()
+        return list(row.embedding) if row else None
+
+    def get_metadata(self, id: str) -> Optional[dict]:
+        row = self.df.filter(F.col("id") == id).select("metadata").first()
+        return dict(row.metadata) if row else None
+
+    def list_ids(self) -> list[str]:
+        return [r.id for r in self.df.select("id").collect()]
+
+    def __len__(self) -> int:
+        return self.df.count()
+
+    # -- search -------------------------------------------------------------
+
+    def _query_df(self, queries: list[tuple]) -> DataFrame:
+        if self.dimension is not None:
+            bad = [q for q, _ in queries if len(q) != self.dimension]
+            if bad:
+                raise DimensionMismatch(
+                    f"query dim {len(bad[0])} != store dim {self.dimension}"
+                )
+        rows = [(i, list(map(float, q)), int(k)) for i, (q, k) in enumerate(queries)]
+        return self.spark.createDataFrame(
+            rows, "query_id long, query_embedding array<double>, k int"
+        )
+
+    def search(self, query: list[float], k: int = 10) -> list[tuple[str, float]]:
+        """Exact k-NN (reference src/storage.rs:217-245)."""
+        return self.search_batch([(query, k)])[0]
+
+    def search_batch(self, queries: list[tuple]) -> list[list[tuple[str, float]]]:
+        """Batch search with per-query k (reference src/storage.rs:302-310)."""
+        qdf = self._query_df(queries)
+        kmax = max(k for _, k in queries)
+        res = knn.knn(
+            self.df, qdf.drop("k"), k=kmax, metric=self.metric,
+            id_col="id", vec_col="embedding",
+        )
+        res = (
+            res.join(F.broadcast(qdf.select("query_id", "k")), "query_id")
+            .filter(F.col("rank") <= F.col("k"))
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        out: list[list[tuple[str, float]]] = [[] for _ in queries]
+        for r in res:
+            out[r.query_id].append((r.id, r.distance))
+        return out
+
+    def search_with_filter(
+        self, query: list[float], k: int, filter_spec: dict
+    ) -> list[tuple[str, float]]:
+        """Filtered k-NN (reference src/storage.rs:249-290) — PRE-filtered,
+        so exactly min(k, matches) rows return (no 3k-over-fetch
+        starvation; documented divergence)."""
+        pred = compile_filter(filter_spec)
+        filtered = replace(self, df=self.df.filter(pred))
+        return filtered.search_batch([(query, k)])[0]

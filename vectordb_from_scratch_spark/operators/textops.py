@@ -45,7 +45,8 @@ def quality_scores(documents: DataFrame, text_col: str = "text", id_col: str = "
     """Heuristic quality score in [0,1]: rewards mid-length docs with low
     punctuation/digit density and some stopword coverage — the standard
     pretraining-filter shape (Gopher/C4-style rules, public recipes)."""
-    feats = X.quality_features(text_col)
+    documents = documents.withColumn("__toks", X.tokens(text_col))
+    feats = X.quality_features(text_col, toks=F.col("__toks"))
     len_score = F.least(feats["n_tokens"] / F.lit(50.0), F.lit(1.0))
     punct_pen = F.least(F.coalesce(feats["punct_ratio"], F.lit(0.0)) * F.lit(4.0), F.lit(1.0))
     digit_pen = F.least(F.coalesce(feats["digit_ratio"], F.lit(0.0)) * F.lit(4.0), F.lit(1.0))
@@ -71,21 +72,29 @@ def lang_id(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     """Marker-word language ID: count distinct marker hits per language,
     predict the argmax (ties broken by fixed language order), 'und' when
     nothing hits. Returns (id, lang, pred_lang, hits per lang)."""
-    toks = X.tokens(text_col)
-    hit_cols = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in LANG_MARKERS.items()
-    }
     langs = list(LANG_MARKERS)
+    # Stage tokens, then hits, so the tokenizer runs once per row and each
+    # array_intersect once — pred references the staged hits columns.
+    staged = documents.withColumn("__toks", X.tokens(text_col)).select(
+        F.col(id_col),
+        F.col("lang"),
+        *[
+            F.size(
+                F.array_intersect(F.col("__toks"), F.array(*[F.lit(w) for w in words]))
+            ).alias(f"hits_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    hit_cols = {lang: F.col(f"hits_{lang}") for lang in langs}
     best = F.greatest(*[hit_cols[lang] for lang in langs])
     pred = F.lit("und")
     for lang in reversed(langs):  # earlier languages win ties
         pred = F.when((hit_cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    return documents.select(
+    return staged.select(
         F.col(id_col),
         F.col("lang"),
         pred.alias("pred_lang"),
-        *[hit_cols[lang].alias(f"hits_{lang}") for lang in langs],
+        *[F.col(f"hits_{lang}") for lang in langs],
     )
 
 

@@ -699,6 +699,61 @@ def _q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.15, ngram=5)
 
 
+_SQL_HASH16 = (
+    "(instr('0123456789abcdef', substr(md5({tok}), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5({tok}), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5({tok}), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5({tok}), 4, 1)) - 1)"
+)
+
+# ±1-transform BEFORE the fold: DuckDB's list_reduce has no initial value
+# (acc starts as the raw first element), so folding the ±1 list — whose
+# first element is already a vote — matches Spark's 0-initialized aggregate.
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN list_reduce(list_transform(th, h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END), "
+    f"(a, b) -> a + b) > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+
+
+@_register(
+    "dedup_simhash",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    h AS (SELECT doc_id, list_transform(toks, x -> {_SQL_HASH16.format(tok='x')}) AS th FROM t
+          WHERE len(toks) > 0)
+    SELECT doc_id, ({_SIMHASH_BITS_SQL}) AS simhash FROM h
+    """,
+    doc="SimHash (16-bit, md5-derived token hashes): near-dups at small "
+    "Hamming distance; fully portable hash family",
+)
+def _q_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH v AS (
+      SELECT vec_id AS id, embedding AS vec,
+             {_sql_srp_bucket('embedding', ann.srp_planes(64, 4, table=0))} AS b0
+      FROM embeddings
+    )
+    SELECT l.id AS id_a, r.id AS id_b,
+           round({{cos}}, 6) AS cos_sim
+    FROM v l JOIN v r ON l.b0 = r.b0 AND l.id < r.id
+    WHERE round({{cos}}, 6) >= 0.3
+    """.format(cos="least(greatest(" + _sql_dot("l.vec", "r.vec") + " / (" + _sql_norm("l.vec")
+               + " * " + _sql_norm("r.vec") + "), -1.0), 1.0)"),
+    doc="Embedding-cosine near-dup: SRP-bucket blocking → exact cosine ≥ 0.3 "
+    "(the vector-side analog of MinHash near-dup)",
+)
+def _q_embedding_neardup(spark, sf_dir):
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, dim=64, nbits=4
+    )
+
+
 # --------------------------------------------------------------------------
 # 7. Text analysis (LLM-pipeline north star)
 # --------------------------------------------------------------------------
@@ -953,6 +1008,150 @@ def _q_sessionize(spark, sf_dir):
 )
 def _q_events_json(spark, sf_dir):
     return rel.events_json_stats(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "metrics_percentiles",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="S3 metrics analog: count/avg/p50/p95/p99 latency report "
+    "(ref src/metrics.rs:25-72; exact interpolated percentile)",
+)
+def _q_metrics(spark, sf_dir):
+    from ..operators.metrics import latency_report
+
+    return latency_report(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "rel_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical ROLLUP aggregation with subtotal rows (grouping sets)",
+)
+def _q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "n",
+        "sum_qty",
+    )
+
+
+@_register(
+    "rel_set_ops",
+    """
+    SELECT 'customer_no_orders' AS cohort, c_custkey AS key
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'part_never_shipped', p_partkey
+    FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    UNION ALL
+    SELECT 'supplier_and_customer_nation', n_nationkey
+    FROM (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+          INTERSECT
+          SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+    doc="Set operations + anti-join cohorts: NOT IN (anti), INTERSECT, UNION ALL "
+    "(the delete-fold R2 join family, SURVEY §2.6)",
+)
+def _q_set_ops(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    no_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.lit("customer_no_orders").alias("cohort"), F.col("c_custkey").alias("key"))
+    )
+    never_shipped = (
+        part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_anti")
+        .select(F.lit("part_never_shipped").alias("cohort"), F.col("p_partkey").alias("key"))
+    )
+    both_nations = (
+        customer.select(F.col("c_nationkey").alias("k")).distinct()
+        .intersect(supplier.select(F.col("s_nationkey").alias("k")).distinct())
+        .select(F.lit("supplier_and_customer_nation").alias("cohort"), F.col("k").cast("long").alias("key"))
+    )
+    return no_orders.unionByName(never_shipped).unionByName(both_nations)
+
+
+@_register(
+    "rel_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_name) AS name_lower,
+           substr(p_type, 1, 6) AS type_prefix,
+           replace(p_name, ' ', '_') AS name_snake,
+           length(p_name)::INTEGER AS name_len,
+           (p_type LIKE 'PROMO%') AS is_promo,
+           concat(p_brand, '#', p_size::VARCHAR) AS brand_size,
+           left(md5(p_name), 8) AS name_hash8
+    FROM part WHERE p_partkey <= 200
+    """,
+    doc="Scalar string functions: case, substr, replace, length, LIKE, concat, hash",
+)
+def _q_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") <= 200).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_name").alias("name_lower"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias("brand_size"),
+        F.substring(F.md5(F.col("p_name")), 1, 8).alias("name_hash8"),
+    )
+
+
+@_register(
+    "rel_date_funcs",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)::INTEGER AS y,
+           month(o_orderdate)::INTEGER AS m,
+           quarter(o_orderdate)::INTEGER AS q,
+           dayofmonth(o_orderdate)::INTEGER AS dom,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)::INTEGER AS days_since_epoch_start,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    doc="Scalar date/timestamp functions: extract, trunc, diff, interval add",
+)
+def _q_date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") <= 500).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .alias("days_since_epoch_start"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").alias("due_date"),
+    )
 
 
 # --------------------------------------------------------------------------

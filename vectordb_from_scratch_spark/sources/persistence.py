@@ -1,0 +1,79 @@
+"""Persistence semantics — the Spark-native form of the reference's
+WAL + snapshot + recovery engine (SURVEY.md §2.4 P1–P9,
+src/persistence/{wal,snapshot,engine}.rs):
+
+- snapshot  = partitioned parquet write + JSON manifest (P4; the
+  manifest mirrors the reference's human-readable snapshot.json with
+  vector_count/dimension, snapshot.rs:36-43)
+- log tail  = any ordered insert/delete DataFrame (the WAL, P1-P2;
+  parquet's commit protocol replaces CRC framing + fsync)
+- recover   = read snapshot ∪ fold tail on top (P5, engine.rs:44-73)
+- compact   = fold snapshot+tail into a new snapshot and start an empty
+  tail (P3/P6 checkpoint, engine.rs:187-204 — interval policy is the
+  caller's; at scale this is the periodic compaction job)
+
+Metadata IS persisted — the reference drops it on checkpoint
+(engine.rs:224, bug P9); we deliberately do not replicate that.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.crud import fold_insert_log
+
+__all__ = ["write_snapshot", "read_snapshot", "recover", "compact"]
+
+MANIFEST = "manifest.json"
+
+
+def write_snapshot(state: DataFrame, path: str, vec_col: str = "embedding") -> dict:
+    """Write current state as a parquet snapshot + manifest."""
+    state.write.mode("overwrite").parquet(os.path.join(path, "data"))
+    spark = state.sparkSession
+    written = spark.read.parquet(os.path.join(path, "data"))
+    dim_row = written.select(F.size(F.col(vec_col)).alias("d")).first()
+    manifest = {
+        "vector_count": written.count(),
+        "dimension": (dim_row.d if dim_row else None),
+        "format": "parquet",
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, "data"))
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as f:
+        return json.load(f)
+
+
+def recover(spark: SparkSession, snapshot_path: str, log_tail: DataFrame | None) -> DataFrame:
+    """Snapshot ∪ replay tail (reference engine open/recover,
+    engine.rs:44-73): tail entries supersede snapshot rows per id;
+    tombstones in the tail drop snapshot rows."""
+    snap = read_snapshot(spark, snapshot_path)
+    if log_tail is None:
+        return snap
+    folded_tail = fold_insert_log(log_tail)  # id, embedding, metadata
+    touched = log_tail.filter(F.col("op") != "checkpoint").select("id").distinct()
+    survivors = snap.join(touched, "id", "left_anti")
+    return survivors.unionByName(folded_tail.select(*snap.columns))
+
+
+def compact(
+    spark: SparkSession, snapshot_path: str, log_tail: DataFrame | None, new_path: str
+) -> dict:
+    """Checkpoint (P6): fold tail into snapshot, write the new snapshot.
+    The caller then truncates/starts a fresh log — same move as the
+    reference's maybe_checkpoint (engine.rs:199-204) minus the interval
+    counter, which belongs to the ingestion job."""
+    return write_snapshot(recover(spark, snapshot_path, log_tail), new_path)
