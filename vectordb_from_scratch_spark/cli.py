@@ -1,0 +1,120 @@
+"""CLI — parity with the reference's clap interface (SURVEY.md §2.5 S5,
+src/main.rs:10-63: insert / search / delete / list / count over a
+persistent store directory, `--metric` selection, vector literals parsed
+from "1.0,2.0,3.0").
+
+    python -m vectordb_from_scratch_spark --data-dir /tmp/store insert id1 "1.0,2.0"
+    python -m vectordb_from_scratch_spark --data-dir /tmp/store search "1.0,2.1" --k 5
+    python -m vectordb_from_scratch_spark --data-dir /tmp/store list
+
+The store directory is a parquet table (id, embedding, metadata) — the
+snapshot format from sources/persistence.py, so the CLI, the batch
+engine, and recovery all read the same bytes. The reference's
+`serve` (HTTP) is out of scope: Spark is a batch engine; the driver
+contract in __spark_entry__.py is the serving surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+from .operators.store import STORE_SCHEMA, VectorStore, VectorNotFound
+
+
+def _session() -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '4')}]")
+        .appName("vectordb_cli")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _load(spark: SparkSession, data_dir: str, metric: str) -> VectorStore:
+    path = os.path.join(data_dir, "data")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return VectorStore.empty(spark, metric=metric)
+    dim_row = df.selectExpr("size(embedding) AS d").first()
+    return VectorStore(spark, df, dim_row.d if dim_row else None, metric)
+
+
+def _save(store: VectorStore, data_dir: str) -> None:
+    from .sources.persistence import write_snapshot
+
+    write_snapshot(store.df, data_dir)
+
+
+def _parse_vec(s: str) -> list[float]:
+    try:
+        return [float(x.strip()) for x in s.split(",") if x.strip()]
+    except ValueError as e:
+        raise SystemExit(f"error: bad vector literal {s!r}: {e}")
+
+
+def _parse_meta(pairs: list[str]) -> dict:
+    out = {}
+    for p in pairs:
+        if "=" not in p:
+            raise SystemExit(f"error: metadata must be key=value, got {p!r}")
+        k, v = p.split("=", 1)
+        out[k] = v
+    return out
+
+
+def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="vectordb_from_scratch_spark")
+    ap.add_argument("--data-dir", required=True, help="store directory (parquet snapshot)")
+    ap.add_argument("--metric", default="euclidean", choices=["euclidean", "cosine", "dot"])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_ins = sub.add_parser("insert", help="insert/upsert a vector")
+    p_ins.add_argument("id")
+    p_ins.add_argument("vector", help='comma-separated floats, e.g. "1.0,2.0"')
+    p_ins.add_argument("--meta", nargs="*", default=[], help="key=value pairs")
+
+    p_search = sub.add_parser("search", help="k-NN search")
+    p_search.add_argument("vector")
+    p_search.add_argument("--k", type=int, default=10)
+
+    p_del = sub.add_parser("delete", help="delete by id")
+    p_del.add_argument("id")
+
+    sub.add_parser("list", help="list ids")
+    sub.add_parser("count", help="row count")
+
+    args = ap.parse_args(argv)
+    own_session = spark is None
+    spark = spark or _session()
+    try:
+        store = _load(spark, args.data_dir, args.metric)
+        if args.cmd == "insert":
+            store = store.insert(args.id, _parse_vec(args.vector), _parse_meta(args.meta))
+            _save(store, args.data_dir)
+            print(f"inserted {args.id}")
+        elif args.cmd == "search":
+            for vid, dist in store.search(_parse_vec(args.vector), k=args.k):
+                print(f"{vid} ({dist:.6f})")
+        elif args.cmd == "delete":
+            try:
+                store = store.delete(args.id)
+            except VectorNotFound:
+                print(f"error: vector {args.id!r} not found", file=sys.stderr)
+                return 1
+            _save(store, args.data_dir)
+            print(f"deleted {args.id}")
+        elif args.cmd == "list":
+            for vid in sorted(store.list_ids()):
+                print(vid)
+        elif args.cmd == "count":
+            print(len(store))
+        return 0
+    finally:
+        if own_session:
+            spark.stop()

@@ -45,6 +45,8 @@ __all__ = [
     "ann_knn_srp",
     "build_mllib_lsh",
     "ann_join_mllib",
+    "build_ivf",
+    "ann_knn_ivf",
 ]
 
 
@@ -130,6 +132,95 @@ def ann_knn_srp(
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
     return (
         narrow.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
+
+
+def build_ivf(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """IVF (inverted-file) index batch build: MLlib KMeans partitions the
+    space into `n_lists` Voronoi cells; every vector is assigned to its
+    nearest centroid's list. The HNSW-build analog where the "graph" is a
+    coarse quantizer (SURVEY §2.3 H4 → "MLlib for batch index build").
+
+    Returns (centers: list[list[float]], assigned: DataFrame with list_id).
+    At scale the assigned table is written partitioned/bucketed BY list_id,
+    so a probe reads only n_probe partitions — partition pruning is the
+    distributed beam search.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(vm.as_double(vec_col)).alias("features")
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="features",
+                predictionCol="list_id")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "list_id")
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return centers, assigned
+
+
+def ann_knn_ivf(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    metric: str = "euclidean",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """IVF probe: route each query to its `n_probe` nearest centroids, scan
+    only those lists, exact re-rank. Recall/latency knob = n_probe (the
+    ef_search analog, SURVEY §2.3 H9).
+
+    Plan shape: queries ⨯ centers (tiny broadcast) → top-n_probe lists per
+    query → equi-join on list_id (hash-prunable) → distance → top-k.
+    """
+    from pyspark.sql import Window
+
+    spark = assigned.sparkSession
+    centers_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            "list_id int, center array<double>",
+        )
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qvec")
+    )
+    w_route = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("list_id").asc())
+    routed = (
+        q.crossJoin(centers_df)
+        .select(
+            "query_id", "__qvec", "list_id",
+            vm.euclidean_distance("__qvec", "center").alias("cdist"),
+        )
+        .withColumn("__r", F.row_number().over(w_route))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "__qvec", "list_id")
+    )
+    cands = assigned.join(F.broadcast(routed), on="list_id").select(
+        "query_id",
+        F.col(id_col).alias("id"),
+        vm.distance(metric, "__qvec", vec_col).alias("distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "distance", "rank")
     )

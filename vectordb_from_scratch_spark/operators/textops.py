@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 
-__all__ = ["token_stats", "quality_scores", "lang_id", "fingerprints", "LANG_MARKERS"]
+__all__ = ["token_stats", "quality_scores", "lang_id", "fingerprints", "tfidf_top_terms", "LANG_MARKERS"]
 
 # Tiny per-language marker wordlists for the n-gram/stopword heuristic
 # language-ID. Deterministic and SQL-twinnable; not a real LID model.
@@ -95,6 +95,42 @@ def lang_id(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.col("lang"),
         pred.alias("pred_lang"),
         *[F.col(f"hits_{lang}") for lang in langs],
+    )
+
+
+def tfidf_top_terms(
+    documents: DataFrame, top: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-`top` TF-IDF terms per document: tf = in-doc term count,
+    idf = ln((N+1)/(df+1)) smoothed. Pure explode → two aggregations →
+    broadcast joins → per-doc window; deterministic tie-break
+    (score desc, term asc) so the oracle hash-matches.
+
+    Scale: the explode shuffles (doc_id, term) pairs once for tf; df is a
+    map-side-combined count-distinct over terms; the doc-frequency table is
+    tiny (vocab-sized) and broadcast back — the fact table never shuffles
+    twice. MLlib HashingTF/IDF is the alternative when vocab must stay
+    unmaterialized; this form keeps exact terms (and oracle parity).
+    """
+    from pyspark.sql import Window
+
+    from ..sources.tables import spread
+
+    toks = spread(documents).select(F.col(id_col), F.explode(X.tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.count()
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1)).cast("double"))
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        F.col(id_col),
+        "term",
+        (F.col("tf") * idf).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(id_col, "term", F.round("score", 6).alias("tfidf"), "rank")
     )
 
 

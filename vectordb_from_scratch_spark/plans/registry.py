@@ -849,6 +849,52 @@ def _q_lang_id(spark, sf_dir):
 
 
 @_register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, round(score, 6) AS tfidf, rnk::INTEGER AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="TF-IDF top-3 terms per doc: explode → tf/df aggregations → broadcast "
+    "join → per-doc window (smoothed idf, deterministic tie-break)",
+)
+def _q_tfidf(spark, sf_dir):
+    return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), top=3)
+
+
+@_register(
+    "ann_ivf_knn",
+    None,  # KMeans centroids aren't SQL-reproducible → driver rows-only check;
+           # the pytest recall harness covers accuracy vs the exact oracle.
+    doc="H4/H8 analog #2: IVF (KMeans coarse quantizer) batch build + "
+    "n_probe-list probe with exact re-rank (rows-only; recall-tested)",
+)
+def _q_ivf(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    centers, assigned = ann.build_ivf(e, n_lists=8)
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    res = ann.ann_knn_ivf(assigned, centers, probes, k=10, n_probe=3)
+    return res.withColumn("distance", F.round("distance", 6))
+
+
+@_register(
     "text_fingerprints",
     f"""
     SELECT doc_id, md5({_NT}) AS fingerprint, substr(md5({_NT}), 1, 4) AS shard_key
