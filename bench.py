@@ -27,11 +27,14 @@ BENCH_QUERIES = [
     "ann_srp_knn",
     "dedup_exact",
     "dedup_neardup",
+    "dedup_simhash",
     "text_quality_scores",
+    "text_tfidf_top_terms",
     "rel_pricing_summary",
     "rel_top_revenue_orders",
     "rel_region_revenue",
     "rel_events_sessionize",
+    "rel_two_stage_distinct",
     "upsert_fold",
 ]
 

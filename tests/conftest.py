@@ -15,9 +15,12 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     from pyspark.sql import SparkSession
 
+    import tempfile
+
     s = (
         SparkSession.builder.master("local[4]")
         .appName("vectordb_from_scratch_spark_tests")
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark_wh_"))
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
@@ -27,6 +30,13 @@ def spark():
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Alias usable inside hypothesis @given tests (plain arg, no funcarg
+    re-entry per example)."""
+    return spark
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,118 @@
+"""Physical-plan quality assertions — the 100 TB contract.
+
+Correct results on 60k rows don't prove the plan survives 1000
+executors; these tests pin the plan properties that do: broadcasts on
+the small side, filter/column pushdown into the parquet scan, map-side
+top-k pruning, partial aggregation, and no naked cartesian products in
+the dedup paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.operators import dedup, knn
+from vectordb_from_scratch_spark.plans import relational as rel
+from vectordb_from_scratch_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_knn_broadcasts_probes_not_vectors(embeddings):
+    probes = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    plan = _plan(knn.knn(embeddings, probes, k=5))
+    assert "BroadcastNestedLoopJoin" in plan        # probes broadcast, big side streams
+    assert "BroadcastExchange" in plan
+
+
+def test_knn_prunes_topk_before_shuffle(embeddings):
+    probes = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    plan = _plan(knn.knn(embeddings, probes, k=5))
+    # Spark's WindowGroupLimit(Partial) keeps ≤k rows per (partition, query)
+    # BEFORE the exchange — the map-side combine for top-k.
+    assert "WindowGroupLimit" in plan
+    partial_idx = plan.find("row_number(), 5, Partial")
+    exchange_idx = plan.find("Exchange hashpartitioning(query_id")
+    assert partial_idx != -1 and exchange_idx != -1
+
+
+def test_knn_shuffles_narrow_rows_only(embeddings):
+    probes = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    plan = _plan(knn.knn(embeddings, probes, k=5))
+    # the embedding arrays must be projected away before the exchange
+    exchange = plan[plan.find("Exchange hashpartitioning(query_id"):]
+    assert "__vvec" not in exchange.split("\n")[0]
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    df = emb.filter(F.col("label") == 3).select("vec_id")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,3)]" in plan
+    assert "ReadSchema: struct<vec_id:bigint,label:int>" in plan  # column pruning
+
+
+def test_filtered_knn_pushes_predicate_to_scan(embeddings):
+    probes = embeddings.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    res = knn.knn_filtered(embeddings, probes, predicate=F.col("label") == 1, k=3)
+    assert "EqualTo(label,1)" in _plan(res)   # pre-filter reached the file scan
+
+
+def test_relational_joins_broadcast_small_dims(spark):
+    tables = {
+        n: load_table(spark, "/root/testdata/sf0.001", n)
+        for n in ("region", "nation", "customer", "supplier", "orders", "lineitem")
+    }
+    plan = _plan(
+        rel.region_revenue(
+            tables["region"], tables["nation"], tables["customer"],
+            tables["supplier"], tables["orders"], tables["lineitem"],
+        )
+    )
+    assert plan.count("BroadcastHashJoin") >= 2   # nation & region never shuffle the fact
+
+
+def test_aggregation_is_partial(spark):
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    plan = _plan(rel.pricing_summary(li))
+    # map-side partial aggregation before the exchange
+    assert "partial_sum" in plan or "Partial" in plan
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_dedup_has_no_cartesian_product(documents):
+    for df in (
+        dedup.lsh_candidate_pairs(documents),
+        dedup.neardup_pairs(documents, threshold=0.1),
+        dedup.ngram_jaccard_pairs(documents, threshold=0.15),
+        dedup.embedding_neardup_pairs(
+            documents.select(F.col("doc_id").alias("vec_id"),
+                             F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")),
+            threshold=0.9, dim=2, nbits=2,
+        ),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan  # all pair-joins are equi-joins
+
+
+def test_exact_dedup_shuffles_digest_not_text(documents):
+    plan = _plan(dedup.exact_dedup(documents))
+    exchange_line = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchange_line and "fingerprint" in exchange_line[0]
+    assert "text" not in exchange_line[0]  # raw text never crosses the wire

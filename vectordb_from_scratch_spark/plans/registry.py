@@ -1057,6 +1057,20 @@ def _q_events_json(spark, sf_dir):
 
 
 @_register(
+    "rel_two_stage_distinct",
+    """
+    SELECT event_type, count(*) AS n_users
+    FROM (SELECT DISTINCT event_type, user_id FROM events)
+    GROUP BY event_type
+    """,
+    doc="Skew-safe two-stage exact count-distinct (composite-key dedupe → "
+    "count): the rewrite that spreads a hot group key across reducers",
+)
+def _q_two_stage(spark, sf_dir):
+    return rel.two_stage_distinct_users(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "metrics_percentiles",
     """
     SELECT event_type, count(*) AS n,

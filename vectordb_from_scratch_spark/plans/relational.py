@@ -179,6 +179,17 @@ def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def two_stage_distinct_users(events: DataFrame) -> DataFrame:
+    """Skew-safe exact count-distinct: stage 1 dedupes (event_type,
+    user_id) — a shuffle keyed on the COMPOSITE key, so a hot event_type
+    spreads across reducers — stage 2 counts per event_type on the tiny
+    deduped set. The classic rewrite of countDistinct for skewed group
+    keys at scale; identical results, no single hot reducer.
+    """
+    deduped = events.select("event_type", "user_id").distinct()
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 def events_json_stats(events: DataFrame) -> DataFrame:
     """Semi-structured extraction: JSON props → typed column → agg
     (the reference has no JSON surface; standard pipeline need)."""
