@@ -121,14 +121,19 @@ def ann_knn_srp(
         F.col(query_vec_col).alias("__qvec"),
         *[c for c in srp_bucket_cols(query_vec_col, dim, nbits, n_tables, seed)],
     )
+    # Distance is computed BEFORE the union/dedup so the only thing that
+    # crosses the dedup shuffle is (query_id, id, distance) — never the
+    # embedding arrays. Duplicate candidates from different tables carry
+    # identical distances, so dedup-after-distance is value-equivalent.
+    dist = vm.distance(metric, "__qvec", "__vvec")
     cands = None
     for l in range(n_tables):
-        c = v.join(F.broadcast(q.select("query_id", "__qvec", f"bucket_{l}")), on=f"bucket_{l}") \
-             .select("query_id", "id", "__qvec", "__vvec")
+        c = (
+            v.join(F.broadcast(q.select("query_id", "__qvec", f"bucket_{l}")), on=f"bucket_{l}")
+            .select("query_id", "id", dist.alias("distance"))
+        )
         cands = c if cands is None else cands.unionByName(c)
-    cands = cands.dropDuplicates(["query_id", "id"])
-    dist = vm.distance(metric, "__qvec", "__vvec")
-    narrow = cands.select("query_id", "id", dist.alias("distance"))
+    narrow = cands.dropDuplicates(["query_id", "id"])
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
     return (
         narrow.withColumn("rank", F.row_number().over(w))

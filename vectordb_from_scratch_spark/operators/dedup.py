@@ -112,6 +112,12 @@ def lsh_candidate_pairs(
     banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
         F.col(id_col), F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
     )
+    # The banded signature table IS the batch-built index (H4 analog): cache
+    # it so the self-join's two sides don't each recompute the full
+    # tokenize→shingle→minhash pipeline (Spark reuses no exchange across
+    # self-join sides here). At scale this table is persisted to storage,
+    # bucketed by band_key; MEMORY_AND_DISK is the local-session stand-in.
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (

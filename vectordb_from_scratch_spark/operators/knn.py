@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectormath as vm
 
-__all__ = ["knn", "knn_filtered", "self_knn"]
+__all__ = ["knn", "knn_filtered", "knn_filtered_overfetch", "self_knn"]
 
 
 def _local_topk(k: int) -> callable:
@@ -127,6 +127,35 @@ def knn_filtered(
     reference's 3k-over-fetch post-filter, which can starve (divergence).
     """
     return knn(vectors.filter(predicate), queries, k=k, metric=metric, **kwargs)
+
+
+def knn_filtered_overfetch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    predicate: Column,
+    k: int = 10,
+    overfetch: int = 3,
+    metric: str = "euclidean",
+    *,
+    id_col: str = "vec_id",
+    **kwargs,
+) -> DataFrame:
+    """REFERENCE-EXACT filtered search (src/storage.rs:249-290): fetch the
+    min(overfetch·k, n) nearest rows WITHOUT the filter, post-filter, keep
+    the first k. Faithfully reproduces the reference's under-fill: a
+    selective filter can return fewer than k rows even when k matches
+    exist. Use knn_filtered (pre-filter) unless bug-for-bug parity with
+    the reference API is required.
+    """
+    pre = knn(vectors, queries, k=overfetch * k, metric=metric, id_col=id_col, **kwargs)
+    attrs = vectors.withColumnRenamed(id_col, "id")
+    refiltered = pre.join(attrs.filter(predicate).select("id"), "id", "left_semi")
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    return (
+        refiltered.withColumn("rank2", F.row_number().over(w))
+        .filter(F.col("rank2") <= k)
+        .select("query_id", "id", "distance", F.col("rank2").alias("rank"))
+    )
 
 
 def self_knn(

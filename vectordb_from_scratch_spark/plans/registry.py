@@ -473,6 +473,41 @@ def _q_knn_batch_k(spark, sf_dir):
     )
 
 
+@_register(
+    "knn_filtered_overfetch",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    d AS (
+      SELECT q.query_id, e.vec_id AS id, e.label, {_sql_euclid('q.qv', 'e.embedding')} AS dist
+      FROM q CROSS JOIN embeddings e
+    ),
+    pre AS (
+      SELECT query_id, id, label, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+      FROM d
+    ),
+    fetched AS (SELECT * FROM pre WHERE rnk <= 30),
+    refiltered AS (
+      SELECT query_id, id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY rnk ASC) AS rnk2
+      FROM fetched WHERE label = 1
+    )
+    SELECT query_id, id, round(dist, 6) AS distance, rnk2::INTEGER AS rank
+    FROM refiltered WHERE rnk2 <= 10
+    """,
+    doc="R7 REFERENCE-EXACT mode: over-fetch 3k unfiltered, post-filter, keep k "
+    "— reproduces the reference's under-fill behavior bug-for-bug "
+    "(src/storage.rs:268-287); knn_filtered is the corrected pre-filter form",
+)
+def _q_knn_overfetch(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    res = knn.knn_filtered_overfetch(
+        e, _probes(spark, sf_dir, F.col("vec_id") < 5), predicate=F.col("label") == 1,
+        k=10, overfetch=3,
+    )
+    return res.withColumn("distance", F.round("distance", 6))
+
+
 # --------------------------------------------------------------------------
 # 4. ANN via deterministic SRP-LSH (SURVEY §2.3 H1–H10 Spark-native analog)
 # --------------------------------------------------------------------------
@@ -996,6 +1031,118 @@ def _q_region_rev(spark, sf_dir):
 )
 def _q_cust_window(spark, sf_dir):
     return rel.customer_order_window(_t(spark, sf_dir, "orders"))
+
+
+@_register(
+    "rel_asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           v.event_id AS view_event_id,
+           (epoch_us(p.ts) - epoch_us(v.ts)) AS micros_since_view
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    doc="As-of join (custom operator — Spark lacks it, DuckDB has ASOF JOIN "
+    "as the oracle): each purchase matched to the user's most recent "
+    "prior view via union + windowed last-non-null sweep (one shuffle)",
+)
+def _q_asof(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"), F.col("ts").alias("view_ts")
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", left_time="ts", right_time="ts",
+        right_cols=["view_event_id", "view_ts"], suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("micros_since_view"),
+    )
+
+
+@_register(
+    "rel_rolling_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                 RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS rolling_90d_revenue
+    FROM orders WHERE o_custkey < 100
+    """,
+    doc="Time-range rolling window: per-customer 90-day revenue via RANGE "
+    "frame over event-time (microsecond epoch ordering on both engines)",
+)
+def _q_rolling(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    # o_orderdate is parquet TIMESTAMP_NTZ; cast → session-TZ (UTC) timestamp
+    # so unix_micros matches DuckDB's epoch_us over the naive value.
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-90 * 86400 * 1_000_000, 0)
+    )
+    return o.filter(F.col("o_custkey") < 100).select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_90d_revenue"),
+    )
+
+
+@_register(
+    "rel_cube",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (all 4 grouping combinations)",
+)
+def _q_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+@_register(
+    "rel_approx_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+            <= 0.05 * count(DISTINCT user_id)) AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="HLL sketch vs exact distinct: each engine's own approx_count_distinct "
+    "must land within 5% of the exact count (sketches aren't cross-engine "
+    "reproducible; the tolerance bound is)",
+)
+def _q_approx_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("approx_within_5pct"),
+    )
 
 
 @_register(
