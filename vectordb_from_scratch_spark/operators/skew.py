@@ -1,0 +1,49 @@
+"""Skew-handling utilities — salting for hot join keys.
+
+AQE's skew-join split (spark.sql.adaptive.skewJoin) handles moderate
+skew at runtime; salting is the explicit fallback when one key dominates
+so badly that even split partitions overwhelm a task, or when AQE is
+unavailable (streaming joins, some join types).
+
+salted_join: big side gets a random-ish salt in [0, S); the (small)
+build side is replicated S× with every salt value; the join key becomes
+(key, salt). One hot key now spreads across S tasks. Results are
+IDENTICAL to the unsalted join — only the partitioning changes — which
+the tests assert.
+
+The "salt" is deterministic (md5 of a monotonic row discriminator mod
+S) so plans stay replayable; true randomness buys nothing here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join"]
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+    discriminator: str | None = None,
+) -> DataFrame:
+    """Equi-join `big ⋈ small` on `on`, salted S ways.
+
+    `discriminator`: a big-side column whose per-key values vary (used to
+    derive the salt); defaults to the first non-key column. The small
+    side is replicated S× — keep it genuinely small (dimension-sized)."""
+    discriminator = discriminator or next(c for c in big.columns if c != on)
+    big_s = big.withColumn(
+        "__salt",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col(discriminator).cast("string")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(salt),
+        ).cast("int"),
+    )
+    small_s = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return big_s.join(small_s, on=[on, "__salt"], how=how).drop("__salt")

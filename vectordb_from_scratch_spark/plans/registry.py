@@ -1146,6 +1146,131 @@ def _q_approx_distinct(spark, sf_dir):
 
 
 @_register(
+    "rel_window_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w ::INTEGER AS rn,
+           rank() OVER wp ::INTEGER AS rnk,
+           dense_rank() OVER wp ::INTEGER AS drnk,
+           ntile(4) OVER w ::INTEGER AS quartile,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           first_value(o_orderkey) OVER w AS first_order,
+           round(CAST(o_totalprice AS DECIMAL(18,2)) -
+                 CAST(lag(o_totalprice) OVER w AS DECIMAL(18,2)), 2)::DOUBLE AS price_delta
+    FROM orders WHERE o_custkey < 30
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+           wp AS (PARTITION BY o_custkey ORDER BY o_orderpriority ASC)
+    """,
+    doc="Window-function suite: row_number/rank/dense_rank/ntile/lag/lead/"
+    "first_value over per-customer frames",
+)
+def _q_window_suite(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    wp = Window.partitionBy("o_custkey").orderBy(F.col("o_orderpriority").asc())
+    return o.filter(F.col("o_custkey") < 30).select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wp).alias("rnk"),
+        F.dense_rank().over(wp).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            - F.lag(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        ).cast("double").alias("price_delta"),
+    )
+
+
+@_register(
+    "rel_fuzzy_match",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name)::INTEGER AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey <= 300 AND b.p_partkey <= 300
+      AND levenshtein(a.p_name, b.p_name) <= 6
+    """,
+    doc="Fuzzy string matching: Levenshtein edit distance over brand-blocked "
+    "part-name pairs (blocking key keeps it sub-quadratic)",
+)
+def _q_fuzzy(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 6)
+    )
+
+
+@_register(
+    "rel_hash_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1 < 2
+    """,
+    doc="Deterministic hash sampling (~12.5%): md5-bucket the key instead of "
+    "engine RNG — reproducible across engines, runs, and partitionings; the "
+    "only sane sampling at scale",
+)
+def _q_hash_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    nibble = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1
+    return d.filter(nibble < 2).select("doc_id", "lang")
+
+
+@_register(
+    "rel_range_join",
+    """
+    WITH intervals AS (
+      SELECT user_id, min(ts) AS lo, min(ts) + INTERVAL 2 DAY AS hi
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, count(*) AS n_in_window,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN intervals i
+      ON e.user_id = i.user_id AND e.ts >= i.lo AND e.ts <= i.hi
+    GROUP BY e.user_id
+    """,
+    doc="Range (interval) join via time-bucketization: intervals explode into "
+    "day buckets, equi-join on (key, bucket), exact filter — no per-key "
+    "cartesian (the brief's 'range join' custom operator)",
+)
+def _q_range_join(spark, sf_dir):
+    from ..operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = ev.groupBy("user_id").agg(
+        F.min("ts").alias("lo"),
+        (F.min("ts") + F.expr("INTERVAL 2 DAYS")).alias("hi"),
+    )
+    joined = range_join(
+        ev.select("user_id", "ts", "value"), intervals, on="user_id",
+        time_col="ts", lo_col="lo", hi_col="hi",
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@_register(
     "rel_events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
