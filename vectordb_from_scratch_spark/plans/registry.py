@@ -440,6 +440,41 @@ def _q_knn_filtered(spark, sf_dir):
 
 
 @_register(
+    "vec_dim_validation",
+    """
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS n_valid,
+           sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS n_invalid
+    FROM embeddings
+    """,
+    doc="Dimension enforcement as a validation aggregate (ref raises "
+    "DimensionMismatch per row, src/storage.rs:145-154; set-oriented form "
+    "counts violations)",
+)
+def _q_dim_validation(spark, sf_dir):
+    e = crud.validate_dimension(_t(spark, sf_dir, "embeddings"), dim=64)
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("__dim_ok"), 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(~F.col("__dim_ok"), 1).otherwise(0)).alias("n_invalid"),
+    )
+
+
+_register(
+    "knn_batch100",
+    _sql_knn("euclidean", k=10, probe_pred="vec_id < 100"),
+    doc="R10 at batch width: 100-probe exact k-NN in one plan — the batch-"
+    "throughput shape (probes broadcast once, one scan of the vector table)",
+)(
+    lambda spark, sf_dir: knn.knn(
+        _t(spark, sf_dir, "embeddings"),
+        _probes(spark, sf_dir, F.col("vec_id") < 100),
+        k=10,
+    ).withColumn("distance", F.round("distance", 6))
+)
+
+
+@_register(
     "knn_batch_per_query_k",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv, (vec_id % 3 + 2)::INTEGER AS k
@@ -944,6 +979,30 @@ def _q_fingerprints(spark, sf_dir):
 # --------------------------------------------------------------------------
 # 8. Relational suite (joins/aggs/windows — SURVEY §2.6 categories)
 # --------------------------------------------------------------------------
+
+_Q6_SQL = """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@_register(
+    "rel_sql_tpch_q6",
+    _Q6_SQL,
+    doc="TPC-H Q6 shape through the spark.sql SURFACE (register_views + the "
+    "IDENTICAL SQL text both engines) — proves the SQL API end of the engine",
+)
+def _q_sql_q6(spark, sf_dir):
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
 
 @_register(
     "rel_pricing_summary",
