@@ -87,3 +87,18 @@ def test_quality_monotone_in_length(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
     scores = {r.doc_id: r.quality_score for r in textops.quality_scores(df).collect()}
     assert scores[1] > scores[0]
+
+
+def test_lsh_bucket_cap_drops_mega_buckets(spark):
+    """max_bucket_size: boilerplate-heavy corpora produce mega-buckets whose
+    B² pair blowup the cap suppresses (those docs are exact-dup territory)."""
+    boiler = [(i, "common license header text repeated verbatim", "en", "s", 40) for i in range(20)]
+    distinct = [(100 + i, f"unique document number {i} with its own words entirely", "en", "s", 50) for i in range(4)]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string, lang string, source string, n_chars long")
+    uncapped = dedup.lsh_candidate_pairs(df, num_hashes=8, bands=4)
+    capped = dedup.lsh_candidate_pairs(df, num_hashes=8, bands=4, max_bucket_size=5)
+    n_unc, n_cap = uncapped.count(), capped.count()
+    assert n_unc >= 190          # 20 identical docs → C(20,2) pairs
+    assert n_cap < n_unc         # mega-bucket suppressed
+    boiler_pairs = capped.filter((F.col("id_a") < 100) & (F.col("id_b") < 100)).count()
+    assert boiler_pairs == 0

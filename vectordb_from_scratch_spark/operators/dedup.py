@@ -81,6 +81,7 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (a < b). num_hashes/bands rows per band;
     a pair collides if ANY band's sub-signature matches exactly.
@@ -88,6 +89,12 @@ def lsh_candidate_pairs(
     Plan: sigs → explode to (id, band_idx, band_key=md5(join(slice))) →
     self-join on (band_idx, band_key) → distinct pairs. The join keys are
     ~40-byte strings; the self-join is per-bucket, never all-pairs.
+
+    `max_bucket_size` is the adversarial-corpus escape hatch: a bucket of
+    B members yields B² pairs, and boilerplate-heavy corpora (headers,
+    license stubs) produce mega-buckets that would dominate the join.
+    Capping drops those buckets entirely (their members are better found
+    by exact dedup anyway); off by default so results stay oracle-exact.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide evenly into bands")
@@ -118,6 +125,15 @@ def lsh_candidate_pairs(
     # self-join sides here). At scale this table is persisted to storage,
     # bucketed by band_key; MEMORY_AND_DISK is the local-session stand-in.
     banded = banded.persist()
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band_idx", "band_key")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (

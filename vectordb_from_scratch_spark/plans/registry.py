@@ -948,6 +948,28 @@ def _q_tfidf(spark, sf_dir):
 
 
 @_register(
+    "ann_mllib_lsh_knn",
+    None,  # MLlib's random hyperplanes aren't SQL-reproducible → rows-only;
+           # accuracy is recall-tested against the exact oracle in pytest.
+    doc="H4/H8 via MLlib BucketedRandomProjectionLSH (BASELINE.json's named "
+    "approach): batch fit + approxSimilarityJoin + per-query top-k",
+)
+def _q_mllib_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    model, indexed = ann.build_mllib_lsh(e, bucket_length=4.0, num_hash_tables=4)
+    joined = ann.ann_join_mllib(model, indexed, probes, threshold=3.0)
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "id", F.round("distance", 6).alias("distance"), "rank")
+    )
+
+
+@_register(
     "ann_ivf_knn",
     None,  # KMeans centroids aren't SQL-reproducible → driver rows-only check;
            # the pytest recall harness covers accuracy vs the exact oracle.

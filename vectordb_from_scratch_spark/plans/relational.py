@@ -33,7 +33,15 @@ __all__ = [
 
 
 def _dec_sum(col, scale: int = 4):
-    """Order-independent sum: exact decimal accumulate, double out."""
+    """Order-independent sum: exact decimal accumulate, double out.
+
+    Cost note (measured at sf0.1): decimal sums run ~5× slower than double
+    sums — the sum's result precision exceeds 18, leaving Spark's compact
+    long-backed decimal for boxed BigDecimal. Accepted deliberately: double
+    sums are order-dependent (non-associative) and long-scaled integers
+    overflow at ~6e9 rows, so exact decimal is the only representation
+    that is both deterministic under any partitioning AND safe at 100 TB.
+    """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
 
