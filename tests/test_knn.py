@@ -74,3 +74,21 @@ def test_local_strategy_equivalent(embeddings):
     assert sorted([(r.query_id, r.id, r.rank) for r in a]) == sorted(
         [(r.query_id, r.id, r.rank) for r in b]
     )
+
+
+def test_numpy_strategy_equivalent(embeddings):
+    """The BLAS kernel path must return the same (query_id, id, rank) sets
+    as the exact fold path; distances agree to ~1e-7 (matmul-trick
+    cancellation — why strategy='auto' keeps the fold for oracle runs)."""
+    probes = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    for metric in ("euclidean", "cosine", "dot"):
+        a = knn.knn(embeddings, probes, k=8, metric=metric, strategy="window").collect()
+        b = knn.knn(embeddings, probes, k=8, metric=metric, strategy="numpy").collect()
+        assert sorted((r.query_id, r.id, r.rank) for r in a) == sorted(
+            (r.query_id, r.id, r.rank) for r in b
+        ), metric
+        da = {(r.query_id, r.id): r.distance for r in a}
+        db = {(r.query_id, r.id): r.distance for r in b}
+        assert max(abs(da[key] - db[key]) for key in da) < 1e-6, metric

@@ -111,14 +111,16 @@ def ann_knn_srp(
     """
     from pyspark.sql import Window
 
-    v = vectors.select(
+    from ..sources.tables import spread
+
+    v = spread(vectors).select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("__vvec"),
+        vm.as_double(vec_col).alias("__vvec"),
         *[c for c in srp_bucket_cols(vec_col, dim, nbits, n_tables, seed)],
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("__qvec"),
+        vm.as_double(query_vec_col).alias("__qvec"),
         *[c for c in srp_bucket_cols(query_vec_col, dim, nbits, n_tables, seed)],
     )
     # Distance is computed BEFORE the union/dedup so the only thing that

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectormath as vm
+from ..sources.tables import spread
 
 __all__ = ["knn", "knn_filtered", "knn_filtered_overfetch", "self_knn"]
 
@@ -65,6 +66,71 @@ def _local_topk(k: int) -> callable:
     return reduce
 
 
+# Above this many vector rows, strategy="auto" switches from the fold
+# expression path (bitwise-exact vs the DuckDB oracle, but interpreted —
+# Spark does not codegen higher-order lambdas, ~tens of µs per pair) to
+# the numpy kernel (BLAS matmul, ~100× faster, float64 results that can
+# differ from the fold in the last ulp).
+AUTO_NUMPY_THRESHOLD = 50_000
+
+
+def _numpy_topk_kernel(probe_rows: list, k: int, metric: str) -> callable:
+    """mapInPandas kernel: per-partition batched distance matrix via numpy
+    + per-query partial top-k. Emits ≤ n_queries × k rows per partition —
+    the shuffle input shrinks from n×q rows to p×q×k, and the distance
+    math runs in BLAS instead of interpreted expression trees."""
+    import numpy as np
+
+    qids = np.array([r[0] for r in probe_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in probe_rows], dtype=np.float64)  # (nq, d)
+    qn2 = (Q * Q).sum(axis=1)  # (nq,)
+    qnorm = np.sqrt(qn2)
+
+    def reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts: list[pd.DataFrame] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array([list(v) for v in pdf["__vvec"]], dtype=np.float64)  # (b, d)
+            ids = pdf["id"].to_numpy()
+            G = V @ Q.T  # (b, nq)
+            if metric == "euclidean":
+                vn2 = (V * V).sum(axis=1)
+                D = np.sqrt(np.maximum(vn2[:, None] + qn2[None, :] - 2.0 * G, 0.0))
+            elif metric == "cosine":
+                vnorm = np.sqrt((V * V).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    D = 1.0 - np.clip(G / (vnorm[:, None] * qnorm[None, :]), -1.0, 1.0)
+                # zero vectors → NaN → sorts last (Spark treats NaN as the
+                # largest double; fold path yields NULL — divergence noted)
+            elif metric == "dot":
+                D = -G
+            else:  # pragma: no cover
+                raise ValueError(metric)
+            take = min(k, len(ids))
+            out_q, out_id, out_d = [], [], []
+            for j in range(len(qids)):
+                order = np.lexsort((ids, D[:, j]))[:take]  # (distance, id) asc
+                out_q.append(np.full(take, qids[j]))
+                out_id.append(ids[order])
+                out_d.append(D[order, j])
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "id": np.concatenate(out_id),
+                        "distance": np.concatenate(out_d),
+                    }
+                )
+            )
+        if parts:
+            both = pd.concat(parts, ignore_index=True)
+            both.sort_values(["distance", "id"], inplace=True, kind="stable")
+            yield both.groupby("query_id", sort=False).head(k)
+
+    return reduce
+
+
 def knn(
     vectors: DataFrame,
     queries: DataFrame,
@@ -76,35 +142,76 @@ def knn(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
     exclude_self: bool = False,
-    strategy: str = "window",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Batch exact k-NN: per probe, the k nearest vectors.
 
     Returns (query_id, id, distance, rank) with rank 1..k ascending by
     (distance, id). `k=10` default mirrors the reference HTTP API
     (src/server/routes.rs:240).
+
+    strategy:
+      "window" — fold-expression distance + WindowGroupLimit top-k.
+                 Bitwise-identical to the DuckDB oracle; interpreted
+                 per-pair math (HOF lambdas aren't codegen'd).
+      "numpy"  — Arrow-batched BLAS kernel with per-partition top-k;
+                 ~100× the throughput, float64 results may differ from
+                 the fold in the last ulp (rank flips only on exact ties).
+      "local"  — fold distance + mapInPandas top-k reduce (legacy).
+      "auto"   — numpy above AUTO_NUMPY_THRESHOLD rows, else window: the
+                 oracle-checked scale stays exact, big tables go fast.
     """
+    # Pre-cast to array<double> in the PROJECTIONS, not the distance
+    # expression: the cast then runs once per input row instead of once
+    # per (probe × vector) pair — at n probes that's an n× saving on the
+    # big side. Catalyst removes the now-redundant cast inside distance().
+    # spread(): a small single-file scan arrives as 1-3 partitions, which
+    # would serialize the O(n_probes × n) distance stage onto 3 cores.
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            F.col(query_vec_col).alias("__qvec"),
+            vm.as_double(query_vec_col).alias("__qvec"),
         )
     )
-    v = vectors.select(
+    v = spread(vectors).select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("__vvec"),
+        vm.as_double(vec_col).alias("__vvec"),
     )
-    joined = v.crossJoin(q)
-    if exclude_self:
-        joined = joined.filter(F.col("id") != F.col("query_id"))
-    dist = vm.distance(metric, "__qvec", "__vvec")
-    narrow = joined.select("query_id", "id", dist.alias("distance"))
+    if strategy == "auto":
+        strategy = "numpy" if vectors.count() >= AUTO_NUMPY_THRESHOLD else "window"
 
-    if strategy == "local":
-        narrow = narrow.mapInPandas(
-            _local_topk(k), schema="query_id long, id long, distance double"
-        )
-    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    if strategy == "numpy":
+        probe_rows = [
+            (r["query_id"], r["__qvec"])
+            for r in queries.select(
+                F.col(query_id_col).alias("query_id"), vm.as_double(query_vec_col).alias("__qvec")
+            ).collect()
+        ]
+        cand = v
+        if exclude_self:
+            # self rows are excluded post-kernel; keep k+1 margin
+            kernel = _numpy_topk_kernel(probe_rows, k + 1, metric)
+        else:
+            kernel = _numpy_topk_kernel(probe_rows, k, metric)
+        narrow = cand.mapInPandas(kernel, schema="query_id long, id long, distance double")
+        if exclude_self:
+            narrow = narrow.filter(F.col("id") != F.col("query_id"))
+    else:
+        joined = v.crossJoin(q)
+        if exclude_self:
+            joined = joined.filter(F.col("id") != F.col("query_id"))
+        dist = vm.distance(metric, "__qvec", "__vvec")
+        narrow = joined.select("query_id", "id", dist.alias("distance"))
+        if strategy == "local":
+            narrow = narrow.mapInPandas(
+                _local_topk(k), schema="query_id long, id long, distance double"
+            )
+    # asc_nulls_last: NULL distances (zero-vector cosine) rank LAST —
+    # matches DuckDB's default and sane semantics (Spark defaults to
+    # nulls-first on asc, which would rank undefined distances top-1).
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc_nulls_last(), F.col("id").asc()
+    )
     return (
         narrow.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
