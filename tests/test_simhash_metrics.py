@@ -88,3 +88,27 @@ def test_simhash_pairs_pigeonhole_exact(docs):
     got = {(r.id_a, r.id_b) for r in dedup.simhash_neardup_pairs(docs, max_hamming=2).collect()}
     assert got == brute
     assert (0, 1) in got  # exact dups at Hamming 0
+
+
+def test_simhash64_pigeonhole_exact_and_tighter(docs, spark):
+    """64-bit SimHash: pigeonhole pairs equal brute force, and the wider
+    fingerprint separates unrelated docs that 16 bits may conflate."""
+    fp = {
+        r.doc_id: r.simhash & (2**64 - 1)  # stored as a signed-long bit pattern
+        for r in dedup.simhash_fingerprints(docs, bits=64).collect()
+    }
+    assert fp[0] == fp[1]                      # identical text, identical fp
+    ids = sorted(fp)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_neardup_pairs(docs, max_hamming=3, bits=64).collect()
+    }
+    assert got == brute
+    # unrelated docs are far apart at 64 bits
+    assert bin(fp[0] ^ fp[3]).count("1") > 10

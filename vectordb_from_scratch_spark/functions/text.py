@@ -128,15 +128,26 @@ def minhash_sig(shingles: Column, num_hashes: int = 8) -> Column:
 _HEXDIGITS = "0123456789abcdef"
 
 
-def token_hash16(tok: Column) -> Column:
-    """Portable 16-bit token hash: integer value of the first 4 hex chars
-    of md5(token). Built from substr+instr only, so the DuckDB oracle
-    reproduces it exactly (neither engine's native hash matches the
-    other's)."""
+def token_hash16(tok: Column, word: int = 0) -> Column:
+    """Portable 16-bit token hash: integer value of hex chars
+    [4·word, 4·word+4) of md5(token) — md5's 32 hex chars yield 8
+    independent 16-bit words from ONE digest. Built from substr+instr
+    only, so the DuckDB oracle reproduces it exactly (neither engine's
+    native hash matches the other's)."""
     h = F.md5(tok)
     val = F.lit(0)
     for i in range(4):
-        digit = F.instr(F.lit(_HEXDIGITS), F.substring(h, i + 1, 1)) - F.lit(1)
+        digit = F.instr(F.lit(_HEXDIGITS), F.substring(h, 4 * word + i + 1, 1)) - F.lit(1)
+        val = val + digit * F.lit(16 ** (3 - i))
+    return val
+
+
+def hash16_from_md5(md5_col: Column, word: int = 0) -> Column:
+    """Same 16-bit word extraction over a PRE-STAGED md5 hex column —
+    stage `transform(toks, md5)` once, then derive all words cheaply."""
+    val = F.lit(0)
+    for i in range(4):
+        digit = F.instr(F.lit(_HEXDIGITS), F.substring(md5_col, 4 * word + i + 1, 1)) - F.lit(1)
         val = val + digit * F.lit(16 ** (3 - i))
     return val
 

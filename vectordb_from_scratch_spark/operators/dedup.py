@@ -150,23 +150,54 @@ def lsh_candidate_pairs(
 
 
 def simhash_fingerprints(
-    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 16,
 ) -> DataFrame:
-    """(id, simhash) 16-bit SimHash fingerprints. Near-dups land at small
-    Hamming distance; equal fingerprints are candidate duplicates that a
-    groupBy(simhash) surfaces with one narrow shuffle of (id, int16).
+    """(id, simhash) SimHash fingerprints at 16 or 64 bits. Near-dups land
+    at small Hamming distance; equal fingerprints are candidate duplicates
+    that a groupBy(simhash) surfaces with one narrow shuffle.
 
-    Two staged projections (tokens → hash array → 16 folds) keep the
-    tokenizer and hasher at once-per-row each.
+    bits=16 is the oracle-checked form; bits=64 is the corpus-scale form
+    (16 bits saturate past ~50k docs — see simhash_neardup_pairs): four
+    independent 16-bit simhashes over words 0-3 of each token's md5,
+    packed into one long. Staged projections keep md5 at once-per-token.
     """
-    staged = spread(documents).select(
-        F.col(id_col), F.transform(X.tokens(text_col), X.token_hash16).alias("__th")
+    if bits == 16:
+        # explicit 1-arg lambda: token_hash16 has a (tok, word=0) signature,
+        # and a 2-parameter callable in F.transform binds (element, INDEX)
+        staged = spread(documents).select(
+            F.col(id_col),
+            F.transform(X.tokens(text_col), lambda t: X.token_hash16(t)).alias("__th"),
+        )
+        # empty-token docs carry no signal (and the oracle's list_reduce
+        # can't fold an empty list) — drop them on both sides
+        return staged.filter(F.size("__th") > 0).select(
+            F.col(id_col), X.simhash16(F.col("__th")).alias("simhash")
+        )
+    if bits != 64:
+        raise ValueError("bits must be 16 or 64")
+    mds = spread(documents).select(
+        F.col(id_col), F.transform(X.tokens(text_col), F.md5).alias("__md5s")
+    ).filter(F.size("__md5s") > 0)
+    def word_extractor(w: int):
+        # 1-arg closure (2-arg transform lambdas bind (element, index))
+        return lambda m: X.hash16_from_md5(m, w)
+
+    pieces = mds.select(
+        F.col(id_col),
+        *[F.transform(F.col("__md5s"), word_extractor(w)).alias(f"__h{w}") for w in range(4)],
     )
-    # empty-token docs carry no signal (and the oracle's list_reduce can't
-    # fold an empty list) — drop them on both sides
-    return staged.filter(F.size("__th") > 0).select(
-        F.col(id_col), X.simhash16(F.col("__th")).alias("simhash")
+    sim = pieces.select(
+        F.col(id_col),
+        *[X.simhash16(F.col(f"__h{w}")).alias(f"__s{w}") for w in range(4)],
     )
+    # shiftleft, not multiply: the top piece lands in the sign bit, which
+    # ANSI multiply treats as overflow; as a BIT PATTERN (xor/bit_count/
+    # chunk masks) a negative long fingerprint is perfectly fine.
+    packed = F.lit(0).cast("long")
+    for w in range(4):
+        packed = packed.bitwiseOR(F.shiftleft(F.col(f"__s{w}").cast("long"), 16 * w))
+    return sim.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -174,6 +205,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = 16,
 ) -> DataFrame:
     """SimHash near-dup pairs: Hamming(simhash_a, simhash_b) ≤ max_hamming,
     found by PIGEONHOLE blocking — split the 16 bits into (max_hamming+1)
@@ -186,20 +218,21 @@ def simhash_neardup_pairs(
     beyond ~50k docs birthday collisions make equal-fingerprint clusters —
     and pair counts — quadratic (100k replicated docs → 2×10⁸ pairs). At
     corpus scale, widen to 64 bits by computing four independent 16-bit
-    simhashes over prefix-salted token hashes (the four pieces ARE the
-    pigeonhole chunks for Hamming ≤ 3); kept 16-bit here because the
-    oracle's 64-fold SQL expression is what the t2 gate can afford.
+    simhashes over per-token md5 words (the four pieces ARE natural
+    pigeonhole chunks for Hamming ≤ 3): pass bits=64. The oracle-checked
+    registry entry stays 16-bit (the 64-fold SQL is what the t2 gate can
+    afford); the 64-bit path is equivalence-tested against brute force.
     """
     n_chunks = max_hamming + 1
-    bits_per = 16 // n_chunks
-    fp = simhash_fingerprints(documents, text_col=text_col, id_col=id_col)
+    bits_per = bits // n_chunks
+    fp = simhash_fingerprints(documents, text_col=text_col, id_col=id_col, bits=bits)
 
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk_idx"),
                 F.shiftright(F.col("simhash"), c * bits_per)
-                .bitwiseAND(F.lit((1 << bits_per) - 1))
+                .bitwiseAND(F.lit((1 << bits_per) - 1).cast("long"))
                 .alias("chunk_val"),
             )
             for c in range(n_chunks)
@@ -292,10 +325,12 @@ def neardup_pairs(
         documents, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         text_col=text_col, id_col=id_col,
     )
+    # persist: the verify joins this table twice (id_a and id_b sides); without
+    # it each side re-runs tokenize→shingle→distinct over the full corpus
     sh = spread(documents).select(
         F.col(id_col),
         F.array_distinct(X.word_shingles(text_col, n=shingle_n)).alias("sh"),
-    )
+    ).persist()
     j = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -31,9 +31,20 @@ __all__ = ["write_snapshot", "read_snapshot", "recover", "compact"]
 MANIFEST = "manifest.json"
 
 
-def write_snapshot(state: DataFrame, path: str, vec_col: str = "embedding") -> dict:
-    """Write current state as a parquet snapshot + manifest."""
-    state.write.mode("overwrite").parquet(os.path.join(path, "data"))
+def write_snapshot(
+    state: DataFrame, path: str, vec_col: str = "embedding",
+    partition_by: str | None = None,
+) -> dict:
+    """Write current state as a parquet snapshot + manifest.
+
+    `partition_by`: optional partition column (e.g. a shard key =
+    substr(md5(id),1,2)) so recovery and point lookups prune partitions —
+    at 100 TB a monolithic snapshot directory is unmanageable; a
+    256-shard layout bounds per-task recovery reads."""
+    writer = state.write.mode("overwrite")
+    if partition_by is not None:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(os.path.join(path, "data"))
     spark = state.sparkSession
     written = spark.read.parquet(os.path.join(path, "data"))
     dim_row = written.select(F.size(F.col(vec_col)).alias("d")).first()
