@@ -99,3 +99,48 @@ def test_filter_compiler_matches_model(spark_global, metas, spec):
     got = {r.id for r in df.filter(compile_filter(spec)).collect()}
     expect = {i for i, m in enumerate(metas) if _model_eval(spec, m)}
     assert got == expect
+
+
+asof_events = st.lists(
+    st.tuples(st.sampled_from(["A", "B"]), st.integers(min_value=0, max_value=50)),
+    min_size=1, max_size=15,
+)
+
+
+@given(asof_events, asof_events)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_pandas_merge_asof(spark_global, left_rows, right_rows):
+    """asof_join ≡ pandas merge_asof (backward direction) on the same data —
+    an independent reference implementation of the operator's semantics."""
+    import pandas as pd
+
+    from vectordb_from_scratch_spark.operators.asof import asof_join
+
+    spark = spark_global
+    # de-dup (key, time) on the right: merge_asof picks the LAST among
+    # exact duplicates and our sweep picks max payload — align by making
+    # right times unique per key (real quotes have unique timestamps)
+    seen = set()
+    rr = []
+    for i, (k, t) in enumerate(right_rows):
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rr.append((k, t, 100 + i))
+    lf = [(i, k, t) for i, (k, t) in enumerate(left_rows)]
+
+    left = spark.createDataFrame(lf, "lid long, k string, t long")
+    right = spark.createDataFrame(rr, "k string, t long, price long")
+    got = {
+        r.lid: r.price_asof
+        for r in asof_join(left, right, on="k", left_time="t", right_time="t",
+                           right_cols=["price"]).collect()
+    }
+
+    lp = pd.DataFrame(lf, columns=["lid", "k", "t"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame(rr, columns=["k", "t", "price"]).sort_values("t", kind="stable")
+    merged = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    expect = {
+        int(row.lid): (None if pd.isna(row.price) else int(row.price))
+        for row in merged.itertuples()
+    }
+    assert got == expect

@@ -131,3 +131,32 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     )
     expect = {r.segment: r.n for r in batch.collect()}
     assert got == expect and len(got) == 5
+
+
+def test_stream_fold_incremental_across_microbatches(spark, tmp_path):
+    """The fold must be correct when the log arrives in MULTIPLE micro-batches
+    (maxFilesPerTrigger=1): later batches upsert/tombstone earlier state."""
+    from vectordb_from_scratch_spark.operators import crud
+    from vectordb_from_scratch_spark.streaming import fold_stream_foreach_batch
+
+    b1 = [(1, "insert", "a", [1.0], {"v": "1"}), (2, "insert", "b", [2.0], {"v": "1"})]
+    b2 = [(3, "insert", "a", [9.0], {"v": "2"}), (4, "delete", "b", None, None)]
+    b3 = [(5, "insert", "c", [3.0], {"v": "1"}), (6, "delete", "zz", None, None)]
+    src = str(tmp_path / "multi_src")
+    for i, batch in enumerate((b1, b2, b3)):
+        spark.createDataFrame(batch, crud.LOG_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    state = str(tmp_path / "multi_state")
+    ckpt = str(tmp_path / "multi_ckpt")
+    stream = spark.readStream.schema(crud.LOG_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = fold_stream_foreach_batch(spark, stream, state, ckpt).start()
+    q.awaitTermination(180)
+    assert q.lastProgress is None or not q.isActive
+
+    got = {r.id: r for r in spark.read.parquet(state).collect()}
+    assert set(got) == {"a", "c"}
+    assert got["a"].embedding == [9.0] and got["a"].metadata == {"v": "2"}

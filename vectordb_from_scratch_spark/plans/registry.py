@@ -509,6 +509,43 @@ def _q_knn_batch_k(spark, sf_dir):
 
 
 @_register(
+    "knn_batch_filtered",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, (vec_id % 3 + 2)::INTEGER AS k
+               FROM embeddings WHERE vec_id < 6),
+    d AS (
+      SELECT q.query_id, q.k, e.vec_id AS id, {_sql_euclid('q.qv', 'e.embedding')} AS dist
+      FROM q CROSS JOIN (SELECT * FROM embeddings WHERE label = 2) e
+    ),
+    ranked AS (
+      SELECT query_id, k, id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+      FROM d
+    )
+    SELECT query_id, id, round(dist, 6) AS distance, rnk::INTEGER AS rank
+    FROM ranked WHERE rnk <= k
+    """,
+    doc="R11: batch filtered search — shared metadata filter + per-query k "
+    "(ref src/storage.rs:313-322), as pre-filter + batch top-k",
+)
+def _q_knn_batch_filtered(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+        (F.col("vec_id") % 3 + 2).cast("int").alias("k"),
+    )
+    res = knn.knn_filtered(
+        e, probes.drop("k"), predicate=F.col("label") == 2, k=4, metric="euclidean"
+    )
+    return (
+        res.join(F.broadcast(probes.select("query_id", "k")), "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "id", F.round("distance", 6).alias("distance"), "rank")
+    )
+
+
+@_register(
     "knn_filtered_overfetch",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -1254,6 +1291,55 @@ def _q_approx_distinct(spark, sf_dir):
             <= 0.05 * F.countDistinct("user_id")
         ).alias("approx_within_5pct"),
     )
+
+
+@_register(
+    "rel_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+    doc="Aggregate + HAVING (post-aggregation predicate)",
+)
+def _q_having(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+# decimal-exact avg in the subquery: double avg is partial-agg-order
+# dependent, and the > comparison sits right at the boundary
+_CORR_SQL = """
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / count(*)
+                       FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+      AND c_custkey <= 300
+"""
+
+
+@_register(
+    "rel_correlated_subquery",
+    _CORR_SQL,
+    doc="Correlated scalar subquery (above-nation-average balance) — Catalyst "
+    "decorrelates it to an aggregate + join; identical SQL both engines",
+)
+def _q_correlated(spark, sf_dir):
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_SQL)
 
 
 @_register(
