@@ -113,3 +113,34 @@ def test_range_join_overlapping_intervals_fan_out(spark):
                             lo_col="lo", hi_col="hi").collect()
     )
     assert got == ["a", "b"]  # overlapping intervals both match (fan-out is correct)
+
+
+def test_range_join_property_vs_naive(spark):
+    """Randomized equivalence: bucketized range join ≡ naive inequality join
+    over many interval shapes (spanning, contained, empty, boundary)."""
+    import random
+
+    rnd = random.Random(7)
+    facts_rows, ival_rows = [], []
+    for i in range(60):
+        facts_rows.append((i, f"u{rnd.randint(0, 4)}", _ts("2024-01-01 00:00:00")
+                           + datetime.timedelta(minutes=rnd.randint(0, 14_400))))
+    for j in range(25):
+        lo = _ts("2024-01-01 00:00:00") + datetime.timedelta(minutes=rnd.randint(0, 14_000))
+        hi = lo + datetime.timedelta(minutes=rnd.randint(0, 4000))
+        ival_rows.append((f"u{rnd.randint(0, 4)}", lo, hi, f"w{j}"))
+    facts = spark.createDataFrame(facts_rows, "fid long, user string, ts timestamp")
+    ivals = spark.createDataFrame(ival_rows, "user string, lo timestamp, hi timestamp, label string")
+    got = {
+        (r.fid, r.label)
+        for r in range_join(facts, ivals, on="user", time_col="ts",
+                            lo_col="lo", hi_col="hi", bucket_seconds=3600).collect()
+    }
+    naive = {
+        (r.fid, r.label)
+        for r in facts.join(
+            ivals,
+            (facts.user == ivals.user) & (facts.ts >= ivals.lo) & (facts.ts <= ivals.hi),
+        ).collect()
+    }
+    assert got == naive and len(naive) > 0

@@ -113,28 +113,41 @@ def ann_knn_srp(
 
     from ..sources.tables import spread
 
-    v = spread(vectors).select(
-        F.col(id_col).alias("id"),
-        vm.as_double(vec_col).alias("__vvec"),
-        *[c for c in srp_bucket_cols(vec_col, dim, nbits, n_tables, seed)],
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        vm.as_double(query_vec_col).alias("__qvec"),
-        *[c for c in srp_bucket_cols(query_vec_col, dim, nbits, n_tables, seed)],
-    )
-    # Distance is computed BEFORE the union/dedup so the only thing that
-    # crosses the dedup shuffle is (query_id, id, distance) — never the
-    # embedding arrays. Duplicate candidates from different tables carry
-    # identical distances, so dedup-after-distance is value-equivalent.
-    dist = vm.distance(metric, "__qvec", "__vvec")
-    cands = None
-    for l in range(n_tables):
-        c = (
-            v.join(F.broadcast(q.select("query_id", "__qvec", f"bucket_{l}")), on=f"bucket_{l}")
-            .select("query_id", "id", dist.alias("distance"))
+    # Single-scan explode form: each row emits one (table_idx, bucket_key)
+    # per hash table and the probe join keys on BOTH — so the vector table
+    # is scanned (and its buckets computed) exactly once regardless of
+    # n_tables, instead of once per table as a union of joins would.
+    def tagged_buckets(df, vcol, out_vec):
+        buckets = srp_bucket_cols(vcol, dim, nbits, n_tables, seed)
+        tags = F.array(
+            *[
+                F.struct(F.lit(l).alias("tbl"), b.alias("bucket"))
+                for l, b in enumerate(buckets)
+            ]
         )
-        cands = c if cands is None else cands.unionByName(c)
+        return df.select(
+            *df.columns, vm.as_double(vcol).alias(out_vec), F.explode(tags).alias("__t")
+        ).select(*df.columns, out_vec, F.col("__t.tbl").alias("tbl"), F.col("__t.bucket").alias("bucket"))
+
+    v = tagged_buckets(
+        spread(vectors).select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")), "__v", "__vvec"
+    ).select("id", "__vvec", "tbl", "bucket")
+    q = tagged_buckets(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__q")
+        ),
+        "__q",
+        "__qvec",
+    ).select("query_id", "__qvec", "tbl", "bucket")
+
+    # Distance is computed BEFORE the dedup so the only thing that crosses
+    # the dedup shuffle is (query_id, id, distance) — never the embedding
+    # arrays. Duplicate candidates from different tables carry identical
+    # distances, so dedup-after-distance is value-equivalent.
+    dist = vm.distance(metric, "__qvec", "__vvec")
+    cands = v.join(F.broadcast(q), on=["tbl", "bucket"]).select(
+        "query_id", "id", dist.alias("distance")
+    )
     narrow = cands.dropDuplicates(["query_id", "id"])
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
     return (

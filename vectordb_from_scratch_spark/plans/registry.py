@@ -1540,6 +1540,22 @@ def _q_two_stage(spark, sf_dir):
 
 
 @_register(
+    "multimodal_frames",
+    None,  # frames are byte-window digests — DuckDB's md5 is VARCHAR-only,
+           # so no blob-exact oracle; rows-only + schema/shape tests.
+    doc="Multimodal 1:N frame sampling: payload → up to 4 deterministic "
+    "frame rows (mapInPandas expansion; real build swaps in a codec's "
+    "keyframe iterator — operators/multimodal.py)",
+)
+def _q_multimodal_frames(spark, sf_dir):
+    from ..operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return sample_frames(payloads, every_n_bytes=64, max_frames=4)
+
+
+@_register(
     "metrics_percentiles",
     """
     SELECT event_type, count(*) AS n,
