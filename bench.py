@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "rel_region_revenue",
     "rel_events_sessionize",
     "rel_two_stage_distinct",
+    "rel_asof_join",
+    "rel_range_join",
+    "knn_batch100",
     "upsert_fold",
 ]
 

@@ -116,3 +116,14 @@ def test_exact_dedup_shuffles_digest_not_text(documents):
     exchange_line = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert exchange_line and "fingerprint" in exchange_line[0]
     assert "text" not in exchange_line[0]  # raw text never crosses the wire
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """A full ORDER BY must range-partition (sampled boundaries), not
+    funnel through one task; ORDER BY + LIMIT must become TakeOrdered."""
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    sort_plan = _plan(li.orderBy("l_extendedprice"))
+    assert "rangepartitioning" in sort_plan
+    topk_plan = _plan(li.orderBy("l_extendedprice").limit(5))
+    assert "TakeOrderedAndProject" in topk_plan
+    assert "rangepartitioning" not in topk_plan  # no global sort for top-k

@@ -1294,6 +1294,63 @@ def _q_approx_distinct(spark, sf_dir):
 
 
 @_register(
+    "rel_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F,
+           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_O,
+           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot: linestatus columns per returnflag (Spark .pivot API; "
+    "portable CASE-WHEN form in the oracle)",
+)
+def _q_pivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_qty").alias("qty_F"),
+        F.coalesce("O_n", F.lit(0)).alias("n_O"),
+        F.coalesce("F_n", F.lit(0)).alias("n_F"),
+    )
+
+
+@_register(
+    "rel_map_funcs",
+    """
+    SELECT doc_id,
+           len(map_keys(MAP {'lang': lang, 'source': source})) AS n_keys,
+           array_to_string(list_sort(map_keys(MAP {'lang': lang, 'source': source})), ',') AS keys_csv,
+           MAP {'lang': lang, 'source': source}['lang'][1] AS lang_val,
+           list_contains(map_keys(MAP {'lang': lang, 'source': source}), 'source') AS has_source
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="Map scalar functions: construction, map_keys, element access, "
+    "key-membership over map<string,string> metadata",
+)
+def _q_map_funcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, F.lit("lang")).alias("lang_val"),
+        F.array_contains(F.map_keys(m), "source").alias("has_source"),
+    )
+
+
+@_register(
     "rel_having",
     """
     SELECT o_custkey, count(*) AS n_orders,
