@@ -1,1 +1,14 @@
-from . import ann, crud, dedup, filters, knn, textops  # noqa: F401
+from . import (  # noqa: F401
+    ann,
+    asof,
+    crud,
+    dedup,
+    filters,
+    knn,
+    metrics,
+    multimodal,
+    rangejoin,
+    skew,
+    store,
+    textops,
+)
