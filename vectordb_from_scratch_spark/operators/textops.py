@@ -134,6 +134,73 @@ def tfidf_top_terms(
     )
 
 
+def chunk_documents(
+    documents: DataFrame,
+    chunk_chars: int = 200,
+    overlap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping character windows — the standard
+    pre-embedding chunking stage of a retrieval/training pipeline.
+
+    1:N explode of chunk indices, then one substring per OUTPUT ROW (the
+    per-element-lambda hazard doesn't apply: after explode, expressions
+    evaluate once per exploded row). Stride = chunk_chars - overlap;
+    every char belongs to ≥1 chunk; last chunk may be short.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    t = F.col(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.length(t) - F.lit(overlap)).cast("double") / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    return (
+        documents.select(
+            F.col(id_col), t.alias("__t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            (F.col("chunk_idx") * stride + 1).alias("chunk_start"),
+            F.col("__t").substr(F.col("chunk_idx") * F.lit(stride) + F.lit(1), F.lit(chunk_chars)).alias("chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            "chunk_start",
+            F.length("chunk").alias("chunk_len"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )
+
+
+def vocabulary(
+    documents: DataFrame, top: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary: top-`top` tokens by total frequency with corpus
+    counts and document frequency — explode → one partial-aggregated
+    groupBy → global top-k (the shuffle carries (term, count) pairs,
+    vocab-sized, never row-sized)."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import spread
+
+    toks = spread(documents).select(F.col(id_col), F.explode(X.tokens(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(id_col).alias("df"),
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("term", "tf", "df", "rank")
+    )
+
+
 def fingerprints(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: exact md5 of normalized text plus a coarse
     64-bit-style prefix bucket (rolling-hash stand-in for shard routing)."""

@@ -1054,6 +1054,51 @@ def _q_ivf(spark, sf_dir):
 
 
 @_register(
+    "text_chunking",
+    """
+    WITH n AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil((length(text) - 50)::DOUBLE / 150) AS INTEGER), 1) AS n_chunks
+      FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, text, unnest(range(0, n_chunks))::INTEGER AS chunk_idx FROM n
+    )
+    SELECT doc_id, chunk_idx,
+           (chunk_idx * 150 + 1)::INTEGER AS chunk_start,
+           length(substr(text, chunk_idx * 150 + 1, 200))::INTEGER AS chunk_len,
+           md5(substr(text, chunk_idx * 150 + 1, 200)) AS chunk_md5
+    FROM exploded
+    """,
+    doc="Document chunking (200-char windows, 50 overlap) — the pre-embedding "
+    "1:N split of a retrieval/training pipeline",
+)
+def _q_chunking(spark, sf_dir):
+    return textops.chunk_documents(_t(spark, sf_dir, "documents"), chunk_chars=200, overlap=50)
+
+
+@_register(
+    "text_vocabulary",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    counts AS (
+      SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      FROM toks GROUP BY term
+    ),
+    ranked AS (
+      SELECT term, tf, df,
+             row_number() OVER (ORDER BY tf DESC, term ASC) AS rnk
+      FROM counts
+    )
+    SELECT term, tf, df, rnk::INTEGER AS rank FROM ranked WHERE rnk <= 50
+    """,
+    doc="Corpus vocabulary: top-50 tokens by frequency with doc frequency",
+)
+def _q_vocabulary(spark, sf_dir):
+    return textops.vocabulary(_t(spark, sf_dir, "documents"), top=50)
+
+
+@_register(
     "text_fingerprints",
     f"""
     SELECT doc_id, md5({_NT}) AS fingerprint, substr(md5({_NT}), 1, 4) AS shard_key
