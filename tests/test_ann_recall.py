@@ -80,3 +80,18 @@ def test_mllib_lsh_recall(embeddings, probes):
     topk = joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= K)
     r = _recall(exact, topk.collect())
     assert r >= 0.85, f"MLlib LSH recall@10 = {r:.3f} < 0.85"
+
+
+def test_srp_multiprobe_boosts_recall(embeddings, probes):
+    """Multiprobe (Hamming-1 bucket fan-out) must raise recall at identical
+    index cost — the ef-widening knob (reference H9 analog)."""
+    exact = knn.knn(embeddings, probes, k=K).collect()
+    base = ann.ann_knn_srp(embeddings, probes, k=K, dim=64, nbits=6, n_tables=2)
+    multi = ann.ann_knn_srp(
+        embeddings, probes, k=K, dim=64, nbits=6, n_tables=2, multiprobe=True
+    )
+    r_base = _recall(exact, base.collect())
+    r_multi = _recall(exact, multi.collect())
+    # distance concentration caps absolute recall at small candidate
+    # fractions (see test_srp_recall_at_10); the knob's job is the DELTA
+    assert r_multi >= r_base + 0.10, f"multiprobe {r_multi:.3f} vs base {r_base:.3f}"

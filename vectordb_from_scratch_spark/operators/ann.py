@@ -101,13 +101,19 @@ def ann_knn_srp(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """SRP-LSH approximate k-NN: union of per-table bucket joins → distinct
+    """SRP-LSH approximate k-NN: per-table bucket joins → distinct
     candidates → exact re-rank → per-query top-k.
 
     May return fewer than k rows for probes in sparse buckets — the same
     recall/latency trade the reference makes with ef (H9); raise nbits↓ /
-    n_tables↑ for recall.
+    n_tables↑ for recall, or set `multiprobe=True` to ALSO probe every
+    bucket at Hamming distance 1 from the query's bucket (the classic
+    multiprobe-LSH move): candidate volume grows ×(nbits+1) per table
+    with zero extra index cost — the closest analog of HNSW's ef beam
+    widening (reference src/hnsw/graph.rs:417-424). Only the probe side
+    fans out; the vector table and its index are untouched.
     """
     from pyspark.sql import Window
 
@@ -139,6 +145,15 @@ def ann_knn_srp(
         "__q",
         "__qvec",
     ).select("query_id", "__qvec", "tbl", "bucket")
+    if multiprobe:
+        # fan the PROBE side out to the exact bucket plus its nbits
+        # Hamming-1 neighbors (flip each sign bit once)
+        variants = F.array(F.col("bucket"), *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(nbits)
+        ])
+        q = q.select(
+            "query_id", "__qvec", "tbl", F.explode(variants).alias("bucket")
+        )
 
     # Distance is computed BEFORE the dedup so the only thing that crosses
     # the dedup shuffle is (query_id, id, distance) — never the embedding
