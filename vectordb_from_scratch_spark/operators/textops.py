@@ -10,8 +10,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from ..sources.tables import spread
 
-__all__ = ["token_stats", "quality_scores", "lang_id", "fingerprints", "tfidf_top_terms", "LANG_MARKERS"]
+__all__ = [
+    "token_stats",
+    "quality_scores",
+    "lang_id",
+    "fingerprints",
+    "winnowing_fingerprints",
+    "tfidf_top_terms",
+    "chunk_documents",
+    "vocabulary",
+    "LANG_MARKERS",
+]
 
 # Tiny per-language marker wordlists for the n-gram/stopword heuristic
 # language-ID. Deterministic and SQL-twinnable; not a real LID model.
@@ -198,6 +209,44 @@ def vocabulary(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top)
         .select("term", "tf", "df", "rank")
+    )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame,
+    gram: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
+    SIGMOD'03): hash every character k-gram (the rolling-hash stream),
+    keep the MINIMUM hash of each sliding window of `window` hashes, then
+    the distinct selected set is the fingerprint. Guarantees any shared
+    substring of length ≥ gram+window-1 contributes a shared fingerprint
+    — positional robustness that whole-document md5 lacks.
+
+    Windowed minima are built the shingle way: `window` shifted slices of
+    the staged hash array combined with elementwise least — per-row array
+    ops, no per-element lambda re-evaluation, no shuffle.
+    """
+    grams = X.char_ngrams(text_col, n=gram)
+    staged = spread(documents).select(
+        F.col(id_col),
+        F.transform(grams, lambda g: X.token_hash16(g)).alias("__gh"),
+    )
+    cnt = F.greatest(F.size(F.col("__gh")) - F.lit(window - 1), F.lit(0))
+    acc = F.slice(F.col("__gh"), 1, cnt)
+    for j in range(2, window + 1):
+        acc = F.zip_with(acc, F.slice(F.col("__gh"), j, cnt), lambda a, b: F.least(a, b))
+    sel = F.array_distinct(acc)
+    fp_digest = F.md5(
+        F.array_join(F.transform(F.array_sort(sel), lambda x: x.cast("string")), ",")
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size(sel).alias("n_fingerprints"),
+        fp_digest.alias("fp_digest"),
     )
 
 

@@ -1053,6 +1053,39 @@ def _q_ivf(spark, sf_dir):
     return res.withColumn("distance", F.round("distance", 6))
 
 
+_WINNOW_SQL = f"""
+    WITH nt AS (SELECT doc_id, {_NT} AS t FROM documents),
+    g AS (SELECT doc_id, {_sql_char_ngrams('t')} AS grams FROM nt),
+    h AS (SELECT doc_id, list_transform(grams, x -> {_SQL_HASH16.format(tok='x')}) AS gh,
+                 greatest(len(grams) - 3, 0) AS cnt
+          FROM g),
+    m AS (
+      SELECT doc_id,
+             list_transform(
+               list_zip(
+                 list_transform(list_zip(gh[1:cnt], gh[2:cnt+1]), z -> least(z[1], z[2])),
+                 list_transform(list_zip(gh[3:cnt+2], gh[4:cnt+3]), z -> least(z[1], z[2]))
+               ), z -> least(z[1], z[2])) AS mins
+      FROM h
+    ),
+    sel AS (SELECT doc_id, list_distinct(mins) AS sel FROM m)
+    SELECT doc_id, len(sel)::INTEGER AS n_fingerprints,
+           md5(array_to_string(list_transform(list_sort(sel), x -> x::VARCHAR), ',')) AS fp_digest
+    FROM sel
+"""
+
+
+@_register(
+    "text_winnowing",
+    _WINNOW_SQL,
+    doc="Winnowing fingerprints (MOSS, Schleimer'03): rolling k-gram hash "
+    "stream → sliding-window minima → distinct selection; shared substrings "
+    "of length ≥ gram+window-1 always share a fingerprint",
+)
+def _q_winnowing(spark, sf_dir):
+    return textops.winnowing_fingerprints(_t(spark, sf_dir, "documents"), gram=5, window=4)
+
+
 @_register(
     "text_chunking",
     """
