@@ -1372,6 +1372,80 @@ def _q_approx_distinct(spark, sf_dir):
 
 
 @_register(
+    "rel_outer_joins",
+    """
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 120),
+    o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+    SELECT c.c_custkey, coalesce(o.n_orders, 0) AS n_orders,
+           (o.o_custkey IS NULL) AS never_ordered
+    FROM c LEFT JOIN o ON c.c_custkey = o.o_custkey
+    """,
+    doc="LEFT OUTER join with null-probe semantics (unmatched customers "
+    "surface with zero counts)",
+)
+def _q_outer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 120).select(
+        "c_custkey", "c_name"
+    )
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.col("o_custkey").isNull().alias("never_ordered"),
+    )
+
+
+@_register(
+    "rel_except_all",
+    """
+    SELECT l_suppkey AS key FROM lineitem WHERE l_suppkey <= 40
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_suppkey <= 40 AND l_returnflag = 'R'
+    """,
+    doc="EXCEPT ALL (multiset difference — cardinality-sensitive, unlike "
+    "the set-difference anti-join in rel_set_ops)",
+)
+def _q_except_all(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_suppkey") <= 40).select(F.col("l_suppkey").alias("key"))
+    b = li.filter((F.col("l_suppkey") <= 40) & (F.col("l_returnflag") == "R")).select(
+        F.col("l_suppkey").alias("key")
+    )
+    return a.exceptAll(b)
+
+
+@_register(
+    "rel_null_handling",
+    """
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           (o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL) AS fully_specified
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    doc="NULL-handling scalars: NULLIF / COALESCE / CASE ladders / IS NOT NULL",
+)
+def _q_null_handling(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.filter(F.col("o_orderkey") <= 400).select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_label"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        (F.col("o_orderpriority").isNotNull() & F.col("o_orderstatus").isNotNull()).alias(
+            "fully_specified"
+        ),
+    )
+
+
+@_register(
     "rel_pivot",
     """
     SELECT l_returnflag,
