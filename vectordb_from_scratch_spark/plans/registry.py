@@ -1371,6 +1371,60 @@ def _q_approx_distinct(spark, sf_dir):
     )
 
 
+_Q17_SQL = """
+    SELECT l.l_partkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS below_avg_revenue,
+           count(*) AS n_small_orders
+    FROM lineitem l
+    JOIN (SELECT l_partkey,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a
+      ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < 0.5 * a.avg_qty AND l.l_partkey <= 300
+    GROUP BY l.l_partkey
+"""
+
+
+@_register(
+    "rel_small_quantity_revenue",
+    _Q17_SQL,
+    doc="TPC-H Q17 shape: per-part average-quantity subquery driving a "
+    "below-threshold aggregate (decimal-exact avg so the comparison is "
+    "partition-independent)",
+)
+def _q_q17(spark, sf_dir):
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+@_register(
+    "rel_array_agg",
+    """
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers_csv,
+           len(list(l_linenumber))::INTEGER AS n_lines
+    FROM lineitem WHERE l_orderkey <= 200
+    GROUP BY l_orderkey
+    """,
+    doc="Aggregation to array (collect_list) — SORTED before output because "
+    "collection order is partitioning-dependent in both engines",
+)
+def _q_array_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 200)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"), ","
+            ).alias("linenumbers_csv"),
+            F.size(F.collect_list("l_linenumber")).alias("n_lines"),
+        )
+    )
+
+
 @_register(
     "rel_outer_joins",
     """
