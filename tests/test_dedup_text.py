@@ -140,3 +140,22 @@ def test_winnowing_operator_output(documents):
     for r in rows:
         assert r.n_fingerprints > 0
         assert len(r.fp_digest) == 32
+
+
+def test_tfidf_cosine_pairs_semantics(spark):
+    """Identical docs → sim 1.0; docs with no shared terms → no pair."""
+    rows = [
+        (0, "alpha beta gamma delta", "en", "s", 22),
+        (1, "alpha beta gamma delta", "en", "s", 22),       # identical
+        (2, "alpha beta gamma epsilon", "en", "s", 24),     # mostly shared
+        (3, "zeta eta theta iota", "en", "s", 19),          # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    from vectordb_from_scratch_spark.operators.textops import tfidf_cosine_pairs
+
+    pairs = {(r.id_a, r.id_b): r.cos_sim for r in tfidf_cosine_pairs(df, threshold=0.0).collect()}
+    assert abs(pairs[(0, 1)] - 1.0) < 1e-9
+    # idf down-weights the 3-doc shared terms hard in a 4-doc corpus, so
+    # the overlap similarity is modest — positive is the property
+    assert pairs[(0, 2)] > 0.1
+    assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs

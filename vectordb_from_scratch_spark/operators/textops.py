@@ -212,6 +212,56 @@ def vocabulary(
     )
 
 
+def tfidf_cosine_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity between documents via an INVERTED
+    INDEX join — the text-side twin of the dense embedding near-dup:
+
+        (term, doc, weight) self-join on term → per-pair weight products
+        → exact decimal dot sums → normalize → threshold.
+
+    Scale: the join fans out per term by its document frequency, so the
+    plan's cost is Σ_t df(t)² — at corpus scale you prune stopword-like
+    high-df terms first (standard practice; not needed on the synthetic
+    vocab). No pair ever materializes unless the docs share a term.
+
+    Determinism: weight products are cast to DECIMAL(18,12) before the
+    per-pair sum (term iteration order is partitioning-dependent; decimal
+    addition is order-independent), norms likewise — the same rule as the
+    relational measure sums.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    n_docs = documents.count()
+    toks = spread(documents).select(F.col(id_col), F.explode(X.tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double"))
+    inv = tf.join(F.broadcast(df_tbl), "term").select(
+        "term", F.col(id_col), (F.col("tf") * idf).alias("w")
+    )
+    norms = inv.groupBy(id_col).agg(
+        F.sqrt(F.sum((F.col("w") * F.col("w")).cast("decimal(18,12)")).cast("double")).alias("nrm")
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.sum((F.col("a.w") * F.col("b.w")).cast("decimal(18,12)")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nrm_b"))
+    sims = dots.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b").select(
+        "id_a", "id_b",
+        F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6).alias("cos_sim"),
+    )
+    return sims.filter(F.col("cos_sim") >= F.lit(threshold))
+
+
 def winnowing_fingerprints(
     documents: DataFrame,
     gram: int = 5,
