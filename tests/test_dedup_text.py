@@ -159,3 +159,12 @@ def test_tfidf_cosine_pairs_semantics(spark):
     # the overlap similarity is modest — positive is the property
     assert pairs[(0, 2)] > 0.1
     assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_kernel_equals_expression_path(documents):
+    """The hashlib kernel and the Column-expression path must be
+    bit-identical (same md5 family, same shingling)."""
+    sub = documents.limit(60)
+    a = {r.doc_id: list(r.sig) for r in dedup.minhash_signatures(sub, strategy="expr").collect()}
+    b = {r.doc_id: list(r.sig) for r in dedup.minhash_signatures(sub, strategy="kernel").collect()}
+    assert a == b
