@@ -112,3 +112,18 @@ def test_simhash64_pigeonhole_exact_and_tighter(docs, spark):
     assert got == brute
     # unrelated docs are far apart at 64 bits
     assert bin(fp[0] ^ fp[3]).count("1") > 10
+
+
+def test_simhash_kernel_equals_expression(docs):
+    for bits in (16, 64):
+        a = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs, bits=bits, strategy="expr").collect()}
+        b = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs, bits=bits, strategy="kernel").collect()}
+        assert a == b, bits
+
+
+def test_winnowing_kernel_equals_expression(docs):
+    from vectordb_from_scratch_spark.operators.textops import winnowing_fingerprints
+
+    a = {(r.doc_id, r.n_fingerprints, r.fp_digest) for r in winnowing_fingerprints(docs, strategy="expr").collect()}
+    b = {(r.doc_id, r.n_fingerprints, r.fp_digest) for r in winnowing_fingerprints(docs, strategy="kernel").collect()}
+    assert a == b
