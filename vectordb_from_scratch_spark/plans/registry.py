@@ -1121,6 +1121,41 @@ def _q_winnowing(spark, sf_dir):
 
 
 @_register(
+    "text_sentences_udtf",
+    """
+    WITH r AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split(replace(text, ' scan ', '. '), '.'),
+                              x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))),
+               x -> x != '') AS sents
+      FROM documents
+    ),
+    e AS (SELECT doc_id, unnest(range(1, len(sents) + 1))::INTEGER AS i, sents FROM r)
+    SELECT doc_id, (i - 1)::INTEGER AS sentence_idx, sents[i] AS sentence,
+           len(list_filter(string_split(sents[i], ' '), x -> x != ''))::INTEGER AS n_words
+    FROM e
+    """,
+    doc="Python UDTF surface (Spark table function, LATERAL-joined in SQL): "
+    "sentence splitting, 1 row in → N typed rows out; oracle via "
+    "regexp_split + unnest (SURVEY §2.6 UDF/UDAF/UDTF surface)",
+)
+def _q_sentences_udtf(spark, sf_dir):
+    from ..functions.udtf import register_udtfs
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_words
+        FROM documents d,
+        LATERAL split_sentences(replace(d.text, ' scan ', '. ')) AS s
+        """
+    )
+
+
+@_register(
     "text_chunking",
     """
     WITH n AS (
