@@ -406,6 +406,42 @@ def _jaccard(a, b) -> F.Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _jaccard_verify_kernel(threshold: float):
+    """Arrow-batched set-Jaccard over candidate pairs — bit-identical to
+    the array_intersect expression path (integer set sizes → the same
+    double division → same round-6 value) at a fraction of the cost:
+    array_intersect inside interpreted expressions is O(n·m) per pair,
+    Python set intersection is hashed.
+
+    Rounding matches Spark's F.round EXACTLY via decimal HALF_UP on the
+    double's exact expansion — Python's builtin round() is half-EVEN and
+    diverges on dyadic ratios (e.g. 1/128 = 0.0078125 rounds to .007813
+    in Spark, .007812 with round())."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    q6 = Decimal("0.000001")
+
+    def run(batches):
+        for pdf in batches:
+            ja = []
+            for sa, sb in zip(pdf["sh_a"], pdf["sh_b"]):
+                A, B = set(sa), set(sb)
+                union = len(A | B)
+                if union:
+                    val = len(A & B) / union
+                    ja.append(float(Decimal(val).quantize(q6, rounding=ROUND_HALF_UP)))
+                else:
+                    ja.append(0.0)
+            out = pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jaccard": ja}
+            )
+            yield out[out["jaccard"] >= threshold]
+
+    return run
+
+
 def neardup_pairs(
     documents: DataFrame,
     threshold: float = 0.7,
@@ -427,12 +463,13 @@ def neardup_pairs(
         F.col(id_col),
         F.array_distinct(X.word_shingles(text_col, n=shingle_n)).alias("sh"),
     ).persist()
-    j = (
+    paired = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select("id_a", "id_b", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
     )
-    return j.filter(F.col("jaccard") >= F.lit(threshold))
+    return paired.select("id_a", "id_b", "sh_a", "sh_b").mapInPandas(
+        _jaccard_verify_kernel(threshold), schema="id_a long, id_b long, jaccard double"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -472,9 +509,11 @@ def ngram_jaccard_pairs(
             )
             .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         )
-    return (
+    paired = (
         prefilter.join(grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("g", "g_a"), "id_a")
         .join(grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("g", "g_b"), "id_b")
-        .select("id_a", "id_b", F.round(_jaccard(F.col("g_a"), F.col("g_b")), 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.col("g_a").alias("sh_a"), F.col("g_b").alias("sh_b"))
+    )
+    return paired.mapInPandas(
+        _jaccard_verify_kernel(threshold), schema="id_a long, id_b long, jaccard double"
     )
