@@ -14,8 +14,14 @@ Scale design (the part that must survive 100 TB):
   ever happens. Skewed buckets (boilerplate docs) are the known hazard —
   AQE skew-join handles moderate skew; a bucket-size cap is the escape
   hatch for adversarial corpora.
-- Jaccard verify re-joins text by doc_id (two broadcast-able semi-joins)
-  instead of carrying shingle arrays through the shuffle.
+- Jaccard verify joins the (persisted) distinct-shingle table to ONLY the
+  candidate pairs, then scores them in an Arrow-batched set kernel with
+  Spark-exact HALF_UP rounding — shingle arrays travel once, for
+  candidates only, never for the full corpus cross product.
+- hash-family operators (minhash/simhash/winnowing/jaccard) default to
+  Arrow-batched hashlib/set kernels: BIT-IDENTICAL to their Column-
+  expression forms (strategy="expr", the oracle's executable spec) and
+  10-30× faster — Spark interprets higher-order lambdas per element.
 """
 
 from __future__ import annotations
