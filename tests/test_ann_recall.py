@@ -95,3 +95,21 @@ def test_srp_multiprobe_boosts_recall(embeddings, probes):
     # distance concentration caps absolute recall at small candidate
     # fractions (see test_srp_recall_at_10); the knob's job is the DELTA
     assert r_multi >= r_base + 0.10, f"multiprobe {r_multi:.3f} vs base {r_base:.3f}"
+
+
+def test_srp_bucket_kernel_equals_expression(embeddings, probes):
+    """The numpy bucket-assignment kernel must agree with the expression
+    path end-to-end (force each path via the auto threshold)."""
+    import vectordb_from_scratch_spark.operators.knn as knnmod
+
+    orig = knnmod.AUTO_NUMPY_THRESHOLD
+    try:
+        knnmod.AUTO_NUMPY_THRESHOLD = 1  # force kernel even on tiny data
+        a = ann.ann_knn_srp(embeddings, probes, k=10, dim=64, nbits=4, n_tables=2).collect()
+        knnmod.AUTO_NUMPY_THRESHOLD = 10**12  # force expression path
+        b = ann.ann_knn_srp(embeddings, probes, k=10, dim=64, nbits=4, n_tables=2).collect()
+    finally:
+        knnmod.AUTO_NUMPY_THRESHOLD = orig
+    assert sorted((r.query_id, r.id, r.rank) for r in a) == sorted(
+        (r.query_id, r.id, r.rank) for r in b
+    )
