@@ -168,3 +168,38 @@ def test_minhash_kernel_equals_expression_path(documents):
     a = {r.doc_id: list(r.sig) for r in dedup.minhash_signatures(sub, strategy="expr").collect()}
     b = {r.doc_id: list(r.sig) for r in dedup.minhash_signatures(sub, strategy="kernel").collect()}
     assert a == b
+
+
+def test_jaccard_verify_kernel_rounds_like_spark_on_boundary_ratios(spark):
+    # Ratios whose double sits just below the .5 decimal boundary expose the
+    # rounding base: Spark/DuckDB round the shortest decimal repr
+    # (3/640 = "0.0046875" → 0.004688), while quantizing the double's exact
+    # binary expansion (0.00468749999…96) gives 0.004687 (ADVICE r1).
+    from vectordb_from_scratch_spark.operators.dedup import _jaccard_verify_kernel
+
+    cases = [(3, 640), (451, 640), (1, 128), (3, 256)]
+    rows = []
+    for i, (inter, union) in enumerate(cases):
+        shared = [f"s{j}" for j in range(inter)]
+        only_a = [f"a{i}_{j}" for j in range(union - inter)]
+        rows.append((i * 2, i * 2 + 1, shared + only_a, shared))
+    pairs = spark.createDataFrame(
+        rows, "id_a long, id_b long, sh_a array<string>, sh_b array<string>"
+    )
+    kernel = pairs.mapInPandas(
+        _jaccard_verify_kernel(0.0), schema="id_a long, id_b long, jaccard double"
+    )
+    expr = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+            6,
+        ).alias("jaccard"),
+    )
+    k = {(r.id_a, r.jaccard) for r in kernel.collect()}
+    e = {(r.id_a, r.jaccard) for r in expr.collect()}
+    assert k == e
+    # and the known boundary value itself
+    assert (0, round(0.004688, 6)) in k

@@ -144,3 +144,18 @@ def test_range_join_property_vs_naive(spark):
         ).collect()
     }
     assert got == naive and len(naive) > 0
+
+
+def test_salted_join_null_discriminator_rows_survive(spark):
+    # a NULL discriminator used to yield a NULL salt → inner join dropped
+    # the row even though its key matched (ADVICE r1)
+    big = spark.createDataFrame(
+        [("HOT", None), ("HOT", 7), ("k0", None)], "k string, payload int"
+    )
+    small = spark.createDataFrame([("HOT", 1), ("k0", 2)], "k string, dim int")
+    plain = {(r.k, r.payload, r.dim) for r in big.join(small, "k").collect()}
+    salted = {
+        (r.k, r.payload, r.dim)
+        for r in salted_join(big, small, on="k", salt=4, discriminator="payload").collect()
+    }
+    assert salted == plain and len(plain) == 3

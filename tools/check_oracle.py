@@ -38,6 +38,14 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
         return problems
     if problems:
         return problems
+    # The driver's value-hash is dtype-sensitive (r1: vec_dim_validation had
+    # exactly-equal values but hash_match=false on DuckDB HUGEINT vs Spark
+    # BIGINT), so a pandas-dtype mismatch is a failure here even though the
+    # coerced value compare below would pass.
+    for c in sc:
+        st, dt = spark_pdf[c].dtype, duck_pdf[c].dtype
+        if st != dt:
+            problems.append(f"col {c}: dtype spark={st} duck={dt}")
     s, d = _canon(spark_pdf), _canon(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]

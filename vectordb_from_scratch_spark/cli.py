@@ -48,7 +48,15 @@ def _load(spark: SparkSession, data_dir: str, metric: str) -> VectorStore:
 def _save(store: VectorStore, data_dir: str) -> None:
     from .sources.persistence import write_snapshot
 
-    write_snapshot(store.df, data_dir)
+    # store.df's lazy plan still scans data_dir/data — the path the snapshot
+    # overwrites. Materialize first (same read-own-input guard as
+    # streaming/log_stream.merge) so the write never races its own source.
+    df = store.df.cache()
+    df.count()
+    try:
+        write_snapshot(df, data_dir)
+    finally:
+        df.unpersist()
 
 
 def _parse_vec(s: str) -> list[float]:

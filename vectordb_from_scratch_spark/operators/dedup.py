@@ -41,7 +41,26 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
+    "release_caches",
 ]
+
+# Persisted intermediates (banded index, shingle table) registered here so
+# long-lived sessions can reclaim executor storage: repeated operator calls
+# would otherwise accumulate cached blocks until eviction.
+_CACHE_HANDLES: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHE_HANDLES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every cache created by dedup operators in this session.
+    Safe to call between queries; the next call simply re-caches."""
+    while _CACHE_HANDLES:
+        _CACHE_HANDLES.pop().unpersist()
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -68,7 +87,7 @@ def _minhash_kernel(num_hashes: int, shingle_n: int, text_col: str, id_col: str)
 
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # JVM \s is ASCII-only; match the expression path on U+00A0 etc.
     prefixes = [f"{h}:" for h in range(num_hashes)]
 
     def sig(text: str):
@@ -174,7 +193,7 @@ def lsh_candidate_pairs(
     # tokenize→shingle→minhash pipeline (Spark reuses no exchange across
     # self-join sides here). At scale this table is persisted to storage,
     # bucketed by band_key; MEMORY_AND_DISK is the local-session stand-in.
-    banded = banded.persist()
+    banded = _track(banded)
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
@@ -207,7 +226,7 @@ def _simhash_kernel(bits: int, text_col: str, id_col: str):
 
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # JVM \s is ASCII-only; match the expression path on U+00A0 etc.
     n_words = 1 if bits == 16 else 4
 
     def fp(text: str):
@@ -420,9 +439,13 @@ def _jaccard_verify_kernel(threshold: float):
     Python set intersection is hashed.
 
     Rounding matches Spark's F.round EXACTLY via decimal HALF_UP on the
-    double's exact expansion — Python's builtin round() is half-EVEN and
-    diverges on dyadic ratios (e.g. 1/128 = 0.0078125 rounds to .007813
-    in Spark, .007812 with round())."""
+    double's SHORTEST decimal repr (Decimal(repr(val)) ≡ Java
+    BigDecimal.valueOf(double) ≡ Double.toString semantics, which is what
+    Spark's round and DuckDB's round operate on). Two wrong alternatives,
+    both verified to diverge: Python's builtin round() is half-EVEN
+    (1/128 = 0.0078125 → .007812, Spark gives .007813), and
+    Decimal(val) expands the double's exact binary value (3/640 stores
+    as 0.00468749999…96 → .004687, Spark gives .004688)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
@@ -437,7 +460,7 @@ def _jaccard_verify_kernel(threshold: float):
                 union = len(A | B)
                 if union:
                     val = len(A & B) / union
-                    ja.append(float(Decimal(val).quantize(q6, rounding=ROUND_HALF_UP)))
+                    ja.append(float(Decimal(repr(val)).quantize(q6, rounding=ROUND_HALF_UP)))
                 else:
                     ja.append(0.0)
             out = pd.DataFrame(
@@ -465,10 +488,12 @@ def neardup_pairs(
     )
     # persist: the verify joins this table twice (id_a and id_b sides); without
     # it each side re-runs tokenize→shingle→distinct over the full corpus
-    sh = spread(documents).select(
-        F.col(id_col),
-        F.array_distinct(X.word_shingles(text_col, n=shingle_n)).alias("sh"),
-    ).persist()
+    sh = _track(
+        spread(documents).select(
+            F.col(id_col),
+            F.array_distinct(X.word_shingles(text_col, n=shingle_n)).alias("sh"),
+        )
+    )
     paired = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

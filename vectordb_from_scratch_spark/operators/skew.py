@@ -37,11 +37,13 @@ def salted_join(
     derive the salt); defaults to the first non-key column. The small
     side is replicated S× — keep it genuinely small (dimension-sized)."""
     discriminator = discriminator or next(c for c in big.columns if c != on)
+    # NULL discriminator must still land in a salt partition: md5(NULL) is
+    # NULL and an inner join on (key, NULL) would silently drop the row.
+    disc = F.coalesce(F.col(discriminator).cast("string"), F.lit(""))
     big_s = big.withColumn(
         "__salt",
         F.pmod(
-            F.conv(F.substring(F.md5(F.col(discriminator).cast("string")), 1, 8), 16, 10)
-            .cast("long"),
+            F.conv(F.substring(F.md5(disc), 1, 8), 16, 10).cast("long"),
             F.lit(salt),
         ).cast("int"),
     )

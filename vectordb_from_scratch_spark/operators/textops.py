@@ -270,7 +270,7 @@ def _winnowing_kernel(gram: int, window: int, text_col: str, id_col: str):
 
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # JVM \s is ASCII-only; match the expression path on U+00A0 etc.
 
     def fp(text: str):
         t = ws.sub(" ", text.lower()).strip()

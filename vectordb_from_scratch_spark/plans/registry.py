@@ -443,8 +443,8 @@ def _q_knn_filtered(spark, sf_dir):
     "vec_dim_validation",
     """
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS n_valid,
-           sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS n_invalid
+           sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+           sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END)::BIGINT AS n_invalid
     FROM embeddings
     """,
     doc="Dimension enforcement as a validation aggregate (ref raises "
@@ -1574,8 +1574,8 @@ def _q_null_handling(spark, sf_dir):
     SELECT l_returnflag,
            CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
            CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F,
-           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_O,
-           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_F
+           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_O,
+           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_F
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Pivot: linestatus columns per returnflag (Spark .pivot API; "
@@ -1828,7 +1828,7 @@ def _q_events_hourly(spark, sf_dir):
       SELECT user_id, ts, event_id, value,
              sum(new_sess) OVER
                  (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
       FROM lagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -1846,7 +1846,7 @@ def _q_sessionize(spark, sf_dir):
     "rel_events_json",
     """
     SELECT event_type, count(*) AS n,
-           sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+           sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
            min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
            max(json_extract_string(props, '$.k')::BIGINT) AS max_k
     FROM events GROUP BY event_type
@@ -2050,3 +2050,55 @@ def _q_multimodal(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payload_features(payloads)
+
+
+# --------------------------------------------------------------------------
+# Driver-visibility ordering
+# --------------------------------------------------------------------------
+# The per-round correctness driver verifies the registry in insertion order
+# with a cap (round 1 recorded exactly the first 50 entries). Rotate entries
+# that have no driver-recorded CORRECTNESS row yet to the front so every
+# operator category accumulates driver evidence across rounds; entries
+# already driver-green in CORRECTNESS_r01.json keep their relative order at
+# the back.
+
+_DRIVER_PRIORITY: list[str] = [
+    # never driver-checked in round 1 (verified locally only)
+    "rel_small_quantity_revenue",
+    "rel_array_agg",
+    "rel_outer_joins",
+    "rel_except_all",
+    "rel_null_handling",
+    "rel_pivot",
+    "rel_map_funcs",
+    "rel_having",
+    "rel_correlated_subquery",
+    "rel_window_suite",
+    "rel_fuzzy_match",
+    "rel_hash_sample",
+    "rel_range_join",
+    "rel_events_hourly",
+    "rel_events_sessionize",
+    "rel_events_json",
+    "rel_two_stage_distinct",
+    "multimodal_frames",
+    "metrics_percentiles",
+    "rel_rollup",
+    "rel_set_ops",
+    "rel_string_funcs",
+    "rel_date_funcs",
+    "multimodal_bytes",
+    # round-1 red cell, re-verify the BIGINT-cast oracle fix
+    "vec_dim_validation",
+]
+
+
+def _apply_driver_priority() -> None:
+    front = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
+    back = {n: s for n, s in QUERIES.items() if n not in front}
+    QUERIES.clear()
+    QUERIES.update(front)
+    QUERIES.update(back)
+
+
+_apply_driver_priority()
