@@ -118,7 +118,7 @@ def ann_knn_srp(
     from pyspark.sql import Window
 
     from ..sources.tables import spread
-    from .knn import AUTO_NUMPY_THRESHOLD
+    from .knn import AUTO_NUMPY_THRESHOLD, estimated_rows
 
     # Single-scan explode form: each row emits one (table_idx, bucket_key)
     # per hash table and the probe join keys on BOTH — so the vector table
@@ -177,7 +177,8 @@ def ann_knn_srp(
             *df.columns, vm.as_double(vcol).alias(out_vec), F.explode(tags).alias("__t")
         ).select(*df.columns, out_vec, F.col("__t.tbl").alias("tbl"), F.col("__t.bucket").alias("bucket"))
 
-    use_kernel = vectors.count() >= AUTO_NUMPY_THRESHOLD
+    # Metadata-only estimate (no job) — see knn.estimated_rows.
+    use_kernel = estimated_rows(vectors) >= AUTO_NUMPY_THRESHOLD
     v_in = spread(vectors).select(F.col(id_col).alias("id"), vm.as_double(vec_col).alias("__v"))
     q_in = queries.select(
         F.col(query_id_col).alias("query_id"), vm.as_double(query_vec_col).alias("__q")

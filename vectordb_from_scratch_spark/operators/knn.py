@@ -73,6 +73,27 @@ def _local_topk(k: int) -> callable:
 # differ from the fold in the last ulp).
 AUTO_NUMPY_THRESHOLD = 50_000
 
+# Divisor turning Catalyst's sizeInBytes into a row estimate. A 64-dim
+# float embedding row lands at ~390 parquet bytes (floats barely
+# compress); 256 deliberately over-estimates rows so "auto" flips to the
+# fast kernel a little early rather than a little late.
+EST_ROW_BYTES = 256
+
+
+def estimated_rows(df: DataFrame) -> int:
+    """Metadata-only row estimate for strategy selection.
+
+    Reads Catalyst's optimized-plan statistics: exact rowCount when CBO
+    stats exist, else sizeInBytes (parquet file footprint for scans)
+    over EST_ROW_BYTES. Launches NO Spark job — the r1 implementation
+    called df.count() here, a needless driver-blocking scan of the full
+    vector table before every search at 100 TB."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    return int(stats.sizeInBytes()) // EST_ROW_BYTES
+
 
 def _numpy_topk_kernel(probe_rows: list, k: int, metric: str) -> callable:
     """mapInPandas kernel: per-partition batched distance matrix via numpy
@@ -178,7 +199,7 @@ def knn(
         vm.as_double(vec_col).alias("__vvec"),
     )
     if strategy == "auto":
-        strategy = "numpy" if vectors.count() >= AUTO_NUMPY_THRESHOLD else "window"
+        strategy = "numpy" if estimated_rows(vectors) >= AUTO_NUMPY_THRESHOLD else "window"
 
     if strategy == "numpy":
         probe_rows = [
