@@ -203,3 +203,18 @@ def test_jaccard_verify_kernel_rounds_like_spark_on_boundary_ratios(spark):
     assert k == e
     # and the known boundary value itself
     assert (0, round(0.004688, 6)) in k
+
+
+def test_ngram_blocking_finds_first_char_mutation(spark):
+    # r1's (len_bucket, head_char) blocking deterministically missed any
+    # near-dup pair whose first character differs; min-gram-digest
+    # blocking must find it.
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    mutated = "The quick brown fox jumps over the lazy dog again and again in the yard"
+    assert base[0] != mutated[0]
+    docs = spark.createDataFrame([(1, base), (2, mutated)], "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, ngram=5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    j = next(r.jaccard for r in pairs if (r.id_a, r.id_b) == (1, 2))
+    assert j >= 0.5

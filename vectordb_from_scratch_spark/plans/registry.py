@@ -787,20 +787,23 @@ def _q_neardup(spark, sf_dir):
     "dedup_ngram_jaccard",
     f"""
     WITH nt AS (SELECT doc_id, {_NT} AS t FROM documents),
-    blocked AS (SELECT doc_id, (len(t) // 20) AS len_bucket, t[1:1] AS head_char FROM nt),
-    pairs AS (
-      SELECT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM blocked l JOIN blocked r
-        ON l.len_bucket = r.len_bucket AND l.head_char = r.head_char AND l.doc_id < r.doc_id
-    ),
     grams AS (SELECT doc_id, list_distinct({_sql_char_ngrams('t')}) AS g FROM nt),
+    keys AS (
+      SELECT doc_id, unnest(list_sort(list_transform(g, x -> md5(x)))[1:5]) AS bk
+      FROM grams
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM keys l JOIN keys r ON l.bk = r.bk AND l.doc_id < r.doc_id
+    ),
     j AS (
       SELECT p.id_a, p.id_b, round({_sql_jaccard('a.g', 'b.g')}, 6) AS jaccard
       FROM pairs p JOIN grams a ON a.doc_id = p.id_a JOIN grams b ON b.doc_id = p.id_b
     )
     SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.15
     """,
-    doc="n-gram Jaccard near-dup with length-bucket blocking (never all-pairs)",
+    doc="n-gram Jaccard near-dup with min-gram-digest blocking (never all-pairs; "
+    "edit-position-uniform recall, unlike r1's first-char key)",
 )
 def _q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.15, ngram=5)
