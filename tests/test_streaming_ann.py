@@ -1,0 +1,107 @@
+"""Streaming SRP-index maintenance: multi-micro-batch incremental
+re-bucketing must land an index interchangeable with the batch build
+(the dynamic behavior of the reference's HnswIndex::add,
+src/hnsw/graph.rs:245-342, re-expressed as foreachBatch appends)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.operators import ann
+from vectordb_from_scratch_spark.streaming import (
+    compact_srp_index,
+    read_srp_index,
+    srp_index_stream_foreach_batch,
+)
+
+DIM = 8
+CFG = dict(dim=DIM, nbits=4, n_tables=2, seed=7)
+
+LOG_SCHEMA = "seq long, op string, id long, embedding array<double>"
+
+
+def _vec(i: int) -> list[float]:
+    # deterministic, well-spread, injective for i < 101 (prime modulus
+    # larger than any id used here — a period-13 variant made _vec(0)
+    # equal _vec(13) and broke the nearest-hit assertion)
+    return [float(((i * 31 + j * 17) % 101) - 50) / 50.0 for j in range(DIM)]
+
+
+@pytest.fixture()
+def streamed_index(spark, tmp_path):
+    """Three micro-batches (maxFilesPerTrigger=1): 2 insert batches and a
+    batch with an upsert + a delete."""
+    src = str(tmp_path / "log_src")
+    index_dir = str(tmp_path / "srp_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    batches = [
+        [(i, "insert", i, _vec(i)) for i in range(0, 10)],
+        [(i + 10, "insert", i, _vec(i)) for i in range(10, 20)],
+        # upsert id 3 to a new vector; delete id 7
+        [(100, "insert", 3, _vec(99)), (101, "delete", 7, None)],
+    ]
+    for n, rows in enumerate(batches):
+        spark.createDataFrame(rows, LOG_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        srp_index_stream_foreach_batch(stream, index_dir, ckpt, **CFG)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None
+    return index_dir
+
+
+def _final_state(spark):
+    rows = [(i, _vec(i)) for i in range(20) if i not in (3, 7)] + [(3, _vec(99))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_stream_index_equals_batch_index(spark, streamed_index):
+    live = read_srp_index(spark, streamed_index)
+    batch = ann.srp_index(_final_state(spark), **CFG)
+    got = {(r.id, r.tbl, r.bucket) for r in live.collect()}
+    expect = {(r.id, r.tbl, r.bucket) for r in batch.collect()}
+    assert got == expect
+    assert not any(i == 7 for i, _, _ in got)  # tombstone applied
+    assert len(got) == 19 * CFG["n_tables"]
+
+
+def test_stream_inserted_rows_retrievable_with_batch_parity(spark, streamed_index):
+    """Search over the stream-maintained index ≡ ann_knn_srp over the
+    equivalent batch table — including rows inserted in later
+    micro-batches (id 13) and the upserted id 3."""
+    probes = spark.createDataFrame(
+        [(0, _vec(13)), (1, _vec(99))], "query_id long, query_embedding array<double>"
+    )
+    via_stream = ann.ann_knn_srp_indexed(
+        read_srp_index(spark, streamed_index), probes, k=5, multiprobe=True, **CFG
+    )
+    via_batch = ann.ann_knn_srp(_final_state(spark), probes, k=5, multiprobe=True, **CFG)
+    s = {(r.query_id, r.id, round(r.distance, 9), r.rank) for r in via_stream.collect()}
+    b = {(r.query_id, r.id, round(r.distance, 9), r.rank) for r in via_batch.collect()}
+    assert s == b and len(s) > 0
+    # the late-batch insert and the upsert are each their own nearest hit
+    top = {r.query_id: r.id for r in via_stream.filter(F.col("rank") == 1).collect()}
+    assert top[0] == 13 and top[1] == 3
+
+
+def test_compact_preserves_live_index(spark, streamed_index):
+    before = {(r.id, r.tbl, r.bucket) for r in read_srp_index(spark, streamed_index).collect()}
+    compact_srp_index(spark, streamed_index)
+    after_raw = spark.read.parquet(streamed_index)
+    after = {(r.id, r.tbl, r.bucket) for r in read_srp_index(spark, streamed_index).collect()}
+    assert after == before
+    # compaction dropped shadowed rows and tombstones
+    assert after_raw.filter(F.col("op") == "delete").count() == 0
+    assert after_raw.count() == len(before)

@@ -42,7 +42,9 @@ from .knn import knn as exact_knn  # noqa: F401  (exact fallback / oracle)
 __all__ = [
     "srp_planes",
     "srp_bucket_cols",
+    "srp_index",
     "ann_knn_srp",
+    "ann_knn_srp_indexed",
     "build_mllib_lsh",
     "ann_join_mllib",
     "build_ivf",
@@ -213,6 +215,91 @@ def ann_knn_srp(
     # distances, so dedup-after-distance is value-equivalent.
     dist = vm.distance(metric, "__qvec", "__vvec")
     cands = v.join(F.broadcast(q), on=["tbl", "bucket"]).select(
+        "query_id", "id", dist.alias("distance")
+    )
+    narrow = cands.dropDuplicates(["query_id", "id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    return (
+        narrow.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
+
+
+def srp_index(
+    vectors: DataFrame,
+    *,
+    dim: int,
+    nbits: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SRP index as a materializable TABLE: one (id, vec, tbl, bucket)
+    row per vector per hash table. Write it partitioned/bucketed by
+    (tbl, bucket) and probes prune to their buckets — the persisted form
+    of the index ann_knn_srp builds inline, and the state that
+    streaming/ann_stream.py maintains incrementally (the distributed
+    analog of the reference's HnswIndex::add, src/hnsw/graph.rs:245-342).
+
+    Expression-path bucket assignment (exact, oracle-reproducible);
+    cost is one narrow pass over `vectors`."""
+    tags = F.array(
+        *[
+            F.struct(F.lit(l).alias("tbl"), b.alias("bucket"))
+            for l, b in enumerate(srp_bucket_cols(vec_col, dim, nbits, n_tables, seed))
+        ]
+    )
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        vm.as_double(vec_col).alias("vec"),
+        F.explode(tags).alias("__t"),
+    ).select("id", "vec", F.col("__t.tbl").alias("tbl"), F.col("__t.bucket").alias("bucket"))
+
+
+def ann_knn_srp_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "euclidean",
+    *,
+    dim: int,
+    nbits: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    multiprobe: bool = False,
+) -> DataFrame:
+    """SRP k-NN over a PREBUILT index table (srp_index schema:
+    id, vec, tbl, bucket). Identical semantics to ann_knn_srp — the
+    (nbits, n_tables, seed) config must match the one the index was
+    built with — but the vector table is never rescanned or re-hashed:
+    only the broadcast probe side computes buckets at query time."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), vm.as_double(query_vec_col).alias("__q")
+    )
+    qtags = F.array(
+        *[
+            F.struct(F.lit(l).alias("tbl"), b.alias("bucket"))
+            for l, b in enumerate(srp_bucket_cols("__q", dim, nbits, n_tables, seed))
+        ]
+    )
+    q = q.select("query_id", "__q", F.explode(qtags).alias("__t")).select(
+        "query_id", "__q", F.col("__t.tbl").alias("tbl"), F.col("__t.bucket").alias("bucket")
+    )
+    if multiprobe:
+        variants = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(nbits)],
+        )
+        q = q.select("query_id", "__q", "tbl", F.explode(variants).alias("bucket"))
+
+    dist = vm.distance(metric, "__q", "vec")
+    cands = index.join(F.broadcast(q), on=["tbl", "bucket"]).select(
         "query_id", "id", dist.alias("distance")
     )
     narrow = cands.dropDuplicates(["query_id", "id"])

@@ -651,6 +651,56 @@ def _q_ann_knn(spark, sf_dir):
     return res.withColumn("distance", F.round("distance", 6))
 
 
+@_register(
+    "ann_srp_indexed_knn",
+    # identical semantics to ann_srp_knn by construction: same planes, same
+    # candidates, same re-rank — only the physical path differs (prebuilt
+    # index table instead of inline bucketing), so the oracle is the same.
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_sql_srp_bucket('embedding', _PLANES[0])} AS b0,
+             {_sql_srp_bucket('embedding', _PLANES[1])} AS b1
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS id
+      FROM q JOIN v ON q.b0 = v.b0
+      UNION
+      SELECT DISTINCT q.vec_id, v.vec_id FROM q JOIN v ON q.b1 = v.b1
+    ),
+    d AS (
+      SELECT c.query_id, c.id, {_sql_euclid('qe.embedding', 've.embedding')} AS dist
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ve ON ve.vec_id = c.id
+    ),
+    ranked AS (
+      SELECT query_id, id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+      FROM d
+    )
+    SELECT query_id, id, round(dist, 6) AS distance, rnk::INTEGER AS rank
+    FROM ranked WHERE rnk <= 10
+    """,
+    doc="H4+H8: search over a MATERIALIZED SRP index table (srp_index → "
+    "ann_knn_srp_indexed) — the persisted/stream-maintained form of the "
+    "index (streaming/ann_stream.py); value-identical to ann_srp_knn",
+)
+def _q_ann_indexed_knn(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    idx = ann.srp_index(e, dim=_ANN_DIM, nbits=_ANN_BITS, n_tables=_ANN_TABLES)
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    res = ann.ann_knn_srp_indexed(
+        idx, probes, k=10, metric="euclidean",
+        dim=_ANN_DIM, nbits=_ANN_BITS, n_tables=_ANN_TABLES,
+    )
+    return res.withColumn("distance", F.round("distance", 6))
+
+
 # --------------------------------------------------------------------------
 # 5. Metadata filter algebra (SURVEY §2.2 R8)
 # --------------------------------------------------------------------------
@@ -2093,6 +2143,8 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_bytes",
     # round-1 red cell, re-verify the BIGINT-cast oracle fix
     "vec_dim_validation",
+    # new in round 2 — need first driver evidence
+    "ann_srp_indexed_knn",
 ]
 
 

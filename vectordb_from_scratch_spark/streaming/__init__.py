@@ -1,1 +1,6 @@
+from .ann_stream import (  # noqa: F401
+    compact_srp_index,
+    read_srp_index,
+    srp_index_stream_foreach_batch,
+)
 from .log_stream import fold_stream_foreach_batch, windowed_event_counts  # noqa: F401
