@@ -113,3 +113,18 @@ def test_srp_bucket_kernel_equals_expression(embeddings, probes):
     assert sorted((r.query_id, r.id, r.rank) for r in a) == sorted(
         (r.query_id, r.id, r.rank) for r in b
     )
+
+
+def test_recall_curve_query_monotone(spark):
+    from tests.conftest import SF_CORRECT
+
+    from vectordb_from_scratch_spark.plans.registry import QUERIES
+
+    rows = {r.config: r.recall_at_10
+            for r in QUERIES["ann_recall_curve"].spark(spark, SF_CORRECT).collect()}
+    print("recall curve:", rows)
+    # widening the probe (multiprobe) or trading bits for tables must not
+    # lose recall — the ef-knob direction the reference tunes
+    assert rows["nbits8_t2"] <= rows["nbits8_t2_mp"] <= rows["nbits2_t6"]
+    assert rows["nbits3_t4"] <= rows["nbits2_t6"]
+    assert rows["nbits2_t6"] >= 0.90  # reference-grade config floor (recall_test.rs)

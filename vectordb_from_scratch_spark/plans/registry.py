@@ -701,6 +701,118 @@ def _q_ann_indexed_knn(spark, sf_dir):
     return res.withColumn("distance", F.round("distance", 6))
 
 
+def _sql_ann_rerank(cand_cte: str, k: int = 10) -> str:
+    return f"""
+      SELECT query_id, id FROM (
+        SELECT c.query_id, c.id,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY {_sql_euclid('qe.embedding', 've.embedding')} ASC,
+                                           c.id ASC) AS rnk
+        FROM {cand_cte} c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN embeddings ve ON ve.vec_id = c.id
+      ) WHERE rnk <= {k}"""
+
+
+# (name, nbits, n_tables, multiprobe) — spans the ef-knob direction the
+# reference tunes (tests/recall_test.rs): the nbits=8 index config used by
+# ann_srp_knn (honest low recall on a 500-row table: 256 buckets/table),
+# widened by multiprobe, then the reference-grade few-bits/many-tables
+# configs that reach ≥0.9.
+_RECALL_CONFIGS = [
+    ("nbits8_t2", 8, 2, False),
+    ("nbits8_t2_mp", 8, 2, True),
+    ("nbits3_t4", 3, 4, False),
+    ("nbits2_t6", 2, 6, False),
+]
+
+
+def _sql_recall_curve() -> str:
+    """Oracle for ann_recall_curve, generated per config: bucket columns
+    from the same md5-derived planes Spark uses, candidate union over
+    tables (IN-lists of Hamming-1 variants when multiprobe), exact
+    re-rank, hits counted against the shared exact top-10."""
+    ctes = [
+        f"""exact AS (
+      SELECT query_id, id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_euclid('q.embedding', 'e.embedding')} ASC,
+                                           e.vec_id ASC) AS rnk
+        FROM (SELECT * FROM embeddings WHERE vec_id < 20) q CROSS JOIN embeddings e
+      ) WHERE rnk <= 10
+    )""",
+        "np AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < 20)",
+    ]
+    selects = []
+    for name, nbits, n_tables, mp in _RECALL_CONFIGS:
+        planes = [ann.srp_planes(_ANN_DIM, nbits, table=l) for l in range(n_tables)]
+        bcols = ", ".join(
+            f"{_sql_srp_bucket('embedding', planes[l])} AS b{l}" for l in range(n_tables)
+        )
+        ctes.append(f"v_{name} AS (SELECT vec_id, embedding, {bcols} FROM embeddings)")
+        ctes.append(f"q_{name} AS (SELECT * FROM v_{name} WHERE vec_id < 20)")
+        arms = []
+        for l in range(n_tables):
+            if mp:
+                variants = ", ".join(
+                    [f"q.b{l}"] + [f"xor(q.b{l}, {1 << t})" for t in range(nbits)]
+                )
+                cond = f"v.b{l} IN ({variants})"
+            else:
+                cond = f"q.b{l} = v.b{l}"
+            arms.append(
+                f"SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS id "
+                f"FROM q_{name} q JOIN v_{name} v ON {cond}"
+            )
+        ctes.append(f"cand_{name} AS ({' UNION '.join(arms)})")
+        ctes.append(f"ann_{name} AS ({_sql_ann_rerank(f'cand_{name}')})")
+        selects.append(
+            f"SELECT '{name}' AS config, "
+            f"round((SELECT count(*) FROM exact e JOIN ann_{name} a USING (query_id, id))::DOUBLE"
+            f" / ((SELECT n FROM np) * 10), 6) AS recall_at_10"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@_register(
+    "ann_recall_curve",
+    _sql_recall_curve(),
+    doc="The reference's signature recall harness (tests/recall_test.rs:18-80) "
+    "as a driver-checkable query: recall@10 of the SRP index vs the exact "
+    "scan per (nbits, n_tables, multiprobe) config — DETERMINISTIC because "
+    "the md5-derived planes are, so the oracle reproduces it value-exactly "
+    "(integer hit counts, one double division)",
+)
+def _q_ann_recall_curve(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = _probes(spark, sf_dir, F.col("vec_id") < 20)
+    k = 10
+    exact = knn.knn(e, probes, k=k, metric="euclidean", strategy="window").select(
+        "query_id", "id"
+    )
+    np_df = probes.agg(F.count(F.lit(1)).alias("__np"))
+    out = None
+    for name, nbits, n_tables, mp in _RECALL_CONFIGS:
+        a = ann.ann_knn_srp(
+            e, probes, k=k, metric="euclidean",
+            dim=_ANN_DIM, nbits=nbits, n_tables=n_tables, multiprobe=mp,
+        ).select("query_id", "id")
+        piece = (
+            exact.join(a, ["query_id", "id"])
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .crossJoin(np_df)
+            .select(
+                F.lit(name).alias("config"),
+                F.round(F.col("__m").cast("double") / (F.col("__np") * k), 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
 # --------------------------------------------------------------------------
 # 5. Metadata filter algebra (SURVEY §2.2 R8)
 # --------------------------------------------------------------------------
@@ -2145,6 +2257,7 @@ _DRIVER_PRIORITY: list[str] = [
     "vec_dim_validation",
     # new in round 2 — need first driver evidence
     "ann_srp_indexed_knn",
+    "ann_recall_curve",
 ]
 
 
