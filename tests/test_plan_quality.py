@@ -153,3 +153,28 @@ def test_estimated_rows_metadata_only(embeddings):
     # on disk) but stays within the order of magnitude that the 50k
     # strategy threshold cares about
     assert actual // 4 <= est <= actual * 4
+
+
+def test_tpch_q2_shape_plan(spark):
+    t = lambda n: load_table(spark, "/root/testdata/sf0.001", n)  # noqa: E731
+    df = rel.min_cost_supplier(
+        t("part"), t("supplier"), t("nation"), t("region"), t("lineitem")
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan        # nation/region onto supplier
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2   # partial+final (partkey,suppkey) agg
+    assert len(df.take(1)) >= 0
+
+
+def test_tpch_q7_shape_plan(spark):
+    t = lambda n: load_table(spark, "/root/testdata/sf0.001", n)  # noqa: E731
+    df = rel.bilateral_trade_volume(
+        t("supplier"), t("customer"), t("nation"), t("orders"), t("lineitem")
+    )
+    plan = _plan(df)
+    # the two nation roles are explicit broadcasts at ANY scale; the
+    # SF-scaling dims (supplier/customer) carry no hint
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+    assert len(df.take(1)) >= 0

@@ -1813,6 +1813,79 @@ def _q_having(spark, sf_dir):
     )
 
 
+@_register(
+    "rel_tpch_q2_shape",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(l_extendedprice) AS supply_price
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rs AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, p.p_brand, rs.s_name, rs.n_name,
+           round(ps.supply_price, 6) AS supply_price
+    FROM part p
+    JOIN ps ON ps.partkey = p.p_partkey
+    JOIN rs ON rs.s_suppkey = ps.suppkey
+    WHERE p.p_size = 5
+      AND ps.supply_price = (
+        SELECT min(ps2.supply_price)
+        FROM ps ps2 JOIN rs rs2 ON rs2.s_suppkey = ps2.suppkey
+        WHERE ps2.partkey = p.p_partkey)
+    """,
+    doc="TPC-H Q2 shape: min-cost supplier per part within a region — the "
+    "oracle keeps Q2's correlated scalar subquery; the Spark side runs the "
+    "decorrelated min-over-window form (plans/relational.py). lineitem "
+    "stands in for the absent partsupp table",
+)
+def _q_tpch_q2(spark, sf_dir):
+    return rel.min_cost_supplier(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@_register(
+    "rel_tpch_q7_shape",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate)::INTEGER AS l_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: bilateral trade volume by year — nation joined "
+    "twice under different roles; decimal-exact revenue accumulation "
+    "(plans/relational.py bilateral_trade_volume)",
+)
+def _q_tpch_q7(spark, sf_dir):
+    return rel.bilateral_trade_volume(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 # decimal-exact avg in the subquery: double avg is partial-agg-order
 # dependent, and the > comparison sits right at the boundary
 _CORR_SQL = """
@@ -2258,6 +2331,8 @@ _DRIVER_PRIORITY: list[str] = [
     # new in round 2 — need first driver evidence
     "ann_srp_indexed_knn",
     "ann_recall_curve",
+    "rel_tpch_q2_shape",
+    "rel_tpch_q7_shape",
 ]
 
 

@@ -29,6 +29,8 @@ __all__ = [
     "events_hourly",
     "events_sessionize",
     "events_json_stats",
+    "min_cost_supplier",
+    "bilateral_trade_volume",
 ]
 
 
@@ -124,6 +126,109 @@ def region_revenue(
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "EUROPE",
+    p_size: int = 5,
+) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part within a region.
+
+    The testdata has no partsupp table, so lineitem stands in:
+    supply price = min(l_extendedprice) per (l_partkey, l_suppkey).
+    Q2's correlated scalar subquery ("price = the minimum price for THIS
+    part among this region's suppliers") decorrelates, Spark-side, into
+    a min-over-window partitioned by part — one pass, no self-join, the
+    rewrite Catalyst itself applies to the SQL form. nation/region are
+    fixed-size → always broadcast; part/supplier scale with SF, so they
+    carry no hint and AQE broadcasts them at test scale but shuffles at
+    cluster scale. The fact-table work is one (partkey, suppkey)
+    partial aggregate.
+
+    min() over doubles is order-independent, so no decimal detour is
+    needed for cross-engine determinism.
+    """
+    ps = lineitem.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min("l_extendedprice").alias("supply_price"))
+    regional_sup = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == F.lit(region_name))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    eligible = ps.join(regional_sup, F.col("suppkey") == F.col("s_suppkey")).join(
+        part.filter(F.col("p_size") == F.lit(p_size)),
+        F.col("partkey") == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("__min_price", F.min("supply_price").over(w))
+        .filter(F.col("supply_price") == F.col("__min_price"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.round("supply_price", 6).alias("supply_price"),
+        )
+    )
+
+
+def bilateral_trade_volume(
+    supplier: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    the two-role dimension pattern (nation joined TWICE under different
+    aliases: supplier's nation and customer's nation).
+
+    Both nation sides broadcast (25 rows at any SF). supplier/customer
+    get NO hint: they scale with SF (1B rows at 100 TB would OOM a
+    forced broadcast), so Catalyst/AQE picks broadcast at test scale
+    and shuffle at cluster scale — the right plan in both worlds. The
+    unavoidable big shuffle is lineitem⋈orders on orderkey. Revenue
+    accumulates in exact decimal (order-independent under any
+    partitioning — see _dec_sum)."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    pair = (
+        (F.col("supp_nation") == F.lit(nation_a)) & (F.col("cust_nation") == F.lit(nation_b))
+    ) | (
+        (F.col("supp_nation") == F.lit(nation_b)) & (F.col("cust_nation") == F.lit(nation_a))
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(volume).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
 
 
