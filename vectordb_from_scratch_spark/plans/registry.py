@@ -1112,6 +1112,39 @@ def _q_quality(spark, sf_dir):
     return textops.quality_scores(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "pipeline_corpus_prep",
+    f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NT})
+    ),
+    qs AS ({_QS_SQL})
+    SELECT q.doc_id, q.lang, q.n_tokens, q.quality_score
+    FROM qs q JOIN keep k USING (doc_id)
+    WHERE q.quality_score >= 0.5
+      AND instr('0123456789abcdef', substr(md5(q.doc_id::VARCHAR), 1, 1)) - 1 < 8
+    """,
+    doc="End-to-end training-data prep: exact dedup (min-id representative) "
+    "→ quality-score filter ≥0.5 → deterministic 50% md5 sample — the "
+    "composed shape a pretraining corpus pipeline runs at 100 TB. One "
+    "fact-table scan feeds both the fingerprint agg and the feature "
+    "projection; the keep-set semi-join is the only extra shuffle",
+)
+def _q_pipeline_corpus_prep(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    keep = dedup.exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    qs = textops.quality_scores(d)
+    nibble = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+        - 1
+    )
+    return (
+        qs.join(keep, "doc_id")
+        .filter((F.col("quality_score") >= 0.5) & (nibble < 8))
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+    )
+
+
 def _sql_lang_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in textops.LANG_MARKERS[lang])
     return (
@@ -2333,6 +2366,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_recall_curve",
     "rel_tpch_q2_shape",
     "rel_tpch_q7_shape",
+    "pipeline_corpus_prep",
 ]
 
 
