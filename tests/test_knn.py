@@ -92,3 +92,21 @@ def test_numpy_strategy_equivalent(embeddings):
         da = {(r.query_id, r.id): r.distance for r in a}
         db = {(r.query_id, r.id): r.distance for r in b}
         assert max(abs(da[key] - db[key]) for key in da) < 1e-6, metric
+
+
+def test_numpy_kernel_handles_string_ids(spark):
+    # the VectorStore facade uses string ids (reference parity); the BLAS
+    # kernel must serve them with the output schema derived from inputs
+    # (r2 regression: schema was hardcoded "id long")
+    vecs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [0.9, 0.1])],
+        "vec_id string, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "query_id string, query_embedding array<double>"
+    )
+    res_np = knn.knn(vecs, probes, k=2, strategy="numpy").collect()
+    res_w = knn.knn(vecs, probes, k=2, strategy="window").collect()
+    got_np = [(r.query_id, r.id, round(r.distance, 9), r.rank) for r in res_np]
+    got_w = [(r.query_id, r.id, round(r.distance, 9), r.rank) for r in res_w]
+    assert got_np == got_w == [("q1", "a", 0.0, 1), ("q1", "c", round(res_w[1].distance, 9), 2)]

@@ -102,7 +102,11 @@ def _numpy_topk_kernel(probe_rows: list, k: int, metric: str) -> callable:
     math runs in BLAS instead of interpreted expression trees."""
     import numpy as np
 
-    qids = np.array([r[0] for r in probe_rows], dtype=np.int64)
+    # ids pass through untyped (np.array infers int64/str/...): the store
+    # facade uses STRING ids (reference parity) while the parquet tables
+    # use longs — the kernel must serve both, with the output schema
+    # derived from the inputs in knn() below.
+    qids = np.array([r[0] for r in probe_rows])
     Q = np.array([list(r[1]) for r in probe_rows], dtype=np.float64)  # (nq, d)
     qn2 = (Q * Q).sum(axis=1)  # (nq,)
     qnorm = np.sqrt(qn2)
@@ -132,7 +136,7 @@ def _numpy_topk_kernel(probe_rows: list, k: int, metric: str) -> callable:
             out_q, out_id, out_d = [], [], []
             for j in range(len(qids)):
                 order = np.lexsort((ids, D[:, j]))[:take]  # (distance, id) asc
-                out_q.append(np.full(take, qids[j]))
+                out_q.append(np.repeat(qids[j], take))
                 out_id.append(ids[order])
                 out_d.append(D[order, j])
             parts.append(
@@ -214,7 +218,11 @@ def knn(
             kernel = _numpy_topk_kernel(probe_rows, k + 1, metric)
         else:
             kernel = _numpy_topk_kernel(probe_rows, k, metric)
-        narrow = cand.mapInPandas(kernel, schema="query_id long, id long, distance double")
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        id_t = vectors.schema[id_col].dataType.simpleString()
+        narrow = cand.mapInPandas(
+            kernel, schema=f"query_id {qid_t}, id {id_t}, distance double"
+        )
         if exclude_self:
             narrow = narrow.filter(F.col("id") != F.col("query_id"))
     else:
@@ -225,7 +233,11 @@ def knn(
         narrow = joined.select("query_id", "id", dist.alias("distance"))
         if strategy == "local":
             narrow = narrow.mapInPandas(
-                _local_topk(k), schema="query_id long, id long, distance double"
+                _local_topk(k),
+                schema=(
+                    f"query_id {queries.schema[query_id_col].dataType.simpleString()}, "
+                    f"id {vectors.schema[id_col].dataType.simpleString()}, distance double"
+                ),
             )
     # asc_nulls_last: NULL distances (zero-vector cosine) rank LAST —
     # matches DuckDB's default and sane semantics (Spark defaults to

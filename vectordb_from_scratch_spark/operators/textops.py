@@ -19,6 +19,7 @@ __all__ = [
     "fingerprints",
     "winnowing_fingerprints",
     "tfidf_top_terms",
+    "bm25_top_terms",
     "chunk_documents",
     "vocabulary",
     "LANG_MARKERS",
@@ -130,18 +131,76 @@ def tfidf_top_terms(
     toks = spread(documents).select(F.col(id_col), F.explode(X.tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = documents.count()
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1)).cast("double"))
-    scored = tf.join(F.broadcast(df_tbl), "term").select(
-        F.col(id_col),
-        "term",
-        (F.col("tf") * idf).alias("score"),
+    # corpus size computed IN the plan (1-row broadcast) — a driver-side
+    # documents.count() here would launch an extra full-table job per call
+    # (the same hazard r1's strategy="auto" had)
+    nd = documents.agg(F.count(F.lit(1)).alias("__n"))
+    idf = F.log((F.col("__n") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)).cast("double"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(F.col(id_col), "term", (F.col("tf") * idf).alias("score"))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top)
         .select(id_col, "term", F.round("score", 6).alias("tfidf"), "rank")
+    )
+
+
+def bm25_top_terms(
+    documents: DataFrame,
+    top: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-`top` BM25-scored terms per document — the ranking function a
+    retrieval/corpus-prep pipeline actually uses where TF-IDF is the
+    textbook baseline. Okapi form:
+
+        idf = ln((N - df + 0.5)/(df + 0.5) + 1)
+        score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Same plan skeleton as tfidf_top_terms: one explode shuffles the
+    (doc, term) pairs; df and the corpus stats (N, avgdl) are tiny
+    1-row/vocab-sized broadcasts; the fact table never shuffles twice.
+    Every float op is an explicit double expression replicated verbatim
+    in the oracle SQL, so scores are bit-identical across engines
+    (integer inputs, one shared IEEE expression tree)."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import spread
+
+    toks = spread(documents).select(F.col(id_col), F.explode(X.tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("dl").cast("double").alias("__sum_dl"),
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    dfd = F.col("df").cast("double")
+    idf = F.log((F.col("__n") - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
+    avgdl = F.col("__sum_dl") / F.col("__n")
+    score = idf * (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dld / avgdl)
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), "term", score.alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(id_col, "term", F.round("score", 6).alias("bm25"), "rank")
     )
 
 

@@ -1213,6 +1213,41 @@ def _q_tfidf(spark, sf_dir):
 
 
 @_register(
+    "text_bm25_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sum_dl FROM dl),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ln((s.n - dfreq.df::DOUBLE + 0.5) / (dfreq.df::DOUBLE + 0.5) + 1.0)
+               * (tf.tf::DOUBLE * 2.2)
+               / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl::DOUBLE / (s.sum_dl / s.n)))
+               AS score
+      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats s
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, round(score, 6) AS bm25, rnk::INTEGER AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="Okapi BM25 top-3 terms per doc (k1=1.2, b=0.75): same one-explode "
+    "plan skeleton as TF-IDF with doc-length normalization; the shared IEEE "
+    "expression tree over integer aggregates makes scores bit-identical "
+    "across engines",
+)
+def _q_bm25(spark, sf_dir):
+    return textops.bm25_top_terms(_t(spark, sf_dir, "documents"), top=3)
+
+
+@_register(
     "ann_mllib_lsh_knn",
     None,  # MLlib's random hyperplanes aren't SQL-reproducible → rows-only;
            # accuracy is recall-tested against the exact oracle in pytest.
@@ -2367,6 +2402,9 @@ _DRIVER_PRIORITY: list[str] = [
     "rel_tpch_q2_shape",
     "rel_tpch_q7_shape",
     "pipeline_corpus_prep",
+    "text_bm25_top_terms",
+    # tfidf re-check: corpus size now computed in-plan (no count() job)
+    "text_tfidf_top_terms",
 ]
 
 
