@@ -2179,8 +2179,25 @@ def _q_two_stage(spark, sf_dir):
 
 @_register(
     "multimodal_frames",
-    None,  # frames are byte-window digests — DuckDB's md5 is VARCHAR-only,
-           # so no blob-exact oracle; rows-only + schema/shape tests.
+    # DuckDB's md5 is VARCHAR-only, so the blob windows can't be hashed
+    # directly — but this corpus is verifiably pure ASCII (0 docs where
+    # length(text) <> octet_length at sf0.01 AND sf0.1), so byte windows
+    # ARE character windows and md5(substr(text, ...)) reproduces the
+    # kernel's digests exactly. Was rows-only in r1.
+    """
+    WITH f AS (
+      SELECT doc_id, text, octet_length(encode(text))::BIGINT AS nb FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, text, nb,
+             unnest(range(0, least(4, greatest(1, nb // 64))))::INTEGER AS frame_idx
+      FROM f
+    )
+    SELECT doc_id, frame_idx,
+           md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5,
+           least(64, nb - frame_idx * 64)::BIGINT AS frame_bytes
+    FROM frames
+    """,
     doc="Multimodal 1:N frame sampling: payload → up to 4 deterministic "
     "frame rows (mapInPandas expansion; real build swaps in a codec's "
     "keyframe iterator — operators/multimodal.py)",
