@@ -47,3 +47,29 @@ def test_bucketed_join_matches_plain_join(spark, bucketed):
         .count()
     )
     assert lineitem_b.join(orders_b, lineitem_b.l_orderkey == orders_b.o_orderkey).count() == plain
+
+
+def test_ivf_partitioned_index_prunes_lists(spark, tmp_path):
+    """The IVF scale claim (operators/ann.py build_ivf docstring): write
+    the assigned table partitioned BY list_id and a probe of n_probe
+    lists reads ONLY those partitions — partition pruning is the
+    distributed beam search."""
+    from vectordb_from_scratch_spark.operators import ann
+    from vectordb_from_scratch_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    centers, assigned = ann.build_ivf(emb, n_lists=4)
+    path = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("list_id").parquet(path)
+
+    idx = spark.read.parquet(path)
+    probe = idx.filter(F.col("list_id").isin([0, 1]))
+    # the list_id predicate must land in PartitionFilters (directory-level
+    # pruning before any file IO), NOT in PushedFilters/post-scan Filter
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "list_id" in pf.group(1)
+    # and the pruned read still returns exactly those lists' rows
+    assert probe.count() == assigned.filter(F.col("list_id").isin([0, 1])).count()
