@@ -128,3 +128,35 @@ def test_recall_curve_query_monotone(spark):
     assert rows["nbits8_t2"] <= rows["nbits8_t2_mp"] <= rows["nbits2_t6"]
     assert rows["nbits3_t4"] <= rows["nbits2_t6"]
     assert rows["nbits2_t6"] >= 0.90  # reference-grade config floor (recall_test.rs)
+
+
+def test_multiprobe_radius_widens_recall(spark):
+    # Hamming-2 probing must dominate Hamming-1, which dominates exact
+    # buckets — and radius=1 must equal the legacy multiprobe=True
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    data = rng.uniform(-0.5, 0.5, size=(400, 16)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, data[i].tolist()) for i in range(400)], "vec_id long, embedding array<double>"
+    )
+    probes = df.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    exact = knn.knn(df, probes, k=10).collect()
+
+    def rec(mp):
+        approx = ann.ann_knn_srp(
+            df, probes, k=10, dim=16, nbits=6, n_tables=1, multiprobe=mp
+        ).collect()
+        ex, ap = {}, {}
+        for r in exact:
+            ex.setdefault(r.query_id, set()).add(r.id)
+        for r in approx:
+            ap.setdefault(r.query_id, set()).add(r.id)
+        return sum(len(ex[q] & ap.get(q, set())) for q in ex) / sum(len(v) for v in ex.values())
+
+    r0, r1, r1b, r2 = rec(False), rec(1), rec(True), rec(2)
+    assert r1 == r1b                 # True ≡ radius 1
+    assert r0 <= r1 <= r2
+    assert r2 > r0                   # widening actually buys recall here

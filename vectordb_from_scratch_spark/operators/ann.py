@@ -52,6 +52,18 @@ __all__ = [
 ]
 
 
+def _hamming_masks(nbits: int, radius: int) -> list[int]:
+    """All XOR masks of Hamming weight ≤ radius over nbits bits, in
+    (weight, value) order — mask 0 (the exact bucket) first."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(nbits), r):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
 def srp_planes(dim: int, nbits: int, table: int, seed: int = 42) -> list[list[float]]:
     """Deterministic ±1 projection planes. Component j of plane t is the
     sign bit of md5(f"{seed}:{table}:{t}:{j}") — reproducible in any
@@ -103,19 +115,21 @@ def ann_knn_srp(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
-    multiprobe: bool = False,
+    multiprobe: bool | int = False,
 ) -> DataFrame:
     """SRP-LSH approximate k-NN: per-table bucket joins → distinct
     candidates → exact re-rank → per-query top-k.
 
     May return fewer than k rows for probes in sparse buckets — the same
     recall/latency trade the reference makes with ef (H9); raise nbits↓ /
-    n_tables↑ for recall, or set `multiprobe=True` to ALSO probe every
-    bucket at Hamming distance 1 from the query's bucket (the classic
-    multiprobe-LSH move): candidate volume grows ×(nbits+1) per table
-    with zero extra index cost — the closest analog of HNSW's ef beam
-    widening (reference src/hnsw/graph.rs:417-424). Only the probe side
-    fans out; the vector table and its index are untouched.
+    n_tables↑ for recall, or set `multiprobe` to ALSO probe every bucket
+    within a Hamming radius of the query's bucket (the classic
+    multiprobe-LSH move): True or 1 = flip each sign bit once
+    (×(nbits+1) candidate volume per table), 2 = also every bit pair
+    (+C(nbits,2)), with zero extra index cost — the closest analog of
+    HNSW's ef beam widening (reference src/hnsw/graph.rs:417-424). Only
+    the probe side fans out; the vector table and its index are
+    untouched.
     """
     from pyspark.sql import Window
 
@@ -199,12 +213,18 @@ def ann_knn_srp(
     else:
         v = tagged_buckets(v_in, "__v", "__vvec").select("id", "__vvec", "tbl", "bucket")
         q = tagged_buckets(q_in, "__q", "__qvec").select("query_id", "__qvec", "tbl", "bucket")
-    if multiprobe:
-        # fan the PROBE side out to the exact bucket plus its nbits
-        # Hamming-1 neighbors (flip each sign bit once)
-        variants = F.array(F.col("bucket"), *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(nbits)
-        ])
+    radius = int(multiprobe) if not isinstance(multiprobe, bool) else (1 if multiprobe else 0)
+    if radius:
+        # fan the PROBE side out to every bucket within Hamming radius
+        # `radius` of the query's bucket (flip ≤radius sign bits) — the
+        # classic multiprobe-LSH beam widening. Probe fanout is
+        # sum(C(nbits, r) for r ≤ radius); the vector side is untouched.
+        variants = F.array(
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(m).cast("long"))
+                for m in _hamming_masks(nbits, radius)
+            ]
+        )
         q = q.select(
             "query_id", "__qvec", "tbl", F.explode(variants).alias("bucket")
         )
@@ -270,7 +290,7 @@ def ann_knn_srp_indexed(
     seed: int = 42,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
-    multiprobe: bool = False,
+    multiprobe: bool | int = False,
 ) -> DataFrame:
     """SRP k-NN over a PREBUILT index table (srp_index schema:
     id, vec, tbl, bucket). Identical semantics to ann_knn_srp — the
@@ -291,10 +311,13 @@ def ann_knn_srp_indexed(
     q = q.select("query_id", "__q", F.explode(qtags).alias("__t")).select(
         "query_id", "__q", F.col("__t.tbl").alias("tbl"), F.col("__t.bucket").alias("bucket")
     )
-    if multiprobe:
+    radius = int(multiprobe) if not isinstance(multiprobe, bool) else (1 if multiprobe else 0)
+    if radius:
         variants = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(nbits)],
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(m).cast("long"))
+                for m in _hamming_masks(nbits, radius)
+            ]
         )
         q = q.select("query_id", "__q", "tbl", F.explode(variants).alias("bucket"))
 
