@@ -125,7 +125,7 @@ def test_recall_curve_query_monotone(spark):
     print("recall curve:", rows)
     # widening the probe (multiprobe) or trading bits for tables must not
     # lose recall — the ef-knob direction the reference tunes
-    assert rows["nbits8_t2"] <= rows["nbits8_t2_mp"] <= rows["nbits2_t6"]
+    assert rows["nbits8_t2"] <= rows["nbits8_t2_mp"] <= rows["nbits8_t2_mp2"]
     assert rows["nbits3_t4"] <= rows["nbits2_t6"]
     assert rows["nbits2_t6"] >= 0.90  # reference-grade config floor (recall_test.rs)
 

@@ -720,10 +720,11 @@ def _sql_ann_rerank(cand_cte: str, k: int = 10) -> str:
 # widened by multiprobe, then the reference-grade few-bits/many-tables
 # configs that reach ≥0.9.
 _RECALL_CONFIGS = [
-    ("nbits8_t2", 8, 2, False),
-    ("nbits8_t2_mp", 8, 2, True),
-    ("nbits3_t4", 3, 4, False),
-    ("nbits2_t6", 2, 6, False),
+    ("nbits8_t2", 8, 2, 0),
+    ("nbits8_t2_mp", 8, 2, 1),
+    ("nbits8_t2_mp2", 8, 2, 2),
+    ("nbits3_t4", 3, 4, 0),
+    ("nbits2_t6", 2, 6, 0),
 ]
 
 
@@ -755,8 +756,9 @@ def _sql_recall_curve() -> str:
         arms = []
         for l in range(n_tables):
             if mp:
+                masks = ann._hamming_masks(nbits, mp)
                 variants = ", ".join(
-                    [f"q.b{l}"] + [f"xor(q.b{l}, {1 << t})" for t in range(nbits)]
+                    [f"q.b{l}"] + [f"xor(q.b{l}, {m})" for m in masks[1:]]
                 )
                 cond = f"v.b{l} IN ({variants})"
             else:
