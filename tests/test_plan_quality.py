@@ -149,10 +149,18 @@ def test_knn_auto_strategy_launches_no_job(embeddings, monkeypatch):
 def test_estimated_rows_metadata_only(embeddings):
     est = knn.estimated_rows(embeddings)
     actual = embeddings.count()
-    # file-size / 256B over-estimates rows (64-dim float rows are ~390 B
-    # on disk) but stays within the order of magnitude that the 50k
-    # strategy threshold cares about
-    assert actual // 4 <= est <= actual * 4
+    # file-size / 64B deliberately over-estimates rows (repo parquet runs
+    # ~107-390 B/row) so the kernel kicks in early, but stays within the
+    # order of magnitude the 50k strategy threshold cares about
+    assert actual <= est <= actual * 8
+
+
+def test_estimated_rows_unknown_stats_returns_zero(spark):
+    # in-memory sources report a Long.MaxValue-scale default sizeInBytes;
+    # that must read as "unknown" (exact path), not "huge" (kernel path) —
+    # the facade store's small in-memory tables need the bitwise-exact fold
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    assert knn.estimated_rows(df.filter(F.col("vec_id") >= 0)) == 0
 
 
 def test_tpch_q2_shape_plan(spark):

@@ -39,8 +39,9 @@ def streamed_index(spark, tmp_path):
     batches = [
         [(i, "insert", i, _vec(i)) for i in range(0, 10)],
         [(i + 10, "insert", i, _vec(i)) for i in range(10, 20)],
-        # upsert id 3 to a new vector; delete id 7
-        [(100, "insert", 3, _vec(99)), (101, "delete", 7, None)],
+        # upsert id 3 TWICE within one micro-batch (within-batch LWW must
+        # keep only seq 100's buckets), delete id 7
+        [(99, "insert", 3, _vec(55)), (100, "insert", 3, _vec(99)), (101, "delete", 7, None)],
     ]
     for n, rows in enumerate(batches):
         spark.createDataFrame(rows, LOG_SCHEMA).coalesce(1).write.mode(

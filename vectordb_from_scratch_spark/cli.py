@@ -46,17 +46,26 @@ def _load(spark: SparkSession, data_dir: str, metric: str) -> VectorStore:
 
 
 def _save(store: VectorStore, data_dir: str) -> None:
-    from .sources.persistence import write_snapshot
+    import json
 
-    # store.df's lazy plan still scans data_dir/data — the path the snapshot
-    # overwrites. Materialize first (same read-own-input guard as
-    # streaming/log_stream.merge) so the write never races its own source.
-    df = store.df.cache()
-    df.count()
-    try:
-        write_snapshot(df, data_dir)
-    finally:
-        df.unpersist()
+    from .sources.persistence import MANIFEST, overwrite_via_rename
+
+    # store.df's lazy plan still scans data_dir/data — the path this
+    # overwrites. Temp-write + rename never overlaps source and
+    # destination (cache()+count() is not durable: an evicted block
+    # would recompute from the half-deleted source).
+    data_path = os.path.join(data_dir, "data")
+    overwrite_via_rename(store.df, data_path)
+    spark = store.df.sparkSession
+    written = spark.read.parquet(data_path)
+    dim_row = written.select("embedding").selectExpr("size(embedding) AS d").first()
+    manifest = {
+        "vector_count": written.count(),
+        "dimension": (dim_row.d if dim_row else None),
+        "format": "parquet",
+    }
+    with open(os.path.join(data_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f)
 
 
 def _parse_vec(s: str) -> list[float]:

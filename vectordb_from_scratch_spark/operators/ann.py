@@ -201,14 +201,17 @@ def ann_knn_srp(
     )
     if use_kernel:
         # probe side uses the SAME kernel so sign decisions can't disagree
-        # between the two join sides
+        # between the two join sides; id dtypes derived from the inputs
+        # (the store facade uses string ids — hardcoding long broke it)
+        id_t = vectors.schema[id_col].dataType.simpleString()
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
         v = v_in.mapInPandas(
             kernel_buckets(v_in, "id", "__v", "__vvec"),
-            schema="id long, __vvec array<double>, tbl long, bucket long",
+            schema=f"id {id_t}, __vvec array<double>, tbl long, bucket long",
         )
         q = q_in.mapInPandas(
             kernel_buckets(q_in, "query_id", "__q", "__qvec"),
-            schema="query_id long, __qvec array<double>, tbl long, bucket long",
+            schema=f"query_id {qid_t}, __qvec array<double>, tbl long, bucket long",
         )
     else:
         v = tagged_buckets(v_in, "__v", "__vvec").select("id", "__vvec", "tbl", "bucket")
@@ -238,7 +241,11 @@ def ann_knn_srp(
         "query_id", "id", dist.alias("distance")
     )
     narrow = cands.dropDuplicates(["query_id", "id"])
-    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        # nulls LAST: zero-vector cosine distance is NULL and must not
+        # outrank real neighbors (Spark default is nulls-first on asc)
+        F.col("distance").asc_nulls_last(), F.col("id").asc()
+    )
     return (
         narrow.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -326,7 +333,11 @@ def ann_knn_srp_indexed(
         "query_id", "id", dist.alias("distance")
     )
     narrow = cands.dropDuplicates(["query_id", "id"])
-    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        # nulls LAST: zero-vector cosine distance is NULL and must not
+        # outrank real neighbors (Spark default is nulls-first on asc)
+        F.col("distance").asc_nulls_last(), F.col("id").asc()
+    )
     return (
         narrow.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -415,7 +426,11 @@ def ann_knn_ivf(
         F.col(id_col).alias("id"),
         vm.distance(metric, "__qvec", vec_col).alias("distance"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        # nulls LAST: zero-vector cosine distance is NULL and must not
+        # outrank real neighbors (Spark default is nulls-first on asc)
+        F.col("distance").asc_nulls_last(), F.col("id").asc()
+    )
     return (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -73,11 +73,18 @@ def _local_topk(k: int) -> callable:
 # differ from the fold in the last ulp).
 AUTO_NUMPY_THRESHOLD = 50_000
 
-# Divisor turning Catalyst's sizeInBytes into a row estimate. A 64-dim
-# float embedding row lands at ~390 parquet bytes (floats barely
-# compress); 256 deliberately over-estimates rows so "auto" flips to the
-# fast kernel a little early rather than a little late.
-EST_ROW_BYTES = 256
+# Divisor turning Catalyst's sizeInBytes into a row estimate. Measured
+# parquet footprints for 64-dim float embedding rows in this repo run
+# ~107-390 B/row depending on column mix and encoder; 64 deliberately
+# OVER-estimates rows so "auto" flips to the fast kernel early rather
+# than late (a late flip costs 57x — SCALE.md; an early one only trades
+# last-ulp exactness the oracle scale never reaches).
+EST_ROW_BYTES = 64
+
+# Catalyst reports defaultSizeInBytes (a Long.MaxValue-scale sentinel)
+# for sources with no real statistics — LogicalRDD, in-memory stores.
+# Anything this large is "unknown", not "huge".
+_STATS_UNKNOWN = 1 << 60
 
 
 def estimated_rows(df: DataFrame) -> int:
@@ -87,12 +94,21 @@ def estimated_rows(df: DataFrame) -> int:
     stats exist, else sizeInBytes (parquet file footprint for scans)
     over EST_ROW_BYTES. Launches NO Spark job — the r1 implementation
     called df.count() here, a needless driver-blocking scan of the full
-    vector table before every search at 100 TB."""
+    vector table before every search at 100 TB.
+
+    Returns 0 (→ callers keep the exact expression path) when the plan
+    has no real statistics (in-memory/RDD-backed sources report a
+    Long.MaxValue-scale default): small facade stores must stay on the
+    bitwise-exact path, and tables big enough for the kernel to matter
+    come from files, where stats exist."""
     stats = df._jdf.queryExecution().optimizedPlan().stats()
     rc = stats.rowCount()
     if rc.isDefined():
         return int(str(rc.get()))
-    return int(stats.sizeInBytes()) // EST_ROW_BYTES
+    size = int(stats.sizeInBytes())
+    if size >= _STATS_UNKNOWN:
+        return 0
+    return size // EST_ROW_BYTES
 
 
 def _numpy_topk_kernel(probe_rows: list, k: int, metric: str) -> callable:

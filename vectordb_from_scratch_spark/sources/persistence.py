@@ -20,15 +20,43 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.crud import fold_insert_log
 
-__all__ = ["write_snapshot", "read_snapshot", "recover", "compact"]
+__all__ = [
+    "write_snapshot",
+    "read_snapshot",
+    "recover",
+    "compact",
+    "overwrite_via_rename",
+]
 
 MANIFEST = "manifest.json"
+
+
+def overwrite_via_rename(df: DataFrame, target_dir: str) -> None:
+    """Durably overwrite a directory that `df`'s own lazy plan reads.
+
+    cache()+count() before an in-place overwrite is NOT a durable guard:
+    an evicted or lost cached block recomputes from the half-deleted
+    source. Writing to a sibling temp dir and renaming never has the
+    source and destination overlap; the final swap is two local-FS
+    renames (on an object store this is the transactional-table-format
+    job — Delta/Iceberg replace — which this helper stands in for)."""
+    tmp = f"{target_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{target_dir}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(target_dir):
+        os.rename(target_dir, old)
+        os.rename(tmp, target_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp, target_dir)
 
 
 def write_snapshot(

@@ -57,14 +57,33 @@ def srp_index_stream_foreach_batch(
     append a tombstone row per id with tbl = -1 (no real table uses -1,
     so tombstones never collide with a probe's bucket join).
 
-    Returns the writeStream builder (caller picks trigger/start), with
-    exactly-once appends guaranteed by the streaming checkpoint.
+    Returns the writeStream builder (caller picks trigger/start).
+    Delivery is AT-LEAST-ONCE: a batch retried after a failure between
+    the parquet append and the checkpoint commit appends its rows again.
+    The retries are byte-identical, so read_srp_index dedupes them away
+    and the resolved index is still exactly-once; at cluster scale the
+    append target would be a transactional table (Delta/Iceberg) and
+    the dedupe unnecessary.
     """
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         rows = batch.filter(F.col("op") != "checkpoint")
-        inserts = rows.filter(F.col("op") == _INSERT)
-        deletes = rows.filter(F.col("op") == _DELETE)
+        # Within-batch last-writer-wins FIRST: two inserts of one id in
+        # the same micro-batch would otherwise cross-join below (bucket
+        # rows of every version x every seq) and the stale version would
+        # survive read-time resolution forever.
+        latest = (
+            rows.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(F.col("seq").desc())
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        inserts = latest.filter(F.col("op") == _INSERT)
+        deletes = latest.filter(F.col("op") == _DELETE)
         indexed = srp_index(
             inserts, dim=dim, nbits=nbits, n_tables=n_tables, seed=seed,
             id_col=id_col, vec_col=vec_col,
@@ -90,28 +109,30 @@ def srp_index_stream_foreach_batch(
 def read_srp_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """Resolve the append-only index dir to the live index table
     (id, vec, tbl, bucket): per id, the max-seq entry wins; tombstones
-    drop the id. The window shuffles only (id, seq, tbl, bucket) — the
-    vec column rides along but is never compared."""
+    drop the id. The final dropDuplicates also erases byte-identical
+    rows left by at-least-once batch retries, so the resolved index is
+    exactly-once even though the appends aren't. The shuffles carry
+    only (id, seq, tbl, bucket) — the vec column rides along but is
+    never compared."""
     raw = spark.read.parquet(index_dir)
     w = Window.partitionBy("id")
     return (
         raw.withColumn("__mx", F.max("seq").over(w))
         .filter((F.col("seq") == F.col("__mx")) & (F.col("op") == _INSERT))
+        .dropDuplicates(["id", "tbl", "bucket"])
         .select("id", "vec", "tbl", "bucket")
     )
 
 
 def compact_srp_index(spark: SparkSession, index_dir: str) -> None:
     """Rewrite the index dir to only the live rows (WAL-truncate / P3
-    analog): read-own-input guarded by materializing before overwrite,
-    seq reset to 0 so future appends keep winning."""
+    analog): temp-write + rename so the rewrite never reads its own
+    half-deleted output; seq reset to 0 so future appends keep
+    winning."""
+    from ..sources.persistence import overwrite_via_rename
+
     live = read_srp_index(spark, index_dir).select(
         "id", "vec", "tbl", "bucket",
         F.lit(0).cast("long").alias("seq"), F.lit(_INSERT).alias("op"),
     )
-    live = live.cache()
-    live.count()
-    try:
-        live.write.mode("overwrite").parquet(index_dir)
-    finally:
-        live.unpersist()
+    overwrite_via_rename(live, index_dir)

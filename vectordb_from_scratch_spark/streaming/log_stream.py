@@ -61,9 +61,12 @@ def fold_stream_foreach_batch(
             new_state = survivors.unionByName(inserts)
         else:
             new_state = inserts
-        new_state.cache().count()  # materialize before overwrite (read-own-input)
-        new_state.write.mode("overwrite").parquet(state_dir)
-        new_state.unpersist()
+        # temp-write + rename: the plan reads state_dir, so an in-place
+        # overwrite would race its own source (cache retention is not a
+        # durable guard — evicted blocks recompute from the source)
+        from ..sources.persistence import overwrite_via_rename
+
+        overwrite_via_rename(new_state, state_dir)
 
     return (
         log_stream.writeStream.foreachBatch(merge)
