@@ -82,6 +82,29 @@ def test_mllib_lsh_recall(embeddings, probes):
     assert r >= 0.85, f"MLlib LSH recall@10 = {r:.3f} < 0.85"
 
 
+def test_ivf_det_recall(embeddings, probes):
+    """Deterministic IVF (value-exact build) must clear the same recall bar
+    as the RNG-seeded MLlib build at the same knob (n_probe=6 of 8,
+    mirroring test_ivf_cli_multimodal) — and being deterministic, this
+    number is a constant of the data, not a seed lottery."""
+    exact = knn.knn(embeddings, probes, k=K).collect()
+    cent = ann.build_ivf_det(embeddings, n_lists=8, iters=2)
+    v = embeddings.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent)
+    hi = ann.ann_knn_ivf(
+        assigned, cent, probes, k=K, n_probe=6, id_col="id", vec_col="vec"
+    ).collect()
+    lo = ann.ann_knn_ivf(
+        assigned, cent, probes, k=K, n_probe=2, id_col="id", vec_col="vec"
+    ).collect()
+    r_hi, r_lo = _recall(exact, hi), _recall(exact, lo)
+    assert r_hi >= 0.85, f"det-IVF recall@10 = {r_hi:.3f} < 0.85"
+    assert r_hi >= r_lo  # n_probe is the ef-style recall knob
+
+
 def test_srp_multiprobe_boosts_recall(embeddings, probes):
     """Multiprobe (Hamming-1 bucket fan-out) must raise recall at identical
     index cost — the ef-widening knob (reference H9 analog)."""

@@ -1,0 +1,92 @@
+"""Deterministic IVF (build_ivf_det / assign_ivf_det): the value-exact
+k-means the MLlib path is spec'd against.
+
+The property that earns the oracle twin: centroids are a function of the
+DATA only — re-running on any repartitioning of the same table yields
+bit-identical doubles, because every summation folds a FIXED tree keyed
+on ids, never Spark's partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.operators import ann
+
+
+def _collect_centroids(cent_df):
+    return {
+        r["list_id"]: tuple(r["cvec"])
+        for r in cent_df.orderBy("list_id").collect()
+    }
+
+
+def test_centroids_partition_invariant(embeddings):
+    """Bitwise-equal centroids regardless of input partitioning — the
+    determinism claim the DuckDB oracle depends on."""
+    base = _collect_centroids(ann.build_ivf_det(embeddings, n_lists=8, iters=2))
+    shuffled = _collect_centroids(
+        ann.build_ivf_det(embeddings.repartition(7, "vec_id"), n_lists=8, iters=2)
+    )
+    assert base == shuffled  # exact float equality, not approx
+
+
+def test_centroids_block_tree_bounds_groups(embeddings):
+    """A tiny block size changes the reduction tree (more levels-1 groups)
+    but NOT the ids in it — results must stay identical only when the
+    tree is identical, so same block ⇒ same result even when the block
+    is small enough to engage multiple blocks."""
+    a = _collect_centroids(ann.build_ivf_det(embeddings, n_lists=4, iters=1, block=64))
+    b = _collect_centroids(
+        ann.build_ivf_det(embeddings.repartition(13), n_lists=4, iters=1, block=64)
+    )
+    assert a == b
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    """n_lists > distinct points: every point assigns to one list, the
+    rest must retain their init centroids (MLlib KMeans convention)."""
+    rows = [(i, [1.0, 1.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = ann.build_ivf_det(df, n_lists=3, iters=1)
+    got = _collect_centroids(cent)
+    assert len(got) == 3
+    # all points identical → every list's centroid is that same point
+    # (winners get the mean of identical points; losers keep their init,
+    # which is also that point)
+    assert all(v == (1.0, 1.0) for v in got.values())
+
+
+def test_knn_over_det_build_self_match(embeddings):
+    cent = ann.build_ivf_det(embeddings, n_lists=8, iters=2)
+    v = embeddings.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent)
+    probes = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    res = ann.ann_knn_ivf(
+        assigned, cent, probes, k=5, n_probe=4, id_col="id", vec_col="vec"
+    ).collect()
+    rank1 = {r["query_id"]: (r["id"], r["distance"]) for r in res if r["rank"] == 1}
+    # each probe's own vector lives in the probed list → exact self-match
+    assert rank1 == {qid: (qid, 0.0) for qid in range(3)}
+
+
+def test_assign_plan_broadcasts_centroids(embeddings):
+    """The vectors×centroids join must be a broadcast nested loop over the
+    n_lists-row side — never a shuffle of the big table, never a real
+    cartesian product."""
+    cent = ann.build_ivf_det(embeddings, n_lists=4, iters=1)
+    v = embeddings.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    plan = (
+        ann.assign_ivf_det(v, cent)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

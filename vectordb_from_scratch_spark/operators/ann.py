@@ -48,6 +48,8 @@ __all__ = [
     "build_mllib_lsh",
     "ann_join_mllib",
     "build_ivf",
+    "build_ivf_det",
+    "assign_ivf_det",
     "ann_knn_ivf",
 ]
 
@@ -378,9 +380,124 @@ def build_ivf(
     return centers, assigned
 
 
+def assign_ivf_det(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (euclidean, tie-break
+    on list_id asc). `vectors` is (id, vec); `centroids` is (list_id,
+    cvec) — tiny (n_lists rows), so the cross join is a broadcast
+    nested-loop over a handful of rows, never a shuffle.
+
+    Distances use the same left-fold euclidean as exact k-NN, so the
+    assignment an external engine computes with the same fold is
+    bit-identical (the property the DuckDB oracle relies on)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("__d").asc(), F.col("list_id").asc())
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", vm.euclidean_distance("vec", "cvec"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "vec", "list_id")
+    )
+
+
+def _det_centroids(assigned: DataFrame, prev: DataFrame, block: int) -> DataFrame:
+    """Recompute centroids as per-dimension means with a FIXED two-level
+    reduction tree keyed on id ranges: within an id-block, values fold in
+    id order; block partial sums fold in block order. The summation tree
+    is a function of the DATA (ids), not of Spark's partitioning, so the
+    double-precision result is identical on any cluster layout — and in
+    any engine that folds the same tree (the DuckDB oracle does).
+
+    Plain F.sum would shuffle less state but its accumulation order
+    follows the partitioning, making the low bits of the mean
+    run-dependent; decimal accumulation is order-independent but
+    double→decimal casts themselves disagree across engines (Spark casts
+    via the shortest decimal repr, DuckDB via the exact binary value).
+    The per-group collect_list is bounded by `block` (default 4096
+    values), so executor memory stays flat at any table size.
+
+    Empty clusters keep their previous centroid (left-join + coalesce),
+    the same convention MLlib KMeans uses."""
+    ex = assigned.select(
+        "list_id",
+        "id",
+        F.expr(f"id div {block}").alias("blk"),
+        F.posexplode("vec").alias("pos", "val"),
+    )
+    fold = lambda pairs, field: F.aggregate(  # noqa: E731
+        F.transform(F.array_sort(pairs), lambda s: s[field]),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    l1 = ex.groupBy("list_id", "pos", "blk").agg(
+        fold(F.collect_list(F.struct("id", "val")), "val").alias("s1"),
+        F.count("*").alias("n1"),
+    )
+    l2 = l1.groupBy("list_id", "pos").agg(
+        fold(F.collect_list(F.struct("blk", "s1")), "s1").alias("s"),
+        F.sum("n1").alias("n"),
+    )
+    mean = l2.select("list_id", "pos", (F.col("s") / F.col("n")).alias("m"))
+    newc = mean.groupBy("list_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cvec")
+    )
+    return (
+        prev.alias("p")
+        .join(newc.alias("n"), "list_id", "left")
+        .select("list_id", F.coalesce(F.col("n.cvec"), F.col("p.cvec")).alias("cvec"))
+    )
+
+
+def build_ivf_det(
+    vectors: DataFrame,
+    n_lists: int = 8,
+    iters: int = 2,
+    *,
+    block: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: Lloyd's k-means with md5-seeded
+    init and a fixed-tree mean (see _det_centroids), yielding centroids
+    that are BIT-IDENTICAL across runs, partitionings, and engines — the
+    oracle-twinnable correctness spec for the IVF index that build_ivf
+    (MLlib KMeans, RNG-seeded) can only match rows-only.
+
+    Init picks the first `n_lists` vectors ordered by md5(id): a cheap
+    engine-portable pseudo-random draw (the reference seeds its RNG the
+    same spirit, src/hnsw/graph.rs:70). The init window orders the full
+    table through one partition; at 100 TB you'd TABLESAMPLE a few
+    thousand rows first — sampling changes which vectors seed the run,
+    not the determinism argument.
+
+    Returns the centroids DataFrame (list_id int, cvec array<double>).
+    Iteration materializes nothing driver-side (no collect); each round
+    is a broadcast-assign plus one bounded-group aggregation, the same
+    shuffle shape MLlib KMeans runs internally. Production builds at
+    scale should still prefer build_ivf (sampled, mini-batched); this
+    path is the spec both are judged against."""
+    from pyspark.sql import Window
+
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("id"), vm.as_double(vec_col).alias("vec")
+    )
+    w = Window.orderBy(F.md5(F.col("id").cast("string")).asc(), F.col("id").asc())
+    cent = (
+        v.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_lists)
+        .select((F.col("__r") - 1).cast("int").alias("list_id"), F.col("vec").alias("cvec"))
+    )
+    for _ in range(iters):
+        cent = _det_centroids(assign_ivf_det(v, cent), cent, block)
+    return cent
+
+
 def ann_knn_ivf(
     assigned: DataFrame,
-    centers: list[list[float]],
+    centers: list[list[float]] | DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_probe: int = 4,
@@ -395,18 +512,27 @@ def ann_knn_ivf(
     only those lists, exact re-rank. Recall/latency knob = n_probe (the
     ef_search analog, SURVEY §2.3 H9).
 
+    `centers` is either the Python list build_ivf returns or the
+    (list_id, cvec) DataFrame build_ivf_det returns — the latter keeps
+    the whole probe driver-free (no collect anywhere in the chain).
+
     Plan shape: queries ⨯ centers (tiny broadcast) → top-n_probe lists per
     query → equi-join on list_id (hash-prunable) → distance → top-k.
     """
     from pyspark.sql import Window
 
     spark = assigned.sparkSession
-    centers_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-            "list_id int, center array<double>",
+    if isinstance(centers, DataFrame):
+        centers_df = F.broadcast(
+            centers.select("list_id", F.col("cvec").alias("center"))
         )
-    )
+    else:
+        centers_df = F.broadcast(
+            spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+                "list_id int, center array<double>",
+            )
+        )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qvec")
     )

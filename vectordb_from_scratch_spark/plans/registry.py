@@ -1288,6 +1288,144 @@ def _q_ivf(spark, sf_dir):
     return res.withColumn("distance", F.round("distance", 6))
 
 
+# Deterministic IVF (build_ivf_det): md5-seeded init + fixed-reduction-tree
+# Lloyd iterations make the centroids — and therefore routing, candidate
+# lists, and distances — bit-identical across engines, so unlike the two
+# rows-only entries above this IVF is value-exact under the oracle.
+_IVF_DET = {"n_lists": 8, "iters": 2, "block": 4096, "n_probe": 4, "k": 10}
+
+
+def _sql_ivf_det_ctes() -> str:
+    """Unrolled DuckDB twin of ann.build_ivf_det + assign_ivf_det:
+    c0 = md5-ordered init, then per iteration an assignment CTE and a
+    two-level fixed-tree mean; `afinal` is the assignment under the
+    final centroids (what the index stores)."""
+    p = _IVF_DET
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+      SELECT id, vec, list_id FROM (
+        SELECT v.id, v.vec, c.list_id,
+               row_number() OVER (PARTITION BY v.id
+                 ORDER BY {_sql_euclid('v.vec', 'c.cvec')} ASC, c.list_id ASC) AS rn
+        FROM v CROSS JOIN {cent} c) WHERE rn = 1
+    )"""
+
+    def update(i: int, assigned: str, prev: str, out: str) -> str:
+        return f"""e{i} AS (
+      SELECT list_id, id, id // {p['block']} AS blk,
+             unnest(generate_series(1, len(vec))) - 1 AS pos,
+             unnest(vec) AS val
+      FROM {assigned}
+    ),
+    l1_{i} AS (
+      SELECT list_id, pos, blk,
+             {_sql_fold_sum("list_transform(list_sort(list(struct_pack(i := id, v := val))), s -> s.v)")} AS s1,
+             count(*) AS n1
+      FROM e{i} GROUP BY list_id, pos, blk
+    ),
+    l2_{i} AS (
+      SELECT list_id, pos,
+             {_sql_fold_sum("list_transform(list_sort(list(struct_pack(b := blk, s := s1))), x -> x.s)")} AS s,
+             sum(n1) AS n
+      FROM l1_{i} GROUP BY list_id, pos
+    ),
+    nc_{i} AS (
+      SELECT list_id,
+             list_transform(list_sort(list(struct_pack(p := pos, m := m))), x -> x.m) AS cvec
+      FROM (SELECT list_id, pos, s / n AS m FROM l2_{i}) GROUP BY list_id
+    ),
+    {out} AS (
+      SELECT p.list_id, coalesce(n.cvec, p.cvec) AS cvec
+      FROM {prev} p LEFT JOIN nc_{i} n ON p.list_id = n.list_id
+    )"""
+
+    ctes = [
+        "v AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS vec FROM embeddings)",
+        f"""c0 AS (
+      SELECT (row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1)::INTEGER AS list_id,
+             vec AS cvec
+      FROM v QUALIFY row_number() OVER (ORDER BY md5(id::VARCHAR), id) <= {p['n_lists']}
+    )""",
+    ]
+    for i in range(p["iters"]):
+        ctes.append(assign(f"a{i}", f"c{i}"))
+        ctes.append(update(i, f"a{i}", f"c{i}", f"c{i + 1}"))
+    ctes.append(assign("afinal", f"c{p['iters']}"))
+    return ",\n".join(ctes)
+
+
+@_register(
+    "ivf_det_centroids",
+    f"""
+    WITH {_sql_ivf_det_ctes()}
+    SELECT list_id, (unnest(generate_series(1, len(cvec))) - 1)::INTEGER AS pos,
+           round(unnest(cvec), 6) AS c
+    FROM c{_IVF_DET['iters']}
+    """,
+    doc="H4 analog, value-exact: deterministic IVF k-means centroids "
+    "(md5-seeded init, fixed-reduction-tree means — see "
+    "operators/ann.py build_ivf_det); the correctness spec build_ivf's "
+    "MLlib KMeans path is recall-tested against",
+)
+def _q_ivf_det_centroids(spark, sf_dir):
+    cent = ann.build_ivf_det(
+        _t(spark, sf_dir, "embeddings"),
+        n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
+    )
+    return cent.select(
+        "list_id", F.posexplode("cvec").alias("pos", "c")
+    ).withColumn("c", F.round("c", 6))
+
+
+@_register(
+    "ann_ivf_det_knn",
+    f"""
+    WITH {_sql_ivf_det_ctes()},
+    probes AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    routed AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT p.query_id, p.qv, c.list_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {_sql_euclid('p.qv', 'c.cvec')} ASC, c.list_id ASC) AS rn
+        FROM probes p CROSS JOIN c{_IVF_DET['iters']} c) WHERE rn <= {_IVF_DET['n_probe']}
+    ),
+    cand AS (
+      SELECT r.query_id, a.id, {_sql_euclid('r.qv', 'a.vec')} AS dist
+      FROM routed r JOIN afinal a ON r.list_id = a.list_id
+    )
+    SELECT query_id, id, round(dist, 6) AS distance, rnk::INTEGER AS rank
+    FROM (SELECT query_id, id, dist,
+                 row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+          FROM cand)
+    WHERE rnk <= {_IVF_DET['k']}
+    """,
+    doc="H4/H8/H9 value-exact: IVF probe over the deterministic build — "
+    "route to n_probe nearest centroids, scan only those lists, exact "
+    "re-rank (ann.ann_knn_ivf; n_probe = ef_search analog)",
+)
+def _q_ivf_det_knn(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cent = ann.build_ivf_det(
+        e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
+    )
+    v = e.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent)
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    res = ann.ann_knn_ivf(
+        assigned, cent, probes,
+        k=_IVF_DET["k"], n_probe=_IVF_DET["n_probe"], id_col="id", vec_col="vec",
+    )
+    return res.withColumn("distance", F.round("distance", 6))
+
+
 @_register(
     "text_cosine_similarity",
     f"""
@@ -2424,6 +2562,10 @@ _DRIVER_PRIORITY: list[str] = [
     "text_bm25_top_terms",
     # tfidf re-check: corpus size now computed in-plan (no count() job)
     "text_tfidf_top_terms",
+    # deterministic IVF — upgrades the IVF family from rows-only to
+    # value-exact; needs first driver evidence
+    "ivf_det_centroids",
+    "ann_ivf_det_knn",
 ]
 
 
