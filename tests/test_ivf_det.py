@@ -75,6 +75,16 @@ def test_knn_over_det_build_self_match(embeddings):
     assert rank1 == {qid: (qid, 0.0) for qid in range(3)}
 
 
+def test_build_init_is_partial_topk_not_global_sort(embeddings):
+    """The md5-seeded init must compile to TakeOrderedAndProject
+    (per-partition top-n_lists, driver merge) — a global-sort or a
+    full-table single-partition window here would be the 100-TB
+    bottleneck of the whole build."""
+    cent = ann.build_ivf_det(embeddings, n_lists=8, iters=0)
+    plan = cent._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_assign_plan_broadcasts_centroids(embeddings):
     """The vectors×centroids join must be a broadcast nested loop over the
     n_lists-row side — never a shuffle of the big table, never a real

@@ -468,10 +468,12 @@ def build_ivf_det(
 
     Init picks the first `n_lists` vectors ordered by md5(id): a cheap
     engine-portable pseudo-random draw (the reference seeds its RNG the
-    same spirit, src/hnsw/graph.rs:70). The init window orders the full
-    table through one partition; at 100 TB you'd TABLESAMPLE a few
-    thousand rows first — sampling changes which vectors seed the run,
-    not the determinism argument.
+    same spirit, src/hnsw/graph.rs:70). The selection is a global
+    orderBy().limit(n_lists) — Catalyst compiles it to
+    TakeOrderedAndProject (per-partition partial top-k, driver merges
+    n_lists-row sets), so no full-table sort or single-partition window
+    exists anywhere in the build plan; the only window runs over the
+    n_lists selected rows.
 
     Returns the centroids DataFrame (list_id int, cvec array<double>).
     Iteration materializes nothing driver-side (no collect); each round
@@ -484,11 +486,12 @@ def build_ivf_det(
     v = vectors.select(
         F.col(id_col).cast("long").alias("id"), vm.as_double(vec_col).alias("vec")
     )
-    w = Window.orderBy(F.md5(F.col("id").cast("string")).asc(), F.col("id").asc())
-    cent = (
-        v.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n_lists)
-        .select((F.col("__r") - 1).cast("int").alias("list_id"), F.col("vec").alias("cvec"))
+    seed_key = F.md5(F.col("id").cast("string"))
+    seeds = v.orderBy(seed_key.asc(), F.col("id").asc()).limit(n_lists)
+    w = Window.orderBy(seed_key.asc(), F.col("id").asc())  # over n_lists rows only
+    cent = seeds.select(
+        (F.row_number().over(w) - 1).cast("int").alias("list_id"),
+        F.col("vec").alias("cvec"),
     )
     for _ in range(iters):
         cent = _det_centroids(assign_ivf_det(v, cent), cent, block)
