@@ -129,6 +129,16 @@ def test_global_sort_uses_range_partitioning(spark):
     assert "rangepartitioning" not in topk_plan  # no global sort for top-k
 
 
+def test_vocabulary_topk_is_partial_not_global_window(documents):
+    """vocabulary()'s global top-k must be TakeOrderedAndProject over the
+    term counts — a bare row_number window would sort the entire vocab
+    (hundreds of millions of terms at 100 TB) through one partition."""
+    from vectordb_from_scratch_spark.operators import textops
+
+    plan = _plan(textops.vocabulary(documents, top=10))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_knn_auto_strategy_launches_no_job(embeddings, monkeypatch):
     # strategy="auto" must pick its path from Catalyst plan statistics,
     # not a df.count() pre-scan (VERDICT r1): at 100 TB that count is a

@@ -263,10 +263,16 @@ def vocabulary(
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct(id_col).alias("df"),
     )
-    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    # global top-k via orderBy().limit() = TakeOrderedAndProject (partial
+    # top-`top` per partition, driver merge) — a bare row_number window
+    # here would sort the whole vocab through one partition; the rank
+    # window below touches only the `top` surviving rows
+    order = (F.col("tf").desc(), F.col("term").asc())
+    w = Window.orderBy(*order)
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top)
+        counts.orderBy(*order)
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w))
         .select("term", "tf", "df", "rank")
     )
 
