@@ -153,6 +153,20 @@ def test_recall_curve_query_monotone(spark):
     assert rows["nbits2_t6"] >= 0.90  # reference-grade config floor (recall_test.rs)
 
 
+def test_ivf_recall_curve_monotone_with_exact_endpoint(spark):
+    from tests.conftest import SF_CORRECT
+
+    from vectordb_from_scratch_spark.plans.registry import QUERIES
+
+    rows = {r.config: r.recall_at_10
+            for r in QUERIES["ivf_recall_curve"].spark(spark, SF_CORRECT).collect()}
+    print("ivf recall curve:", rows)
+    ps = [1, 2, 4, 6, 8]
+    vals = [rows[f"n_probe_{p}"] for p in ps]
+    assert vals == sorted(vals)  # n_probe is monotone in recall
+    assert vals[-1] == 1.0  # probing all 8 lists IS the exact scan
+
+
 def test_multiprobe_radius_widens_recall(spark):
     # Hamming-2 probing must dominate Hamming-1, which dominates exact
     # buckets — and radius=1 must equal the legacy multiprobe=True

@@ -1426,6 +1426,99 @@ def _q_ivf_det_knn(spark, sf_dir):
     return res.withColumn("distance", F.round("distance", 6))
 
 
+_IVF_CURVE_PROBES = [1, 2, 4, 6, 8]
+
+
+def _sql_ivf_recall_curve() -> str:
+    """Oracle for ivf_recall_curve: one deterministic build, one ranked
+    routing of every probe to every list, then recall@10 per probe width
+    read off the same candidate set (rr <= p)."""
+    k, p_names = _IVF_DET["k"], _IVF_CURVE_PROBES
+    ctes = [
+        _sql_ivf_det_ctes(),
+        f"""exact AS (
+      SELECT query_id, id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_euclid('q.embedding', 'e.embedding')} ASC,
+                                           e.vec_id ASC) AS rnk
+        FROM (SELECT * FROM embeddings WHERE vec_id < 20) q CROSS JOIN embeddings e
+      ) WHERE rnk <= {k}
+    )""",
+        "np AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < 20)",
+        f"""pq AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20
+    )""",
+        f"""routed_all AS (
+      SELECT p.query_id, p.qv, c.list_id,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY {_sql_euclid('p.qv', 'c.cvec')} ASC, c.list_id ASC) AS rr
+      FROM pq p CROSS JOIN c{_IVF_DET['iters']} c
+    )""",
+        f"""cand_all AS (
+      SELECT r.query_id, a.id, r.rr, {_sql_euclid('r.qv', 'a.vec')} AS dist
+      FROM routed_all r JOIN afinal a ON r.list_id = a.list_id
+    )""",
+    ]
+    selects = []
+    for p in p_names:
+        ctes.append(f"""ann_p{p} AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+        FROM cand_all WHERE rr <= {p}) WHERE rnk <= {k}
+    )""")
+        selects.append(
+            f"SELECT 'n_probe_{p}' AS config, "
+            f"round((SELECT count(*) FROM exact e JOIN ann_p{p} a USING (query_id, id))::DOUBLE"
+            f" / ((SELECT n FROM np) * {k}), 6) AS recall_at_10"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@_register(
+    "ivf_recall_curve",
+    _sql_ivf_recall_curve(),
+    doc="H9 for the IVF family: recall@10 vs n_probe over the deterministic "
+    "build — the n_probe knob's recall curve is a constant of the data "
+    "(no RNG), so the oracle reproduces every point value-exactly",
+)
+def _q_ivf_recall_curve(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = _probes(spark, sf_dir, F.col("vec_id") < 20)
+    k = _IVF_DET["k"]
+    exact = knn.knn(e, probes, k=k, metric="euclidean", strategy="window").select(
+        "query_id", "id"
+    )
+    np_df = probes.agg(F.count(F.lit(1)).alias("__np"))
+    cent = ann.build_ivf_det(
+        e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
+    )
+    v = e.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent)
+    out = None
+    for p in _IVF_CURVE_PROBES:
+        a = ann.ann_knn_ivf(
+            assigned, cent, probes, k=k, n_probe=p, id_col="id", vec_col="vec"
+        ).select("query_id", "id")
+        piece = (
+            exact.join(a, ["query_id", "id"])
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .crossJoin(np_df)
+            .select(
+                F.lit(f"n_probe_{p}").alias("config"),
+                F.round(F.col("__m").cast("double") / (F.col("__np") * k), 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
 @_register(
     "text_cosine_similarity",
     f"""
@@ -2566,6 +2659,7 @@ _DRIVER_PRIORITY: list[str] = [
     # value-exact; needs first driver evidence
     "ivf_det_centroids",
     "ann_ivf_det_knn",
+    "ivf_recall_curve",
 ]
 
 
