@@ -98,6 +98,24 @@ def main() -> int:
     cell("minhash_kernel_%d" % n_docs,
          lambda: sink(dedup.minhash_signatures(docs, strategy="kernel")))
 
+    # deterministic IVF: one-off build cost, then probe vs the exact scan
+    # above (the payoff claim: a persisted index turns every search into
+    # an n_probe-list scan instead of a full pass)
+    import tempfile
+
+    cent = ann.build_ivf_det(emb, n_lists=16, iters=2)
+    cell("ivf_det_build_%d" % n_emb, lambda: sink(cent))
+    idx = tempfile.mkdtemp(prefix="ivfdet_")
+    v = emb.select(F.col("vec_id").cast("long").alias("id"),
+                   F.col("embedding").cast("array<double>").alias("vec"))
+    ann.assign_ivf_det(v, cent).write.mode("overwrite").parquet(idx + "/assigned")
+    cent.write.mode("overwrite").parquet(idx + "/cent")
+    assigned_p = spark.read.parquet(idx + "/assigned")
+    cent_p = spark.read.parquet(idx + "/cent")
+    cell("ivf_det_probe_100x%d" % n_emb,
+         lambda: sink(ann.ann_knn_ivf(assigned_p, cent_p, probes, k=K,
+                                      n_probe=4, id_col="id", vec_col="vec")))
+
     print(json.dumps({"metric": "stress_crossover", "n_emb": n_emb, "n_docs": n_docs,
                       "cpus": int(cpus), "runs": runs, "cells": results}))
     return 0
