@@ -106,6 +106,12 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
     sub.add_parser("list", help="list ids")
     sub.add_parser("count", help="row count")
 
+    p_serve = sub.add_parser(
+        "serve", help="HTTP API server (reference src/main.rs serve command)"
+    )
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8080)
+
     args = ap.parse_args(argv)
     own_session = spark is None
     spark = spark or _session()
@@ -131,6 +137,11 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
                 print(vid)
         elif args.cmd == "count":
             print(len(store))
+        elif args.cmd == "serve":
+            from .server import serve
+
+            serve(spark, data_dir=args.data_dir, host=args.host,
+                  port=args.port, metric=args.metric)
         return 0
     finally:
         if own_session:

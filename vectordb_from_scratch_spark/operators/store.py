@@ -147,3 +147,13 @@ class VectorStore:
         pred = compile_filter(filter_spec)
         filtered = replace(self, df=self.df.filter(pred))
         return filtered.search_batch([(query, k)])[0]
+
+    def search_batch_with_filter(
+        self, queries: list[tuple], filter_spec: dict
+    ) -> list[list[tuple[str, float]]]:
+        """Batch filtered k-NN, one filter shared by all queries
+        (reference search_batch_with_filter, src/storage.rs:313-325) —
+        pre-filtered like `search_with_filter`."""
+        pred = compile_filter(filter_spec)
+        filtered = replace(self, df=self.df.filter(pred))
+        return filtered.search_batch(queries)
