@@ -218,3 +218,38 @@ def test_ngram_blocking_finds_first_char_mutation(spark):
     assert (1, 2) in found
     j = next(r.jaccard for r in pairs if (r.id_a, r.id_b) == (1, 2))
     assert j >= 0.5
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, edges, node_ids, **kw):
+        from vectordb_from_scratch_spark.operators import dedup
+
+        pairs = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+        if not edges:
+            pairs = pairs.filter("id_a < 0")
+        nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id long")
+        out = dedup.connected_components(pairs, nodes, **kw)
+        return {r.doc_id: r.component for r in out.collect()}
+
+    def test_chain_triangle_singleton(self, spark):
+        # chain 1-2-3-4 (diameter 3), triangle 10-11-12, singleton 99
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+        got = self._cc(spark, edges, [1, 2, 3, 4, 10, 11, 12, 99])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+    def test_no_edges_all_singletons(self, spark):
+        got = self._cc(spark, [], [5, 6, 7])
+        assert got == {5: 5, 6: 6, 7: 7}
+
+    def test_merge_through_hub(self, spark):
+        # two stars joined by a bridge — min id must flow across
+        edges = [(1, 5), (2, 5), (3, 6), (4, 6), (5, 6)]
+        got = self._cc(spark, edges, [1, 2, 3, 4, 5, 6])
+        assert set(got.values()) == {1}
+
+    def test_nonconvergence_raises(self, spark):
+        import pytest as _pytest
+
+        edges = [(i, i + 1) for i in range(1, 8)]
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            self._cc(spark, edges, list(range(1, 9)), max_iters=2)

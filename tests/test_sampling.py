@@ -1,0 +1,72 @@
+"""Deterministic sampling operators: hash_uniform distribution and
+reproducibility, stratified_sample rate targeting, salt decorrelation,
+and partition-independence (the property engine-RNG sampling lacks)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_uniform_range_and_determinism(keyed):
+    u = keyed.select(sampling.hash_uniform("doc_id").alias("u"))
+    lo, hi = u.agg(F.min("u"), F.max("u")).first()
+    assert 0.0 <= lo and hi < 1.0
+    # mean of U[0,1) over 4000 draws
+    assert u.agg(F.avg("u")).first()[0] == pytest.approx(0.5, abs=0.03)
+    # pure function of the key: same rows selected at any partitioning
+    a = {r.doc_id for r in keyed.filter(sampling.hash_uniform("doc_id") < 0.2).collect()}
+    b = {
+        r.doc_id
+        for r in keyed.repartition(17)
+        .filter(sampling.hash_uniform("doc_id") < 0.2)
+        .collect()
+    }
+    assert a == b
+    assert len(a) == pytest.approx(800, rel=0.15)
+
+
+def test_salt_decorrelates(keyed):
+    a = {r.doc_id for r in keyed.filter(sampling.hash_uniform("doc_id") < 0.5).collect()}
+    b = {
+        r.doc_id
+        for r in keyed.filter(sampling.hash_uniform("doc_id", salt="v2") < 0.5).collect()
+    }
+    assert a != b
+    # independent halves overlap on ~25% of the universe
+    assert len(a & b) == pytest.approx(1000, rel=0.2)
+
+
+def test_stratified_rates(spark):
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(6000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_sample(df, {"a": 0.5, "b": 0.1}, strata_col="lang")
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got.get("c") is None  # default_rate=0 drops unlisted strata
+    assert got["a"] == pytest.approx(1000, rel=0.15)
+    assert got["b"] == pytest.approx(200, rel=0.3)
+
+
+def test_sql_twin_matches(spark):
+    """sql_hash_uniform is the bit-exact DuckDB twin of hash_uniform."""
+    duckdb = pytest.importorskip("duckdb")
+    spark_u = {
+        r.doc_id: r.u
+        for r in spark.range(0, 200)
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", sampling.hash_uniform("doc_id", salt="s").alias("u"))
+        .collect()
+    }
+    duck = duckdb.sql(
+        "SELECT i AS doc_id, "
+        + sampling.sql_hash_uniform("i", salt="s")
+        + " AS u FROM range(0, 200) t(i)"
+    ).fetchall()
+    assert {k: v for k, v in duck} == spark_u  # exact equality, no tolerance

@@ -41,6 +41,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
+    "connected_components",
     "release_caches",
 ]
 
@@ -555,4 +556,74 @@ def ngram_jaccard_pairs(
     )
     return paired.mapInPandas(
         _jaccard_verify_kernel(threshold), schema="id_a long, id_b long, jaccard double"
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a candidate-
+    pair graph (LSH / SimHash / n-gram pairs), the step that turns pairwise
+    near-dup hits into "keep one representative per cluster" — the standard
+    tail of every training-data dedup pipeline. Absent from the reference
+    (whose only dedup is upsert-by-id); pure pipeline north-star operator.
+
+    Returns one row per node in `nodes`: (node_col, component) where
+    component = min node id reachable through the pair graph (singletons
+    map to themselves). Deterministic — no RNG, no partition dependence.
+
+    Algorithm: min-label propagation. labels start as own id; each round
+    every node takes the min of its label and its neighbors' labels; stop
+    when a round changes nothing. Rounds needed = graph diameter, and each
+    round is ONE shuffle join + ONE aggregation over the edge list.
+
+    Scale: near-dup graphs are dense little clusters (diameter ≲ 5 even
+    on web-scale corpora — boilerplate families collapse through shared
+    hub documents), so O(diameter) rounds beats the O(log n)
+    large-star/small-star scheme (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) in constant factors while staying
+    trivially deterministic. The edge list is localCheckpoint'd once
+    (computed a single time, lineage truncated), labels are checkpointed
+    per round so the plan never grows, and the per-round shuffle moves
+    only (id, label) pairs — 16 bytes a row, independent of document
+    size. A pathological long-chain graph exhausts `max_iters` and
+    raises rather than silently returning a half-merged clustering.
+    """
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        nodes.select(F.col(node_col).alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.select(F.col("id").alias("src"), "comp"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least("comp", F.coalesce("nmin", "comp")).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        labels = updated.select("id", "comp")
+        if updated.filter("changed").isEmpty():
+            return labels.withColumnRenamed("id", node_col).withColumnRenamed(
+                "comp", "component"
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(graph diameter exceeds max_iters — raise max_iters)"
     )

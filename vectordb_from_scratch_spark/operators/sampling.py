@@ -1,0 +1,81 @@
+"""Deterministic sampling operators — corpus mixing for training-data
+pipelines (BASELINE.json north star; absent from the reference, whose
+data model has no sampling at all).
+
+Why hash-based, not RNG: `df.sample()`/`TABLESAMPLE` draw from a
+partition-seeded RNG, so results change with partitioning, task retries,
+and engine — unacceptable both for the oracle gate and for reproducible
+training corpora. Hashing the row KEY gives a sample that is a pure
+function of the data: identical across engines, runs, partitionings,
+and cluster sizes, and trivially resumable (re-running a failed stage
+re-selects exactly the same rows).
+
+Scale: the predicate is a narrow md5-of-key comparison — fully
+codegen'd, pushes through scans as an ordinary filter, shuffles
+nothing. Changing mixing weights re-filters the same scan; no shuffle,
+no state. Per-stratum rates are a broadcast map lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_uniform", "stratified_sample"]
+
+_HEX = "0123456789abcdef"
+
+
+def hash_uniform(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform-[0,1) draw from a row key: the first 8
+    nibbles of md5(salt || key) as a 32-bit integer, scaled by 2^-32.
+
+    Built from instr/substr only — the exact same expression runs in
+    DuckDB, so oracle SQL reproduces every draw bit-for-bit (the md5 hex
+    is identical across engines; the dyadic scale is exact in double).
+    `salt` decorrelates independent sampling decisions on the same key
+    (e.g. a train/valid split after a mixing pass).
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string") if isinstance(key, str) else key.cast("string")))
+    acc = F.lit(0).cast("double")
+    for i in range(8):
+        nibble = (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1).cast("double")
+        acc = acc * 16.0 + nibble
+    return acc / float(1 << 32)
+
+
+def sql_hash_uniform(key_sql: str, salt: str = "") -> str:
+    """The DuckDB twin of `hash_uniform` — same md5 nibbles, same scale."""
+    h = f"md5('{salt}' || ({key_sql})::VARCHAR)"
+    terms = " + ".join(
+        f"(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}.0"
+        for i in range(8)
+    )
+    return f"(({terms}) / {float(1 << 32)})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing step of a
+    training pipeline ("keep 50% of English, 12.5% of code, all of
+    wiki"). Keeps a row iff hash_uniform(key) < rates[stratum];
+    unlisted strata get `default_rate` (0 = drop).
+
+    The rates map is a literal broadcast into the filter expression;
+    realized rates converge to the requested ones at corpus scale while
+    membership stays exactly reproducible (see `hash_uniform`).
+    """
+    pairs: list[Column] = []
+    for s, r in rates.items():
+        pairs += [F.lit(s), F.lit(float(r))]
+    rate = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)),
+        F.lit(float(default_rate)),
+    )
+    return df.filter(hash_uniform(key_col, salt=salt) < rate)

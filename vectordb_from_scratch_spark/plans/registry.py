@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..functions import vectormath as vm
-from ..operators import ann, crud, dedup, filters, knn, textops
+from ..operators import ann, crud, dedup, filters, knn, sampling, textops
 from ..sources import load_table
 from . import relational as rel
 
@@ -1058,6 +1058,45 @@ def _q_embedding_neardup(spark, sf_dir):
     )
 
 
+@_register(
+    "dedup_components",
+    # Oracle: the LSH pair graph closed under reachability by a recursive
+    # CTE — component = min reachable doc_id, singletons map to themselves.
+    _LSH_BANDS_SQL.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    + """,
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS cluster_size,
+           (doc_id = component) AS is_canonical
+    FROM comp
+    """,
+    doc="Duplicate clusters: connected components (min-label propagation) "
+    "over the LSH candidate-pair graph — keep-one-per-cluster dedup tail; "
+    "singletons are their own component",
+)
+def _q_dedup_components(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+    comp = dedup.connected_components(pairs, docs)
+    w = Window.partitionBy("component")
+    return comp.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 # --------------------------------------------------------------------------
 # 7. Text analysis (LLM-pipeline north star)
 # --------------------------------------------------------------------------
@@ -1144,6 +1183,76 @@ def _q_pipeline_corpus_prep(spark, sf_dir):
         qs.join(keep, "doc_id")
         .filter((F.col("quality_score") >= 0.5) & (nibble < 8))
         .select("doc_id", "lang", "n_tokens", "quality_score")
+    )
+
+
+_MIX_RATES = {"en": 0.5, "zh": 0.25, "de": 0.125, "fr": 1.0}  # es unlisted → dropped
+_MIX_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in _MIX_RATES.items())
+    + " ELSE 0.0 END"
+)
+
+
+@_register(
+    "pipeline_corpus_mix",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {sampling.sql_hash_uniform('doc_id')} < {_MIX_RATE_SQL}
+    """,
+    doc="Corpus mixing: per-language deterministic hash sampling (keep 50% "
+    "en, 25% zh, 12.5% de, all fr, drop the rest) — membership is a pure "
+    "function of the key, reproducible across engines/partitionings/runs",
+)
+def _q_pipeline_corpus_mix(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(d, _MIX_RATES, strata_col="lang").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@_register(
+    "text_corpus_budget",
+    f"""
+    WITH t AS (SELECT lang, len({_TOK}) AS n FROM documents),
+    per AS (
+      SELECT lang, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens
+      FROM t GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_tokens)::BIGINT AS total FROM per)
+    SELECT lang, n_docs, n_tokens,
+           round(n_tokens / total::DOUBLE, 6) AS token_share,
+           round((sum(n_tokens) OVER (ORDER BY n_tokens DESC, lang))::BIGINT
+                 / total::DOUBLE, 6) AS cum_share
+    FROM per CROSS JOIN tot
+    """,
+    doc="Token-budget report: per-language token totals, corpus share, and "
+    "cumulative share in size order — the planning view behind mixing "
+    "weights. Cumulative sum is over exact BIGINT token counts (one "
+    "double division at the edge), so it is partition- and engine-exact",
+)
+def _q_text_corpus_budget(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select("lang", F.size(X.tokens("text")).alias("n"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    w_tot = Window.partitionBy()
+    w_cum = (
+        Window.orderBy(F.col("n_tokens").desc(), F.col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("n_tokens").over(w_tot)
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total.cast("double"), 6).alias("token_share"),
+        F.round(
+            F.sum("n_tokens").over(w_cum) / total.cast("double"), 6
+        ).alias("cum_share"),
     )
 
 
@@ -2660,6 +2769,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ivf_det_centroids",
     "ann_ivf_det_knn",
     "ivf_recall_curve",
+    "dedup_components",
+    "pipeline_corpus_mix",
+    "text_corpus_budget",
 ]
 
 
