@@ -100,3 +100,59 @@ def test_norm_matches_python(embeddings):
     row = embeddings.select("embedding", vm.norm("embedding").alias("n")).first()
     expect = math.sqrt(sum(float(x) * float(x) for x in row.embedding))
     assert abs(row.n - expect) < 1e-9
+
+
+class TestSQ8:
+    def _staged(self, spark, rows):
+        from vectordb_from_scratch_spark.functions import vectormath as vm
+
+        df = spark.createDataFrame(rows, "id long, v array<double>")
+        v = F.col("v")
+        return df.select(
+            "id", "v",
+            F.array_min(v).alias("vmin"),
+            F.array_max(v).alias("vmax"),
+            vm.sq8_scale(v).alias("scale"),
+        )
+
+    def test_codes_range_and_extremes(self, spark):
+        from vectordb_from_scratch_spark.functions import vectormath as vm
+
+        s = self._staged(spark, [(1, [-2.0, 0.0, 1.0, 6.0])])
+        r = s.select(
+            vm.sq8_encode("v", F.col("vmin"), F.col("scale")).alias("codes")
+        ).first()
+        assert r.codes[0] == 0 and r.codes[-1] == 255
+        assert all(0 <= c <= 255 for c in r.codes)
+
+    def test_roundtrip_error_bounded_by_half_step(self, spark):
+        from vectordb_from_scratch_spark.functions import vectormath as vm
+
+        rows = [(i, [float(j * i % 17) - 8.0 for j in range(32)]) for i in range(1, 40)]
+        s = self._staged(spark, rows)
+        dec = s.withColumn(
+            "dec",
+            vm.sq8_decode(
+                vm.sq8_encode("v", F.col("vmin"), F.col("scale")),
+                F.col("vmin"), F.col("scale"),
+            ),
+        )
+        bad = dec.select(
+            F.array_max(
+                F.zip_with("v", "dec", lambda a, b: F.abs(a - b))
+            ).alias("err"),
+            (F.col("scale") / 2 + 1e-12).alias("bound"),
+        ).filter(F.col("err") > F.col("bound"))
+        assert bad.isEmpty()
+
+    def test_constant_vector_decodes_exactly(self, spark):
+        from vectordb_from_scratch_spark.functions import vectormath as vm
+
+        s = self._staged(spark, [(1, [3.5, 3.5, 3.5])])
+        r = s.select(
+            vm.sq8_decode(
+                vm.sq8_encode("v", F.col("vmin"), F.col("scale")),
+                F.col("vmin"), F.col("scale"),
+            ).alias("dec")
+        ).first()
+        assert r.dec == [3.5, 3.5, 3.5]

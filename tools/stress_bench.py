@@ -98,6 +98,14 @@ def main() -> int:
     cell("minhash_kernel_%d" % n_docs,
          lambda: sink(dedup.minhash_signatures(docs, strategy="kernel")))
 
+    # duplicate clustering: LSH pairs -> connected components at corpus size
+    # (rounds = graph diameter; each round shuffles only (id,label) pairs)
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+    pairs = pairs.localCheckpoint()  # isolate CC cost from pair generation
+    n_pairs = pairs.count()
+    cell("cc_%dpairs_%ddocs" % (n_pairs, n_docs),
+         lambda: sink(dedup.connected_components(pairs, docs)))
+
     # deterministic IVF: one-off build cost, then probe vs the exact scan
     # above (the payoff claim: a persisted index turns every search into
     # an n_probe-list scan instead of a full pass)

@@ -46,6 +46,9 @@ __all__ = [
     "cosine_distance",
     "distance",
     "METRICS",
+    "sq8_scale",
+    "sq8_encode",
+    "sq8_decode",
 ]
 
 METRICS = ("euclidean", "cosine", "dot")
@@ -153,3 +156,43 @@ def distance(metric: str, a: Column | str, b: Column | str) -> Column:
     if metric == "dot":
         return -dot_product(a, b)
     raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+
+
+# -- int8 scalar quantization (SQ8) ----------------------------------------
+#
+# Not in the reference (it stores raw f32, src/vector.rs) — this is the
+# storage lever a 100-TB vector corpus actually needs: 4x smaller scans
+# for ~1e-2 relative reconstruction error on unit-scale embeddings.
+# Physical layout note: codes are 0..255 ints; parquet dictionary/bit-pack
+# encoding stores them in ~1 byte each (cast to tinyint/binary for the
+# truly packed layout). Encode/decode are per-row narrow expressions —
+# no shuffle, pipeline inside the scan stage.
+#
+# Determinism: floor(x + 0.5) instead of round() — identical IEEE double
+# ops in Spark and DuckDB (round() half-even vs half-up differs at ties).
+# Callers must pre-stage vmin/scale as projection columns (higher-order-
+# function lambda references re-evaluate PER ELEMENT if inlined).
+
+
+def sq8_scale(v: Column | str) -> Column:
+    """(array_max - array_min) / 255 — the SQ8 quantization step size."""
+    v = _col(v)
+    return (F.array_max(v) - F.array_min(v)) / F.lit(255.0)
+
+
+def sq8_encode(v: Column | str, vmin: Column, scale: Column) -> Column:
+    """array<double> → array<int> codes in 0..255: floor((x-vmin)/scale+0.5).
+    Constant vectors (scale=0) encode as all-zero codes."""
+    v = _col(v)
+    return F.transform(
+        v,
+        lambda x: F.when(
+            scale > 0, F.floor((x - vmin) / scale + F.lit(0.5))
+        ).otherwise(F.lit(0)).cast("int"),
+    )
+
+
+def sq8_decode(codes: Column | str, vmin: Column, scale: Column) -> Column:
+    """array<int> codes → array<double>: vmin + code*scale (asymmetric-
+    distance searches decode on the fly and compare against raw queries)."""
+    return F.transform(_col(codes), lambda c: vmin + c.cast("double") * scale)

@@ -245,6 +245,158 @@ def _q_vec_parse(spark, sf_dir):
 
 
 @_register(
+    "vec_sq8_roundtrip",
+    f"""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_min(embedding::DOUBLE[]) AS vmin,
+             list_max(embedding::DOUBLE[]) AS vmax,
+             (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0 AS scale
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id, v, vmin, vmax, scale,
+             list_transform(v, x -> CASE WHEN scale > 0
+               THEN floor((x - vmin) / scale + 0.5)::INTEGER ELSE 0 END) AS codes
+      FROM s
+    ),
+    d AS (
+      SELECT vec_id, v, vmin, vmax, scale, codes,
+             list_transform(codes, k -> vmin + k::DOUBLE * scale) AS dec
+      FROM c
+    )
+    SELECT vec_id,
+           list_min(codes)::INTEGER AS code_min,
+           list_max(codes)::INTEGER AS code_max,
+           round(list_max(list_transform(list_zip(v, dec), z -> abs(z[1] - z[2]))), 6)
+             AS max_abs_err,
+           round(sqrt({_sql_fold_sum("list_transform(list_zip(v, dec), z -> (z[1] - z[2]) * (z[1] - z[2]))")}
+                 / len(v)), 6) AS rmse
+    FROM d
+    """,
+    doc="SQ8 int8 scalar quantization round-trip: per-vector min/max scale, "
+    "floor(x/scale+0.5) codes in 0..255, decode, reconstruction error — the "
+    "4x-storage-compression path for 100-TB vector corpora (codes "
+    "dictionary/bit-pack to ~1 byte in parquet). floor(x+0.5), not round(), "
+    "keeps the quantizer bit-identical across engines",
+)
+def _q_vec_sq8_roundtrip(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    # stage vmin/scale as projection columns: lambda-body column refs
+    # re-evaluate per ELEMENT if inlined into the transform
+    v = vm.as_double("embedding")
+    staged = e.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_min(v).alias("vmin"),
+        F.array_max(v).alias("vmax"),
+        vm.sq8_scale(v).alias("scale"),
+    )
+    coded = staged.withColumn(
+        "codes", vm.sq8_encode("v", F.col("vmin"), F.col("scale"))
+    ).withColumn("dec", vm.sq8_decode("codes", F.col("vmin"), F.col("scale")))
+    sqdiff = F.zip_with("v", "dec", lambda a, b: (a - b) * (a - b))
+    return coded.select(
+        "vec_id",
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.round(
+            F.array_max(F.zip_with("v", "dec", lambda a, b: F.abs(a - b))), 6
+        ).alias("max_abs_err"),
+        F.round(
+            F.sqrt(
+                F.aggregate(sqdiff, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("v").cast("double")
+            ),
+            6,
+        ).alias("rmse"),
+    )
+
+
+@_register(
+    "knn_sq8_recall",
+    f"""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_min(embedding::DOUBLE[]) AS vmin,
+             (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0 AS scale
+      FROM embeddings
+    ),
+    dec AS (
+      SELECT vec_id,
+             list_transform(
+               list_transform(v, x -> CASE WHEN scale > 0
+                 THEN floor((x - vmin) / scale + 0.5)::INTEGER ELSE 0 END),
+               k -> vmin + k::DOUBLE * scale) AS dv
+      FROM s
+    ),
+    exact AS (
+      SELECT query_id, id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_euclid('q.v', 'e.v')} ASC,
+                                           e.vec_id ASC) AS rnk
+        FROM (SELECT vec_id, v FROM s WHERE vec_id < 20) q CROSS JOIN s e
+      ) WHERE rnk <= 10
+    ),
+    quant AS (
+      SELECT query_id, id FROM (
+        SELECT q.vec_id AS query_id, d.vec_id AS id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_euclid('q.v', 'd.dv')} ASC,
+                                           d.vec_id ASC) AS rnk
+        FROM (SELECT vec_id, v FROM s WHERE vec_id < 20) q CROSS JOIN dec d
+      ) WHERE rnk <= 10
+    )
+    SELECT 'sq8_asymmetric' AS config,
+           round((SELECT count(*) FROM exact e JOIN quant a USING (query_id, id))::DOUBLE
+                 / ((SELECT count(*) FROM s WHERE vec_id < 20) * 10), 6) AS recall_at_10
+    """,
+    doc="Search quality under SQ8 compression: recall@10 of asymmetric "
+    "search (raw query vs int8-decoded database) against the exact scan — "
+    "the evidence that 4x storage compression is safe for retrieval",
+)
+def _q_knn_sq8_recall(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = vm.as_double("embedding")
+    staged = e.select(
+        "vec_id", v.alias("v"),
+        F.array_min(v).alias("vmin"), vm.sq8_scale(v).alias("scale"),
+    )
+    dec = staged.select(
+        "vec_id",
+        vm.sq8_decode(
+            vm.sq8_encode("v", F.col("vmin"), F.col("scale")),
+            F.col("vmin"), F.col("scale"),
+        ).alias("dv"),
+    )
+    probes = staged.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("query_embedding")
+    )
+    k = 10
+    exact = knn.knn(
+        staged, probes, k=k, metric="euclidean", strategy="window",
+        id_col="vec_id", vec_col="v",
+    ).select("query_id", "id")
+    quant = knn.knn(
+        dec, probes, k=k, metric="euclidean", strategy="window",
+        id_col="vec_id", vec_col="dv",
+    ).select("query_id", "id")
+    np_df = probes.agg(F.count(F.lit(1)).alias("__np"))
+    return (
+        exact.join(quant, ["query_id", "id"])
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .crossJoin(np_df)
+        .select(
+            F.lit("sq8_asymmetric").alias("config"),
+            F.round(F.col("__m").cast("double") / (F.col("__np") * k), 6).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
+@_register(
     "distance_known_values",
     f"""
     WITH t(name, a, b) AS (VALUES
@@ -2772,6 +2924,8 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_components",
     "pipeline_corpus_mix",
     "text_corpus_budget",
+    "vec_sq8_roundtrip",
+    "knn_sq8_recall",
 ]
 
 
