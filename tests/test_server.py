@@ -158,6 +158,68 @@ def test_empty_store_search(base_url):
     assert (s, res) == (200, [])
 
 
+def test_review_edge_cases(base_url):
+    # empty batch insert on a fresh (dimensionless) store -> 201 inserted=0
+    s, body = req(base_url, "POST", "/vectors/batch", {"vectors": []})
+    assert (s, body) == (201, {"inserted": 0})
+    # duplicate ids within one batch: last write wins (reference HashMap loop)
+    s, _ = req(base_url, "POST", "/vectors/batch", {"vectors": [
+        {"id": "x", "vector": [1.0, 1.0]},
+        {"id": "x", "vector": [9.0, 9.0]},
+    ]})
+    assert s == 201
+    s, body = req(base_url, "GET", "/health")
+    assert body["vector_count"] == 1
+    s, body = req(base_url, "GET", "/vectors/x")
+    assert body["vector"] == [9.0, 9.0]
+    # percent-encoded ids round-trip through GET and DELETE
+    s, _ = req(base_url, "POST", "/vectors", {"id": "my id/2", "vector": [0.0, 0.0]})
+    assert s == 201
+    s, body = req(base_url, "GET", "/vectors/my%20id%2F2")
+    assert s == 200 and body["id"] == "my id/2"
+    s, body = req(base_url, "DELETE", "/vectors/my%20id%2F2")
+    assert (s, body) == (200, {"id": "my id/2", "status": "deleted"})
+    # explicit k=0 is honored (not bumped to the default 10)
+    s, res = req(base_url, "POST", "/search", {"vector": [0.0, 0.0], "k": 0})
+    assert (s, res) == (200, [])
+    # empty batch search -> 200 []
+    s, res = req(base_url, "POST", "/search/batch", {"queries": []})
+    assert (s, res) == (200, [])
+
+
+def test_persisted_store_survives_writes(spark, tmp_path):
+    """A data_dir-backed server must keep serving after a write: the
+    published store is re-loaded from the NEW snapshot (the old plan's
+    part files are deleted by the rename-overwrite)."""
+    from vectordb_from_scratch_spark.cli import _load
+
+    # pre-existing snapshot -> the loaded store's lineage scans data_dir
+    seed = VectorStore.empty(spark).insert("seed", [1.0, 2.0])
+    from vectordb_from_scratch_spark.cli import _save
+
+    _save(seed, str(tmp_path))
+    state = AppState(_load(spark, str(tmp_path), "euclidean"), data_dir=str(tmp_path))
+    httpd = make_server(state)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        s, _ = req(base, "POST", "/vectors", {"id": "n1", "vector": [3.0, 4.0]})
+        assert s == 201
+        # this evaluates the published store's plan — stale lineage would 500
+        s, body = req(base, "GET", "/health")
+        assert (s, body) == (200, {"status": "ok", "vector_count": 2})
+        s, res = req(base, "POST", "/search", {"vector": [3.0, 4.0], "k": 1})
+        assert s == 200 and res[0]["id"] == "n1"
+        s, _ = req(base, "DELETE", "/vectors/seed")
+        assert s == 200
+        s, body = req(base, "GET", "/health")
+        assert body["vector_count"] == 1
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_wire_filter_to_spec_nested():
     wire = {"op": "and", "filters": [
         {"op": "eq", "field": "lang", "value": "en"},

@@ -9,9 +9,10 @@ from "1.0,2.0,3.0").
 
 The store directory is a parquet table (id, embedding, metadata) — the
 snapshot format from sources/persistence.py, so the CLI, the batch
-engine, and recovery all read the same bytes. The reference's
-`serve` (HTTP) is out of scope: Spark is a batch engine; the driver
-contract in __spark_entry__.py is the serving surface.
+engine, and recovery all read the same bytes. The reference's `serve`
+command maps to the HTTP layer in server.py (same 9 endpoints,
+`--host`/`--port`); the driver contract in __spark_entry__.py remains
+the batch analytics surface.
 """
 
 from __future__ import annotations
@@ -116,6 +117,12 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
     own_session = spark is None
     spark = spark or _session()
     try:
+        if args.cmd == "serve":
+            from .server import serve
+
+            serve(spark, data_dir=args.data_dir, host=args.host,
+                  port=args.port, metric=args.metric)
+            return 0
         store = _load(spark, args.data_dir, args.metric)
         if args.cmd == "insert":
             store = store.insert(args.id, _parse_vec(args.vector), _parse_meta(args.meta))
@@ -137,11 +144,6 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
                 print(vid)
         elif args.cmd == "count":
             print(len(store))
-        elif args.cmd == "serve":
-            from .server import serve
-
-            serve(spark, data_dir=args.data_dir, host=args.host,
-                  port=args.port, metric=args.metric)
         return 0
     finally:
         if own_session:

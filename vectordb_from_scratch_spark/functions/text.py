@@ -128,28 +128,31 @@ def minhash_sig(shingles: Column, num_hashes: int = 8) -> Column:
 _HEXDIGITS = "0123456789abcdef"
 
 
+def hex_value_from_md5(md5_col: Column, start: int = 0, digits: int = 4) -> Column:
+    """Integer value of hex chars [start, start+digits) of a pre-staged
+    md5 hex column — THE shared engine-portable nibble recipe (substr +
+    instr only; neither engine's native hash matches the other's).
+    Accumulates in LONG, exact up to 15 hex digits; every md5-derived
+    integer in this package (token hashes, SimHash words, uniform draws)
+    builds on this one helper so the parity contract lives in one place."""
+    val = F.lit(0).cast("long")
+    for i in range(digits):
+        digit = F.instr(F.lit(_HEXDIGITS), F.substring(md5_col, start + i + 1, 1)) - F.lit(1)
+        val = val * F.lit(16) + digit.cast("long")
+    return val
+
+
 def token_hash16(tok: Column, word: int = 0) -> Column:
     """Portable 16-bit token hash: integer value of hex chars
     [4·word, 4·word+4) of md5(token) — md5's 32 hex chars yield 8
-    independent 16-bit words from ONE digest. Built from substr+instr
-    only, so the DuckDB oracle reproduces it exactly (neither engine's
-    native hash matches the other's)."""
-    h = F.md5(tok)
-    val = F.lit(0)
-    for i in range(4):
-        digit = F.instr(F.lit(_HEXDIGITS), F.substring(h, 4 * word + i + 1, 1)) - F.lit(1)
-        val = val + digit * F.lit(16 ** (3 - i))
-    return val
+    independent 16-bit words from ONE digest."""
+    return hex_value_from_md5(F.md5(tok), start=4 * word).cast("int")
 
 
 def hash16_from_md5(md5_col: Column, word: int = 0) -> Column:
     """Same 16-bit word extraction over a PRE-STAGED md5 hex column —
     stage `transform(toks, md5)` once, then derive all words cheaply."""
-    val = F.lit(0)
-    for i in range(4):
-        digit = F.instr(F.lit(_HEXDIGITS), F.substring(md5_col, 4 * word + i + 1, 1)) - F.lit(1)
-        val = val + digit * F.lit(16 ** (3 - i))
-    return val
+    return hex_value_from_md5(md5_col, start=4 * word).cast("int")
 
 
 def simhash16(hashes: Column) -> Column:

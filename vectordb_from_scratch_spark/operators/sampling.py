@@ -21,34 +21,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_uniform", "stratified_sample"]
+from ..functions.text import _HEXDIGITS, hex_value_from_md5
 
-_HEX = "0123456789abcdef"
+__all__ = ["hash_uniform", "stratified_sample"]
 
 
 def hash_uniform(key: Column | str, salt: str = "") -> Column:
     """Deterministic uniform-[0,1) draw from a row key: the first 8
     nibbles of md5(salt || key) as a 32-bit integer, scaled by 2^-32.
 
-    Built from instr/substr only — the exact same expression runs in
-    DuckDB, so oracle SQL reproduces every draw bit-for-bit (the md5 hex
-    is identical across engines; the dyadic scale is exact in double).
-    `salt` decorrelates independent sampling decisions on the same key
-    (e.g. a train/valid split after a mixing pass).
+    Built on the shared nibble recipe (`functions.text.hex_value_from_md5`)
+    — the same digits extracted in DuckDB SQL reproduce every draw
+    bit-for-bit (md5 hex is identical across engines; the dyadic scale is
+    exact in double). `salt` decorrelates independent sampling decisions
+    on the same key (e.g. a train/valid split after a mixing pass).
     """
     h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string") if isinstance(key, str) else key.cast("string")))
-    acc = F.lit(0).cast("double")
-    for i in range(8):
-        nibble = (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1).cast("double")
-        acc = acc * 16.0 + nibble
-    return acc / float(1 << 32)
+    return hex_value_from_md5(h, start=0, digits=8).cast("double") / float(1 << 32)
 
 
 def sql_hash_uniform(key_sql: str, salt: str = "") -> str:
-    """The DuckDB twin of `hash_uniform` — same md5 nibbles, same scale."""
-    h = f"md5('{salt}' || ({key_sql})::VARCHAR)"
+    """The DuckDB twin of `hash_uniform` — same md5 nibbles, same scale.
+    The salt is embedded as a SQL string literal; quotes are escaped so a
+    salt can never break the oracle query the Spark side accepts."""
+    h = f"md5('{salt.replace(chr(39), chr(39) * 2)}' || ({key_sql})::VARCHAR)"
     terms = " + ".join(
-        f"(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}.0"
+        f"(instr('{_HEXDIGITS}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}.0"
         for i in range(8)
     )
     return f"(({terms}) / {float(1 << 32)})"

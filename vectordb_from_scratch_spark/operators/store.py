@@ -54,13 +54,13 @@ class VectorStore:
 
     # -- writes (return a NEW store; reference mutates in place) ------------
 
-    def _check_dim(self, items: list[tuple]) -> int:
+    def _check_dim(self, items: list[tuple]) -> Optional[int]:
         dims = {len(v) for _, v, *_ in items}
         if self.dimension is not None:
             dims.add(self.dimension)
         if len(dims) > 1:
             raise DimensionMismatch(f"expected dim {min(dims)}, got {dims}")
-        return next(iter(dims))
+        return next(iter(dims)) if dims else None
 
     def insert(self, id: str, vector: list[float], metadata: dict | None = None) -> "VectorStore":
         """Upsert one row (reference insert/insert_with_metadata,
@@ -73,6 +73,11 @@ class VectorStore:
         SURVEY §2.2 R9)."""
         items3 = [(i, list(map(float, v)), m or {}) for i, v, *rest in items
                   for m in [rest[0] if rest else {}]]
+        # reference insert_batch is a HashMap insert loop — last write per
+        # id wins within one batch (duplicates must not both survive)
+        items3 = list({i: (i, v, m) for i, v, m in items3}.values())
+        if not items3:
+            return self
         dim = self._check_dim(items3)
         updates = self.spark.createDataFrame(items3, STORE_SCHEMA)
         return replace(self, df=crud.upsert(self.df, updates), dimension=dim)
@@ -121,8 +126,12 @@ class VectorStore:
 
     def search_batch(self, queries: list[tuple]) -> list[list[tuple[str, float]]]:
         """Batch search with per-query k (reference src/storage.rs:302-310)."""
-        qdf = self._query_df(queries)
+        if not queries:
+            return []
         kmax = max(k for _, k in queries)
+        if kmax <= 0:
+            return [[] for _ in queries]
+        qdf = self._query_df(queries)
         res = knn.knn(
             self.df, qdf.drop("k"), k=kmax, metric=self.metric,
             id_col="id", vec_col="embedding",

@@ -55,6 +55,7 @@ import threading
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from time import monotonic
+from urllib.parse import unquote
 from typing import Any, Optional
 
 from pyspark.sql import SparkSession
@@ -145,9 +146,14 @@ class AppState:
 
     def publish(self, new_store: VectorStore) -> None:
         if self.data_dir is not None:
-            from .cli import _save
+            from .cli import _load, _save
 
             _save(new_store, self.data_dir)
+            # re-load from the snapshot just written: new_store's lazy plan
+            # still scans the PREVIOUS snapshot's part files, which _save's
+            # rename-overwrite just deleted — serving it would throw
+            # FileNotFoundException on the next evaluation
+            new_store = _load(new_store.spark, self.data_dir, new_store.metric)
         self.store = new_store
 
 
@@ -205,7 +211,7 @@ class _Handler(BaseHTTPRequestHandler):
         if parts == ["vectors", "batch"] and method == "POST":
             return self._batch_insert
         if len(parts) == 2 and parts[0] == "vectors":
-            vid = parts[1]
+            vid = unquote(parts[1])  # axum's Path extractor percent-decodes
             if method == "GET":
                 return lambda: self._get(vid)
             if method == "DELETE":
@@ -271,7 +277,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _search(self) -> None:
         req = self._body()
-        k = req.get("k") or 10
+        # serde fills the default only for a MISSING/null k — an explicit 0
+        # must be honored (returns []), not silently bumped to 10
+        k = req["k"] if req.get("k") is not None else 10
         store = self.state.store
         t0 = monotonic()
         if req.get("filter") is not None:
@@ -284,7 +292,10 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _batch_search(self) -> None:
         req = self._body()
-        queries = [(q["vector"], q.get("k") or 10) for q in req["queries"]]
+        queries = [
+            (q["vector"], q["k"] if q.get("k") is not None else 10)
+            for q in req["queries"]
+        ]
         store = self.state.store
         t0 = monotonic()
         if req.get("filter") is not None:
