@@ -196,3 +196,39 @@ def test_tpch_q7_shape_plan(spark):
     assert plan.count("BroadcastExchange") >= 2
     assert "CartesianProduct" not in plan
     assert len(df.take(1)) >= 0
+
+
+def test_corpus_mix_prunes_columns_and_stays_narrow(spark):
+    from vectordb_from_scratch_spark.operators import sampling
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = sampling.stratified_sample(
+        docs, {"en": 0.5, "de": 0.125}, strata_col="lang"
+    ).select("doc_id", "lang")
+    plan = _plan(out)
+    # column pruning: the text column never leaves the scan
+    scan = plan[plan.find("FileScan"):]
+    assert "ReadSchema" in scan and "text" not in scan.split("ReadSchema")[1].split("\n")[0]
+    # pure filter: no exchange, no aggregation — survives any scan width
+    assert "Exchange" not in plan
+
+
+def test_sq8_roundtrip_is_single_narrow_stage(embeddings):
+    from vectordb_from_scratch_spark.functions import vectormath as vm
+
+    v = vm.as_double("embedding")
+    staged = embeddings.select(
+        "vec_id", v.alias("v"), F.array_min(v).alias("vmin"), vm.sq8_scale(v).alias("scale")
+    )
+    coded = staged.withColumn("codes", vm.sq8_encode("v", F.col("vmin"), F.col("scale")))
+    plan = _plan(coded)
+    assert "Exchange" not in plan  # per-row encode pipelines inside the scan
+
+
+def test_connected_components_shuffles_labels_not_documents(spark, documents):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components(pairs, documents.limit(50))
+    # converged result only carries (id, comp); no text/document columns
+    assert out.columns == ["doc_id", "component"]

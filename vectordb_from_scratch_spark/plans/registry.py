@@ -1364,6 +1364,39 @@ def _q_pipeline_corpus_mix(spark, sf_dir):
     )
 
 
+_SPLIT_U = sampling.sql_hash_uniform("doc_id", salt="split-v1")
+
+
+@_register(
+    "pipeline_train_split",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN {_SPLIT_U} < 0.9 THEN 'train'
+                  WHEN {_SPLIT_U} < 0.95 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs, min(doc_id) AS min_doc_id
+    FROM assigned GROUP BY lang, split
+    """,
+    doc="Deterministic train/valid/test split (90/5/5): a salted hash draw "
+    "per doc — independent of the mixing pass's draws (different salt), "
+    "stable under reruns/repartitioning, and leak-free (a doc can never "
+    "switch splits when the corpus grows)",
+)
+def _q_pipeline_train_split(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    u = sampling.hash_uniform("doc_id", salt="split-v1")
+    assigned = d.select(
+        "doc_id", "lang",
+        F.when(u < 0.9, "train").when(u < 0.95, "valid").otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
 @_register(
     "text_corpus_budget",
     f"""
@@ -2926,6 +2959,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_corpus_budget",
     "vec_sq8_roundtrip",
     "knn_sq8_recall",
+    "pipeline_train_split",
 ]
 
 
