@@ -122,20 +122,50 @@ def test_srp_multiprobe_boosts_recall(embeddings, probes):
 
 def test_srp_bucket_kernel_equals_expression(embeddings, probes):
     """The numpy bucket-assignment kernel must agree with the expression
-    path end-to-end (force each path via the auto threshold)."""
-    import vectordb_from_scratch_spark.operators.knn as knnmod
-
-    orig = knnmod.AUTO_NUMPY_THRESHOLD
+    path end-to-end (force each path via the SRP kernel threshold)."""
+    orig = ann.SRP_KERNEL_THRESHOLD
     try:
-        knnmod.AUTO_NUMPY_THRESHOLD = 1  # force kernel even on tiny data
+        ann.SRP_KERNEL_THRESHOLD = 1  # force kernel even on tiny data
         a = ann.ann_knn_srp(embeddings, probes, k=10, dim=64, nbits=4, n_tables=2).collect()
-        knnmod.AUTO_NUMPY_THRESHOLD = 10**12  # force expression path
+        ann.SRP_KERNEL_THRESHOLD = 10**12  # force expression path
         b = ann.ann_knn_srp(embeddings, probes, k=10, dim=64, nbits=4, n_tables=2).collect()
     finally:
-        knnmod.AUTO_NUMPY_THRESHOLD = orig
+        ann.SRP_KERNEL_THRESHOLD = orig
     assert sorted((r.query_id, r.id, r.rank) for r in a) == sorted(
         (r.query_id, r.id, r.rank) for r in b
     )
+
+
+def test_srp_kernel_threshold_policy(spark):
+    """The oracle-checked scale (sf0.01 = 500 rows) must stay on the
+    bitwise-exact expression path; a table past SRP_KERNEL_THRESHOLD
+    must flip to the matmul kernel. estimated_rows is exact for small
+    parquet scans (footer counts), so the policy holds by row count,
+    not by a size heuristic that could drift past the boundary."""
+    from tests.conftest import SF_CORRECT
+
+    from vectordb_from_scratch_spark.operators.knn import estimated_rows
+    from vectordb_from_scratch_spark.sources import load_table
+
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    assert estimated_rows(e) == 500  # exact, from parquet footers — no job
+    assert estimated_rows(e) < ann.SRP_KERNEL_THRESHOLD
+
+    probes = e.limit(3).selectExpr(
+        "vec_id AS query_id", "embedding AS query_embedding"
+    )
+
+    def plan_of(threshold):
+        orig = ann.SRP_KERNEL_THRESHOLD
+        try:
+            ann.SRP_KERNEL_THRESHOLD = threshold
+            df = ann.ann_knn_srp(e, probes, k=5, dim=64, nbits=4, n_tables=2)
+            return df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            ann.SRP_KERNEL_THRESHOLD = orig
+
+    assert "mapinpandas" not in plan_of(10**12).lower()  # expression path
+    assert "mapinpandas" in plan_of(100).lower()  # kernel path
 
 
 def test_recall_curve_query_monotone(spark):

@@ -103,6 +103,22 @@ def srp_bucket_cols(vec: Column | str, dim: int, nbits: int = 8, n_tables: int =
     ]
 
 
+# Above this many vector rows, SRP bucket assignment switches from the
+# fold-expression path to the numpy matmul kernel. This threshold is
+# deliberately LOWER than knn.AUTO_NUMPY_THRESHOLD (50k) because the
+# failure modes differ: the kNN distance kernel differs from the fold in
+# the last ulp on essentially EVERY pair (summation order), while SRP
+# only consumes the SIGN of each projection — kernel and fold disagree
+# only when a projection lands within float-reordering error (~1e-13
+# relative) of exactly 0, a measure-zero boundary that real embeddings
+# don't hit (kernel ≡ expression bucket-for-bucket on every test table;
+# asserted in tests/test_ann_recall.py). The oracle-checked scale
+# (sf0.01 = 500 rows) stays below it, keeping the DuckDB-twinned path
+# bitwise-exact by construction; everything bigger gets the matmul
+# (2.11 s → 0.65 s at 2k rows, 4.2 s → 2.0 s at 100k — SCALE.md).
+SRP_KERNEL_THRESHOLD = 1_000
+
+
 def ann_knn_srp(
     vectors: DataFrame,
     queries: DataFrame,
@@ -136,7 +152,7 @@ def ann_knn_srp(
     from pyspark.sql import Window
 
     from ..sources.tables import spread
-    from .knn import AUTO_NUMPY_THRESHOLD, estimated_rows
+    from .knn import estimated_rows
 
     # Single-scan explode form: each row emits one (table_idx, bucket_key)
     # per hash table and the probe join keys on BOTH — so the vector table
@@ -196,7 +212,7 @@ def ann_knn_srp(
         ).select(*df.columns, out_vec, F.col("__t.tbl").alias("tbl"), F.col("__t.bucket").alias("bucket"))
 
     # Metadata-only estimate (no job) — see knn.estimated_rows.
-    use_kernel = estimated_rows(vectors) >= AUTO_NUMPY_THRESHOLD
+    use_kernel = estimated_rows(vectors) >= SRP_KERNEL_THRESHOLD
     v_in = spread(vectors).select(F.col(id_col).alias("id"), vm.as_double(vec_col).alias("__v"))
     q_in = queries.select(
         F.col(query_id_col).alias("query_id"), vm.as_double(query_vec_col).alias("__q")

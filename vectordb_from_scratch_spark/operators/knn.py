@@ -87,14 +87,54 @@ EST_ROW_BYTES = 64
 _STATS_UNKNOWN = 1 << 60
 
 
+# Footer reads are driver-side (~ms each); past this many files the
+# table is big enough that the size-based over-estimate already answers
+# "kernel", so we skip the exact count rather than serialize the driver.
+_FOOTER_COUNT_MAX_FILES = 64
+
+
+def _parquet_footer_rows(df: DataFrame, max_files: int = _FOOTER_COUNT_MAX_FILES) -> int | None:
+    """EXACT row count for small file-backed scans, from parquet footer
+    metadata only — no Spark job, no data pages read. Returns None for
+    non-file sources, remote filesystems, or tables with more than
+    `max_files` files (at that size the caller's over-estimate is the
+    right answer anyway)."""
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file-backed plans (RDD, in-memory, streams)
+        return None
+    if not files or len(files) > max_files:
+        return None
+    total = 0
+    try:
+        import pyarrow.parquet as pq
+
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):  # s3/hdfs: footer read would
+                return None  # need a remote FS client — not worth it here
+            total += pq.ParquetFile(p.path or f).metadata.num_rows
+    except Exception:
+        return None
+    return total
+
+
 def estimated_rows(df: DataFrame) -> int:
     """Metadata-only row estimate for strategy selection.
 
-    Reads Catalyst's optimized-plan statistics: exact rowCount when CBO
-    stats exist, else sizeInBytes (parquet file footprint for scans)
-    over EST_ROW_BYTES. Launches NO Spark job — the r1 implementation
-    called df.count() here, a needless driver-blocking scan of the full
-    vector table before every search at 100 TB.
+    Three tiers, all jobless — the r1 implementation called df.count()
+    here, a needless driver-blocking scan of the full vector table
+    before every search at 100 TB:
+      1. Catalyst's optimized-plan rowCount, when CBO stats exist.
+      2. EXACT parquet footer counts for small local file scans
+         (≤ 64 files) — footers are already in the driver's page cache
+         after planning, and exactness is what lets the kernel
+         thresholds sit close to the oracle-checked scales without
+         the size-based over-estimate flipping them.
+      3. sizeInBytes // EST_ROW_BYTES, a deliberate over-estimate so
+         big tables flip to the fast kernel early rather than late.
 
     Returns 0 (→ callers keep the exact expression path) when the plan
     has no real statistics (in-memory/RDD-backed sources report a
@@ -108,6 +148,9 @@ def estimated_rows(df: DataFrame) -> int:
     size = int(stats.sizeInBytes())
     if size >= _STATS_UNKNOWN:
         return 0
+    exact = _parquet_footer_rows(df)
+    if exact is not None:
+        return exact
     return size // EST_ROW_BYTES
 
 
