@@ -42,6 +42,8 @@ __all__ = [
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
     "connected_components",
+    "shared_ngram_stats",
+    "decontamination_report",
     "release_caches",
 ]
 
@@ -626,4 +628,97 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
         "(graph diameter exceeds max_iters — raise max_iters)"
+    )
+
+
+def _distinct_gram_hashes(
+    documents: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, md5(gram)) for each DISTINCT word n-gram per document — the
+    dedup within the row (array_distinct) happens before the explode, so
+    the shuffle never carries within-doc repeats, and only the 32-byte
+    digest ever leaves the row (never the gram text)."""
+    return documents.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(X.word_shingles(text_col, n))).alias("__gram"),
+    ).select(F.col(id_col), F.md5("__gram").alias("gram_hash"))
+
+
+def shared_ngram_stats(
+    documents: DataFrame, n: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inter-document repetition report (RefinedWeb/C4-style substring
+    dedup signal): for each document, how many of its distinct word
+    n-grams also appear in at least one OTHER document, and what fraction
+    of its distinct grams that is. The per-doc `shared_frac` is the usual
+    "drop or trim documents dominated by cross-corpus boilerplate" knob.
+
+    Scale: grams are distinct-ed inside the row, then only their md5
+    digests shuffle — once to count document frequency per digest (partial
+    agg), once to join the counts back (same key, so AQE reuses the
+    exchange). Per-doc rollup is a doc_id-keyed partial agg. No pair of
+    documents is ever joined — cost is linear in corpus gram count, never
+    quadratic. Docs with fewer than n tokens surface with n_grams = 0.
+    """
+    grams = _distinct_gram_hashes(documents, n, text_col, id_col)
+    # grams are distinct per doc, so count(*) per digest == document frequency
+    docfreq = grams.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        grams.join(docfreq, "gram_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("n_docs") > 1, F.lit(1))).alias("n_shared"),
+        )
+    )
+    return (
+        documents.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.col("n_shared").cast("double") / F.col("n_grams").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("shared_frac"),
+        )
+    )
+
+
+def decontamination_report(
+    documents: DataFrame,
+    n: int = 3,
+    eval_mod: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with the held-out eval split (the public recipe from GPT-3
+    appendix C / The Pile: n-gram collision against benchmark text). The
+    eval split here is the deterministic `id % eval_mod == 0` slice so the
+    oracle can reproduce it; a real pipeline passes the benchmark corpus.
+
+    Returns one row per CONTAMINATED train doc: (id, n_shared_grams,
+    n_eval_docs) — distinct colliding grams and distinct eval docs hit.
+
+    Scale: the eval side is benchmark-sized (thousands of docs, not TB) —
+    its distinct gram digests BROADCAST, so the 100-TB train side is a
+    single map-side hash-join scan: no shuffle of the corpus at all. The
+    rollup aggregates only the hit rows, keyed by doc id.
+    """
+    ev = documents.filter((F.col(id_col) % eval_mod) == 0)
+    tr = documents.filter((F.col(id_col) % eval_mod) != 0)
+    ev_grams = _distinct_gram_hashes(ev, n, text_col, id_col).select(
+        F.col(id_col).alias("eval_id"), "gram_hash"
+    )
+    hits = _distinct_gram_hashes(tr, n, text_col, id_col).join(
+        F.broadcast(ev_grams), "gram_hash"
+    )
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("gram_hash").alias("n_shared_grams"),
+        F.countDistinct("eval_id").alias("n_eval_docs"),
     )

@@ -22,6 +22,7 @@ __all__ = [
     "bm25_top_terms",
     "chunk_documents",
     "vocabulary",
+    "repetition_metrics",
     "LANG_MARKERS",
 ]
 
@@ -417,4 +418,55 @@ def fingerprints(documents: DataFrame, text_col: str = "text", id_col: str = "do
         F.col(id_col),
         fp.alias("fingerprint"),
         F.substring(fp, 1, 4).alias("shard_key"),
+    )
+
+
+def repetition_metrics(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style per-document repetition signals (public pretraining
+    filter recipe: Rae et al. 2021 §A1.1): the fraction of token / 2-gram /
+    3-gram instances that are repeats of an earlier instance in the same
+    document, plus the share of the most frequent token.
+
+    Scale: the dup fractions are PER-ROW narrow expressions (size -
+    size(array_distinct)) — codegen'd, shuffle-free, O(len) per doc. Only
+    the top-token share needs an aggregation, and its shuffle carries
+    (doc_id, term, count) partials with map-side combine, then joins back
+    to the per-row metrics on doc_id. Nothing here is quadratic; at 100 TB
+    this is one explode-agg plus a same-key join of doc-count-sized rows.
+    """
+    staged = spread(documents).select(F.col(id_col), F.col(text_col)).withColumn(
+        "__toks", X.tokens(text_col)
+    )
+
+    def dup_frac(arr: F.Column) -> F.Column:
+        n = F.size(arr).cast("double")
+        uniq = F.size(F.array_distinct(arr)).cast("double")
+        return F.round(F.when(n > 0, (n - uniq) / n).otherwise(F.lit(0.0)), 6)
+
+    per_row = staged.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        dup_frac(F.col("__toks")).alias("dup_token_frac"),
+        dup_frac(X.shingles_from_tokens(F.col("__toks"), 2)).alias("dup_2gram_frac"),
+        dup_frac(X.shingles_from_tokens(F.col("__toks"), 3)).alias("dup_3gram_frac"),
+    )
+    tops = (
+        staged.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    share = F.when(
+        F.col("n_tokens") > 0, F.col("top_cnt").cast("double") / F.col("n_tokens").cast("double")
+    ).otherwise(F.lit(0.0))
+    return per_row.join(tops, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        "dup_token_frac",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        F.round(F.coalesce(share, F.lit(0.0)), 6).alias("top_token_share"),
     )
