@@ -73,23 +73,32 @@ def main() -> None:
 
     # min of two runs per query: single-shot timings on a shared box are
     # noisy (GC, co-tenants); the min is the engine's actual cost.
-    timings: dict[str, float] = {}
+    # Per-query isolation: one broken query must not zero out the whole
+    # round's performance record — record "ERR:<class>" and keep going.
+    timings: dict[str, float | str] = {}
     for name in BENCH_QUERIES:
-        timings[name] = round(min(run_once(name), run_once(name)), 3)
+        try:
+            timings[name] = round(min(run_once(name), run_once(name)), 3)
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            timings[name] = f"ERR:{type(exc).__name__}"
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    numeric = [t for t in timings.values() if isinstance(t, float)]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(numeric), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "n_ok": len(numeric),
+                "n_err": len(timings) - len(numeric),
             }
         )
     )

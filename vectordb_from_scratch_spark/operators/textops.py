@@ -283,6 +283,7 @@ def tfidf_cosine_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | float | None = None,
 ) -> DataFrame:
     """Sparse TF-IDF cosine similarity between documents via an INVERTED
     INDEX join — the text-side twin of the dense embedding near-dup:
@@ -291,9 +292,17 @@ def tfidf_cosine_pairs(
         → exact decimal dot sums → normalize → threshold.
 
     Scale: the join fans out per term by its document frequency, so the
-    plan's cost is Σ_t df(t)² — at corpus scale you prune stopword-like
-    high-df terms first (standard practice; not needed on the synthetic
-    vocab). No pair ever materializes unless the docs share a term.
+    plan's cost is Σ_t df(t)² — dominated by stopword-like high-df terms.
+    `max_df` is the mitigation: drop terms with df > max_df from the
+    index entirely (weights, norms, AND pairs — the pruned space is a
+    consistent vector space, not a post-filter), capping the per-term
+    fan-out at max_df². An int is an absolute document-frequency cap; a
+    float in (0,1) is a fraction of corpus size (sklearn's convention),
+    which scales with SF. Standard practice at corpus scale; None keeps
+    the exact full-vocab semantics for oracle parity.
+
+    Corpus size is computed IN the plan (1-row broadcast) — no
+    driver-side count() job per call (same fix as tfidf_top_terms).
 
     Determinism: weight products are cast to DECIMAL(18,12) before the
     per-pair sum (term iteration order is partitioning-dependent; decimal
@@ -302,13 +311,24 @@ def tfidf_cosine_pairs(
     """
     from pyspark.sql import Window  # noqa: F401  (parity with siblings)
 
-    n_docs = documents.count()
     toks = spread(documents).select(F.col(id_col), F.explode(X.tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double"))
-    inv = tf.join(F.broadcast(df_tbl), "term").select(
-        "term", F.col(id_col), (F.col("tf") * idf).alias("w")
+    nd = documents.agg(F.count(F.lit(1)).alias("__n"))
+    if max_df is not None:
+        if isinstance(max_df, float):
+            df_tbl = (
+                df_tbl.crossJoin(F.broadcast(nd))
+                .filter(F.col("df").cast("double") <= F.col("__n") * F.lit(max_df))
+                .drop("__n")
+            )
+        else:
+            df_tbl = df_tbl.filter(F.col("df") <= F.lit(int(max_df)))
+    idf = F.log((F.col("__n") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)).cast("double"))
+    inv = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(nd))
+        .select("term", F.col(id_col), (F.col("tf") * idf).alias("w"))
     )
     norms = inv.groupBy(id_col).agg(
         F.sqrt(F.sum((F.col("w") * F.col("w")).cast("decimal(18,12)")).cast("double")).alias("nrm")

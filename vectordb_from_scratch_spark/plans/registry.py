@@ -1847,6 +1847,46 @@ def _q_text_cosine(spark, sf_dir):
     return textops.tfidf_cosine_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@_register(
+    "text_cosine_pruned",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+      HAVING count(*)::DOUBLE <= 0.78 * (SELECT n_docs FROM n)
+    ),
+    inv AS (
+      SELECT tf.term, tf.doc_id,
+             tf.tf * ln((n.n_docs + 1)::DOUBLE / (dfq.df + 1)::DOUBLE) AS w
+      FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(sum(CAST(w * w AS DECIMAL(18,12))) AS DOUBLE)) AS nrm
+      FROM inv GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(CAST(a.w * b.w AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM inv a JOIN inv b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots d JOIN norms na ON na.doc_id = d.id_a JOIN norms nb ON nb.doc_id = d.id_b
+    WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.5
+    """,
+    doc="max_df-pruned sparse TF-IDF cosine: terms in more than 78% of the "
+    "corpus are dropped from the inverted index BEFORE the self-join, "
+    "capping the Σ df(t)² fan-out that dominates at corpus scale — the "
+    "coded mitigation for text_cosine_similarity's documented cost",
+)
+def _q_text_cosine_pruned(spark, sf_dir):
+    return textops.tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_df=0.78
+    )
+
+
 _WINNOW_SQL = f"""
     WITH nt AS (SELECT doc_id, {_NT} AS t FROM documents),
     g AS (SELECT doc_id, {_sql_char_ngrams('t')} AS grams FROM nt),

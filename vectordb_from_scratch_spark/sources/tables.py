@@ -31,17 +31,27 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one table; filters/projections push down.
 
-    `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    default; read it as long (legacy flag, runtime-settable) and convert
-    to a microsecond timestamp with exact integer division — floor
-    semantics matching DuckDB's nanos→micros truncation.
+    `events.ts` has shipped in three physical layouts across testdata
+    generations — TIMESTAMP(NANOS) (Spark needs the nanosAsLong legacy
+    flag and arrives as bigint), TIMESTAMP(MICROS) without tz (arrives
+    as TIMESTAMP_NTZ), and tz-aware TIMESTAMP. Downstream code
+    (`unix_micros` in sessionize/asof, `withWatermark` in streaming)
+    requires a session-TZ TIMESTAMP, so normalize here — once, at the
+    source — instead of per call site. The session TZ is UTC everywhere
+    (session.py, bench.py, tests), so the naive→timestamp cast keeps
+    DuckDB `epoch_us`-over-naive-value oracle parity, and the
+    nanos→micros long division keeps DuckDB's floor-truncation
+    semantics.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
