@@ -252,4 +252,26 @@ class TestConnectedComponents:
 
         edges = [(i, i + 1) for i in range(1, 8)]
         with _pytest.raises(RuntimeError, match="did not converge"):
-            self._cc(spark, edges, list(range(1, 9)), max_iters=2)
+            self._cc(spark, edges, list(range(1, 9)), max_iters=1)
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        # Adversarial 300-node chain (diameter 299): pure min-propagation
+        # would need 299 rounds; pointer jumping must finish within the
+        # default max_iters=25 budget (~log2(300) + constants).
+        n = 300
+        edges = [(i, i + 1) for i in range(1, n)]
+        got = self._cc(spark, edges, list(range(1, n + 1)))
+        assert set(got.values()) == {1}
+        assert len(got) == n
+
+    def test_two_long_chains_stay_separate(self, spark):
+        # jump steps must not leak labels across disconnected chains
+        n = 64
+        edges = [(i, i + 1) for i in range(1, n)] + [
+            (i, i + 1) for i in range(1000, 1000 + n - 1)
+        ]
+        got = self._cc(
+            spark, edges, list(range(1, n + 1)) + list(range(1000, 1000 + n))
+        )
+        assert set(got.values()) == {1, 1000}
+        assert all(c == (1 if k <= n else 1000) for k, c in got.items())

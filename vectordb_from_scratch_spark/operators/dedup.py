@@ -579,22 +579,26 @@ def connected_components(
     component = min node id reachable through the pair graph (singletons
     map to themselves). Deterministic — no RNG, no partition dependence.
 
-    Algorithm: min-label propagation. labels start as own id; each round
-    every node takes the min of its label and its neighbors' labels; stop
-    when a round changes nothing. Rounds needed = graph diameter, and each
-    round is ONE shuffle join + ONE aggregation over the edge list.
+    Algorithm: min-label propagation with pointer jumping. labels start
+    as own id; each round every node takes (1) the min of its label and
+    its neighbors' labels, then (2) its new label's OWN label — the
+    pointer-jump/path-halving step of Shiloach-Vishkin-style parallel CC
+    (same shortcutting as large-star in Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). Step 1 alone needs
+    O(diameter) rounds; the jump doubles the label's reach each round,
+    so convergence is O(log diameter) — an adversarial million-node
+    chain converges in ~20 rounds instead of a million. Stops when a
+    round changes nothing; still deterministic (both steps are pure
+    mins, comp(x) ≤ x is invariant, so the fixpoint is min-reachable-id
+    exactly as before).
 
-    Scale: near-dup graphs are dense little clusters (diameter ≲ 5 even
-    on web-scale corpora — boilerplate families collapse through shared
-    hub documents), so O(diameter) rounds beats the O(log n)
-    large-star/small-star scheme (Kiveris et al., "Connected Components
-    in MapReduce and Beyond", SoCC'14) in constant factors while staying
-    trivially deterministic. The edge list is localCheckpoint'd once
-    (computed a single time, lineage truncated), labels are checkpointed
-    per round so the plan never grows, and the per-round shuffle moves
-    only (id, label) pairs — 16 bytes a row, independent of document
-    size. A pathological long-chain graph exhausts `max_iters` and
-    raises rather than silently returning a half-merged clustering.
+    Scale: the edge list is localCheckpoint'd once (computed a single
+    time, lineage truncated), labels are checkpointed per round so the
+    plan never grows, and each round shuffles only (id, label) pairs —
+    16 bytes a row, independent of document size — through one edge
+    join, one aggregation, and one narrow label self-join for the jump.
+    A graph that still exhausts `max_iters` raises rather than silently
+    returning a half-merged clustering.
     """
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = half.union(
@@ -611,12 +615,22 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("nmin"))
         )
+        stepped = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.col("comp").alias("comp0"),
+            F.least("comp", F.coalesce("nmin", "comp")).alias("comp1"),
+        )
+        # pointer jump: follow the new label to ITS current label. Every
+        # comp value is a node id (mins of initial ids), so the self-join
+        # always matches; comp(x) ≤ x keeps the step monotone.
+        jump = labels.select(F.col("id").alias("comp1"), F.col("comp").alias("jcomp"))
+        new_comp = F.least("comp1", F.coalesce("jcomp", "comp1"))
         updated = (
-            labels.join(neighbor_min, "id", "left")
+            stepped.join(jump, "comp1", "left")
             .select(
                 "id",
-                F.least("comp", F.coalesce("nmin", "comp")).alias("comp"),
-                (F.col("nmin") < F.col("comp")).alias("changed"),
+                new_comp.alias("comp"),
+                (new_comp < F.col("comp0")).alias("changed"),
             )
             .localCheckpoint()
         )

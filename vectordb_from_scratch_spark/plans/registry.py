@@ -1543,43 +1543,84 @@ def _q_bm25(spark, sf_dir):
     return textops.bm25_top_terms(_t(spark, sf_dir, "documents"), top=3)
 
 
+def _recall_verdict(exact, approx, probes, approach: str, k: int, floor: float):
+    """Property-check shape for ANN paths whose randomness is seeded-JVM
+    (MLlib hyperplanes / KMeans centroids) and therefore not
+    SQL-reproducible: the query measures recall@k against the exact scan
+    IN the plan and emits a deterministic verdict row (approach, k,
+    n_queries, recall_floor, recall_ok). The oracle states the expected
+    verdict as literals, so the driver hash-checks the recall PROPERTY —
+    a red row means the index's accuracy actually regressed. Floors sit
+    ≥0.07 under the worst recall measured across sf0.001/sf0.01
+    (LSH 0.96–0.98, IVF@n_probe=5 0.92–0.98); ref recall floors:
+    tests/recall_test.rs:67-80."""
+    hits = exact.join(approx, ["query_id", "id"]).agg(F.count(F.lit(1)).alias("__m"))
+    nq = probes.agg(F.count(F.lit(1)).alias("__nq"))
+    return hits.crossJoin(F.broadcast(nq)).select(
+        F.lit(approach).alias("approach"),
+        F.lit(k).alias("k"),
+        F.col("__nq").cast("long").alias("n_queries"),
+        F.lit(floor).alias("recall_floor"),
+        (F.col("__m").cast("double") / (F.col("__nq") * k) >= F.lit(floor)).alias(
+            "recall_ok"
+        ),
+    )
+
+
+def _exact_knn_ids(spark, sf_dir, k: int = 10):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = _probes(spark, sf_dir, F.col("vec_id") < 5)
+    exact = knn.knn(e, probes, k=k, metric="euclidean", strategy="window").select(
+        "query_id", "id"
+    )
+    return e, probes, exact
+
+
 @_register(
     "ann_mllib_lsh_knn",
-    None,  # MLlib's random hyperplanes aren't SQL-reproducible → rows-only;
-           # accuracy is recall-tested against the exact oracle in pytest.
+    """
+    SELECT 'brp_lsh' AS approach, 10 AS k,
+           (SELECT count(*) FROM embeddings WHERE vec_id < 5) AS n_queries,
+           0.85 AS recall_floor, TRUE AS recall_ok
+    """,
     doc="H4/H8 via MLlib BucketedRandomProjectionLSH (BASELINE.json's named "
-    "approach): batch fit + approxSimilarityJoin + per-query top-k",
+    "approach): batch fit + approxSimilarityJoin + per-query top-k, emitted "
+    "as a driver-checkable recall@10-above-floor verdict (the hyperplanes "
+    "are seeded JVM RNG, so the recall PROPERTY is the checkable surface; "
+    "measured 0.96-0.98, floor 0.85)",
 )
 def _q_mllib_lsh(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
-    )
+    e, probes, exact = _exact_knn_ids(spark, sf_dir, k=10)
     model, indexed = ann.build_mllib_lsh(e, bucket_length=4.0, num_hash_tables=4)
     joined = ann.ann_join_mllib(model, indexed, probes, threshold=3.0)
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
-    return (
+    approx = (
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
-        .select("query_id", "id", F.round("distance", 6).alias("distance"), "rank")
+        .select("query_id", "id")
     )
+    return _recall_verdict(exact, approx, probes, "brp_lsh", k=10, floor=0.85)
 
 
 @_register(
     "ann_ivf_knn",
-    None,  # KMeans centroids aren't SQL-reproducible → driver rows-only check;
-           # the pytest recall harness covers accuracy vs the exact oracle.
+    """
+    SELECT 'ivf_kmeans' AS approach, 10 AS k,
+           (SELECT count(*) FROM embeddings WHERE vec_id < 5) AS n_queries,
+           0.8 AS recall_floor, TRUE AS recall_ok
+    """,
     doc="H4/H8 analog #2: IVF (KMeans coarse quantizer) batch build + "
-    "n_probe-list probe with exact re-rank (rows-only; recall-tested)",
+    "n_probe-list probe with exact re-rank, emitted as a driver-checkable "
+    "recall@10-above-floor verdict (KMeans centroids are seeded JVM RNG; "
+    "measured 0.92-0.98 at n_probe=5, floor 0.8)",
 )
 def _q_ivf(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e, probes, exact = _exact_knn_ids(spark, sf_dir, k=10)
     centers, assigned = ann.build_ivf(e, n_lists=8)
-    probes = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    approx = ann.ann_knn_ivf(assigned, centers, probes, k=10, n_probe=5).select(
+        "query_id", "id"
     )
-    res = ann.ann_knn_ivf(assigned, centers, probes, k=10, n_probe=3)
-    return res.withColumn("distance", F.round("distance", 6))
+    return _recall_verdict(exact, approx, probes, "ivf_kmeans", k=10, floor=0.8)
 
 
 # Deterministic IVF (build_ivf_det): md5-seeded init + fixed-reduction-tree
@@ -2953,53 +2994,25 @@ def _q_multimodal(spark, sf_dir):
 # the back.
 
 _DRIVER_PRIORITY: list[str] = [
-    # never driver-checked in round 1 (verified locally only)
-    "rel_small_quantity_revenue",
-    "rel_array_agg",
-    "rel_outer_joins",
-    "rel_except_all",
-    "rel_null_handling",
-    "rel_pivot",
-    "rel_map_funcs",
-    "rel_having",
-    "rel_correlated_subquery",
-    "rel_window_suite",
-    "rel_fuzzy_match",
-    "rel_hash_sample",
-    "rel_range_join",
-    "rel_events_hourly",
+    # round-2's red cell (TIMESTAMP_NTZ) — re-verify the load_table fix
     "rel_events_sessionize",
+    # broken by the same bug but invisible in r2 artifacts (not in the
+    # 50-query sample, bench died first) — needs a green row on record
+    "rel_asof_join",
+    # converted this round from rows-only (oracle=None) to recall-verdict
+    # oracles — first driver-checkable evidence for the MLlib ANN family
+    "ann_mllib_lsh_knn",
+    "ann_ivf_knn",
+    # new: max_df-pruned inverted-index cosine (the Σ df(t)² mitigation)
+    "text_cosine_pruned",
+    # plan changed (corpus size now in-plan, no count() job) — re-verify
+    "text_cosine_similarity",
+    # streaming-adjacent ts consumers: same blast radius as sessionize,
+    # keep fresh evidence under the new loader
+    "rel_events_hourly",
     "rel_events_json",
-    "rel_two_stage_distinct",
-    "multimodal_frames",
-    "metrics_percentiles",
-    "rel_rollup",
-    "rel_set_ops",
-    "rel_string_funcs",
-    "rel_date_funcs",
-    "multimodal_bytes",
-    # round-1 red cell, re-verify the BIGINT-cast oracle fix
-    "vec_dim_validation",
-    # new in round 2 — need first driver evidence
-    "ann_srp_indexed_knn",
-    "ann_recall_curve",
-    "rel_tpch_q2_shape",
-    "rel_tpch_q7_shape",
-    "pipeline_corpus_prep",
-    "text_bm25_top_terms",
-    # tfidf re-check: corpus size now computed in-plan (no count() job)
-    "text_tfidf_top_terms",
-    # deterministic IVF — upgrades the IVF family from rows-only to
-    # value-exact; needs first driver evidence
-    "ivf_det_centroids",
-    "ann_ivf_det_knn",
-    "ivf_recall_curve",
-    "dedup_components",
-    "pipeline_corpus_mix",
-    "text_corpus_budget",
-    "vec_sq8_roundtrip",
-    "knn_sq8_recall",
-    "pipeline_train_split",
+    "rel_range_join",
+    "rel_rolling_revenue",
 ]
 
 
