@@ -71,14 +71,20 @@ def main() -> None:
         QUERIES[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # min of two runs per query: single-shot timings on a shared box are
-    # noisy (GC, co-tenants); the min is the engine's actual cost.
+    # min of repeated runs per query: single-shot timings on a shared box
+    # are noisy (GC, co-tenants — observed 10× spikes on a 1.2 s query);
+    # the min is the engine's actual cost. Two runs normally; a third
+    # only when the first two disagree by >20% (a spike hit one of them).
     # Per-query isolation: one broken query must not zero out the whole
     # round's performance record — record "ERR:<class>" and keep going.
     timings: dict[str, float | str] = {}
     for name in BENCH_QUERIES:
         try:
-            timings[name] = round(min(run_once(name), run_once(name)), 3)
+            t1, t2 = run_once(name), run_once(name)
+            best = min(t1, t2)
+            if abs(t1 - t2) > 0.2 * best:
+                best = min(best, run_once(name))
+            timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — isolate per query
             timings[name] = f"ERR:{type(exc).__name__}"
             print(f"bench: {name} failed: {exc}", file=sys.stderr)

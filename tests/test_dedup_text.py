@@ -275,3 +275,82 @@ class TestConnectedComponents:
         )
         assert set(got.values()) == {1, 1000}
         assert all(c == (1 if k <= n else 1000) for k, c in got.items())
+
+
+def test_repetition_metrics_semantics(spark):
+    from vectordb_from_scratch_spark.operators.textops import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),      # 4 tokens, 2 distinct -> dup 0.5; top 'a' 3/4
+            (2, "x y z"),        # no repeats
+            (3, "go go go go"),  # all same
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert got[1].n_tokens == 4 and abs(got[1].dup_token_frac - 0.5) < 1e-9
+    assert abs(got[1].top_token_share - 0.75) < 1e-9
+    # doc 1 bigrams: "a a","a a","a b" -> 3 total, 2 distinct -> 1/3
+    assert abs(got[1].dup_2gram_frac - round(1 / 3, 6)) < 1e-9
+    assert got[2].dup_token_frac == 0.0 and got[2].top_token_share == round(1 / 3, 6)
+    assert got[3].dup_token_frac == 0.75 and got[3].top_token_share == 1.0
+
+
+def test_shared_ngram_stats_semantics(spark):
+    from vectordb_from_scratch_spark.operators.dedup import shared_ngram_stats
+
+    shared = "one two three four"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta"),
+            (2, f"gamma {shared} delta"),
+            (3, "totally different words here entirely"),
+            (4, "shrt"),  # fewer than n tokens -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in shared_ngram_stats(docs, n=4).collect()}
+    # the 4-gram "one two three four" appears in docs 1 and 2
+    assert got[1].n_shared == 1 and got[2].n_shared == 1
+    assert got[3].n_shared == 0 and got[3].shared_frac == 0.0
+    assert got[4].n_grams == 0 and got[4].shared_frac == 0.0
+    assert got[1].shared_frac == round(1 / got[1].n_grams, 6)
+
+
+def test_decontamination_report_semantics(spark):
+    from vectordb_from_scratch_spark.operators.dedup import decontamination_report
+
+    leak = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (0, f"eval doc containing {leak} here"),   # id%5==0 -> eval side
+            (1, f"train doc leaking {leak} verbatim"),  # contaminated
+            (2, "clean train doc nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in decontamination_report(docs, n=4, eval_mod=5).collect()}
+    assert set(got) == {1}  # only contaminated train docs surface
+    assert got[1].n_shared_grams == 1 and got[1].n_eval_docs == 1
+
+
+def test_pii_scrub_semantics(spark):
+    from vectordb_from_scratch_spark.operators.textops import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@corp.example.org today"),
+            (2, "server 192.168.0.1 and backup 10.0.0.7 up"),
+            (3, "call +1 555 0100 42 now"),
+            (4, "no pii in this row at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert got[1].n_email == 1 and "[PII]" in got[1].scrubbed
+    assert "jane.doe" not in got[1].scrubbed
+    assert got[2].n_ipv4 == 2 and got[2].scrubbed.count("[PII]") == 2
+    assert got[3].n_phone == 1 and "555" not in got[3].scrubbed
+    assert got[4].n_email == got[4].n_ipv4 == got[4].n_phone == 0
+    assert got[4].scrubbed == "no pii in this row at all"

@@ -23,6 +23,8 @@ __all__ = [
     "chunk_documents",
     "vocabulary",
     "repetition_metrics",
+    "pii_scrub",
+    "PII_PATTERNS",
     "LANG_MARKERS",
 ]
 
@@ -467,7 +469,7 @@ def repetition_metrics(
 
     per_row = staged.select(
         F.col(id_col),
-        F.size("__toks").alias("n_tokens"),
+        F.size("__toks").cast("long").alias("n_tokens"),
         dup_frac(F.col("__toks")).alias("dup_token_frac"),
         dup_frac(X.shingles_from_tokens(F.col("__toks"), 2)).alias("dup_2gram_frac"),
         dup_frac(X.shingles_from_tokens(F.col("__toks"), 3)).alias("dup_3gram_frac"),
@@ -489,4 +491,51 @@ def repetition_metrics(
         "dup_2gram_frac",
         "dup_3gram_frac",
         F.round(F.coalesce(share, F.lit(0.0)), 6).alias("top_token_share"),
+    )
+
+
+# Order matters: emails are scrubbed before phones so the digits inside a
+# local part can't be re-matched; every pattern is RE2-compatible (no
+# backreferences, no lookaround) so the DuckDB oracle replays it exactly.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d -]{7,}\d",
+}
+
+
+def pii_scrub(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+    token: str = "[PII]",
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4s, intl-prefixed phones) —
+    the scrub step every public training-data pipeline runs before
+    tokenization (C4/RefinedWeb-style regex redaction; the reference has
+    no text surface at all).
+
+    Output: (id, scrubbed text, one n_<name> match count per pattern).
+
+    Scale: chained JVM regexp_replace/regexp_extract_all — per-row,
+    codegen'd, shuffle-free; counts are computed on the PRE-scrub text so
+    pattern order affects only the redacted string, not the counts.
+    Patterns stay in RE2's common subset (greedy classes, no
+    backtracking-only constructs) so Spark (Java regex) and the DuckDB
+    oracle (RE2) match span-for-span.
+    """
+    pats = patterns or PII_PATTERNS
+    out = documents.select(F.col(id_col), F.col(text_col))
+    counts = [
+        F.size(F.regexp_extract_all(text_col, F.lit(p), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, p in pats.items()
+    ]
+    scrubbed = F.col(text_col)
+    for p in pats.values():
+        scrubbed = F.regexp_replace(scrubbed, p, token)
+    return out.select(
+        F.col(id_col), scrubbed.alias("scrubbed"), *counts
     )

@@ -1928,6 +1928,153 @@ def _q_text_cosine_pruned(spark, sf_dir):
     )
 
 
+_SH2 = _sql_shingles("w", 2)
+_SH3 = _sql_shingles("w", 3)
+_SH4 = _sql_shingles("w", 4)
+
+
+@_register(
+    "text_repetition_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    base AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             round(CASE WHEN len(w) > 0
+                   THEN (len(w) - len(list_distinct(w)))::DOUBLE / len(w)
+                   ELSE 0.0 END, 6) AS dup_token_frac,
+             round(CASE WHEN len(g2) > 0
+                   THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+                   ELSE 0.0 END, 6) AS dup_2gram_frac,
+             round(CASE WHEN len(g3) > 0
+                   THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+                   ELSE 0.0 END, 6) AS dup_3gram_frac
+      FROM (SELECT doc_id, w, {_SH2} AS g2, {_SH3} AS g3 FROM t)
+    ),
+    tops AS (
+      SELECT doc_id, max(c) AS top_cnt FROM (
+        SELECT doc_id, term, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS term FROM t) GROUP BY doc_id, term
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.dup_token_frac, b.dup_2gram_frac,
+           b.dup_3gram_frac,
+           round(CASE WHEN b.n_tokens > 0
+                 THEN coalesce(tp.top_cnt, 0)::DOUBLE / b.n_tokens
+                 ELSE 0.0 END, 6) AS top_token_share
+    FROM base b LEFT JOIN tops tp USING (doc_id)
+    """,
+    doc="Gopher-style per-doc repetition signals (Rae et al. 2021 §A1.1): "
+    "duplicate token/2-gram/3-gram fractions (per-row codegen'd "
+    "expressions, shuffle-free) + top-token share (one explode-agg)",
+)
+def _q_text_repetition(spark, sf_dir):
+    return textops.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_shared_ngrams",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct({_SH4})) AS gram FROM t),
+    dfq AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram),
+    pd AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             count(CASE WHEN dfq.n_docs > 1 THEN 1 END) AS n_shared
+      FROM g JOIN dfq USING (gram) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
+           coalesce(pd.n_shared, 0) AS n_shared,
+           round(CASE WHEN coalesce(pd.n_grams, 0) > 0
+                 THEN pd.n_shared::DOUBLE / pd.n_grams ELSE 0.0 END, 6)
+             AS shared_frac
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+    doc="RefinedWeb/C4-style cross-corpus boilerplate signal: per doc, the "
+    "count and fraction of its distinct word 4-grams that appear in at "
+    "least one OTHER document — digest-only shuffles, never a doc pair",
+)
+def _q_text_shared_ngrams(spark, sf_dir):
+    return dedup.shared_ngram_stats(_t(spark, sf_dir, "documents"), n=4)
+
+
+@_register(
+    "pipeline_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct({_SH4})) AS gram FROM t),
+    ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared_grams,
+           count(DISTINCT ev.eval_id) AS n_eval_docs
+    FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id
+    """,
+    doc="Benchmark decontamination (GPT-3 appendix C / The Pile recipe): "
+    "flag train docs sharing any word 4-gram with the deterministic "
+    "id%97 eval slice — eval-side digests broadcast, so the train corpus "
+    "is one map-side hash-join scan, no shuffle at 100 TB",
+)
+def _q_decontaminate(spark, sf_dir):
+    return dedup.decontamination_report(
+        _t(spark, sf_dir, "documents"), n=4, eval_mod=97
+    )
+
+
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d[\d -]{7,}\d"
+
+
+@_register(
+    "text_pii_scrub",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR
+                  || '@mail.example.com from 10.0.'
+                  || (doc_id % 256)::VARCHAR || '.7 call +1 555 0142' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[PII]', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[PII]', 'g'),
+               '\\+\\d[\\d -]{7,}\\d', '[PII]', 'g')) AS scrubbed_md5,
+           len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+             AS n_email,
+           len(regexp_extract_all(t,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+           len(regexp_extract_all(t, '\\+\\d[\\d -]{7,}\\d')) AS n_phone
+    FROM aug
+    """,
+    doc="PII redaction (C4/RefinedWeb-style regex scrub) over text "
+    "deterministically augmented with an email, an IPv4, and an intl "
+    "phone per doc — patterns stay in the Java-regex ∩ RE2 common subset "
+    "so Spark and the oracle match span-for-span; counts on pre-scrub "
+    "text, md5 proves the redacted string is byte-identical",
+)
+def _q_pii_scrub(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555 0142"),
+        ).alias("text"),
+    )
+    out = textops.pii_scrub(aug)
+    return out.select(
+        "doc_id",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+    )
+
+
 _WINNOW_SQL = f"""
     WITH nt AS (SELECT doc_id, {_NT} AS t FROM documents),
     g AS (SELECT doc_id, {_sql_char_ngrams('t')} AS grams FROM nt),
@@ -3005,6 +3152,12 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_ivf_knn",
     # new: max_df-pruned inverted-index cosine (the Σ df(t)² mitigation)
     "text_cosine_pruned",
+    # new pipeline operators registered this round (previously implemented
+    # but registry-orphaned: repetition, shared-ngram, decontamination)
+    "text_repetition_stats",
+    "text_shared_ngrams",
+    "pipeline_decontaminate",
+    "text_pii_scrub",
     # plan changed (corpus size now in-plan, no count() job) — re-verify
     "text_cosine_similarity",
     # streaming-adjacent ts consumers: same blast radius as sessionize,
