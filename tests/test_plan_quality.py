@@ -232,3 +232,53 @@ def test_connected_components_shuffles_labels_not_documents(spark, documents):
     out = dedup.connected_components(pairs, documents.limit(50))
     # converged result only carries (id, comp); no text/document columns
     assert out.columns == ["doc_id", "component"]
+
+
+def test_decontamination_broadcasts_eval_side(documents):
+    """The eval split is benchmark-sized; its gram digests must broadcast
+    so the (100 TB) train side is a map-side hash join, never a shuffle
+    of the corpus."""
+    plan = _plan(dedup.decontamination_report(documents, n=4, eval_mod=50))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_metrics_single_explode_agg(documents):
+    """dup fractions are per-row expressions; only the top-token share may
+    shuffle — one explode-agg plus a doc_id join, nothing quadratic."""
+    from vectordb_from_scratch_spark.operators import textops
+
+    plan = _plan(textops.repetition_metrics(documents))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # generator (explode) appears exactly once — the token fan-out for
+    # the top-token count; bigram/trigram fractions stay per-row
+    assert plan.count("Generate explode") == 1
+
+
+def test_pii_scrub_is_narrow_and_shuffle_free(documents):
+    """Redaction is chained per-row regexp_replace — no exchange at all."""
+    from vectordb_from_scratch_spark.operators import textops
+
+    plan = _plan(textops.pii_scrub(documents))
+    assert "Exchange" not in plan
+
+
+def test_tfidf_cosine_pairs_counts_corpus_in_plan(documents, monkeypatch):
+    """Corpus size must come from a 1-row broadcast inside the plan — a
+    driver-side count() job per call was the round-2 defect (an extra
+    full-table scan at 100 TB)."""
+    from vectordb_from_scratch_spark.operators import textops
+
+    called = {}
+
+    def boom(self):
+        called["count"] = True
+        raise AssertionError("tfidf_cosine_pairs must not launch a count() job")
+
+    from pyspark.sql import DataFrame
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    df = textops.tfidf_cosine_pairs(documents.limit(50), threshold=0.5)
+    assert df.columns == ["id_a", "id_b", "cos_sim"]
+    assert "count" not in called

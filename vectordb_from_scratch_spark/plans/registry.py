@@ -2019,6 +2019,64 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
+@_register(
+    "pipeline_corpus_prep_v2",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct({_SH4})) AS gram FROM t),
+    contam AS (
+      SELECT DISTINCT tr.doc_id
+      FROM (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0) tr
+      JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) ev USING (gram)
+    ),
+    train AS (
+      SELECT d.* FROM documents d
+      WHERE d.doc_id % 97 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    tw AS (SELECT doc_id, {_TOK} AS w FROM train),
+    rep AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             round(CASE WHEN len(w) > 0
+                   THEN (len(w) - len(list_distinct(w)))::DOUBLE / len(w)
+                   ELSE 0.0 END, 6) AS dup_token_frac,
+             round(CASE WHEN len(w) > 0
+                   THEN (SELECT max(c) FROM (
+                          SELECT count(*) AS c FROM unnest(w) AS u(term)
+                          GROUP BY term))::DOUBLE / len(w)
+                   ELSE 0.0 END, 6) AS top_token_share
+      FROM tw
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY md5({_NT}))
+    SELECT r.doc_id, tr.lang, r.n_tokens, r.dup_token_frac, r.top_token_share
+    FROM rep r
+    JOIN keep k USING (doc_id)
+    JOIN train tr USING (doc_id)
+    WHERE r.top_token_share <= 0.12 AND r.dup_token_frac <= 0.65
+    """,
+    doc="End-to-end training-data prep v2, composing this round's new "
+    "stages: benchmark decontamination (drop train docs sharing a word "
+    "4-gram with the id%97 eval slice) → Gopher-style repetition filter "
+    "(top-token share ≤0.12, dup-token fraction ≤0.65) → exact-dedup "
+    "representative. Eval digests broadcast; the corpus scans once per "
+    "stage and shuffles only digests/ids — the composed 100-TB shape",
+)
+def _q_pipeline_corpus_prep_v2(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    contam = dedup.decontamination_report(d, n=4, eval_mod=97).select("doc_id")
+    train = d.filter(F.col("doc_id") % 97 != 0).join(contam, "doc_id", "left_anti")
+    rep = textops.repetition_metrics(train)
+    keep_rep = rep.filter(
+        (F.col("top_token_share") <= 0.12) & (F.col("dup_token_frac") <= 0.65)
+    )
+    keep_dup = dedup.exact_dedup(train).select(F.col("keep_id").alias("doc_id"))
+    return (
+        keep_rep.join(keep_dup, "doc_id")
+        .join(train.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "dup_token_frac", "top_token_share")
+    )
+
+
 _PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_PHONE = r"\+\d[\d -]{7,}\d"
@@ -3158,6 +3216,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_shared_ngrams",
     "pipeline_decontaminate",
     "text_pii_scrub",
+    "pipeline_corpus_prep_v2",
     # plan changed (corpus size now in-plan, no count() job) — re-verify
     "text_cosine_similarity",
     # streaming-adjacent ts consumers: same blast radius as sessionize,
