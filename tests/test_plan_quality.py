@@ -282,3 +282,20 @@ def test_tfidf_cosine_pairs_counts_corpus_in_plan(documents, monkeypatch):
     df = textops.tfidf_cosine_pairs(documents.limit(50), threshold=0.5)
     assert df.columns == ["id_a", "id_b", "cos_sim"]
     assert "count" not in called
+
+
+def test_corpus_prep_v2_caches_decontaminated_corpus(spark):
+    """The composed pipeline persists the post-decontamination corpus so
+    its three consumers (repetition metrics, dedup, final projection)
+    probe the cache instead of re-scanning the raw table and re-running
+    decontamination per branch."""
+    from vectordb_from_scratch_spark.operators import dedup as dd
+    from vectordb_from_scratch_spark.plans.registry import QUERIES
+
+    try:
+        df = QUERIES["pipeline_corpus_prep_v2"].spark(spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") >= 3
+        assert "CartesianProduct" not in plan
+    finally:
+        dd.release_caches()

@@ -2064,7 +2064,17 @@ def _q_decontaminate(spark, sf_dir):
 def _q_pipeline_corpus_prep_v2(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     contam = dedup.decontamination_report(d, n=4, eval_mod=97).select("doc_id")
-    train = d.filter(F.col("doc_id") % 97 != 0).join(contam, "doc_id", "left_anti")
+    # Persist the post-decontamination corpus: three downstream stages
+    # consume it (repetition metrics, dedup representative, final
+    # projection) and Spark plans are trees, not DAGs — without the cache
+    # each branch re-scans the raw table AND re-runs decontamination
+    # (12 corpus scans measured; ~3 of the cached intermediate with it).
+    # At 100 TB each pipeline stage materializes to storage anyway; the
+    # persist is the single-session form of that. Reclaim via
+    # dedup.release_caches().
+    train = dedup._track(
+        d.filter(F.col("doc_id") % 97 != 0).join(contam, "doc_id", "left_anti")
+    )
     rep = textops.repetition_metrics(train)
     keep_rep = rep.filter(
         (F.col("top_token_share") <= 0.12) & (F.col("dup_token_frac") <= 0.65)
