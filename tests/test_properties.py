@@ -144,3 +144,41 @@ def test_asof_join_matches_pandas_merge_asof(spark_global, left_rows, right_rows
         for row in merged.itertuples()
     }
     assert got == expect
+
+
+# --- pii_scrub properties -------------------------------------------------
+
+pii_free_text = st.text(
+    alphabet=st.sampled_from(list("abcdefghijklmnop qrstuvwxyz")),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(pii_free_text)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pii_scrub_leaves_pii_free_text_unchanged(spark_global, text):
+    """Letters-and-spaces text has no emails/IPs/phones — the scrub must
+    be the identity on it and count zero redactions."""
+    from vectordb_from_scratch_spark.operators.textops import pii_scrub
+
+    df = spark_global.createDataFrame([(1, text)], "doc_id long, text string")
+    r = pii_scrub(df).collect()[0]
+    assert r.scrubbed == text
+    assert r.n_email == r.n_ipv4 == r.n_phone == 0
+
+
+@given(pii_free_text)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pii_scrub_idempotent(spark_global, text):
+    """scrub(scrub(x)) == scrub(x): the replacement token itself must
+    never re-match a pattern, whatever PII the input embeds."""
+    from vectordb_from_scratch_spark.operators.textops import pii_scrub
+
+    seeded = f"{text} a@b.io 10.1.2.3 +1 555 0100 99 {text}"
+    df = spark_global.createDataFrame([(1, seeded)], "doc_id long, text string")
+    once = pii_scrub(df).collect()[0].scrubbed
+    df2 = spark_global.createDataFrame([(1, once)], "doc_id long, text string")
+    twice = pii_scrub(df2).collect()[0]
+    assert twice.scrubbed == once
+    assert twice.n_email == twice.n_ipv4 == twice.n_phone == 0
