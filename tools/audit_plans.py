@@ -1,0 +1,108 @@
+"""Physical-plan audit across the whole registry — the mechanized form
+of the scale-killer hunt: build every query's executed plan at the given
+SF and flag the patterns that do not survive a 1000-executor cluster.
+
+Flags per query:
+- CARTESIAN        CartesianProduct anywhere in the plan
+- PY_ROW_UDF       BatchEvalPython (row-at-a-time Python UDF; Arrow-batched
+                   stages show as ArrowEvalPython / MapInPandas and are OK)
+- BIG_BNLJ         BroadcastNestedLoopJoin NOT fed by a BroadcastExchange
+                   (a streamed nested loop — quadratic)
+- MANY_EXCHANGES   more than MAX_EXCHANGES shuffle exchanges
+
+Prints one line per flagged query and a JSON summary; exit 1 if any
+query is flagged. Run: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MAX_EXCHANGES = 14  # composed pipelines legitimately reach ~11
+
+# Structurally-heavy diagnostics get explicit budgets instead of the
+# default: the recall curves UNION one subplan per (config) — exchanges
+# scale with the number of configs evaluated, not with data — and the
+# deterministic-IVF family unrolls its Lloyd iterations in-plan (each
+# iteration is an explode + two-level tree aggregate + join, bounded by
+# `iters`, never by rows). Raising their budget is a documented design
+# property, not a waiver: CARTESIAN / PY_ROW_UDF / BIG_BNLJ still apply.
+EXCHANGE_BUDGETS = {
+    "text_cosine_similarity": 16,     # inverted index: tf, df, norms, dots
+    "text_cosine_pruned": 18,         # + the max_df prune branch
+    "pipeline_corpus_prep_v2": 18,    # 3-stage composed pipeline
+    "ann_recall_curve": 30,           # 5 configs × SRP subplan
+    "ann_ivf_det_knn": 35,            # 2 unrolled Lloyd iterations
+    "ivf_recall_curve": 200,          # 4 configs × unrolled det-IVF
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("audit_plans")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from vectordb_from_scratch_spark.operators import dedup
+    from vectordb_from_scratch_spark.plans.registry import QUERIES
+
+    flagged: dict[str, list[str]] = {}
+    checked = 0
+    for name, spec in QUERIES.items():
+        try:
+            df = spec.spark(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — audit must cover all
+            flagged[name] = [f"PLAN_ERROR:{type(exc).__name__}"]
+            continue
+        finally:
+            dedup.release_caches()
+        checked += 1
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+        if "BatchEvalPython" in plan:
+            flags.append("PY_ROW_UDF")
+        # every BNLJ must broadcast one side; count a deficit as a flag
+        if plan.count("BroadcastNestedLoopJoin") > plan.count("BroadcastExchange"):
+            flags.append("BIG_BNLJ")
+        n_ex = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+        if n_ex > EXCHANGE_BUDGETS.get(name, MAX_EXCHANGES):
+            flags.append(f"MANY_EXCHANGES:{n_ex}")
+        if flags:
+            flagged[name] = flags
+            print(f"FLAG {name}: {', '.join(flags)}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "plan_audit",
+                "sf_dir": sf_dir,
+                "n_queries": len(QUERIES),
+                "n_built": checked,
+                "n_flagged": len(flagged),
+                "flagged": flagged,
+            }
+        )
+    )
+    spark.stop()
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -6,7 +6,9 @@ deterministic sentence splitter whose output the DuckDB oracle
 reproduces with regexp_split + unnest.
 
 (The engine's heavy lifting intentionally does NOT use UDTFs — explode
-on expressions covers 1:N cheaper; this is the API surface demo.)
+on expressions covers 1:N cheaper; this is the API surface demo. Even
+so it is Arrow-optimized: rows cross the JVM/Python boundary in
+batches, not one at a time — ArrowEvalPythonUDTF in the plan.)
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ from pyspark.sql.functions import udtf
 __all__ = ["SplitSentences", "register_udtfs"]
 
 
-@udtf(returnType="sentence_idx int, sentence string, n_words int")
+@udtf(returnType="sentence_idx int, sentence string, n_words int", useArrow=True)
 class SplitSentences:
     """text → one row per '.'-terminated sentence (trimmed, empties
     dropped), with its index and whitespace word count."""
