@@ -39,6 +39,12 @@ BENCH_QUERIES = [
     "rel_range_join",
     "knn_batch100",
     "upsert_fold",
+    # round 3: LLM-pipeline additions. The original 16 keep their spots so
+    # per-query history stays comparable; totals across rounds are NOT
+    # (the set grew) — SCALE.md records the legacy-16 subtotal.
+    "pipeline_decontaminate",
+    "text_repetition_stats",
+    "pipeline_corpus_prep_v2",
 ]
 
 
@@ -66,10 +72,16 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
 
+    from vectordb_from_scratch_spark.operators import dedup
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         QUERIES[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        # composed pipelines persist intermediates; drop them between runs
+        # so repeats measure the full plan and storage never accumulates
+        dedup.release_caches()
+        return elapsed
 
     # min of repeated runs per query: single-shot timings on a shared box
     # are noisy (GC, co-tenants — observed 10× spikes on a 1.2 s query);

@@ -97,6 +97,8 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from vectordb_from_scratch_spark.operators import dedup as _dedup
+
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -107,6 +109,8 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            _dedup.release_caches()  # composed pipelines persist intermediates
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(spark_pdf)} rows)")
             continue
