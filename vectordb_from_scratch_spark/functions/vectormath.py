@@ -49,6 +49,7 @@ __all__ = [
     "sq8_scale",
     "sq8_encode",
     "sq8_decode",
+    "vec_truncate",
 ]
 
 METRICS = ("euclidean", "cosine", "dot")
@@ -196,3 +197,12 @@ def sq8_decode(codes: Column | str, vmin: Column, scale: Column) -> Column:
     """array<int> codes → array<double>: vmin + code*scale (asymmetric-
     distance searches decode on the fly and compare against raw queries)."""
     return F.transform(_col(codes), lambda c: vmin + c.cast("double") * scale)
+
+
+def vec_truncate(v: Column | str, m: int) -> Column:
+    """First `m` dimensions of the vector — Matryoshka-style (MRL,
+    Kusupati et al. 2022) prefix truncation, the storage/compute lever
+    for embeddings trained with nested representations: search on the
+    m-dim prefix, re-rank (or not) on the full vector. Pure slice —
+    codegen'd, shuffle-free; oracle twin: v[1:m] list slicing."""
+    return F.slice(as_double(v), 1, m)

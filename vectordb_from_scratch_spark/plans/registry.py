@@ -313,6 +313,88 @@ def _q_vec_sq8_roundtrip(spark, sf_dir):
     )
 
 
+_MRL_DIMS = (16, 32)
+
+
+def _mrl_sql() -> str:
+    pieces = []
+    for m in _MRL_DIMS:
+        pieces.append(f"""
+    SELECT 'mrl_{m}' AS config,
+           round((SELECT count(*) FROM exact e JOIN t{m} a USING (query_id, id))::DOUBLE
+                 / ((SELECT count(*) FROM s WHERE vec_id < 20) * 10), 6) AS recall_at_10""")
+    ctes = []
+    for m in _MRL_DIMS:
+        ctes.append(f"""t{m} AS (
+      SELECT query_id, id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_euclid('q.v[1:' + str(m) + ']', 'e.v[1:' + str(m) + ']')} ASC,
+                                           e.vec_id ASC) AS rnk
+        FROM (SELECT vec_id, v FROM s WHERE vec_id < 20) q CROSS JOIN s e
+      ) WHERE rnk <= 10
+    )""")
+    return (
+        "WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+        "exact AS (\n"
+        "  SELECT query_id, id FROM (\n"
+        "    SELECT q.vec_id AS query_id, e.vec_id AS id,\n"
+        "           row_number() OVER (PARTITION BY q.vec_id\n"
+        f"                              ORDER BY {_sql_euclid('q.v', 'e.v')} ASC,\n"
+        "                                       e.vec_id ASC) AS rnk\n"
+        "    FROM (SELECT vec_id, v FROM s WHERE vec_id < 20) q CROSS JOIN s e\n"
+        "  ) WHERE rnk <= 10\n"
+        "),\n" + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(pieces)
+        + "\nORDER BY config"
+    )
+
+
+@_register(
+    "knn_mrl_recall",
+    _mrl_sql(),
+    doc="Matryoshka prefix-truncation search quality (Kusupati et al. "
+    "2022): recall@10 of exact search on the first 16/32 of 64 dims vs "
+    "the full-dim exact scan — deterministic slice, value-exact oracle; "
+    "the compute/storage lever for prefix-trained embeddings (4x/2x "
+    "fewer multiply-adds per distance at the measured recall)",
+)
+def _q_knn_mrl_recall(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = vm.as_double("embedding")
+    staged = e.select("vec_id", v.alias("v"))
+    probes = staged.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("query_embedding")
+    )
+    k = 10
+    exact = knn.knn(
+        staged.select("vec_id", F.col("v").alias("embedding")),
+        probes, k=k, metric="euclidean", strategy="window",
+    ).select("query_id", "id")
+    np_df = probes.agg(F.count(F.lit(1)).alias("__np"))
+    out = None
+    for m in _MRL_DIMS:
+        tdb = staged.select("vec_id", vm.vec_truncate("v", m).alias("embedding"))
+        tprobes = probes.select(
+            "query_id", vm.vec_truncate("query_embedding", m).alias("query_embedding")
+        )
+        approx = knn.knn(tdb, tprobes, k=k, metric="euclidean", strategy="window").select(
+            "query_id", "id"
+        )
+        piece = (
+            exact.join(approx, ["query_id", "id"])
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .crossJoin(F.broadcast(np_df))
+            .select(
+                F.lit(f"mrl_{m}").alias("config"),
+                F.round(F.col("__m").cast("double") / (F.col("__np") * k), 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out.orderBy("config")
+
+
 @_register(
     "knn_sq8_recall",
     f"""
@@ -3227,6 +3309,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pipeline_decontaminate",
     "text_pii_scrub",
     "pipeline_corpus_prep_v2",
+    "knn_mrl_recall",
     # plan changed (corpus size now in-plan, no count() job) — re-verify
     "text_cosine_similarity",
     # streaming-adjacent ts consumers: same blast radius as sessionize,
