@@ -156,3 +156,25 @@ class TestSQ8:
             ).alias("dec")
         ).first()
         assert r.dec == [3.5, 3.5, 3.5]
+
+
+def test_bq_encode_words_matches_reference_packing(spark):
+    from vectordb_from_scratch_spark.functions import vectormath as vm
+
+    vec = [1.0, -2.0, 0.0, 3.0] + [-1.0] * 28 + [5.0] + [-1.0] * 31
+    # bits set where v[j] > 0: j=0, j=3 in word0 -> 1 + 8 = 9; j=32 -> bit 0 of word1
+    df = spark.createDataFrame([(1, vec)], "id long, v array<double>")
+    w = vm.bq_encode_words("v")
+    r = df.select(w[0].alias("w0"), w[1].alias("w1")).collect()[0]
+    assert r.w0 == 0b1001
+    assert r.w1 == 1
+
+
+def test_hamming_words_counts_bit_flips(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.functions import vectormath as vm
+
+    df = spark.createDataFrame([(0b1010, 0b0110, 0, 1)], "a0 long, b0 long, a1 long, b1 long")
+    h = vm.hamming_words([F.col("a0"), F.col("a1")], [F.col("b0"), F.col("b1")])
+    assert df.select(h.alias("h")).collect()[0].h == 3  # 2 flips in w0 + 1 in w1

@@ -50,6 +50,8 @@ __all__ = [
     "sq8_encode",
     "sq8_decode",
     "vec_truncate",
+    "bq_encode_words",
+    "hamming_words",
 ]
 
 METRICS = ("euclidean", "cosine", "dot")
@@ -206,3 +208,35 @@ def vec_truncate(v: Column | str, m: int) -> Column:
     m-dim prefix, re-rank (or not) on the full vector. Pure slice —
     codegen'd, shuffle-free; oracle twin: v[1:m] list slicing."""
     return F.slice(as_double(v), 1, m)
+
+
+def bq_encode_words(v: Column | str, dim: int = 64) -> list[Column]:
+    """Sign-bit binary quantization: pack (v[j] > 0) into 32-bit words
+    held in longs — 32x storage cut (64 float32 dims -> 8 bytes), the
+    coarsest rung of the compression ladder (SQ8 = 4x, MRL prefix =
+    2-4x). Unrolled per-bit sum of disjoint powers of two: pure codegen
+    arithmetic, no UDF; oracle twin is the same unrolled CASE sum.
+    """
+    vd = as_double(v)
+    words: list[Column] = []
+    for w in range((dim + 31) // 32):
+        acc = F.lit(0).cast("long")
+        for j in range(32):
+            idx = w * 32 + j
+            if idx >= dim:
+                break
+            acc = acc + F.when(
+                F.element_at(vd, idx + 1) > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(acc)
+    return words
+
+
+def hamming_words(a: list[Column], b: list[Column]) -> Column:
+    """Hamming distance between packed bit-words: xor + popcount per
+    word, summed — the binary-quantized search metric."""
+    out = None
+    for x, y in zip(a, b):
+        term = F.bit_count(x.bitwiseXOR(y))
+        out = term if out is None else out + term
+    return out

@@ -313,6 +313,140 @@ def _q_vec_sq8_roundtrip(spark, sf_dir):
     )
 
 
+def _sql_bq_word(w: int) -> str:
+    terms = " + ".join(
+        f"CASE WHEN v[{w * 32 + j + 1}] > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(32)
+    )
+    return f"({terms})"
+
+
+def _bq_sql() -> str:
+    ham = (
+        "bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1))"
+    )
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_sql_bq_word(0)} AS w0, {_sql_bq_word(1)} AS w1
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id, v, w0, w1 FROM s WHERE vec_id < 20),
+    exact AS (
+      SELECT query_id, id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_euclid('q.v', 'e.v')} ASC,
+                                           e.vec_id ASC) AS rnk
+        FROM q CROSS JOIN s e
+      ) WHERE rnk <= 10
+    ),
+    hamranked AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS id, q.v AS qv, e.v AS ev,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {ham} ASC, e.vec_id ASC) AS hrnk
+      FROM q CROSS JOIN s e
+    ),
+    direct AS (SELECT query_id, id FROM hamranked WHERE hrnk <= 10),
+    rerank AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_sql_euclid('qv', 'ev')} ASC,
+                                           id ASC) AS rnk
+        FROM hamranked WHERE hrnk <= 50
+      ) WHERE rnk <= 10
+    )
+    SELECT 'bq_hamming' AS config,
+           round((SELECT count(*) FROM exact e JOIN direct a USING (query_id, id))::DOUBLE
+                 / ((SELECT count(*) FROM q) * 10), 6) AS recall_at_10
+    UNION ALL
+    SELECT 'bq_rerank50' AS config,
+           round((SELECT count(*) FROM exact e JOIN rerank a USING (query_id, id))::DOUBLE
+                 / ((SELECT count(*) FROM q) * 10), 6) AS recall_at_10
+    ORDER BY config
+    """
+
+
+@_register(
+    "knn_bq_recall",
+    _bq_sql(),
+    doc="Binary (sign-bit) quantization search quality: 64 dims pack into "
+    "two 32-bit words (32x storage cut); recall@10 of direct Hamming "
+    "top-10 AND Hamming-top-50 -> exact re-rank vs the full-precision "
+    "scan. Deterministic bit packing, so the oracle reproduces both "
+    "recall values exactly — completes the compression ladder next to "
+    "SQ8 (4x) and MRL prefixes (2-4x)",
+)
+def _q_knn_bq_recall(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = vm.as_double("embedding")
+    words = vm.bq_encode_words("embedding")
+    staged = e.select(
+        "vec_id", v.alias("v"), words[0].alias("w0"), words[1].alias("w1")
+    )
+    probes = staged.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    k = 10
+    exact = knn.knn(
+        staged.select("vec_id", F.col("v").alias("embedding")),
+        probes.select("query_id", F.col("qv").alias("query_embedding")),
+        k=k, metric="euclidean", strategy="window",
+    ).select("query_id", "id")
+    ham = vm.hamming_words(
+        [F.col("qw0"), F.col("qw1")], [F.col("w0"), F.col("w1")]
+    )
+    ranked = (
+        staged.crossJoin(F.broadcast(probes))
+        .select(
+            "query_id", F.col("vec_id").alias("id"), "qv", F.col("v").alias("ev"),
+            ham.alias("__ham"),
+        )
+        .withColumn(
+            "hrnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__ham").asc(), F.col("id").asc()
+                )
+            ),
+        )
+    )
+    direct = ranked.filter(F.col("hrnk") <= k).select("query_id", "id")
+    rerank = (
+        ranked.filter(F.col("hrnk") <= 50)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    vm.euclidean_distance("qv", "ev").asc(), F.col("id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "id")
+    )
+    np_df = probes.agg(F.count(F.lit(1)).alias("__np"))
+    out = None
+    for cfg, approx in (("bq_hamming", direct), ("bq_rerank50", rerank)):
+        piece = (
+            exact.join(approx, ["query_id", "id"])
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .crossJoin(F.broadcast(np_df))
+            .select(
+                F.lit(cfg).alias("config"),
+                F.round(F.col("__m").cast("double") / (F.col("__np") * k), 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out.orderBy("config")
+
+
 _MRL_DIMS = (16, 32)
 
 
@@ -3310,6 +3444,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_pii_scrub",
     "pipeline_corpus_prep_v2",
     "knn_mrl_recall",
+    "knn_bq_recall",
     # plan changed (corpus size now in-plan, no count() job) — re-verify
     "text_cosine_similarity",
     # streaming-adjacent ts consumers: same blast radius as sessionize,
