@@ -42,3 +42,17 @@ def test_every_query_runs_at_smoke_sf(spark):
         except Exception as exc:  # noqa: BLE001 — collect, report all
             failures.append(f"{name}: {type(exc).__name__}: {exc}")
     assert not failures, f"{len(failures)} broken queries:\n" + "\n".join(failures)
+
+
+def test_rag_ingest_self_match_invariant(spark):
+    """Every probe chunk's rank-1 hit is itself at distance 0 — the
+    ingestion pipeline sanity property (embedding + retrieval wired
+    correctly end to end)."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["pipeline_rag_ingest"](spark, "/root/testdata/sf0.001").collect()
+    rank1 = [r for r in rows if r.rank == 1]
+    assert rank1, "no rank-1 rows"
+    for r in rank1:
+        assert (r.qdoc, r.qchunk) == (r.doc_id, r.chunk_idx)
+        assert r.distance == 0.0

@@ -88,6 +88,27 @@ def shingles_from_tokens(w: Column, n: int) -> Column:
     return acc
 
 
+def hash_embed(text: Column | str, dims: int = 8) -> Column:
+    """Deterministic md5-derived pseudo-embedding: dim j = byte j of
+    md5(text) scaled to [-0.5, 0.5). The engine-portable STUB for a real
+    encoder (no model ships in this container — the production path is
+    an Arrow-batched Pandas-UDF encoder, same schema); deterministic so
+    the DuckDB oracle reproduces retrieval results value-exactly.
+    Requires dims <= 16 (md5 has 16 bytes)."""
+    if dims > 16:
+        raise ValueError("hash_embed derives at most 16 dims from md5")
+    m = F.md5(_col(text).cast("string"))
+    alphabet = F.lit("0123456789abcdef")
+    vals = []
+    for j in range(dims):
+        hi = F.instr(alphabet, F.substring(m, 2 * j + 1, 1)) - 1
+        lo = F.instr(alphabet, F.substring(m, 2 * j + 2, 1)) - 1
+        vals.append(
+            ((hi * 16 + lo).cast("double") / F.lit(255.0)) - F.lit(0.5)
+        )
+    return F.array(*vals)
+
+
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
     """Character n-grams of normalized text; [] when shorter than n.
 

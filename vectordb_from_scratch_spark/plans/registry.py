@@ -2303,6 +2303,87 @@ def _q_pipeline_corpus_prep_v2(spark, sf_dir):
     )
 
 
+_RAG_EMBED_SQL = (
+    "[(( (instr('0123456789abcdef', substr(md5(chunk), 2*j+1, 1)) - 1) * 16"
+    "   + (instr('0123456789abcdef', substr(md5(chunk), 2*j+2, 1)) - 1) ) / 255.0 - 0.5)"
+    " for j in range(0, 8)]"
+)
+
+
+@_register(
+    "pipeline_rag_ingest",
+    f"""
+    WITH n AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil((length(text) - 50)::DOUBLE / 150) AS INTEGER), 1) AS n_chunks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, chunk_idx, substr(text, chunk_idx * 150 + 1, 200) AS chunk
+      FROM (SELECT doc_id, text, unnest(range(0, n_chunks))::INTEGER AS chunk_idx FROM n)
+    ),
+    e AS (SELECT doc_id, chunk_idx, {_RAG_EMBED_SQL} AS v FROM c),
+    q AS (SELECT doc_id AS qdoc, chunk_idx AS qchunk, v AS qv FROM e WHERE doc_id < 3)
+    SELECT qdoc, qchunk, doc_id, chunk_idx, round(dist, 6) AS distance,
+           rnk::INTEGER AS rank
+    FROM (
+      SELECT q.qdoc, q.qchunk, e.doc_id, e.chunk_idx,
+             {_sql_euclid('q.qv', 'e.v')} AS dist,
+             row_number() OVER (PARTITION BY q.qdoc, q.qchunk
+                                ORDER BY {_sql_euclid('q.qv', 'e.v')} ASC,
+                                         e.doc_id ASC, e.chunk_idx ASC) AS rnk
+      FROM q CROSS JOIN e
+    ) WHERE rnk <= 3
+    """,
+    doc="RAG ingestion + retrieval end-to-end: 200-char/50-overlap chunking "
+    "→ per-chunk embedding (md5-derived deterministic stub standing in "
+    "for an Arrow-batched Pandas-UDF encoder — same schema/partitioning) "
+    "→ exact top-3 chunk retrieval for every chunk of the first 3 docs. "
+    "Rank-1 rows are self-matches at distance 0 — the pipeline sanity "
+    "invariant; value-exact oracle end to end",
+)
+def _q_rag_ingest(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    stride, clen = 150, 200
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - F.lit(50)).cast("double") / F.lit(stride)),
+        F.lit(1),
+    ).cast("int")
+    chunks = (
+        d.select(
+            "doc_id",
+            F.col("text"),
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("text")
+            .substr(F.col("chunk_idx") * stride + 1, F.lit(clen))
+            .alias("chunk"),
+        )
+        .select("doc_id", "chunk_idx", X.hash_embed("chunk", dims=8).alias("v"))
+    )
+    probes = chunks.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qdoc"),
+        F.col("chunk_idx").alias("qchunk"),
+        F.col("v").alias("qv"),
+    )
+    dist = vm.euclidean_distance("qv", "v")
+    w = Window.partitionBy("qdoc", "qchunk").orderBy(
+        dist.asc(), F.col("doc_id").asc(), F.col("chunk_idx").asc()
+    )
+    return (
+        chunks.crossJoin(F.broadcast(probes))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "qdoc", "qchunk", "doc_id", "chunk_idx",
+            F.round(dist, 6).alias("distance"), "rank",
+        )
+    )
+
+
 _PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_PHONE = r"\+\d[\d -]{7,}\d"
@@ -3445,6 +3526,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pipeline_corpus_prep_v2",
     "knn_mrl_recall",
     "knn_bq_recall",
+    "pipeline_rag_ingest",
     # plan changed (corpus size now in-plan, no count() job) — re-verify
     "text_cosine_similarity",
     # streaming-adjacent ts consumers: same blast radius as sessionize,
