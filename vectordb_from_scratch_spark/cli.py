@@ -24,15 +24,17 @@ import sys
 from pyspark.sql import SparkSession
 
 from .operators.store import STORE_SCHEMA, VectorStore, VectorNotFound
+from .session import build_session
 
 
 def _session() -> SparkSession:
-    return (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '4')}]")
-        .appName("vectordb_cli")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    # the engine's reference configuration (AQE, Arrow, UTC, scan splits),
+    # sized down for CLI point operations
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
+    return build_session(
+        app_name="vectordb_cli",
+        master=f"local[{cpus}]",
+        shuffle_partitions=8,
     )
 
 
