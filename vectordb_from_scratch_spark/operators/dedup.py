@@ -47,23 +47,11 @@ __all__ = [
     "release_caches",
 ]
 
-# Persisted intermediates (banded index, shingle table) registered here so
-# long-lived sessions can reclaim executor storage: repeated operator calls
-# would otherwise accumulate cached blocks until eviction.
-_CACHE_HANDLES: list[DataFrame] = []
-
-
-def _track(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _CACHE_HANDLES.append(df)
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist every cache created by dedup operators in this session.
-    Safe to call between queries; the next call simply re-caches."""
-    while _CACHE_HANDLES:
-        _CACHE_HANDLES.pop().unpersist()
+# Persisted intermediates (banded index, shingle table) register in the
+# shared session cache registry (operators/cache.py) so one
+# release_caches() reclaims every module's handles.
+from .cache import release_caches  # noqa: F401  (re-exported in __all__)
+from .cache import track as _track
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -3241,6 +3241,43 @@ def _q_events_hourly(spark, sf_dir):
 
 
 @_register(
+    "rel_events_rollup_cascade",
+    """
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS bucket, event_type,
+             count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(18,2))) AS dec_sum
+      FROM events GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT date_trunc('hour', bucket) AS bucket, event_type,
+             CAST(sum(n_events) AS BIGINT) AS n_events, sum(dec_sum) AS dec_sum
+      FROM m GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT date_trunc('day', bucket) AS bucket, event_type,
+             CAST(sum(n_events) AS BIGINT) AS n_events, sum(dec_sum) AS dec_sum
+      FROM h GROUP BY 1, 2
+    )
+    SELECT 'minute' AS resolution, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type, n_events, CAST(dec_sum AS DOUBLE) AS sum_value FROM m
+    UNION ALL
+    SELECT 'hour', strftime(bucket, '%Y-%m-%d %H:%M:%S'), event_type,
+           n_events, CAST(dec_sum AS DOUBLE) FROM h
+    UNION ALL
+    SELECT 'day', strftime(bucket, '%Y-%m-%d %H:%M:%S'), event_type,
+           n_events, CAST(dec_sum AS DOUBLE) FROM d
+    """,
+    doc="Hypertable-style continuous-aggregate cascade: minute aggs from "
+    "ONE raw scan, hour reaggregated from minutes, day from hours — "
+    "coarser levels never touch the fact table; decimal sums keep every "
+    "level reaggregation-exact and partitioning-independent",
+)
+def _q_events_rollup_cascade(spark, sf_dir):
+    return rel.events_rollup_cascade(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "rel_events_sessionize",
     """
     WITH lagged AS (
@@ -3527,6 +3564,7 @@ _DRIVER_PRIORITY: list[str] = [
     "knn_mrl_recall",
     "knn_bq_recall",
     "pipeline_rag_ingest",
+    "rel_events_rollup_cascade",
     # plan changed (corpus size now in-plan, no count() job) — re-verify
     "text_cosine_similarity",
     # streaming-adjacent ts consumers: same blast radius as sessionize,

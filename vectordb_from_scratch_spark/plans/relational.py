@@ -268,6 +268,55 @@ def events_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+def events_rollup_cascade(events: DataFrame) -> DataFrame:
+    """Multi-resolution time rollup — the hypertable continuous-aggregate
+    pattern: minute-level aggregates come from the ONE raw scan, hour
+    reaggregates the minutes, day reaggregates the hours. At 100 TB this
+    is the difference between one fact-table pass and three: coarser
+    levels consume the finer level's (bucket, type)-sized output, never
+    the raw events. Measures are decimal sums until the output edge, so
+    every level is partitioning-independent AND reaggregation-exact
+    (decimal addition is associative; count-distinct deliberately stays
+    OUT of the cascade — it does not reaggregate).
+
+    The minute and hour levels persist (shared cache registry,
+    operators/cache.py): each feeds both its own output branch and the
+    next-coarser level, and an unpersisted tree plan would re-scan the
+    raw table per branch — the cache is what makes 'one fact-table pass'
+    true in the executed plan, not just in the prose."""
+    from ..operators.cache import track
+
+    minute = track(
+        events.groupBy(
+            F.date_trunc("minute", "ts").alias("bucket"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__dec"),
+        )
+    )
+    hour = track(
+        minute.groupBy(
+            F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
+        ).agg(F.sum("n_events").alias("n_events"), F.sum("__dec").alias("__dec"))
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("__dec").alias("__dec"))
+
+    def out(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n_events",
+            F.col("__dec").cast("double").alias("sum_value"),
+        )
+
+    return out(minute, "minute").unionByName(out(hour, "hour")).unionByName(
+        out(day, "day")
+    )
+
+
 def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization: a new session starts after `gap_minutes`
     of per-user inactivity. lag → cumulative flag-sum → per-session agg.
