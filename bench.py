@@ -76,12 +76,14 @@ def main() -> None:
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
-        QUERIES[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        elapsed = time.perf_counter() - t0
-        # composed pipelines persist intermediates; drop them between runs
-        # so repeats measure the full plan and storage never accumulates
-        dedup.release_caches()
-        return elapsed
+        try:
+            QUERIES[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        finally:
+            # composed pipelines persist intermediates; drop them between
+            # runs (even failed ones) so repeats measure the full plan and
+            # storage never accumulates
+            dedup.release_caches()
+        return time.perf_counter() - t0
 
     # min of repeated runs per query: single-shot timings on a shared box
     # are noisy (GC, co-tenants — observed 10× spikes on a 1.2 s query);
