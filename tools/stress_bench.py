@@ -124,6 +124,32 @@ def main() -> int:
          lambda: sink(ann.ann_knn_ivf(assigned_p, cent_p, probes, k=K,
                                       n_probe=4, id_col="id", vec_col="vec")))
 
+    # streaming exact-dedup throughput: the whole corpus through the
+    # digest-state ingest path in multi-file micro-batches (8 files per
+    # trigger) — state stays (fp, keep_id)-sized; measures end-to-end
+    # stream wall time, not one batch
+    import shutil
+    import tempfile as _tf
+
+    from vectordb_from_scratch_spark.streaming import dedup_stream_foreach_batch
+
+    def stream_dedup_once() -> None:
+        base = _tf.mkdtemp(prefix="sdedup_")
+        try:
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(docs_path)
+            )
+            q = dedup_stream_foreach_batch(
+                spark, stream, base + "/out", base + "/state", base + "/ckpt"
+            ).start()
+            q.awaitTermination(590)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    cell("stream_dedup_%ddocs" % n_docs, stream_dedup_once)
+
     print(json.dumps({"metric": "stress_crossover", "n_emb": n_emb, "n_docs": n_docs,
                       "cpus": int(cpus), "runs": runs, "cells": results}))
     return 0
