@@ -152,3 +152,43 @@ def test_watermark_works_on_every_ts_layout(spark, tmp_path, layout):
     # hour-windows (4 events) are emitted; the sentinel's window is not
     got = spark.read.parquet(out).agg(F.sum("n_events").alias("n")).collect()[0].n
     assert got == 4, layout
+
+
+@pytest.mark.parametrize("unit", ["float32", "float64"])
+def test_embeddings_layout_drift(spark, tmp_path, unit):
+    """If the driver regenerates embeddings as list<double> instead of
+    list<float>, the search paths must keep working (the same insurance
+    the ts-layout tests give events)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype(unit)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32() if unit == "float32" else pa.float64()),
+            ),
+            "label": pa.array([i % 3 for i in range(40)], pa.int32()),
+        }
+    )
+    d = tmp_path / f"emb_{unit}"
+    d.mkdir()
+    pq.write_table(table, str(d / "embeddings.parquet"))
+
+    from vectordb_from_scratch_spark.operators import ann, knn
+    from vectordb_from_scratch_spark.sources import load_table
+
+    e = load_table(spark, str(d), "embeddings")
+    probes = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    res = knn.knn(e, probes, k=3, metric="euclidean").collect()
+    assert len(res) == 6
+    top1 = {r.query_id: (r.id, r.distance) for r in res if r.rank == 1}
+    assert top1 == {0: (0, 0.0), 1: (1, 0.0)}  # self-match invariant
+    a = ann.ann_knn_srp(e, probes, k=3, metric="euclidean", dim=8, nbits=4, n_tables=2)
+    assert a.count() > 0
