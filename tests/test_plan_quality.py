@@ -299,3 +299,31 @@ def test_corpus_prep_v2_caches_decontaminated_corpus(spark):
         assert "CartesianProduct" not in plan
     finally:
         dd.release_caches()
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark):
+    """A selective dim-side filter injects a runtime Bloom filter
+    (might_contain) into the fact-side scan — shuffle-join row pruning
+    before the exchange. Size thresholds gate it by design: the
+    application side must be scan-heavy (default 10 GB), which is
+    exactly the 100-TB shape; locally we zero the threshold to pin the
+    mechanism."""
+    for k, v in (
+        ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
+        ("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"),
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+    ):
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, "/root/testdata/sf0.001", "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        opt = _optimized(j)
+        assert "might_contain" in opt  # Bloom filter reached the fact side
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
