@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "pipeline_decontaminate",
     "text_repetition_stats",
     "pipeline_corpus_prep_v2",
+    # round 4: filtered ANN (the last reference composition) and the
+    # quantized IVF-SQ8 serve path
+    "ann_srp_filtered_knn",
+    "ann_ivf_sq8_knn",
 ]
 
 

@@ -100,3 +100,70 @@ def test_assign_plan_broadcasts_centroids(embeddings):
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# -- IVF-SQ8: the quantized serve path (compression ladder × index) --------
+
+
+def test_ivf_sq8_codes_are_byte_range(embeddings):
+    cent = ann.build_ivf_det(embeddings, n_lists=4, iters=1)
+    v = embeddings.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    idx = ann.ivf_sq8_index(ann.assign_ivf_det(v, cent))
+    stats = idx.select(
+        F.array_min("codes").alias("lo"), F.array_max("codes").alias("hi")
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).first()
+    assert stats.lo >= 0 and stats.hi <= 255
+    assert set(idx.columns) == {"id", "list_id", "codes", "vmin", "scale"}
+
+
+def test_ivf_sq8_full_rerank_equals_raw_ivf(embeddings):
+    """With a shortlist at least as deep as the probed lists, the exact
+    re-rank must reproduce the UNQUANTIZED IVF result exactly — the
+    two-stage design loses nothing when rerank covers the candidates."""
+    n = embeddings.count()
+    cent = ann.build_ivf_det(embeddings, n_lists=4, iters=1)
+    v = embeddings.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent)
+    idx = ann.ivf_sq8_index(assigned)
+    probes = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    quant = ann.ann_knn_ivf_sq8(
+        idx, cent, probes, k=5, n_probe=2, rerank=n, raw=assigned.select("id", "vec")
+    )
+    exact = ann.ann_knn_ivf(
+        assigned, cent, probes, k=5, n_probe=2, id_col="id", vec_col="vec"
+    )
+    q = [(r.query_id, r.id, r.rank) for r in quant.collect()]
+    e = [(r.query_id, r.id, r.rank) for r in exact.collect()]
+    assert sorted(q) == sorted(e)
+
+
+def test_ivf_sq8_code_only_search_is_close(embeddings):
+    """Code-only (no re-rank) search: asymmetric distances are within SQ8
+    reconstruction error, so recall@5 vs the raw IVF probe should be
+    high on real embeddings."""
+    cent = ann.build_ivf_det(embeddings, n_lists=4, iters=1)
+    v = embeddings.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent)
+    idx = ann.ivf_sq8_index(assigned)
+    probes = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    quant = ann.ann_knn_ivf_sq8(idx, cent, probes, k=5, n_probe=2)
+    exact = ann.ann_knn_ivf(
+        assigned, cent, probes, k=5, n_probe=2, id_col="id", vec_col="vec"
+    )
+    qs = {(r.query_id, r.id) for r in quant.collect()}
+    es = {(r.query_id, r.id) for r in exact.collect()}
+    recall = len(qs & es) / len(es)
+    assert recall >= 0.9, f"code-only recall {recall}"

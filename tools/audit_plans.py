@@ -38,8 +38,44 @@ EXCHANGE_BUDGETS = {
     "pipeline_corpus_prep_v2": 18,    # 3-stage composed pipeline
     "ann_recall_curve": 30,           # 5 configs × SRP subplan
     "ann_ivf_det_knn": 35,            # 2 unrolled Lloyd iterations
+    "ann_ivf_filtered_knn": 35,       # same det-IVF build + filter semi-join
+    "ann_ivf_sq8_knn": 40,            # det-IVF build + shortlist re-rank stage
     "ivf_recall_curve": 200,          # 4 configs × unrolled det-IVF
 }
+
+
+def _bnlj_unbroadcast(df) -> bool:
+    """Structural BNLJ check (ADVICE r3): walk the physical plan and flag
+    any BroadcastNestedLoopJoin whose OWN children carry no broadcast —
+    a BroadcastHashJoin elsewhere in the plan must not mask a streamed
+    BNLJ (the old whole-plan substring-count false negative), and AQE's
+    ReusedExchange / BroadcastQueryStage wrappers count as broadcasts
+    (the old false positive)."""
+
+    def is_bcast(node) -> bool:
+        name = node.nodeName()
+        if any(m in name for m in ("BroadcastExchange", "BroadcastQueryStage", "ReusedExchange")):
+            return True
+        # transparent single-child wrappers between join and build side
+        if node.children().size() == 1 and any(
+            w in name for w in ("WholeStageCodegen", "InputAdapter", "Project", "Filter", "Sort")
+        ):
+            return is_bcast(node.children().apply(0))
+        return False
+
+    def walk(node) -> bool:
+        name = node.nodeName()
+        if "AdaptiveSparkPlan" in name:
+            try:
+                return walk(node.executedPlan())
+            except Exception:  # not yet executed — audit the initial plan
+                return walk(node.inputPlan())
+        kids = [node.children().apply(i) for i in range(node.children().size())]
+        if "BroadcastNestedLoopJoin" in name and not any(is_bcast(k) for k in kids):
+            return True
+        return any(walk(k) for k in kids)
+
+    return walk(df._jdf.queryExecution().executedPlan())
 
 
 def main() -> int:
@@ -78,9 +114,14 @@ def main() -> int:
             flags.append("CARTESIAN")
         if "BatchEvalPython" in plan:
             flags.append("PY_ROW_UDF")
-        # every BNLJ must broadcast one side; count a deficit as a flag
-        if plan.count("BroadcastNestedLoopJoin") > plan.count("BroadcastExchange"):
-            flags.append("BIG_BNLJ")
+        # every BNLJ must broadcast one side — structural walk per join
+        # (whole-plan substring counts can mask or fake a deficit)
+        try:
+            if _bnlj_unbroadcast(df):
+                flags.append("BIG_BNLJ")
+        except Exception:  # traversal failure → legacy substring fallback
+            if plan.count("BroadcastNestedLoopJoin") > plan.count("BroadcastExchange"):
+                flags.append("BIG_BNLJ")
         n_ex = len(re.findall(r"Exchange (hash|range)partitioning", plan))
         if n_ex > EXCHANGE_BUDGETS.get(name, MAX_EXCHANGES):
             flags.append(f"MANY_EXCHANGES:{n_ex}")

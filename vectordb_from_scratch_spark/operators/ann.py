@@ -45,12 +45,15 @@ __all__ = [
     "srp_index",
     "ann_knn_srp",
     "ann_knn_srp_indexed",
+    "ann_filtered_overfetch",
     "build_mllib_lsh",
     "ann_join_mllib",
     "build_ivf",
     "build_ivf_det",
     "assign_ivf_det",
     "ann_knn_ivf",
+    "ivf_sq8_index",
+    "ann_knn_ivf_sq8",
 ]
 
 
@@ -134,9 +137,20 @@ def ann_knn_srp(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
     multiprobe: bool | int = False,
+    predicate: Column | None = None,
 ) -> DataFrame:
     """SRP-LSH approximate k-NN: per-table bucket joins → distinct
     candidates → exact re-rank → per-query top-k.
+
+    ``predicate`` composes a metadata filter (filters.compile_filter or
+    any boolean Column over `vectors`' columns) with the index probe —
+    the reference's search_with_filter over any Index
+    (src/storage.rs:249-290 via src/index.rs:20). Because SRP bucket
+    assignment is per-row, pre-filtering the vector side is value-
+    identical to filtering candidates post-probe, and strictly better
+    as a plan: the predicate pushes into the parquet scan and top-k
+    fills from qualifying rows only (no reference-style starvation —
+    use ann_filtered_overfetch for bug-for-bug parity).
 
     May return fewer than k rows for probes in sparse buckets — the same
     recall/latency trade the reference makes with ef (H9); raise nbits↓ /
@@ -211,6 +225,8 @@ def ann_knn_srp(
             *df.columns, vm.as_double(vcol).alias(out_vec), F.explode(tags).alias("__t")
         ).select(*df.columns, out_vec, F.col("__t.tbl").alias("tbl"), F.col("__t.bucket").alias("bucket"))
 
+    if predicate is not None:
+        vectors = vectors.filter(predicate)
     # Metadata-only estimate (no job) — see knn.estimated_rows.
     use_kernel = estimated_rows(vectors) >= SRP_KERNEL_THRESHOLD
     v_in = spread(vectors).select(F.col(id_col).alias("id"), vm.as_double(vec_col).alias("__v"))
@@ -316,14 +332,30 @@ def ann_knn_srp_indexed(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
     multiprobe: bool | int = False,
+    predicate: Column | None = None,
+    attrs: DataFrame | None = None,
+    attrs_id_col: str = "vec_id",
 ) -> DataFrame:
     """SRP k-NN over a PREBUILT index table (srp_index schema:
     id, vec, tbl, bucket). Identical semantics to ann_knn_srp — the
     (nbits, n_tables, seed) config must match the one the index was
     built with — but the vector table is never rescanned or re-hashed:
-    only the broadcast probe side computes buckets at query time."""
+    only the broadcast probe side computes buckets at query time.
+
+    Filtered search (reference search_with_filter composed over any
+    Index, src/storage.rs:249-290 / src/index.rs:20): pass ``predicate``
+    (a boolean Column over ``attrs``) plus ``attrs`` — the metadata
+    side-table keyed by ``attrs_id_col``. Candidates from the bucket
+    probe are pruned by a semi-join against the qualifying id set
+    BEFORE the exact re-rank, so top-k fills from qualifying rows only
+    (no starvation; the reference-exact over-fetch twin is
+    ann_filtered_overfetch). The predicate pushes into the attrs scan;
+    the semi-join's qualifying side is filter-pruned, the candidate
+    side is already bucket-pruned."""
     from pyspark.sql import Window
 
+    if (predicate is None) != (attrs is None):
+        raise ValueError("filtered search needs BOTH predicate and attrs")
     q = queries.select(
         F.col(query_id_col).alias("query_id"), vm.as_double(query_vec_col).alias("__q")
     )
@@ -350,6 +382,9 @@ def ann_knn_srp_indexed(
     cands = index.join(F.broadcast(q), on=["tbl", "bucket"]).select(
         "query_id", "id", dist.alias("distance")
     )
+    if predicate is not None:
+        qualifying = attrs.filter(predicate).select(F.col(attrs_id_col).alias("id"))
+        cands = cands.join(qualifying, "id", "left_semi")
     narrow = cands.dropDuplicates(["query_id", "id"])
     w = Window.partitionBy("query_id").orderBy(
         # nulls LAST: zero-vector cosine distance is NULL and must not
@@ -360,6 +395,37 @@ def ann_knn_srp_indexed(
         narrow.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "distance", "rank")
+    )
+
+
+def ann_filtered_overfetch(
+    ann_results: DataFrame,
+    attrs: DataFrame,
+    predicate: Column,
+    k: int = 10,
+    *,
+    attrs_id_col: str = "vec_id",
+) -> DataFrame:
+    """REFERENCE-EXACT filtered ANN (src/storage.rs:249-290 composed over
+    an approximate Index via src/index.rs:20): take an UNFILTERED ANN
+    result computed at k' = overfetch·k (any of ann_knn_srp /
+    ann_knn_srp_indexed / ann_knn_ivf output — query_id, id, distance,
+    rank), post-filter by the metadata predicate, keep the first k per
+    query in original rank order. Faithfully reproduces the reference's
+    under-fill: a selective filter can return fewer than k rows even
+    when k qualifying rows sit in the probed buckets. Use the
+    `predicate=` pre-filter form of the ANN functions unless bug-for-bug
+    parity with the reference API is required (same divergence note as
+    knn.knn_filtered_overfetch, the exact-path twin)."""
+    from pyspark.sql import Window
+
+    qualifying = attrs.filter(predicate).select(F.col(attrs_id_col).alias("id"))
+    refiltered = ann_results.join(qualifying, "id", "left_semi")
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    return (
+        refiltered.withColumn("rank2", F.row_number().over(w))
+        .filter(F.col("rank2") <= k)
+        .select("query_id", "id", "distance", F.col("rank2").alias("rank"))
     )
 
 
@@ -526,10 +592,23 @@ def ann_knn_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
+    predicate: Column | None = None,
+    attrs: DataFrame | None = None,
+    attrs_id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF probe: route each query to its `n_probe` nearest centroids, scan
     only those lists, exact re-rank. Recall/latency knob = n_probe (the
     ef_search analog, SURVEY §2.3 H9).
+
+    Filtered search (reference search_with_filter over any Index,
+    src/storage.rs:249-290): pass ``predicate`` over ``attrs`` (metadata
+    side-table keyed ``attrs_id_col``) to prune candidates AFTER the
+    list probe but BEFORE the exact re-rank — top-k fills from
+    qualifying rows within the probed lists only (pre-filter semantics,
+    no starvation; rows in unprobed lists are missed exactly as in
+    unfiltered ANN). If ``attrs`` is None but ``predicate`` is given,
+    the predicate is applied directly to `assigned` (which must then
+    carry the referenced columns) so it pushes into the list scan.
 
     `centers` is either the Python list build_ivf returns or the
     (list_id, cvec) DataFrame build_ivf_det returns — the latter keeps
@@ -566,11 +645,16 @@ def ann_knn_ivf(
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "__qvec", "list_id")
     )
+    if predicate is not None and attrs is None:
+        assigned = assigned.filter(predicate)
     cands = assigned.join(F.broadcast(routed), on="list_id").select(
         "query_id",
         F.col(id_col).alias("id"),
         vm.distance(metric, "__qvec", vec_col).alias("distance"),
     )
+    if predicate is not None and attrs is not None:
+        qualifying = attrs.filter(predicate).select(F.col(attrs_id_col).alias("id"))
+        cands = cands.join(qualifying, "id", "left_semi")
     w = Window.partitionBy("query_id").orderBy(
         # nulls LAST: zero-vector cosine distance is NULL and must not
         # outrank real neighbors (Spark default is nulls-first on asc)
@@ -578,6 +662,119 @@ def ann_knn_ivf(
     )
     return (
         cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
+
+
+def ivf_sq8_index(
+    assigned: DataFrame,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """The QUANTIZED serve-path index: IVF assignment × SQ8 codes — the
+    compression ladder (functions/vectormath.py SQ8) composed with the
+    coarse quantizer instead of standing alone. Each row keeps
+    (id, list_id, codes array<int>, vmin, scale): int8-range codes
+    dictionary/bit-pack to ~1 byte/dim in parquet, a 4× scan-size cut on
+    the probed lists — the 100-TB storage economics the ladder exists
+    for. Encode is a per-row narrow projection (no shuffle); write the
+    result partitioned by list_id and probes read n_probe partitions of
+    CODES instead of raw vectors.
+
+    Not in the reference (it stores raw f32, src/vector.rs); the
+    composition target is FAISS-style IVF-SQ (public design), expressed
+    as pure DataFrame ops."""
+    v = vm.as_double(vec_col)
+    staged = assigned.select(
+        F.col(id_col).alias("id"),
+        "list_id",
+        v.alias("__v"),
+        F.array_min(v).alias("vmin"),
+        vm.sq8_scale(v).alias("scale"),
+    )
+    return staged.select(
+        "id",
+        "list_id",
+        vm.sq8_encode("__v", F.col("vmin"), F.col("scale")).alias("codes"),
+        "vmin",
+        "scale",
+    )
+
+
+def ann_knn_ivf_sq8(
+    index: DataFrame,
+    centers: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 0,
+    raw: DataFrame | None = None,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """IVF-SQ8 search: route each query to its n_probe nearest centroids,
+    scan ONLY those lists over the int8 codes with asymmetric distance
+    (raw query vs decoded codes — decode pipelines inside the scan
+    stage, never materialized), then optionally exact-re-rank the
+    ``rerank``-deep shortlist against the raw vectors.
+
+    rerank=0 (or raw=None) returns the code-only result ranked by
+    asymmetric distance. With rerank ≥ k and ``raw`` (id, vec), the
+    shortlist (n_queries × rerank rows — tiny) broadcasts into one join
+    against the raw table and exact euclidean re-ranks it: the classic
+    two-stage quantized serving design. Every step is deterministic
+    (floor(x+0.5) encode), so the whole pipeline is value-exact
+    oracle-twinnable."""
+    from pyspark.sql import Window
+
+    centers_df = F.broadcast(centers.select("list_id", F.col("cvec").alias("center")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        vm.as_double(query_vec_col).alias("__qvec"),
+    )
+    w_route = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("list_id").asc()
+    )
+    routed = (
+        q.crossJoin(centers_df)
+        .select(
+            "query_id", "__qvec", "list_id",
+            vm.euclidean_distance("__qvec", "center").alias("cdist"),
+        )
+        .withColumn("__r", F.row_number().over(w_route))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "__qvec", "list_id")
+    )
+    decoded = vm.sq8_decode("codes", F.col("vmin"), F.col("scale"))
+    cands = index.join(F.broadcast(routed), on="list_id").select(
+        "query_id",
+        "__qvec",
+        "id",
+        vm.euclidean_distance("__qvec", decoded).alias("adist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("id").asc())
+    if not rerank or raw is None:
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "id", F.col("adist").alias("distance"), "rank")
+        )
+    shortlist = (
+        cands.withColumn("__sr", F.row_number().over(w))
+        .filter(F.col("__sr") <= rerank)
+        .select("query_id", "__qvec", "id")
+    )
+    exact = raw.join(F.broadcast(shortlist), on="id").select(
+        "query_id", "id", vm.euclidean_distance("__qvec", "vec").alias("distance")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc_nulls_last(), F.col("id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "distance", "rank")
     )

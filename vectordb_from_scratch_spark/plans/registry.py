@@ -954,6 +954,12 @@ def _q_knn_overfetch(spark, sf_dir):
 
 _ANN_DIM, _ANN_BITS, _ANN_TABLES = 64, 8, 2
 _PLANES = [ann.srp_planes(_ANN_DIM, _ANN_BITS, table=l) for l in range(_ANN_TABLES)]
+# filtered-ANN pair uses coarser 4-bit buckets: a selective predicate over
+# 256-bucket tables leaves almost no qualifying co-bucketed candidates at
+# oracle scale (500 rows); 16 buckets keeps the filtered result set rich
+# enough to exercise the semi-join + re-rank path end-to-end
+_ANN_FBITS = 4
+_PLANES_F = [ann.srp_planes(_ANN_DIM, _ANN_FBITS, table=l) for l in range(_ANN_TABLES)]
 
 
 @_register(
@@ -1065,6 +1071,120 @@ def _q_ann_indexed_knn(spark, sf_dir):
     res = ann.ann_knn_srp_indexed(
         idx, probes, k=10, metric="euclidean",
         dim=_ANN_DIM, nbits=_ANN_BITS, n_tables=_ANN_TABLES,
+    )
+    return res.withColumn("distance", F.round("distance", 6))
+
+
+@_register(
+    "ann_srp_filtered_knn",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding, label,
+             {_sql_srp_bucket('embedding', _PLANES_F[0])} AS b0,
+             {_sql_srp_bucket('embedding', _PLANES_F[1])} AS b1
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 5),
+    f AS (SELECT * FROM v WHERE label = 1),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, f.vec_id AS id
+      FROM q JOIN f ON q.b0 = f.b0
+      UNION
+      SELECT DISTINCT q.vec_id, f.vec_id FROM q JOIN f ON q.b1 = f.b1
+    ),
+    d AS (
+      SELECT c.query_id, c.id, {_sql_euclid('qe.embedding', 've.embedding')} AS dist
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ve ON ve.vec_id = c.id
+    ),
+    ranked AS (
+      SELECT query_id, id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+      FROM d
+    )
+    SELECT query_id, id, round(dist, 6) AS distance, rnk::INTEGER AS rank
+    FROM ranked WHERE rnk <= 10
+    """,
+    doc="R7 × H8: FILTERED ANN — the metadata-filter compiler "
+    "(operators/filters.py) composed with the prebuilt SRP index: bucket "
+    "probe → qualifying-id semi-join → exact re-rank; top-k fills from "
+    "qualifying rows only (ref search_with_filter over any Index, "
+    "src/storage.rs:249-290 / src/index.rs:20)",
+)
+def _q_ann_srp_filtered(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    idx = ann.srp_index(e, dim=_ANN_DIM, nbits=_ANN_FBITS, n_tables=_ANN_TABLES)
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    # the real filter-algebra path: int label → map<string,string> metadata,
+    # predicate compiled from the reference's serde filter-spec shape
+    attrs = e.withColumn(
+        "metadata", F.create_map(F.lit("label"), F.col("label").cast("string"))
+    )
+    pred = filters.compile_filter({"eq": {"field": "label", "value": "1"}})
+    res = ann.ann_knn_srp_indexed(
+        idx, probes, k=10, metric="euclidean",
+        dim=_ANN_DIM, nbits=_ANN_FBITS, n_tables=_ANN_TABLES,
+        predicate=pred, attrs=attrs, attrs_id_col="vec_id",
+    )
+    return res.withColumn("distance", F.round("distance", 6))
+
+
+@_register(
+    "ann_srp_filtered_overfetch",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_sql_srp_bucket('embedding', _PLANES_F[0])} AS b0,
+             {_sql_srp_bucket('embedding', _PLANES_F[1])} AS b1
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS id
+      FROM q JOIN v ON q.b0 = v.b0
+      UNION
+      SELECT DISTINCT q.vec_id, v.vec_id FROM q JOIN v ON q.b1 = v.b1
+    ),
+    d AS (
+      SELECT c.query_id, c.id, {_sql_euclid('qe.embedding', 've.embedding')} AS dist
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ve ON ve.vec_id = c.id
+    ),
+    pre AS (
+      SELECT query_id, id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+      FROM d
+    ),
+    fetched AS (SELECT * FROM pre WHERE rnk <= 30),
+    refiltered AS (
+      SELECT p.query_id, p.id, p.dist,
+             row_number() OVER (PARTITION BY p.query_id ORDER BY p.rnk ASC) AS rnk2
+      FROM fetched p JOIN embeddings m ON m.vec_id = p.id
+      WHERE m.label = 1
+    )
+    SELECT query_id, id, round(dist, 6) AS distance, rnk2::INTEGER AS rank
+    FROM refiltered WHERE rnk2 <= 10
+    """,
+    doc="R7 × H8 REFERENCE-EXACT mode: unfiltered SRP ANN over-fetches 3k, "
+    "post-filter keeps first k — reproduces the reference's under-fill "
+    "starvation bug-for-bug (src/storage.rs:268-287 composed over an "
+    "approximate Index); ann_srp_filtered_knn is the corrected pre-filter form",
+)
+def _q_ann_srp_filtered_overfetch(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    pre = ann.ann_knn_srp(
+        e, probes, k=30, metric="euclidean",
+        dim=_ANN_DIM, nbits=_ANN_FBITS, n_tables=_ANN_TABLES,
+    )
+    res = ann.ann_filtered_overfetch(
+        pre, e, F.col("label") == 1, k=10, attrs_id_col="vec_id"
     )
     return res.withColumn("distance", F.round("distance", 6))
 
@@ -1973,6 +2093,138 @@ def _q_ivf_det_knn(spark, sf_dir):
     res = ann.ann_knn_ivf(
         assigned, cent, probes,
         k=_IVF_DET["k"], n_probe=_IVF_DET["n_probe"], id_col="id", vec_col="vec",
+    )
+    return res.withColumn("distance", F.round("distance", 6))
+
+
+@_register(
+    "ann_ivf_filtered_knn",
+    f"""
+    WITH {_sql_ivf_det_ctes()},
+    probes AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    routed AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT p.query_id, p.qv, c.list_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {_sql_euclid('p.qv', 'c.cvec')} ASC, c.list_id ASC) AS rn
+        FROM probes p CROSS JOIN c{_IVF_DET['iters']} c) WHERE rn <= {_IVF_DET['n_probe']}
+    ),
+    cand AS (
+      SELECT r.query_id, a.id, {_sql_euclid('r.qv', 'a.vec')} AS dist
+      FROM routed r
+      JOIN afinal a ON r.list_id = a.list_id
+      JOIN embeddings m ON m.vec_id = a.id
+      WHERE m.label = 1
+    )
+    SELECT query_id, id, round(dist, 6) AS distance, rnk::INTEGER AS rank
+    FROM (SELECT query_id, id, dist,
+                 row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+          FROM cand)
+    WHERE rnk <= {_IVF_DET['k']}
+    """,
+    doc="R7 × H8/H9: FILTERED IVF ANN — metadata predicate composed with the "
+    "deterministic IVF probe: route to n_probe lists, qualifying-id semi-join "
+    "prunes candidates before the exact re-rank (ref search_with_filter over "
+    "any Index, src/storage.rs:249-290 / src/index.rs:20)",
+)
+def _q_ivf_filtered_knn(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cent = ann.build_ivf_det(
+        e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
+    )
+    v = e.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent)
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    res = ann.ann_knn_ivf(
+        assigned, cent, probes,
+        k=_IVF_DET["k"], n_probe=_IVF_DET["n_probe"], id_col="id", vec_col="vec",
+        predicate=F.col("label") == 1, attrs=e, attrs_id_col="vec_id",
+    )
+    return res.withColumn("distance", F.round("distance", 6))
+
+
+_IVF_SQ8_RERANK = 20
+
+
+@_register(
+    "ann_ivf_sq8_knn",
+    f"""
+    WITH {_sql_ivf_det_ctes()},
+    enc AS (
+      SELECT id, list_id, vec,
+             list_min(vec) AS vmin,
+             (list_max(vec) - list_min(vec)) / 255.0 AS scale
+      FROM afinal
+    ),
+    dec AS (
+      SELECT id, list_id,
+             list_transform(
+               list_transform(vec, x -> CASE WHEN scale > 0
+                 THEN floor((x - vmin) / scale + 0.5)::INTEGER ELSE 0 END),
+               c -> vmin + c::DOUBLE * scale) AS dv
+      FROM enc
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    routed AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT p.query_id, p.qv, c.list_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {_sql_euclid('p.qv', 'c.cvec')} ASC, c.list_id ASC) AS rn
+        FROM probes p CROSS JOIN c{_IVF_DET['iters']} c) WHERE rn <= {_IVF_DET['n_probe']}
+    ),
+    acand AS (
+      SELECT r.query_id, r.qv, d.id, {_sql_euclid('r.qv', 'd.dv')} AS adist
+      FROM routed r JOIN dec d ON r.list_id = d.list_id
+    ),
+    short AS (
+      SELECT query_id, qv, id FROM (
+        SELECT query_id, qv, id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, id ASC) AS sr
+        FROM acand) WHERE sr <= {_IVF_SQ8_RERANK}
+    ),
+    ex AS (
+      SELECT s.query_id, s.id, {_sql_euclid('s.qv', 'a.vec')} AS dist
+      FROM short s JOIN afinal a ON a.id = s.id
+    )
+    SELECT query_id, id, round(dist, 6) AS distance, rnk::INTEGER AS rank
+    FROM (SELECT query_id, id, dist,
+                 row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+          FROM ex)
+    WHERE rnk <= {_IVF_DET['k']}
+    """,
+    doc="H4/H8 × SQ8, value-exact: the QUANTIZED serve path — IVF routing, "
+    "asymmetric distance over int8 codes in the probed lists (4× smaller "
+    "scans), exact re-rank of the 2k-deep shortlist on raw vectors "
+    "(ann.ivf_sq8_index / ann.ann_knn_ivf_sq8; the compression ladder "
+    "composed WITH the index instead of standing alone)",
+)
+def _q_ivf_sq8_knn(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cent = ann.build_ivf_det(
+        e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
+    )
+    v = e.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent)
+    idx = ann.ivf_sq8_index(assigned)
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    res = ann.ann_knn_ivf_sq8(
+        idx, cent, probes,
+        k=_IVF_DET["k"], n_probe=_IVF_DET["n_probe"],
+        rerank=_IVF_SQ8_RERANK, raw=assigned.select("id", "vec"),
     )
     return res.withColumn("distance", F.round("distance", 6))
 
@@ -3543,6 +3795,12 @@ def _q_multimodal(spark, sf_dir):
 # the back.
 
 _DRIVER_PRIORITY: list[str] = [
+    # NEW in round 4: filtered ANN — the last reference composition
+    # (search_with_filter over any Index) — needs first driver evidence
+    "ann_srp_filtered_knn",
+    "ann_srp_filtered_overfetch",
+    "ann_ivf_filtered_knn",
+    "ann_ivf_sq8_knn",
     # round-2's red cell (TIMESTAMP_NTZ) — re-verify the load_table fix
     "rel_events_sessionize",
     # broken by the same bug but invisible in r2 artifacts (not in the
