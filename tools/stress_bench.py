@@ -70,7 +70,10 @@ def main() -> int:
     results = {}
 
     def cell(name, fn):
-        results[name] = _time(fn, runs)
+        try:
+            results[name] = _time(fn, runs)
+        except Exception as e:  # record the failure, keep later cells alive
+            results[name] = f"ERR:{type(e).__name__}"
         print(json.dumps({"cell": name, "sec": results[name]}), flush=True)
 
     saved = knn.AUTO_NUMPY_THRESHOLD
@@ -124,6 +127,25 @@ def main() -> int:
          lambda: sink(ann.ann_knn_ivf(assigned_p, cent_p, probes, k=K,
                                       n_probe=4, id_col="id", vec_col="vec")))
 
+    # IVF-SQ8: the quantized serve path — probe the int8 codes, exact
+    # re-rank a 3k shortlist on raw vectors; plus the measured (not
+    # asserted) on-disk ratio of codes vs the float32 source parquet
+    ann.ivf_sq8_index(assigned_p).write.mode("overwrite").parquet(idx + "/sq8")
+    sq8_p = spark.read.parquet(idx + "/sq8")
+    cell("ivf_sq8_probe_100x%d" % n_emb,
+         lambda: sink(ann.ann_knn_ivf_sq8(sq8_p, cent_p, probes, k=K, n_probe=4,
+                                          rerank=3 * K,
+                                          raw=assigned_p.select("id", "vec"))))
+
+    def _du(path: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path) for f in fs
+        )
+
+    results["ivf_sq8_index_bytes"] = _du(idx + "/sq8")
+    results["embeddings_f32_bytes"] = _du(emb_path) if os.path.isdir(emb_path) else os.path.getsize(emb_path)
+
     # streaming exact-dedup throughput: the whole corpus through the
     # digest-state ingest path in multi-file micro-batches (8 files per
     # trigger) — state stays (fp, keep_id)-sized; measures end-to-end
@@ -133,22 +155,69 @@ def main() -> int:
 
     from vectordb_from_scratch_spark.streaming import dedup_stream_foreach_batch
 
+    def _run_stream(out, state, ckpt) -> None:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(docs_path)
+        )
+        q = dedup_stream_foreach_batch(spark, stream, out, state, ckpt).start()
+        if not q.awaitTermination(590):  # timed out — stop before teardown
+            q.stop()
+            raise TimeoutError("stream did not finish in 590s")
+
     def stream_dedup_once() -> None:
         base = _tf.mkdtemp(prefix="sdedup_")
         try:
-            stream = (
-                spark.readStream.schema(docs.schema)
-                .option("maxFilesPerTrigger", 8)
-                .parquet(docs_path)
-            )
-            q = dedup_stream_foreach_batch(
-                spark, stream, base + "/out", base + "/state", base + "/ckpt"
-            ).start()
-            q.awaitTermination(590)
+            _run_stream(base + "/out", base + "/state", base + "/ckpt")
         finally:
             shutil.rmtree(base, ignore_errors=True)
 
     cell("stream_dedup_%ddocs" % n_docs, stream_dedup_once)
+
+    # probe-cost-vs-history: the r3 `weak` cell's fix under measurement.
+    # Pre-seed the digest state at 1× and 4× history (disjoint from the
+    # corpus digests) and stream the SAME corpus over each; with the
+    # (batch_id, pfx)-partitioned state the anti-join probe prunes to the
+    # batch's buckets, so the two timings should sit within noise of each
+    # other rather than scaling with history size.
+    def seeded_state_run(mult: int):
+        hist_n = 200_000 * mult
+        base = _tf.mkdtemp(prefix="sdedup_hist%dx_" % mult)
+        hist = (
+            spark.range(hist_n)
+            .select(
+                F.md5((F.col("id") + 10_000_000).cast("string")).alias("fp"),
+                (F.col("id") + 10_000_000).alias("keep_id"),
+                # negative ids: must never collide with the stream's own
+                # batch ids (0..N), whose partitions it dynamic-overwrites
+                (F.col("id") % 8 - 100).cast("int").alias("batch_id"),
+            )
+            .withColumn("pfx", F.substring("fp", 1, 2))
+        )
+        (
+            hist.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "pfx")
+            .parquet(base + "/state")
+        )
+        run_i = [0]
+
+        def go() -> None:
+            run_i[0] += 1
+            _run_stream(
+                base + "/out%d" % run_i[0], base + "/state",
+                base + "/ckpt%d" % run_i[0],
+            )
+
+        return base, go
+
+    for mult in (1, 4):
+        base, go = seeded_state_run(mult)
+        try:
+            cell("stream_dedup_probe_hist%dx_%ddocs" % (mult, n_docs), go)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
 
     print(json.dumps({"metric": "stress_crossover", "n_emb": n_emb, "n_docs": n_docs,
                       "cpus": int(cpus), "runs": runs, "cells": results}))
