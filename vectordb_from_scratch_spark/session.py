@@ -38,6 +38,11 @@ def build_session(
         # Arrow for every pandas-API boundary (mapInPandas stages).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata `events.ts` has shipped as TIMESTAMP(NANOS) in some
+        # generations; set the read flag at build time so sources/tables.py
+        # never has to mutate a live session (it falls back to a footer-
+        # probed set only on foreign sessions hitting that layout).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # ~128 MB scan splits: the parquet-side parallelism knob. At 100 TB
         # this yields ~800k input splits — fine; never raise it to "reduce
         # task count", that starves executors.

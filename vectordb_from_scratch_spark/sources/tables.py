@@ -28,6 +28,27 @@ TABLES = (
 )
 
 
+def _parquet_ts_is_nanos(path: str) -> bool:
+    """Footer-only probe: does this parquet's `ts` column ship as
+    TIMESTAMP(NANOS)? (pyarrow metadata read — no Spark job, no session
+    state touched). Reading that layout through Spark requires the
+    session-wide legacy nanosAsLong flag; every other layout must not
+    trigger any conf mutation."""
+    try:
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+            if not parts:
+                return False
+            f = os.path.join(path, parts[0])
+        field = pq.read_schema(f).field("ts")
+        return getattr(field.type, "unit", None) == "ns"
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one table; filters/projections push down.
 
@@ -45,7 +66,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The legacy flag is pre-set in session.py's factory; sessions built
+        # elsewhere (driver, tests) get it ONLY when the footer really is
+        # TIMESTAMP(NANOS) — a read-path requirement Spark exposes solely as
+        # session conf, so this last-resort fallback is the one place the
+        # loader may touch shared state (steady-state layouts: no mutation).
+        if _parquet_ts_is_nanos(path) and (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true"
+        ):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
