@@ -354,3 +354,29 @@ def test_pii_scrub_semantics(spark):
     assert got[3].n_phone == 1 and "555" not in got[3].scrubbed
     assert got[4].n_email == got[4].n_ipv4 == got[4].n_phone == 0
     assert got[4].scrubbed == "no pii in this row at all"
+
+
+def test_lsh_bucket_cap_keeps_under_cap_candidates(spark):
+    """Candidate RECALL under the cap: every true near-dup pair living in
+    an under-cap bucket must survive mega-bucket suppression — the cap
+    drops only the adversarial blowup, not the signal."""
+    boiler = [
+        (i, "common license header text repeated verbatim", "en", "s", 40)
+        for i in range(30)
+    ]
+    # 10 true pairs, each with its own fully-distinct vocabulary so the
+    # pair shares a singleton-sized bucket no other doc can enter
+    pairs = []
+    for p in range(10):
+        words = " ".join(f"w{p}x{j}" for j in range(12))
+        pairs.append((1000 + 2 * p, words, "en", "s", 60))
+        pairs.append((1001 + 2 * p, words, "en", "s", 60))
+    df = spark.createDataFrame(
+        boiler + pairs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    capped = dedup.lsh_candidate_pairs(df, num_hashes=8, bands=4, max_bucket_size=5)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    want = {(1000 + 2 * p, 1001 + 2 * p) for p in range(10)}
+    assert want <= got                      # full recall on under-cap buckets
+    assert not any(a < 100 and b < 100 for a, b in got)  # mega-bucket gone

@@ -106,3 +106,84 @@ def test_compact_preserves_live_index(spark, streamed_index):
     # compaction dropped shadowed rows and tombstones
     assert after_raw.filter(F.col("op") == "delete").count() == 0
     assert after_raw.count() == len(before)
+
+
+# -- incremental IVF maintenance (VERDICT r3 #4) ---------------------------
+
+
+@pytest.fixture()
+def ivf_setup(spark, tmp_path):
+    """Centroids built offline from the first 10 vectors; then a 3-batch
+    stream: two insert batches, then an upsert + delete batch."""
+    base = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    cent = ann.build_ivf_det(base, n_lists=3, iters=2)
+    cent = spark.createDataFrame(cent.collect(), cent.schema)  # freeze
+
+    src = str(tmp_path / "ivf_log_src")
+    index_dir = str(tmp_path / "ivf_index")
+    ckpt = str(tmp_path / "ivf_ckpt")
+    batches = [
+        [(i, "insert", i, _vec(i)) for i in range(0, 10)],
+        [(i + 10, "insert", i, _vec(i)) for i in range(10, 20)],
+        [(99, "insert", 3, _vec(55)), (100, "insert", 3, _vec(99)), (101, "delete", 7, None)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, LOG_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    from vectordb_from_scratch_spark.streaming import ivf_index_stream_foreach_batch
+
+    stream = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ivf_index_stream_foreach_batch(stream, index_dir, ckpt, cent)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return index_dir, cent
+
+
+def test_stream_ivf_equals_batch_assignment(spark, ivf_setup):
+    """Stream-built index ≡ batch assign_ivf_det over the same fixed
+    centroids and final row state — the interchangeability contract."""
+    from vectordb_from_scratch_spark.streaming import read_ivf_index
+
+    index_dir, cent = ivf_setup
+    live = read_ivf_index(spark, index_dir)
+    final = _final_state(spark).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    batch = ann.assign_ivf_det(final, cent)
+    got = {(r.id, r.list_id) for r in live.collect()}
+    expect = {(r.id, r.list_id) for r in batch.collect()}
+    assert got == expect
+    assert not any(i == 7 for i, _ in got)          # tombstone applied
+    assert len(got) == 19                            # one list per live id
+
+
+def test_ivf_drift_trigger(spark, ivf_setup):
+    """Un-drifted data stays under the rebuild threshold; a batch of
+    far-displaced rows pushes weighted mean displacement over it."""
+    from vectordb_from_scratch_spark.streaming import (
+        ivf_drift,
+        ivf_should_rebuild,
+        read_ivf_index,
+    )
+
+    index_dir, cent = ivf_setup
+    live = read_ivf_index(spark, index_dir)
+    d0 = {r.list_id: r.displacement for r in ivf_drift(live, cent).collect()}
+    assert all(v >= 0 for v in d0.values())
+    assert not ivf_should_rebuild(live, cent, threshold=100.0)
+
+    shifted = live.select(
+        "id", F.transform("vec", lambda x: x + F.lit(500.0)).alias("vec"), "list_id"
+    )
+    assert ivf_should_rebuild(shifted, cent, threshold=100.0)

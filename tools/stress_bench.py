@@ -7,7 +7,10 @@ scale. This tool MEASURES that takeover on the 100k-row stress tables
 back to sf0.1 if absent) and prints one JSON line per comparison.
 Results are recorded in SCALE.md.
 
-Usage: python tools/stress_bench.py [runs_per_cell]
+Usage: python tools/stress_bench.py [runs_per_cell] [only]
+  `only` = comma-separated substrings; cells (and their setup blocks)
+  not matching any are skipped — lets new cells run without re-paying
+  the whole suite.
 """
 
 from __future__ import annotations
@@ -36,6 +39,10 @@ def _time(fn, runs: int) -> float:
 
 def main() -> int:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+    def want(name: str) -> bool:
+        return only is None or any(s in name for s in only)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -70,6 +77,8 @@ def main() -> int:
     results = {}
 
     def cell(name, fn):
+        if not want(name):
+            return
         try:
             results[name] = _time(fn, runs)
         except Exception as e:  # record the failure, keep later cells alive
@@ -114,37 +123,38 @@ def main() -> int:
     # an n_probe-list scan instead of a full pass)
     import tempfile
 
-    cent = ann.build_ivf_det(emb, n_lists=16, iters=2)
-    cell("ivf_det_build_%d" % n_emb, lambda: sink(cent))
-    idx = tempfile.mkdtemp(prefix="ivfdet_")
-    v = emb.select(F.col("vec_id").cast("long").alias("id"),
-                   F.col("embedding").cast("array<double>").alias("vec"))
-    ann.assign_ivf_det(v, cent).write.mode("overwrite").parquet(idx + "/assigned")
-    cent.write.mode("overwrite").parquet(idx + "/cent")
-    assigned_p = spark.read.parquet(idx + "/assigned")
-    cent_p = spark.read.parquet(idx + "/cent")
-    cell("ivf_det_probe_100x%d" % n_emb,
-         lambda: sink(ann.ann_knn_ivf(assigned_p, cent_p, probes, k=K,
-                                      n_probe=4, id_col="id", vec_col="vec")))
+    if want("ivf"):
+        cent = ann.build_ivf_det(emb, n_lists=16, iters=2)
+        cell("ivf_det_build_%d" % n_emb, lambda: sink(cent))
+        idx = tempfile.mkdtemp(prefix="ivfdet_")
+        v = emb.select(F.col("vec_id").cast("long").alias("id"),
+                       F.col("embedding").cast("array<double>").alias("vec"))
+        ann.assign_ivf_det(v, cent).write.mode("overwrite").parquet(idx + "/assigned")
+        cent.write.mode("overwrite").parquet(idx + "/cent")
+        assigned_p = spark.read.parquet(idx + "/assigned")
+        cent_p = spark.read.parquet(idx + "/cent")
+        cell("ivf_det_probe_100x%d" % n_emb,
+             lambda: sink(ann.ann_knn_ivf(assigned_p, cent_p, probes, k=K,
+                                          n_probe=4, id_col="id", vec_col="vec")))
 
-    # IVF-SQ8: the quantized serve path — probe the int8 codes, exact
-    # re-rank a 3k shortlist on raw vectors; plus the measured (not
-    # asserted) on-disk ratio of codes vs the float32 source parquet
-    ann.ivf_sq8_index(assigned_p).write.mode("overwrite").parquet(idx + "/sq8")
-    sq8_p = spark.read.parquet(idx + "/sq8")
-    cell("ivf_sq8_probe_100x%d" % n_emb,
-         lambda: sink(ann.ann_knn_ivf_sq8(sq8_p, cent_p, probes, k=K, n_probe=4,
-                                          rerank=3 * K,
-                                          raw=assigned_p.select("id", "vec"))))
+        # IVF-SQ8: the quantized serve path — probe the int8 codes, exact
+        # re-rank a 3k shortlist on raw vectors; plus the measured (not
+        # asserted) on-disk ratio of codes vs the float32 source parquet
+        ann.ivf_sq8_index(assigned_p).write.mode("overwrite").parquet(idx + "/sq8")
+        sq8_p = spark.read.parquet(idx + "/sq8")
+        cell("ivf_sq8_probe_100x%d" % n_emb,
+             lambda: sink(ann.ann_knn_ivf_sq8(sq8_p, cent_p, probes, k=K, n_probe=4,
+                                              rerank=3 * K,
+                                              raw=assigned_p.select("id", "vec"))))
 
-    def _du(path: str) -> int:
-        return sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(path) for f in fs
-        )
+        def _du(path: str) -> int:
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path) for f in fs
+            )
 
-    results["ivf_sq8_index_bytes"] = _du(idx + "/sq8")
-    results["embeddings_f32_bytes"] = _du(emb_path) if os.path.isdir(emb_path) else os.path.getsize(emb_path)
+        results["ivf_sq8_index_bytes"] = _du(idx + "/sq8")
+        results["embeddings_f32_bytes"] = _du(emb_path) if os.path.isdir(emb_path) else os.path.getsize(emb_path)
 
     # streaming exact-dedup throughput: the whole corpus through the
     # digest-state ingest path in multi-file micro-batches (8 files per
@@ -213,11 +223,55 @@ def main() -> int:
         return base, go
 
     for mult in (1, 4):
+        if not want("stream_dedup_probe"):
+            break
         base, go = seeded_state_run(mult)
         try:
             cell("stream_dedup_probe_hist%dx_%ddocs" % (mult, n_docs), go)
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+    # adversarial LSH skew: a 2k-member boilerplate mega-bucket inside
+    # 100k docs. Uncapped pays the B^2 pair blowup; capped must suppress
+    # it while keeping every under-cap candidate (recall asserted in
+    # tests/test_dedup_text.py; this cell measures the cost asymmetry).
+    if want("lsh_skew"):
+        n_skew, mega = 100_000, 2_000
+        skew_docs = spark.range(n_skew).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") < mega,
+                F.lit("common license header text repeated verbatim across the corpus"),
+            ).otherwise(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit(f"w{j}u"), F.col("id").cast("string"))
+                        for j in range(10)
+                    ],
+                )
+            ).alias("text"),
+        ).localCheckpoint()
+        cell("lsh_skew_uncapped_%d" % n_skew,
+             lambda: sink(dedup.lsh_candidate_pairs(skew_docs, num_hashes=8, bands=4)))
+        cell("lsh_skew_capped_%d" % n_skew,
+             lambda: sink(dedup.lsh_candidate_pairs(skew_docs, num_hashes=8, bands=4,
+                                                    max_bucket_size=100)))
+
+    # pointer-jumping CC one decade up: 10M nodes in 10-member chain
+    # families (9M edges, diameter 10) — rounds stay O(log d), shuffle
+    # stays bounded by the label table
+    if want("cc_chain"):
+        n_cc, fam = 10_000_000, 10
+        chain = (
+            spark.range(n_cc - 1)
+            .filter((F.col("id") % fam) != fam - 1)
+            .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+            .localCheckpoint()
+        )
+        nodes = spark.range(n_cc).select(F.col("id").alias("doc_id")).localCheckpoint()
+        cell("cc_chain_%dnodes" % n_cc,
+             lambda: sink(dedup.connected_components(chain, nodes)))
 
     print(json.dumps({"metric": "stress_crossover", "n_emb": n_emb, "n_docs": n_docs,
                       "cpus": int(cpus), "runs": runs, "cells": results}))

@@ -1,5 +1,9 @@
 from .ann_stream import (  # noqa: F401
     compact_srp_index,
+    ivf_drift,
+    ivf_index_stream_foreach_batch,
+    ivf_should_rebuild,
+    read_ivf_index,
     read_srp_index,
     srp_index_stream_foreach_batch,
 )

@@ -29,6 +29,10 @@ __all__ = [
     "srp_index_stream_foreach_batch",
     "read_srp_index",
     "compact_srp_index",
+    "ivf_index_stream_foreach_batch",
+    "read_ivf_index",
+    "ivf_drift",
+    "ivf_should_rebuild",
 ]
 
 # op codes in the log stream / index dir
@@ -122,6 +126,138 @@ def read_srp_index(spark: SparkSession, index_dir: str) -> DataFrame:
         .dropDuplicates(["id", "tbl", "bucket"])
         .select("id", "vec", "tbl", "bucket")
     )
+
+
+def ivf_index_stream_foreach_batch(
+    log_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+    *,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+):
+    """Incremental IVF maintenance (VERDICT r3 #4): fold a streaming
+    insert/delete log into an IVF index directory against FIXED
+    centroids — the standard cheap path: each micro-batch assigns only
+    its OWN rows to the nearest existing centroid (cost ∝ batch size ×
+    n_lists, the broadcast-assign of operators/ann.assign_ivf_det),
+    appends them with a monotone seq, and tombstones deletes
+    (list_id = -1). Nothing existing is rewritten on the hot path —
+    the same append-only WAL shape as the SRP twin above, and the
+    distributed analog of the reference's incremental HnswIndex::add
+    (src/hnsw/graph.rs:245-342).
+
+    The assignment is the exact expression path, so a stream-built index
+    is row-for-row interchangeable with batch `assign_ivf_det` over the
+    same centroids (asserted in tests/test_streaming_ann.py). Centroids
+    DRIFT as data accrues; measure it with ivf_drift / ivf_should_rebuild
+    and schedule an offline rebuild (build_ivf / build_ivf_det) when the
+    threshold trips — the recall-maintenance contract.
+
+    `log_stream` schema: (seq long, op string, id long, embedding
+    array<float/double>). Delivery is at-least-once with byte-identical
+    retries; read_ivf_index dedupes them (same contract as the SRP twin).
+    """
+    from ..operators.ann import assign_ivf_det
+
+    cent = centroids.select("list_id", "cvec")
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        rows = batch.filter(F.col("op") != "checkpoint")
+        latest = (
+            rows.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(F.col("seq").desc())
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        inserts = latest.filter(F.col("op") == _INSERT)
+        deletes = latest.filter(F.col("op") == _DELETE)
+        v = inserts.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            "seq",
+        )
+        assigned = assign_ivf_det(v.select("id", "vec"), cent).join(
+            v.select("id", "seq"), "id"
+        ).select("id", "vec", "list_id", "seq", F.lit(_INSERT).alias("op"))
+        tombs = deletes.select(
+            F.col(id_col).alias("id"),
+            F.lit(None).cast("array<double>").alias("vec"),
+            F.lit(-1).cast("int").alias("list_id"),
+            "seq",
+            F.lit(_DELETE).alias("op"),
+        )
+        assigned.unionByName(tombs).write.mode("append").parquet(index_dir)
+
+    return (
+        log_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def read_ivf_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Resolve the append-only IVF dir to the live assigned table
+    (id, vec, list_id): per id, max-seq wins; tombstones drop the id;
+    byte-identical at-least-once retries collapse in the final dedup."""
+    raw = spark.read.parquet(index_dir)
+    w = Window.partitionBy("id")
+    return (
+        raw.withColumn("__mx", F.max("seq").over(w))
+        .filter((F.col("seq") == F.col("__mx")) & (F.col("op") == _INSERT))
+        .dropDuplicates(["id", "list_id"])
+        .select("id", "vec", "list_id")
+    )
+
+
+def ivf_drift(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Per-list drift of the LIVE data away from the fixed centroids the
+    stream assigns against: (list_id, n, displacement) where
+    displacement = ‖mean(live vectors in list) − centroid‖₂. One
+    aggregation over the assigned table (per-dim partial means — no
+    vector ever collected), then a broadcast join against the tiny
+    centroid set. This is the rebuild trigger's input, not a serving
+    query — run it on the maintenance cadence."""
+    means = (
+        assigned.select("list_id", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("list_id", "pos")
+        .agg(F.avg("val").alias("m"), F.count("*").alias("n"))
+        .groupBy("list_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("mean_vec"),
+            F.first("n").alias("n"),
+        )
+    )
+    from ..functions import vectormath as vm
+
+    return means.join(F.broadcast(centroids.select("list_id", "cvec")), "list_id").select(
+        "list_id",
+        "n",
+        vm.euclidean_distance("mean_vec", "cvec").alias("displacement"),
+    )
+
+
+def ivf_should_rebuild(
+    assigned: DataFrame, centroids: DataFrame, threshold: float
+) -> bool:
+    """True when the row-weighted mean displacement exceeds `threshold` —
+    the cue to re-run build_ivf/build_ivf_det offline and swap the
+    centroid set (recall decays as data drifts off the Voronoi seeds).
+    Driver-side cost: one n_lists-row aggregate."""
+    row = (
+        ivf_drift(assigned, centroids)
+        .agg(
+            (F.sum(F.col("displacement") * F.col("n")) / F.sum("n")).alias("d")
+        )
+        .first()
+    )
+    return bool(row.d is not None and row.d > threshold)
 
 
 def compact_srp_index(spark: SparkSession, index_dir: str) -> None:
