@@ -70,3 +70,38 @@ def test_sql_twin_matches(spark):
         + " AS u FROM range(0, 200) t(i)"
     ).fetchall()
     assert {k: v for k, v in duck} == spark_u  # exact equality, no tolerance
+
+
+# -- token-budget sequence packing -----------------------------------------
+
+
+def test_pack_sequences_invariants(spark):
+    from vectordb_from_scratch_spark.operators import textops
+
+    rows = [
+        (1, "a b c d e"),          # 5 tokens
+        (2, " ".join(["w"] * 7)),  # 7 tokens → straddles the 8-cut
+        (3, ""),                    # empty: dropped
+        (4, " ".join(["x"] * 9)),  # 9 tokens → spans two full cuts
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.pack_sequences(docs, budget=8).collect()
+
+    # doc 3 never appears
+    assert not any(r.doc_id == 3 for r in out)
+    # spans are half-open, non-empty, inside their window
+    for r in out:
+        assert 0 < r.n_tokens_in_seq == r.tok_end - r.tok_start
+        assert r.tok_start >= r.seq_id * 8 and r.tok_end <= (r.seq_id + 1) * 8
+    # every full window is exactly filled; only the last may be partial
+    per_seq = {}
+    for r in out:
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.n_tokens_in_seq
+    last = max(per_seq)
+    for sid, n in per_seq.items():
+        assert n == 8 or sid == last
+    # total tokens conserved: 5 + 7 + 9
+    assert sum(per_seq.values()) == 21
+    # doc 2 straddles windows 1 and 2 (starts at offset 5)
+    d2 = sorted((r.seq_id, r.n_tokens_in_seq) for r in out if r.doc_id == 2)
+    assert d2 == [(0, 3), (1, 4)]

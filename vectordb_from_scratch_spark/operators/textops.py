@@ -14,6 +14,7 @@ from ..sources.tables import spread
 
 __all__ = [
     "token_stats",
+    "pack_sequences",
     "quality_scores",
     "lang_id",
     "fingerprints",
@@ -53,6 +54,81 @@ def token_stats(documents: DataFrame, text_col: str = "text", id_col: str = "doc
         X.token_count(t).alias("n_tokens"),
         bpe_ish.alias("n_subtokens"),
         F.length(t).alias("n_chars_measured"),
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sequence packing — the concat-and-slice step every
+    pretraining pipeline runs before batching: documents are laid out in
+    deterministic id order on one global token axis and cut into
+    `budget`-token context windows; a document whose tokens straddle a
+    cut contributes a slice to both windows.
+
+    Output: one row per (seq_id, doc) overlap —
+      (seq_id, doc_id, tok_start, tok_end, n_tokens_in_seq)
+    with tok_start/tok_end the half-open token span of the doc INSIDE
+    that sequence (so sum(n_tokens_in_seq) over a seq_id = budget except
+    the final partial window).
+
+    Plan shape: token counts are a narrow projection; the global cumsum
+    is TWO-LEVEL — range-repartition by id, per-partition running totals
+    (window partitioned by spark_partition_id, so no single-partition
+    window anywhere near the data), then partition offsets computed on
+    the ≤numPartitions-row summary and broadcast back. A naive
+    Window.orderBy(id) cumsum would collapse the whole table onto one
+    task — the classic global-window scale-killer this avoids. The
+    explode is bounded by ceil(doc_tokens/budget)+1 windows per doc.
+    Oracle-twinnable: plain cumsum + generate_series in any SQL engine
+    (the two-level tree computes identical integer sums in any grouping).
+    Empty docs (0 tokens) are dropped — they occupy no span."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        F.col(id_col), X.token_count(F.col(text_col)).alias("__n")
+    ).filter(F.col("__n") > 0)
+    parts = toks.repartitionByRange(F.col(id_col).asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w1 = Window.partitionBy("__pid").orderBy(F.col(id_col).asc())
+    local = parts.withColumn("__le", F.sum("__n").over(w1))
+    # per-partition totals: tiny (one row per partition) — the only
+    # unpartitioned window runs over THIS summary, never the data
+    w0 = Window.orderBy(F.col("__pid").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        local.groupBy("__pid")
+        .agg(F.max("__le").alias("__ptot"))
+        .withColumn("__off", F.coalesce(F.sum("__ptot").over(w0), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    spans = local.join(F.broadcast(offs), "__pid").select(
+        id_col,
+        "__n",
+        (F.col("__le") + F.col("__off") - F.col("__n")).alias("__start"),
+        (F.col("__le") + F.col("__off")).alias("__end"),
+    )
+    first_bin = F.floor(F.col("__start") / budget)
+    last_bin = F.floor((F.col("__end") - 1) / budget)
+    exploded = spans.select(
+        id_col,
+        "__start",
+        "__end",
+        F.explode(F.sequence(first_bin, last_bin)).alias("seq_id"),
+    )
+    in_start = F.greatest(F.col("__start"), F.col("seq_id") * budget)
+    in_end = F.least(F.col("__end"), (F.col("seq_id") + 1) * budget)
+    return exploded.select(
+        F.col("seq_id").cast("long"),
+        F.col(id_col),
+        in_start.cast("long").alias("tok_start"),
+        in_end.cast("long").alias("tok_end"),
+        (in_end - in_start).cast("long").alias("n_tokens_in_seq"),
     )
 
 

@@ -2636,6 +2636,48 @@ def _q_rag_ingest(spark, sf_dir):
     )
 
 
+_PACK_BUDGET = 256
+
+
+@_register(
+    "pipeline_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len({_TOK}) AS n FROM documents
+      WHERE len({_TOK}) > 0
+    ),
+    spans AS (
+      SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS s,
+             sum(n) OVER (ORDER BY doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, s, e,
+             unnest(generate_series((s // {_PACK_BUDGET})::BIGINT,
+                                    ((e - 1) // {_PACK_BUDGET})::BIGINT)) AS seq_id
+      FROM spans
+    )
+    SELECT seq_id::BIGINT AS seq_id, doc_id,
+           greatest(s, seq_id * {_PACK_BUDGET})::BIGINT AS tok_start,
+           least(e, (seq_id + 1) * {_PACK_BUDGET})::BIGINT AS tok_end,
+           (least(e, (seq_id + 1) * {_PACK_BUDGET})
+            - greatest(s, seq_id * {_PACK_BUDGET}))::BIGINT AS n_tokens_in_seq
+    FROM ex
+    """,
+    doc="Token-budget sequence packing (textops.pack_sequences): documents "
+    "laid out on one global token axis in id order and cut into "
+    f"{_PACK_BUDGET}-token context windows, docs splitting across cuts — "
+    "the concat-and-slice packing step of a pretraining batcher; one "
+    "range-partitioned cumsum window, value-exact oracle",
+)
+def _q_pack_sequences(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textops.pack_sequences(d, budget=_PACK_BUDGET)
+
+
 _PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_PHONE = r"\+\d[\d -]{7,}\d"
@@ -3801,6 +3843,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_srp_filtered_overfetch",
     "ann_ivf_filtered_knn",
     "ann_ivf_sq8_knn",
+    "pipeline_pack_sequences",
     # round-2's red cell (TIMESTAMP_NTZ) — re-verify the load_table fix
     "rel_events_sessionize",
     # broken by the same bug but invisible in r2 artifacts (not in the
