@@ -177,3 +177,23 @@ def test_prefilter_predicate_pushes_to_parquet_scan(spark):
     )
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(label), EqualTo(label,1)]" in plan
+
+
+def test_filter_composes_with_quantized_ivf(ray_table, ray_probe):
+    """The full serve composition: metadata filter × IVF routing × SQ8
+    codes × exact re-rank — results must match exact filtered k-NN when
+    every list is probed and the shortlist covers the candidates."""
+    cent = ann.build_ivf_det(ray_table, n_lists=2, iters=2)
+    v = ray_table.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent)
+    idx = ann.ivf_sq8_index(assigned)
+    res = ann.ann_knn_ivf_sq8(
+        idx, cent, ray_probe, k=3, n_probe=2, rerank=40,
+        raw=assigned.select("id", "vec"),
+        predicate=_good(), attrs=ray_table, attrs_id_col="vec_id",
+    ).collect()
+    assert [r.id for r in res] == [31, 32, 33]
+    assert [r.rank for r in res] == [1, 2, 3]

@@ -206,7 +206,8 @@ def main() -> int:
             .withColumn("pfx", F.substring("fp", 1, 2))
         )
         (
-            hist.write.mode("overwrite")
+            hist.repartition(F.col("pfx"))  # 1 file per (batch_id, pfx) dir
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "pfx")
             .parquet(base + "/state")

@@ -714,12 +714,21 @@ def ann_knn_ivf_sq8(
     *,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
+    predicate: Column | None = None,
+    attrs: DataFrame | None = None,
+    attrs_id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF-SQ8 search: route each query to its n_probe nearest centroids,
     scan ONLY those lists over the int8 codes with asymmetric distance
     (raw query vs decoded codes — decode pipelines inside the scan
     stage, never materialized), then optionally exact-re-rank the
     ``rerank``-deep shortlist against the raw vectors.
+
+    ``predicate`` over ``attrs`` composes the metadata filter with the
+    quantized path exactly as on the raw IVF/SRP paths: qualifying-id
+    semi-join prunes code candidates BEFORE the shortlist window, so
+    both the shortlist and the final top-k fill from qualifying rows
+    only (filter × index × quantization — the full serve composition).
 
     rerank=0 (or raw=None) returns the code-only result ranked by
     asymmetric distance. With rerank ≥ k and ``raw`` (id, vec), the
@@ -755,6 +764,11 @@ def ann_knn_ivf_sq8(
         "id",
         vm.euclidean_distance("__qvec", decoded).alias("adist"),
     )
+    if predicate is not None:
+        if attrs is None:
+            raise ValueError("filtered search needs BOTH predicate and attrs")
+        qualifying = attrs.filter(predicate).select(F.col(attrs_id_col).alias("id"))
+        cands = cands.join(qualifying, "id", "left_semi")
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("id").asc())
     if not rerank or raw is None:
         return (

@@ -131,6 +131,13 @@ def dedup_stream_foreach_batch(
                         F.lit(batch_id).alias("batch_id"),
                         F.col("__pfx").alias("pfx"),
                     )
+                    # co-locate each bucket before the partitioned write:
+                    # without this every upstream task writes its own file
+                    # into every (batch_id, pfx) dir — a small-files blowup
+                    # (tasks × buckets files/batch) that dominates probe
+                    # cost as history accrues. One digest-only shuffle of
+                    # the batch buys one file per bucket per batch.
+                    .repartition(F.col("pfx"))
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("batch_id", "pfx")
