@@ -2208,15 +2208,23 @@ _IVF_SQ8_RERANK = 20
     "composed WITH the index instead of standing alone)",
 )
 def _q_ivf_sq8_knn(spark, sf_dir):
+    from ..operators.cache import track
+
     e = _t(spark, sf_dir, "embeddings")
-    cent = ann.build_ivf_det(
+    # cent feeds the assignment AND the probe-routing broadcast; assigned
+    # feeds BOTH the code index and the raw re-rank side. Without the
+    # persists the unrolled det-IVF build would re-execute once per
+    # consuming branch in one plan (in production index+centroids are
+    # written tables — this is the session-local stand-in, released per
+    # query by release_caches)
+    cent = track(ann.build_ivf_det(
         e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
-    )
+    ))
     v = e.select(
         F.col("vec_id").cast("long").alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
-    assigned = ann.assign_ivf_det(v, cent)
+    assigned = track(ann.assign_ivf_det(v, cent))
     idx = ann.ivf_sq8_index(assigned)
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
