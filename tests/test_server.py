@@ -283,3 +283,62 @@ def test_persistence_roundtrip(spark, tmp_path):
     reloaded = _load(spark, str(tmp_path), "euclidean")
     assert sorted(reloaded.list_ids()) == ["a"]
     assert reloaded.get_metadata("a") == {"k": "v"}
+
+
+# -- ANN serving mode (reference server runs over HnswIndex, mod.rs:39) ----
+
+
+def test_store_ann_mode_search(spark):
+    from vectordb_from_scratch_spark.operators.store import VectorStore
+
+    store = VectorStore.empty(spark)
+    # one tight cluster + one far cluster: same SRP bucket within each
+    items = [(f"a{i}", [1.0 + i * 0.01, 1.0, 1.0, 1.0], {"grp": "a"}) for i in range(5)]
+    items += [(f"b{i}", [-1.0 - i * 0.01, -1.0, -1.0, -1.0], {"grp": "b"}) for i in range(5)]
+    store = store.insert_batch(items).with_ann(nbits=2, n_tables=2, multiprobe=1)
+    res = store.search([1.0, 1.0, 1.0, 1.0], k=3)
+    assert res, "ann search returned nothing"
+    assert res[0][0] == "a0" and abs(res[0][1]) < 1e-9  # self-ish match first
+    assert all(i.startswith("a") for i, _ in res)        # near cluster only
+
+
+def test_store_ann_mode_filtered_search(spark):
+    from vectordb_from_scratch_spark.operators.store import VectorStore
+
+    store = VectorStore.empty(spark)
+    items = [(f"a{i}", [1.0 + i * 0.01, 1.0, 1.0, 1.0],
+              {"grp": "even" if i % 2 == 0 else "odd"}) for i in range(6)]
+    store = store.insert_batch(items).with_ann(nbits=2, n_tables=2, multiprobe=1)
+    res = store.search_with_filter(
+        [1.0, 1.0, 1.0, 1.0], 3, {"eq": {"field": "grp", "value": "even"}}
+    )
+    assert res and [i for i, _ in res] == ["a0", "a2", "a4"]
+
+
+def test_serve_index_srp_over_http(spark, tmp_path):
+    import json
+    import threading
+    import urllib.request
+
+    from vectordb_from_scratch_spark.operators.store import VectorStore
+    from vectordb_from_scratch_spark.server import AppState, make_server
+
+    store = VectorStore.empty(spark).insert_batch(
+        [(f"v{i}", [float(i), float(i)], {}) for i in range(1, 9)]
+    ).with_ann(nbits=2, n_tables=1, multiprobe=1)
+    httpd = make_server(AppState(store))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"vector": [3.0, 3.0], "k": 2}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        assert out and out[0]["id"] == "v3" and out[0]["distance"] == 0.0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

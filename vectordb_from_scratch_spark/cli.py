@@ -114,6 +114,11 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
     )
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8080)
+    p_serve.add_argument(
+        "--index", default="exact", choices=["exact", "srp"],
+        help="search path: exact FlatIndex scan or SRP-LSH approximate "
+        "index (the reference server's HnswIndex analog)",
+    )
 
     args = ap.parse_args(argv)
     own_session = spark is None
@@ -123,7 +128,7 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
             from .server import serve
 
             serve(spark, data_dir=args.data_dir, host=args.host,
-                  port=args.port, metric=args.metric)
+                  port=args.port, metric=args.metric, index=args.index)
             return 0
         store = _load(spark, args.data_dir, args.metric)
         if args.cmd == "insert":

@@ -45,12 +45,38 @@ class VectorStore:
     df: DataFrame
     dimension: Optional[int] = None
     metric: str = "euclidean"
+    # approximate-index mode: SRP-LSH params (nbits, n_tables, seed,
+    # multiprobe) — the facade analog of the reference's generic
+    # VectorStore<I: Index> instantiated with HnswIndex (its production
+    # server serves the ANN index, src/server/mod.rs:39). None = exact
+    # FlatIndex behavior.
+    ann_params: Optional[dict] = None
 
     # -- construction -------------------------------------------------------
 
     @classmethod
     def empty(cls, spark: SparkSession, metric: str = "euclidean") -> "VectorStore":
         return cls(spark, spark.createDataFrame([], STORE_SCHEMA), None, metric)
+
+    def with_ann(
+        self,
+        nbits: int = 4,
+        n_tables: int = 2,
+        seed: int = 42,
+        multiprobe: bool | int = 1,
+    ) -> "VectorStore":
+        """Switch the store's search path to the SRP-LSH approximate
+        index (the HnswIndex-server parity mode): every search/filtered
+        search routes through bucket probe -> exact re-rank instead of
+        the full scan. May return fewer than k rows for sparse buckets —
+        the same recall/latency trade the reference's ANN serve path
+        makes; multiprobe widens the beam (ef analog)."""
+        return replace(
+            self,
+            ann_params=dict(
+                nbits=nbits, n_tables=n_tables, seed=seed, multiprobe=multiprobe
+            ),
+        )
 
     # -- writes (return a NEW store; reference mutates in place) ------------
 
@@ -132,10 +158,19 @@ class VectorStore:
         if kmax <= 0:
             return [[] for _ in queries]
         qdf = self._query_df(queries)
-        res = knn.knn(
-            self.df, qdf.drop("k"), k=kmax, metric=self.metric,
-            id_col="id", vec_col="embedding",
-        )
+        if self.ann_params is not None and self.dimension is not None:
+            from . import ann
+
+            res = ann.ann_knn_srp(
+                self.df, qdf.drop("k"), k=kmax, metric=self.metric,
+                dim=self.dimension, id_col="id", vec_col="embedding",
+                **self.ann_params,
+            )
+        else:
+            res = knn.knn(
+                self.df, qdf.drop("k"), k=kmax, metric=self.metric,
+                id_col="id", vec_col="embedding",
+            )
         res = (
             res.join(F.broadcast(qdf.select("query_id", "k")), "query_id")
             .filter(F.col("rank") <= F.col("k"))

@@ -335,16 +335,27 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 8080,
     metric: str = "euclidean",
+    index: str = "exact",
 ) -> None:
     """Blocking serve loop — the CLI `serve` command (reference
     src/main.rs serve dispatch). Loads a snapshot from `data_dir` when
-    given (and persists writes back), else starts empty."""
+    given (and persists writes back), else starts empty.
+
+    ``index="srp"`` serves searches through the SRP-LSH approximate
+    index (bucket probe → exact re-rank) — parity with the reference's
+    production server, which serves over HnswIndex
+    (src/server/mod.rs:39), not the flat scan; "exact" keeps FlatIndex
+    behavior. Filtered search composes with either path."""
     if data_dir is not None:
         from .cli import _load
 
         store = _load(spark, data_dir, metric)
     else:
         store = VectorStore.empty(spark, metric=metric)
+    if index == "srp":
+        store = store.with_ann()
+    elif index != "exact":
+        raise ValueError(f"unknown index mode {index!r}; expected exact|srp")
     httpd = make_server(AppState(store, data_dir=data_dir), host, port)
     print(f"serving on http://{host}:{httpd.server_address[1]}")
     try:
