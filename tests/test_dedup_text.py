@@ -380,3 +380,22 @@ def test_lsh_bucket_cap_keeps_under_cap_candidates(spark):
     want = {(1000 + 2 * p, 1001 + 2 * p) for p in range(10)}
     assert want <= got                      # full recall on under-cap buckets
     assert not any(a < 100 and b < 100 for a, b in got)  # mega-bucket gone
+
+
+def test_bigram_logprob_known_values(spark):
+    """Hand-computed MLE: corpus 'a b a b' + 'a b c' gives
+    c(a,b)=3, c(b,a)=1, c(b,c)=1; prefixes a:3, b:2 →
+    d1 = (ln1 + ln.5 + ln1)/3, d2 = (ln1 + ln.5)/2; 1-token docs drop."""
+    import math
+
+    from vectordb_from_scratch_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.bigram_logprob, r.n_bigrams)
+           for r in textops.bigram_logprob(docs).collect()}
+    assert 3 not in out
+    assert out[1][1] == 3 and out[2][1] == 2
+    assert abs(out[1][0] - round(math.log(0.5) / 3, 6)) < 1e-9
+    assert abs(out[2][0] - round(math.log(0.5) / 2, 6)) < 1e-9

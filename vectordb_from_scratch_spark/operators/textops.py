@@ -24,6 +24,7 @@ __all__ = [
     "chunk_documents",
     "vocabulary",
     "repetition_metrics",
+    "bigram_logprob",
     "pii_scrub",
     "PII_PATTERNS",
     "LANG_MARKERS",
@@ -578,6 +579,67 @@ PII_PATTERNS: dict[str, str] = {
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
     "phone": r"\+\d[\d -]{7,}\d",
 }
+
+
+def bigram_logprob(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-corpus bigram LM score — the KenLM-style quality signal
+    (public pretraining recipes score documents by n-gram LM perplexity;
+    here the LM is the corpus itself, so the operator is closed-form and
+    deterministic): per doc, the mean log MLE probability
+    ln(c(w1,w2)/c_prefix(w1)) over its token bigrams. Low scores mark
+    documents whose word transitions are rare in the corpus — gibberish,
+    boilerplate soup, wrong-language fragments.
+
+    Determinism: every count ratio is an exact small-integer division;
+    the per-doc mean folds ln values in token order (array_sort by
+    position → left fold), so the double result is partition-invariant
+    and engine-portable. Plan: one explode, two bounded aggregations
+    (bigram + prefix counts, vocabulary-sized), two equi-joins back —
+    no driver-side anything; per-doc collect_list bounded by doc length.
+    Docs with <2 tokens are dropped (no bigrams, no score)."""
+    toks = documents.select(F.col(id_col), X.tokens(text_col).alias("__w")).filter(
+        F.size("__w") >= 2
+    )
+    n = F.size("__w")
+    b = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.zip_with(
+                F.slice("__w", 1, n - 1),
+                F.slice("__w", F.lit(2), n - 1),
+                lambda a, c: F.struct(a.alias("g1"), c.alias("g2")),
+            )
+        ).alias("pos", "bg"),
+    ).select(
+        F.col(id_col),
+        (F.col("pos") + 1).alias("pos"),
+        F.col("bg.g1").alias("g1"),
+        F.col("bg.g2").alias("g2"),
+    )
+    bc = b.groupBy("g1", "g2").agg(F.count(F.lit(1)).alias("c"))
+    pc = b.groupBy("g1").agg(F.count(F.lit(1)).alias("cp"))
+    lp = (
+        b.join(bc, ["g1", "g2"])
+        .join(pc, ["g1"])
+        .select(
+            F.col(id_col),
+            "pos",
+            F.log(F.col("c").cast("double") / F.col("cp").cast("double")).alias("l"),
+        )
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "l"))), lambda s: s["l"]
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return lp.groupBy(id_col).agg(
+        F.round(fold / F.count(F.lit(1)), 6).alias("bigram_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
 
 
 def pii_scrub(

@@ -2686,6 +2686,37 @@ def _q_pack_sequences(spark, sf_dir):
     return textops.pack_sequences(d, budget=_PACK_BUDGET)
 
 
+@_register(
+    "text_bigram_logprob",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    b AS (
+      SELECT doc_id, i AS pos, w[i] AS g1, w[i + 1] AS g2
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2)
+    ),
+    bc AS (SELECT g1, g2, count(*) AS c FROM b GROUP BY g1, g2),
+    pc AS (SELECT g1, count(*) AS cp FROM b GROUP BY g1),
+    lp AS (
+      SELECT b.doc_id, b.pos, ln(bc.c::DOUBLE / pc.cp::DOUBLE) AS l
+      FROM b JOIN bc USING (g1, g2) JOIN pc USING (g1)
+    )
+    SELECT doc_id,
+           round({_sql_fold_sum("list_transform(list_sort(list(struct_pack(p := pos, l := l))), x -> x.l)")}
+                 / count(*), 6) AS bigram_logprob,
+           count(*) AS n_bigrams
+    FROM lp GROUP BY doc_id
+    """,
+    doc="Self-corpus bigram LM quality score (textops.bigram_logprob): mean "
+    "ln MLE transition probability per doc — the KenLM-style perplexity "
+    "signal of public pretraining recipes, closed-form over the corpus "
+    "itself; token-order fold keeps the double partition-invariant and "
+    "engine-portable",
+)
+def _q_bigram_logprob(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textops.bigram_logprob(d)
+
+
 _PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_PHONE = r"\+\d[\d -]{7,}\d"
@@ -3852,6 +3883,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_ivf_filtered_knn",
     "ann_ivf_sq8_knn",
     "pipeline_pack_sequences",
+    "text_bigram_logprob",
     # round-2's red cell (TIMESTAMP_NTZ) — re-verify the load_table fix
     "rel_events_sessionize",
     # broken by the same bug but invisible in r2 artifacts (not in the
