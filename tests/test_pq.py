@@ -1,0 +1,164 @@
+"""Product quantization (operators/pq.py): codebook determinism, code
+validity, the ADC identity (subspace-distance sums reassemble the full
+euclidean to the RECONSTRUCTED vector), filter composition, exact
+re-rank, and the IVF-PQ compose. The value-exact registry twins
+(ann_pq_adc_knn / knn_pq_recall / ann_ivf_pq_knn) check engine parity;
+these tests check the algebra."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.functions import vectormath as vm
+from vectordb_from_scratch_spark.operators import ann, knn, pq
+from vectordb_from_scratch_spark.sources import load_table
+
+from conftest import SF_SMOKE
+
+M, KS, DIM, D_SUB = 8, 8, 64, 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    e.persist().count()
+    return e
+
+
+@pytest.fixture(scope="module")
+def cb(spark, emb):
+    c = pq.pq_codebook(emb, m=M, ks=KS, dim=DIM, iters=1)
+    c.persist().count()
+    return c
+
+
+@pytest.fixture(scope="module")
+def codes(spark, emb, cb):
+    c = pq.pq_encode(emb, cb, M, D_SUB)
+    c.persist().count()
+    return c
+
+
+@pytest.fixture(scope="module")
+def probes(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+
+
+def test_codebook_shape_and_determinism(emb, cb):
+    rows = cb.collect()
+    assert len(rows) == M * KS
+    assert {(r.sub, r.code) for r in rows} == {
+        (s, c) for s in range(M) for c in range(KS)
+    }
+    assert all(len(r.cvec) == D_SUB for r in rows)
+    again = {
+        (r.sub, r.code): r.cvec
+        for r in pq.pq_codebook(emb, m=M, ks=KS, dim=DIM, iters=1).collect()
+    }
+    for r in rows:
+        assert again[(r.sub, r.code)] == r.cvec  # bit-identical rebuild
+
+
+def test_codes_valid_and_complete(emb, codes):
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r.codes) == M
+        assert all(0 <= c < KS for c in r.codes)
+
+
+def test_adc_distance_is_reconstruction_distance(emb, cb, codes, probes):
+    """ADC(q, codes) must equal ‖q − reconstruct(codes)‖: the per-subspace
+    d² sums over disjoint dims ARE the full squared distance."""
+    res = pq.pq_adc_topk(codes, cb, probes, k=3, ks=KS, d_sub=D_SUB)
+    cbm = {(r.sub, r.code): r.cvec for r in cb.collect()}
+    code_map = {r.id: r.codes for r in codes.collect()}
+    qm = {r.query_id: [float(x) for x in r.query_embedding] for r in probes.collect()}
+    for r in res.collect():
+        recon = [x for s in range(M) for x in cbm[(s, code_map[r.id][s])]]
+        q = qm[r.query_id]
+        expect = math.sqrt(sum((a - b) ** 2 for a, b in zip(q, recon)))
+        assert r.distance == pytest.approx(expect, rel=1e-9)
+
+
+def test_adc_topk_ranks_and_ties(codes, cb, probes):
+    res = pq.pq_adc_topk(codes, cb, probes, k=5, ks=KS, d_sub=D_SUB).collect()
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(r.distance, r.id) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_filtered_adc_prefilter_semantics(emb, cb, codes, probes):
+    res = pq.pq_adc_topk(
+        codes, cb, probes, k=5, ks=KS, d_sub=D_SUB,
+        predicate=F.col("label") == 1, attrs=emb,
+    )
+    good = {r.vec_id for r in emb.filter(F.col("label") == 1).collect()}
+    rows = res.collect()
+    assert rows and all(r.id in good for r in rows)
+    # pre-filter fills k from qualifying rows (no starvation) when enough exist
+    n_queries = 5
+    if len(good) >= 5:
+        assert len(rows) == n_queries * 5
+
+
+def test_rerank_returns_exact_distances(emb, cb, codes, probes):
+    raw = emb.select(
+        F.col("vec_id").cast("long").alias("id"), vm.as_double("embedding").alias("vec")
+    )
+    n = emb.count()
+    full = pq.pq_adc_topk(
+        codes, cb, probes, k=10, ks=KS, d_sub=D_SUB, rerank=n, raw=raw
+    )
+    exact = knn.knn(emb, probes, k=10, metric="euclidean", strategy="window")
+    got = {(r.query_id, r.id): r.distance for r in full.collect()}
+    want = {(r.query_id, r.id): r.distance for r in exact.collect()}
+    # rerank over the FULL table is exact k-NN, rank for rank
+    assert got.keys() == want.keys()
+    for k_ in got:
+        assert got[k_] == pytest.approx(want[k_], rel=1e-9)
+
+
+def test_ivf_pq_subset_of_probed_lists(emb, cb, probes):
+    cent = ann.build_ivf_det(emb, n_lists=4, iters=1)
+    cent.persist().count()
+    v = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent)
+    assigned.persist().count()
+    idx = pq.ivf_pq_index(assigned, cb, M, D_SUB, id_col="id", vec_col="vec")
+    res = pq.ann_knn_ivf_pq(
+        idx, cent, cb, probes, k=5, n_probe=2, ks=KS, d_sub=D_SUB,
+        rerank=20, raw=assigned.select("id", "vec"),
+    )
+    lists = {r.id: r.list_id for r in assigned.join(
+        idx.select("id"), "id", "left_semi").select("id", "list_id").collect()}
+    # every result id lives in one of its query's 2 probed lists
+    routed = {}
+    centers = cent.collect()
+    for p in probes.collect():
+        q = [float(x) for x in p.query_embedding]
+        ds = sorted(
+            (math.sqrt(sum((a - b) ** 2 for a, b in zip(q, c.cvec))), c.list_id)
+            for c in centers
+        )
+        routed[p.query_id] = {lid for _, lid in ds[:2]}
+    rows = res.collect()
+    assert rows
+    for r in rows:
+        assert lists[r.id] in routed[r.query_id]
+    cent.unpersist()
+    assigned.unpersist()

@@ -46,6 +46,15 @@ EXCHANGE_BUDGETS = {
     # far fewer (5 InMemoryTableScans confirm the reuse)
     "ann_ivf_sq8_knn": 50,
     "ivf_recall_curve": 200,          # 4 configs × unrolled det-IVF
+    # PQ family: the codebook build unrolls per-subspace det-Lloyd the
+    # same way (explode + two-level tree aggregate + join per iteration,
+    # bounded by iters=2, never by rows), and the persisted codebook/
+    # codes subtrees reprint under every InMemoryRelation consumer just
+    # like ann_ivf_sq8_knn's. Search itself adds 2-3 exchanges (LUT agg
+    # + top-k window).
+    "ann_pq_adc_knn": 35,
+    "knn_pq_recall": 80,              # exact + adc + rerank subplans unioned
+    "ann_ivf_pq_knn": 100,            # det-IVF build + PQ build in one plan
 }
 
 

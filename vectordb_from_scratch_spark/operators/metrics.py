@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["latency_report"]
+__all__ = ["latency_report", "heavy_hitters"]
 
 
 def latency_report(

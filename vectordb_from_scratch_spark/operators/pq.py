@@ -1,0 +1,390 @@
+"""Product quantization (PQ): the top rung of the compression ladder.
+
+SQ8 (functions/vectormath.py) compresses 4×, MRL prefixes 2–4×, sign-bit
+BQ 32× — PQ closes the ladder with the design FAISS made standard for
+billion-scale serving (Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011; public): split each d-dim vector
+into `m` subspaces of d/m dims, learn a small per-subspace codebook of
+`ks` centroids, and store each vector as m one-byte codes. At m=8,
+ks≤256 over 64-dim float32, that is 8 bytes/vector vs 256 — a 32×
+storage cut *with* graceful recall (unlike BQ's fixed sign bits, the
+codebooks adapt to the data distribution).
+
+Search is ADC (asymmetric distance computation): the raw query is
+compared against the codebooks ONCE into an m×ks lookup table, and every
+candidate's approximate distance is m table lookups + adds — no decode
+of the database side, ever. The LUT (m·ks doubles per query) broadcasts;
+candidates stream through one scan stage; the optional exact re-rank
+touches only the shortlist.
+
+Everything is deterministic and engine-portable, the repo's oracle
+contract: codebook init is the first `ks` vectors ordered by md5(id)
+(the same engine-portable pseudo-random draw as ann.build_ivf_det),
+Lloyd updates use the fixed two-level id-block reduction tree (sums
+independent of Spark's partitioning), assignment ties break on code asc,
+and the ADC sum folds sub-ascending. The DuckDB twin in plans/registry.py
+reproduces every value bit-for-bit.
+
+Not in the reference (it stores raw f32 and searches flat or via HNSW,
+src/vector.rs / src/hnsw/graph.rs); the parity target is the public
+FAISS IVF-PQ/ADC design re-expressed as pure DataFrame ops.
+
+Scale notes (the reason this rung exists): at 100 TB of raw vectors the
+PQ code table is ~3 TB; an IVF-routed probe over codes reads n_probe/
+n_lists of THAT, and the broadcast LUT keeps the scan stage shuffle-free
+until the final per-query top-k. Codebook training runs on a sample in
+production (the det path is the correctness spec, as with build_ivf_det).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectormath as vm
+
+__all__ = [
+    "pq_codebook", "pq_encode", "pq_adc_topk", "subvectors",
+    "ivf_pq_index", "ann_knn_ivf_pq",
+]
+
+
+def subvectors(vectors: DataFrame, m: int, d_sub: int,
+               *, id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+    """Explode (id, vec) into (id, sub, svec): m contiguous d_sub-dim
+    slices per vector. A narrow projection — no shuffle; the explode
+    multiplies rows ×m but each carries only d_sub values."""
+    slices = F.array(*[
+        F.slice(vm.as_double(vec_col), i * d_sub + 1, d_sub) for i in range(m)
+    ])
+    return vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(slices).alias("sub", "svec"),
+    )
+
+
+def _assign_codes(subvecs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-centroid code per (sub, id): euclidean over the subspace,
+    tie-break code asc — the per-subspace twin of ann.assign_ivf_det.
+    The codebook (m·ks rows) broadcasts; no shuffle beyond the window's
+    hash on (sub, id)."""
+    w = Window.partitionBy("sub", "id").orderBy(F.col("__d").asc(), F.col("code").asc())
+    return (
+        subvecs.join(F.broadcast(codebook), on="sub")
+        .withColumn("__d", vm.euclidean_distance("svec", "cvec"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("sub", "id", "svec", "code")
+    )
+
+
+def _update_codebook(assigned: DataFrame, prev: DataFrame, block: int) -> DataFrame:
+    """Lloyd update with the fixed two-level id-block reduction tree of
+    ann._det_centroids, keyed by (sub, code) instead of list_id: within
+    an id-block values fold in id order, block partials fold in block
+    order — the double sums are a function of the data, not the
+    partitioning. Empty cells keep their previous centroid (the MLlib
+    KMeans convention). Per-group collect_list is bounded by `block`."""
+    ex = assigned.select(
+        "sub", "code", "id",
+        F.expr(f"id div {block}").alias("blk"),
+        F.posexplode("svec").alias("pos", "val"),
+    )
+    fold = lambda pairs, field: F.aggregate(  # noqa: E731
+        F.transform(F.array_sort(pairs), lambda s: s[field]),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    l1 = ex.groupBy("sub", "code", "pos", "blk").agg(
+        fold(F.collect_list(F.struct("id", "val")), "val").alias("s1"),
+        F.count("*").alias("n1"),
+    )
+    l2 = l1.groupBy("sub", "code", "pos").agg(
+        fold(F.collect_list(F.struct("blk", "s1")), "s1").alias("s"),
+        F.sum("n1").alias("n"),
+    )
+    mean = l2.select("sub", "code", "pos", (F.col("s") / F.col("n")).alias("m"))
+    newc = mean.groupBy("sub", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cvec")
+    )
+    return (
+        prev.alias("p")
+        .join(newc.alias("n"), ["sub", "code"], "left")
+        .select("sub", "code", F.coalesce(F.col("n.cvec"), F.col("p.cvec")).alias("cvec"))
+    )
+
+
+def pq_codebook(
+    vectors: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    iters: int = 1,
+    *,
+    block: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebook: (sub int, code int, cvec array<double>),
+    m·ks rows. Init takes the first `ks` vectors ordered by md5(id) and
+    slices them — codebook cell (sub, c) starts as seed c's sub-th slice
+    — then runs `iters` det-Lloyd rounds per subspace (all subspaces
+    train in ONE job chain; sub is just a grouping key). No collect
+    anywhere; the result is a tiny DataFrame callers broadcast."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("id"), vm.as_double(vec_col).alias("vec")
+    )
+    seed_key = F.md5(F.col("id").cast("string"))
+    seeds = v.orderBy(seed_key.asc(), F.col("id").asc()).limit(ks)
+    w = Window.orderBy(seed_key.asc(), F.col("id").asc())  # over ks rows only
+    coded = seeds.select(
+        (F.row_number().over(w) - 1).cast("int").alias("code"), "vec"
+    )
+    cb = subvectors(coded, m, d_sub, id_col="code", vec_col="vec").select(
+        "sub", F.col("id").cast("int").alias("code"), F.col("svec").alias("cvec")
+    )
+    sv = subvectors(v, m, d_sub)
+    for _ in range(iters):
+        cb = _update_codebook(_assign_codes(sv, cb), cb, block)
+    return cb
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    d_sub: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its m nearest-subspace-centroid codes:
+    (id long, codes array<int>), codes ordered sub-ascending. This is
+    the stored index — ~m bytes/vector in parquet (int codes ≤ ks
+    dictionary-encode to ~1 byte) vs 4·dim raw."""
+    v = vectors.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+    assigned = _assign_codes(subvectors(v, m, d_sub, id_col=id_col, vec_col=vec_col),
+                             codebook)
+    return assigned.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ks: int = 16,
+    d_sub: int = 8,
+    rerank: int = 0,
+    raw: DataFrame | None = None,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    predicate: Column | None = None,
+    attrs: DataFrame | None = None,
+    attrs_id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC search over PQ codes: build each query's m×ks lookup table of
+    squared subspace distances ONCE (queries ⨯ codebook — both tiny),
+    flatten it to an array indexed [sub·ks + code], broadcast it, and
+    score every candidate as sqrt(Σ_sub lut[sub·ks + codes[sub]]) — m
+    lookups and adds per row, zero decode, folded sub-ascending so the
+    double result is engine-exact.
+
+    ``predicate`` over ``attrs`` composes the metadata filter exactly as
+    on the SQ8/IVF/SRP paths: a qualifying-id semi-join prunes
+    candidates before the top-k window (pre-filter semantics — no
+    starvation). With ``rerank`` ≥ k and ``raw`` (id, vec), the
+    rerank-deep shortlist broadcasts into one join against the raw
+    vectors for an exact euclidean final ranking — the standard
+    two-stage PQ serving design.
+
+    Returns (query_id, id, distance, rank); `distance` is the ADC
+    approximation unless re-ranked."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        vm.as_double(query_vec_col).alias("__qvec"),
+    )
+    qslice = F.slice(F.col("__qvec"), F.col("sub") * d_sub + 1, F.lit(d_sub))
+    lut = (
+        q.crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id", "__qvec", "sub", "code",
+            vm.squared_euclidean(qslice, F.col("cvec")).alias("d2"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.first("__qvec").alias("__qvec"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code", "d2"))),
+                lambda s: s["d2"],
+            ).alias("__lut"),
+        )
+    )
+    adist = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("codes"),
+                lambda c, i: F.element_at(F.col("__lut"), (i * ks + c + 1).cast("int")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    cands = codes.crossJoin(F.broadcast(lut)).select(
+        "query_id", "__qvec", "id", adist.alias("adist")
+    )
+    if predicate is not None:
+        if attrs is None:
+            raise ValueError("filtered search needs BOTH predicate and attrs")
+        qualifying = attrs.filter(predicate).select(F.col(attrs_id_col).alias("id"))
+        cands = cands.join(qualifying, "id", "left_semi")
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("id").asc())
+    if not rerank or raw is None:
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "id", F.col("adist").alias("distance"), "rank")
+        )
+    shortlist = (
+        cands.withColumn("__sr", F.row_number().over(w))
+        .filter(F.col("__sr") <= rerank)
+        .select("query_id", "__qvec", "id")
+    )
+    exact = raw.join(F.broadcast(shortlist), on="id").select(
+        "query_id", "id", vm.euclidean_distance("__qvec", "vec").alias("distance")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc_nulls_last(), F.col("id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
+
+
+def ivf_pq_index(
+    assigned: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    d_sub: int,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """IVF × PQ — the full FAISS-style coarse-then-fine layout: each row
+    keeps (id, list_id, codes). Written partitioned by list_id, a probe
+    reads n_probe partitions of ~m-byte codes — the two compression
+    levers (read fewer rows × read fewer bytes per row) multiplied.
+    Non-residual variant: codes quantize the RAW vector, not the
+    residual vs the coarse centroid (residual PQ needs a per-(query,
+    list) LUT; the shared-LUT form keeps ADC one broadcast — the
+    accuracy gap is re-ranked away downstream)."""
+    codes = pq_encode(assigned, codebook, m, d_sub, id_col=id_col, vec_col=vec_col)
+    lists = assigned.select(F.col(id_col).cast("long").alias("id"), "list_id")
+    return codes.join(lists, on="id")
+
+
+def ann_knn_ivf_pq(
+    index: DataFrame,
+    centers: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    ks: int = 16,
+    d_sub: int = 8,
+    rerank: int = 0,
+    raw: DataFrame | None = None,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """IVF-PQ search: route each query to its n_probe nearest coarse
+    centroids (ann.ann_knn_ivf's routing shape), scan ONLY those lists'
+    PQ codes with ADC (broadcast LUT, m lookups/row), then optionally
+    exact-re-rank the shortlist against raw vectors. The distances and
+    candidate sets are bit-deterministic, so the whole compose is
+    value-exact oracle-twinnable (plans/registry.py ann_ivf_pq_knn)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        vm.as_double(query_vec_col).alias("__qvec"),
+    )
+    centers_df = F.broadcast(centers.select("list_id", F.col("cvec").alias("center")))
+    w_route = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("list_id").asc()
+    )
+    routed = (
+        q.crossJoin(centers_df)
+        .select(
+            "query_id", "__qvec", "list_id",
+            vm.euclidean_distance("__qvec", "center").alias("cdist"),
+        )
+        .withColumn("__r", F.row_number().over(w_route))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "list_id")
+    )
+    qslice = F.slice(F.col("__qvec"), F.col("sub") * d_sub + 1, F.lit(d_sub))
+    lut = (
+        q.crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id", "__qvec", "sub", "code",
+            vm.squared_euclidean(qslice, F.col("cvec")).alias("d2"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.first("__qvec").alias("__qvec"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code", "d2"))),
+                lambda s: s["d2"],
+            ).alias("__lut"),
+        )
+    )
+    adist = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("codes"),
+                lambda c, i: F.element_at(F.col("__lut"), (i * ks + c + 1).cast("int")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    cands = (
+        index.join(F.broadcast(routed), on="list_id")
+        .join(F.broadcast(lut), on="query_id")
+        .select("query_id", "__qvec", "id", adist.alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("id").asc())
+    if not rerank or raw is None:
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "id", F.col("adist").alias("distance"), "rank")
+        )
+    shortlist = (
+        cands.withColumn("__sr", F.row_number().over(w))
+        .filter(F.col("__sr") <= rerank)
+        .select("query_id", "__qvec", "id")
+    )
+    exact = raw.join(F.broadcast(shortlist), on="id").select(
+        "query_id", "id", vm.euclidean_distance("__qvec", "vec").alias("distance")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc_nulls_last(), F.col("id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )

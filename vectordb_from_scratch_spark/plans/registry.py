@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..functions import vectormath as vm
-from ..operators import ann, crud, dedup, filters, knn, sampling, textops
+from ..operators import ann, crud, dedup, filters, knn, pq, sampling, textops
 from ..sources import load_table
 from . import relational as rel
 
@@ -2235,6 +2235,375 @@ def _q_ivf_sq8_knn(spark, sf_dir):
         rerank=_IVF_SQ8_RERANK, raw=assigned.select("id", "vec"),
     )
     return res.withColumn("distance", F.round("distance", 6))
+
+
+# Product quantization (operators/pq.py): m=16 subspaces of 4 dims over
+# the 64-dim embeddings, ks=32 codes each → 16 bytes/vector (16× cut).
+# Deterministic end-to-end (md5-seeded init, fixed-tree Lloyd, sub-
+# ascending ADC fold), so every rung below is value-exact in DuckDB.
+_PQ = {"m": 16, "ks": 32, "d_sub": 4, "iters": 2, "block": 4096, "k": 10,
+       "rerank": 100}
+
+
+def _sql_pq_ctes(include_v: bool = True) -> str:
+    """Unrolled DuckDB twin of pq.pq_codebook + pq.pq_encode: md5-ordered
+    seed slices, per-(sub, code) fixed-tree Lloyd updates, final
+    assignment grouped into per-id code lists. CTE names are prefixed
+    (psubs/sv/cb*/pa*/pcodes) so the block composes with
+    _sql_ivf_det_ctes in one WITH clause (ann_ivf_pq_knn)."""
+    p = _PQ
+    m, ks, d_sub = p["m"], p["ks"], p["d_sub"]
+
+    def assign(name: str, cb: str) -> str:
+        return f"""{name} AS (
+      SELECT sub, id, svec, code FROM (
+        SELECT t.sub, t.id, t.svec, c.code,
+               row_number() OVER (PARTITION BY t.sub, t.id
+                 ORDER BY {_sql_euclid('t.svec', 'c.cvec')} ASC, c.code ASC) AS rn
+        FROM sv t JOIN {cb} c ON c.sub = t.sub) WHERE rn = 1
+    )"""
+
+    def update(i: int, assigned: str, prev: str, out: str) -> str:
+        return f"""pe{i} AS (
+      SELECT sub, code, id, id // {p['block']} AS blk,
+             unnest(generate_series(1, len(svec))) - 1 AS pos,
+             unnest(svec) AS val
+      FROM {assigned}
+    ),
+    pl1_{i} AS (
+      SELECT sub, code, pos, blk,
+             {_sql_fold_sum("list_transform(list_sort(list(struct_pack(i := id, v := val))), s -> s.v)")} AS s1,
+             count(*) AS n1
+      FROM pe{i} GROUP BY sub, code, pos, blk
+    ),
+    pl2_{i} AS (
+      SELECT sub, code, pos,
+             {_sql_fold_sum("list_transform(list_sort(list(struct_pack(b := blk, s := s1))), x -> x.s)")} AS s,
+             sum(n1) AS n
+      FROM pl1_{i} GROUP BY sub, code, pos
+    ),
+    pnc_{i} AS (
+      SELECT sub, code,
+             list_transform(list_sort(list(struct_pack(p := pos, m := m))), x -> x.m) AS cvec
+      FROM (SELECT sub, code, pos, s / n AS m FROM pl2_{i}) GROUP BY sub, code
+    ),
+    {out} AS (
+      SELECT p.sub, p.code, coalesce(n.cvec, p.cvec) AS cvec
+      FROM {prev} p LEFT JOIN pnc_{i} n ON p.sub = n.sub AND p.code = n.code
+    )"""
+
+    ctes = []
+    if include_v:
+        ctes.append(
+            "v AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS vec FROM embeddings)"
+        )
+    ctes += [
+        f"psubs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub)",
+        f"""sv AS (
+      SELECT v.id, s.sub,
+             list_slice(v.vec, s.sub * {d_sub} + 1, s.sub * {d_sub} + {d_sub}) AS svec
+      FROM v CROSS JOIN psubs s
+    )""",
+        f"""pseeds AS (
+      SELECT (row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1)::INTEGER AS code, vec
+      FROM v QUALIFY row_number() OVER (ORDER BY md5(id::VARCHAR), id) <= {ks}
+    )""",
+        f"""cb0 AS (
+      SELECT s.sub, d.code,
+             list_slice(d.vec, s.sub * {d_sub} + 1, s.sub * {d_sub} + {d_sub}) AS cvec
+      FROM pseeds d CROSS JOIN psubs s
+    )""",
+    ]
+    for i in range(p["iters"]):
+        ctes.append(assign(f"pa{i}", f"cb{i}"))
+        ctes.append(update(i, f"pa{i}", f"cb{i}", f"cb{i + 1}"))
+    ctes.append(assign("pafinal", f"cb{p['iters']}"))
+    ctes.append("""pcodes AS (
+      SELECT id,
+             list_transform(list_sort(list(struct_pack(s := sub, c := code))), x -> x.c) AS codes
+      FROM pafinal GROUP BY id
+    )""")
+    return ",\n    ".join(ctes)
+
+
+def _sql_pq_search_ctes(probe_filter: str, include_adc: bool = True) -> str:
+    """Query-side PQ CTEs: per-query LUT of squared subspace distances
+    flattened [sub·ks + code] (plutarr), and optionally the flat ADC
+    scan (padc). The 1-based DuckDB lambda index maps to Spark's 0-based
+    via (i-1); the fold is sub-ascending on both engines."""
+    p = _PQ
+    ks, d_sub = p["ks"], p["d_sub"]
+    ctes = [
+        f"""pprobes AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE {probe_filter}
+    )""",
+        f"""plut AS (
+      SELECT p.query_id, c.sub, c.code,
+             {_sql_sqeuclid(f'list_slice(p.qv, c.sub * {d_sub} + 1, c.sub * {d_sub} + {d_sub})', 'c.cvec')} AS d2
+      FROM pprobes p CROSS JOIN cb{p['iters']} c
+    )""",
+        """plutarr AS (
+      SELECT query_id,
+             list_transform(list_sort(list(struct_pack(s := sub, c := code, d := d2))), x -> x.d) AS la
+      FROM plut GROUP BY query_id
+    )""",
+    ]
+    if include_adc:
+        ctes.append(f"""padc AS (
+      SELECT l.query_id, p.id,
+             sqrt({_sql_fold_sum(f'list_transform(p.codes, (c, i) -> l.la[(i - 1) * {ks} + c + 1])')}) AS adist
+      FROM pcodes p CROSS JOIN plutarr l
+    )""")
+    return ",\n    ".join(ctes)
+
+
+@_register(
+    "ann_pq_adc_knn",
+    f"""
+    WITH {_sql_pq_ctes()},
+    {_sql_pq_search_ctes("vec_id < 5")}
+    SELECT query_id, id, round(adist, 6) AS distance, rnk::INTEGER AS rank
+    FROM (SELECT query_id, id, adist,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, id ASC) AS rnk
+          FROM padc)
+    WHERE rnk <= {_PQ['k']}
+    """,
+    doc="Product quantization ADC search, value-exact: m=16 subspace "
+    "codebooks (det-Lloyd, md5-seeded), every vector stored as 16 codes "
+    "(16 bytes vs 256 raw — 16×), candidates scored by m LUT lookups "
+    "per row with zero decode (pq.pq_codebook/pq_encode/pq_adc_topk; "
+    "public FAISS ADC design, Jégou et al. TPAMI 2011 — the reference "
+    "stores raw f32, src/vector.rs)",
+)
+def _q_pq_adc_knn(spark, sf_dir):
+    from ..operators.cache import track
+
+    e = _t(spark, sf_dir, "embeddings")
+    # codebook feeds encode AND the per-query LUT; codes feed the scan —
+    # persist both so the det-Lloyd build runs once per query, not once
+    # per consuming branch (released per query by release_caches)
+    cb = track(pq.pq_codebook(
+        e, m=_PQ["m"], ks=_PQ["ks"], dim=64, iters=_PQ["iters"], block=_PQ["block"],
+    ))
+    codes = track(pq.pq_encode(e, cb, _PQ["m"], _PQ["d_sub"]))
+    probes = _probes(spark, sf_dir, F.col("vec_id") < 5)
+    res = pq.pq_adc_topk(codes, cb, probes, k=_PQ["k"], ks=_PQ["ks"], d_sub=_PQ["d_sub"])
+    return res.withColumn("distance", F.round("distance", 6))
+
+
+@_register(
+    "knn_pq_recall",
+    f"""
+    WITH {_sql_pq_ctes()},
+    {_sql_pq_search_ctes("vec_id < 20")},
+    exact AS (
+      SELECT query_id, id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_euclid('q.embedding', 'e.embedding')} ASC,
+                                           e.vec_id ASC) AS rnk
+        FROM (SELECT * FROM embeddings WHERE vec_id < 20) q CROSS JOIN embeddings e
+      ) WHERE rnk <= {_PQ['k']}
+    ),
+    direct AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, id ASC) AS rnk
+        FROM padc) WHERE rnk <= {_PQ['k']}
+    ),
+    shortr AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, id ASC) AS rnk
+        FROM padc) WHERE rnk <= {_PQ['rerank']}
+    ),
+    rerank AS (
+      SELECT query_id, id FROM (
+        SELECT s.query_id, s.id,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY {_sql_euclid('p.qv', 'e.embedding')} ASC, s.id ASC) AS rnk
+        FROM shortr s
+        JOIN pprobes p ON p.query_id = s.query_id
+        JOIN embeddings e ON e.vec_id = s.id
+      ) WHERE rnk <= {_PQ['k']}
+    )
+    SELECT 'pq_adc' AS config,
+           round((SELECT count(*) FROM exact e JOIN direct a USING (query_id, id))::DOUBLE
+                 / ((SELECT count(*) FROM pprobes) * {_PQ['k']}), 6) AS recall_at_10
+    UNION ALL
+    SELECT 'pq_rerank{_PQ['rerank']}' AS config,
+           round((SELECT count(*) FROM exact e JOIN rerank a USING (query_id, id))::DOUBLE
+                 / ((SELECT count(*) FROM pprobes) * {_PQ['k']}), 6) AS recall_at_10
+    ORDER BY config
+    """,
+    doc="PQ search quality, value-exact: recall@10 of direct ADC top-10 "
+    "AND ADC-top-100 → exact re-rank vs the full-precision scan. The "
+    "near-uniform synthetic embeddings are PQ's adversarial case (no "
+    "cluster structure for the codebooks to exploit), so these recalls "
+    "are the floor, not the typical — completes the compression ladder "
+    "next to SQ8 (4×), MRL (2-4×), BQ (32×) at 16×",
+)
+def _q_knn_pq_recall(spark, sf_dir):
+    from ..operators.cache import track
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = track(pq.pq_codebook(
+        e, m=_PQ["m"], ks=_PQ["ks"], dim=64, iters=_PQ["iters"], block=_PQ["block"],
+    ))
+    codes = track(pq.pq_encode(e, cb, _PQ["m"], _PQ["d_sub"]))
+    probes = _probes(spark, sf_dir, F.col("vec_id") < 20)
+    k = _PQ["k"]
+    exact = knn.knn(e, probes, k=k, metric="euclidean", strategy="window").select(
+        "query_id", "id"
+    )
+    raw = e.select(
+        F.col("vec_id").cast("long").alias("id"), vm.as_double("embedding").alias("vec")
+    )
+    direct = pq.pq_adc_topk(
+        codes, cb, probes, k=k, ks=_PQ["ks"], d_sub=_PQ["d_sub"]
+    ).select("query_id", "id")
+    rerank = pq.pq_adc_topk(
+        codes, cb, probes, k=k, ks=_PQ["ks"], d_sub=_PQ["d_sub"],
+        rerank=_PQ["rerank"], raw=raw,
+    ).select("query_id", "id")
+    np_df = probes.agg(F.count(F.lit(1)).alias("__np"))
+    out = None
+    for cfg, approx in (("pq_adc", direct), (f"pq_rerank{_PQ['rerank']}", rerank)):
+        piece = (
+            exact.join(approx, ["query_id", "id"])
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .crossJoin(F.broadcast(np_df))
+            .select(
+                F.lit(cfg).alias("config"),
+                F.round(F.col("__m").cast("double") / (F.col("__np") * k), 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out.orderBy("config")
+
+
+@_register(
+    "ann_ivf_pq_knn",
+    f"""
+    WITH {_sql_ivf_det_ctes()},
+    {_sql_pq_ctes(include_v=False)},
+    {_sql_pq_search_ctes("vec_id < 5", include_adc=False)},
+    irouted AS (
+      SELECT query_id, list_id FROM (
+        SELECT p.query_id, c.list_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {_sql_euclid('p.qv', 'c.cvec')} ASC, c.list_id ASC) AS rn
+        FROM pprobes p CROSS JOIN c{_IVF_DET['iters']} c) WHERE rn <= {_IVF_DET['n_probe']}
+    ),
+    iadc AS (
+      SELECT r.query_id, a.id,
+             sqrt({_sql_fold_sum(f"list_transform(p.codes, (cd, i) -> l.la[(i - 1) * {_PQ['ks']} + cd + 1])")}) AS adist
+      FROM irouted r
+      JOIN afinal a ON r.list_id = a.list_id
+      JOIN pcodes p ON p.id = a.id
+      JOIN plutarr l ON l.query_id = r.query_id
+    ),
+    ishort AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, id ASC) AS sr
+        FROM iadc) WHERE sr <= {_PQ['rerank']}
+    ),
+    iex AS (
+      SELECT s.query_id, s.id, {_sql_euclid('p.qv', 'e.vec')} AS dist
+      FROM ishort s
+      JOIN pprobes p ON p.query_id = s.query_id
+      JOIN v e ON e.id = s.id
+    )
+    SELECT query_id, id, round(dist, 6) AS distance, rnk::INTEGER AS rank
+    FROM (SELECT query_id, id, dist,
+                 row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+          FROM iex)
+    WHERE rnk <= {_PQ['k']}
+    """,
+    doc="H4/H8 × PQ, value-exact: the full FAISS-style IVF-PQ serve path — "
+    "coarse det-IVF routing reads n_probe lists, ADC over 16-byte codes "
+    "scores them with zero decode, exact re-rank on the 100-deep "
+    "shortlist (pq.ivf_pq_index / pq.ann_knn_ivf_pq; non-residual "
+    "variant — codes quantize raw vectors so one LUT broadcast serves "
+    "all lists, accuracy gap re-ranked away)",
+)
+def _q_ivf_pq_knn(spark, sf_dir):
+    from ..operators.cache import track
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = track(ann.build_ivf_det(
+        e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
+    ))
+    v = e.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = track(ann.assign_ivf_det(v, cent))
+    cb = track(pq.pq_codebook(
+        e, m=_PQ["m"], ks=_PQ["ks"], dim=64, iters=_PQ["iters"], block=_PQ["block"],
+    ))
+    idx = pq.ivf_pq_index(assigned, cb, _PQ["m"], _PQ["d_sub"], id_col="id", vec_col="vec")
+    probes = _probes(spark, sf_dir, F.col("vec_id") < 5)
+    res = pq.ann_knn_ivf_pq(
+        idx, cent, cb, probes,
+        k=_PQ["k"], n_probe=_IVF_DET["n_probe"], ks=_PQ["ks"], d_sub=_PQ["d_sub"],
+        rerank=_PQ["rerank"], raw=assigned.select("id", "vec"),
+    )
+    return res.withColumn("distance", F.round("distance", 6))
+
+
+_SEMDEDUP_MIN_SIM = 0.35
+
+
+@_register(
+    "dedup_semantic",
+    f"""
+    WITH RECURSIVE {_sql_ivf_det_ctes()},
+    spairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM afinal a JOIN afinal b ON a.list_id = b.list_id AND b.id > a.id
+      WHERE (CASE WHEN {_sql_norm('a.vec')} > 0 AND {_sql_norm('b.vec')} > 0 THEN
+             least(greatest({_sql_dot('a.vec', 'b.vec')} / ({_sql_norm('a.vec')} * {_sql_norm('b.vec')}), -1.0), 1.0)
+             END) >= {_SEMDEDUP_MIN_SIM}
+    ),
+    sedges AS (
+      SELECT id_a AS src, id_b AS dst FROM spairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM spairs
+    ),
+    sreach AS (
+      SELECT id, id AS r FROM v
+      UNION
+      SELECT e.dst AS id, sreach.r FROM sreach JOIN sedges e ON e.src = sreach.id
+    ),
+    scomp AS (SELECT id, min(r) AS component FROM sreach GROUP BY id)
+    SELECT id AS vec_id, component,
+           count(*) OVER (PARTITION BY component) AS cluster_size,
+           (id = component) AS is_kept
+    FROM scomp
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, public): "
+    "det-IVF clusters block the pair space (Σ|cluster|², never n²), "
+    "within-cluster cosine ≥ 0.35 pairs close transitively via "
+    "connected components, one representative kept per component "
+    "(dedup.semantic_dedup — embedding-space twin of the text "
+    "dedup_components tail; value-exact incl. the clustering)",
+)
+def _q_dedup_semantic(spark, sf_dir):
+    from ..operators.cache import track
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = track(ann.build_ivf_det(
+        e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
+    ))
+    res = dedup.semantic_dedup(e, cent, min_sim=_SEMDEDUP_MIN_SIM)
+    return res.select(
+        F.col("id").alias("vec_id"), "component", "cluster_size", "is_kept"
+    )
 
 
 _IVF_CURVE_PROBES = [1, 2, 4, 6, 8]
