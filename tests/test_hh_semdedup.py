@@ -1,0 +1,108 @@
+"""Heavy hitters (metrics.heavy_hitters — Misra-Gries sketch-then-verify)
+and SemDeDup-style semantic dedup (dedup.semantic_dedup). The registry
+twins (rel_heavy_hitters / dedup_semantic) check engine parity; these
+check the guarantees on adversarial local data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.operators import ann, dedup
+from vectordb_from_scratch_spark.operators import metrics as mx
+
+
+# ---------------------------------------------------------------- heavy hitters
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key k appears 2^(10-k) times: keys 0..3 are heavy at capacity 8
+    rows = [(k,) for k in range(10) for _ in range(1 << (10 - k))]
+    return spark.createDataFrame(rows, "user_id int").repartition(8)
+
+
+def test_heavy_hitters_exact_vs_groupby(skewed):
+    cap = 8
+    got = mx.heavy_hitters(skewed, "user_id", capacity=cap).collect()
+    n = skewed.count()
+    want = {
+        r.user_id: r.cnt
+        for r in skewed.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if r.cnt > n / cap
+    }
+    assert {r.user_id: r.cnt for r in got} == want
+    assert want  # the fixture must actually produce heavy hitters
+    # sorted by cnt desc, key asc; share is exact
+    cnts = [r.cnt for r in got]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in got:
+        assert r.share == pytest.approx(round(r.cnt / n, 6))
+
+
+def test_heavy_hitters_superset_never_misses(spark):
+    """Adversarial for the sketch: many near-threshold keys + partition
+    skew. The exact recount must still equal plain GROUP BY/HAVING."""
+    rows = [(k % 50,) for k in range(5000)] + [(999,)] * 400
+    df = spark.createDataFrame(rows, "user_id int").repartition(13)
+    got = {r.user_id: r.cnt for r in mx.heavy_hitters(df, "user_id", capacity=12).collect()}
+    n = df.count()
+    want = {
+        r.user_id: r.cnt
+        for r in df.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if r.cnt > n / 12
+    }
+    assert got == want
+
+
+def test_heavy_hitters_total_override(skewed):
+    n = skewed.count()
+    a = mx.heavy_hitters(skewed, "user_id", capacity=8).collect()
+    b = mx.heavy_hitters(skewed, "user_id", capacity=8, total=n).collect()
+    assert [(r.user_id, r.cnt, r.share) for r in a] == [
+        (r.user_id, r.cnt, r.share) for r in b
+    ]
+
+
+# ---------------------------------------------------------------- semantic dedup
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Two tight bundles far apart + one lone vector. Bundle members are
+    tiny perturbations of the same direction (cosine sim ≈ 1); across
+    bundles the directions are orthogonal (sim 0)."""
+    rows = []
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    for i, eps in enumerate([0.0, 0.001, 0.002]):        # ids 0,1,2 ~ dup group A
+        rows.append((i, [1.0, eps, 0.0, 0.0]))
+    for i, eps in enumerate([0.0, 0.001]):               # ids 3,4   ~ dup group B
+        rows.append((3 + i, [0.0, 1.0, eps, 0.0]))
+    rows.append((5, [0.0, 0.0, 1.0, 0.0]))               # id 5 singleton
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_groups_and_keeps(clustered):
+    cent = ann.build_ivf_det(clustered, n_lists=2, iters=2)
+    res = {r.id: r for r in dedup.semantic_dedup(
+        clustered, cent, min_sim=0.999
+    ).collect()}
+    assert len(res) == 6
+    # group A (0,1,2) collapses to component 0; group B (3,4) to 3
+    assert [res[i].component for i in (0, 1, 2)] == [0, 0, 0]
+    assert [res[i].component for i in (3, 4)] == [3, 3]
+    assert res[5].component == 5
+    kept = {i for i, r in res.items() if r.is_kept}
+    assert kept == {0, 3, 5}
+    assert res[0].cluster_size == 3 and res[3].cluster_size == 2
+    assert res[5].cluster_size == 1
+
+
+def test_semantic_dedup_blocking_only_within_cluster(clustered):
+    """min_sim low enough that CROSS-cluster pairs would qualify if they
+    were ever compared: the cluster blocking must still keep orthogonal
+    bundles apart (sim 0 < 0.5), while a threshold below 0 would merge
+    everything in one cluster only."""
+    cent = ann.build_ivf_det(clustered, n_lists=2, iters=2)
+    res = dedup.semantic_dedup(clustered, cent, min_sim=0.5).collect()
+    comps = {r.id: r.component for r in res}
+    assert comps[0] != comps[3] and comps[0] != comps[5] and comps[3] != comps[5]

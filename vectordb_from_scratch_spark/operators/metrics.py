@@ -39,3 +39,86 @@ def latency_report(
         F.round(pct(0.95), 6).alias("p95"),
         F.round(pct(0.99), 6).alias("p99"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    capacity: int = 128,
+    *,
+    total: int | None = None,
+) -> DataFrame:
+    """EXACT frequent items above the n/capacity threshold via the
+    classic two-pass sketch-then-verify design (Misra–Gries 1982 +
+    recount; the same shape Spark's own freqItems and every production
+    heavy-hitter pipeline use — public algorithms):
+
+    Pass 1 — each partition streams its rows through a Misra–Gries
+    summary of `capacity` counters (bounded memory, one pass, Arrow-
+    batched). MG guarantees any item with partition count > n_p/capacity
+    survives its partition's summary; by pigeonhole, any item with
+    GLOBAL count > n/capacity exceeds that in ≥1 partition, so the UNION
+    of partition candidates is a guaranteed superset of the true heavy
+    hitters. Only ≤ capacity keys per partition ever leave the executor
+    — the full key cardinality is never shuffled.
+
+    Pass 2 — semi-join the corpus to the (tiny, broadcast) candidate
+    set and count exactly; filter count > n/capacity. The result is
+    EXACT — the sketch only prunes, never decides — which is what makes
+    the operator value-exact oracle-twinnable (GROUP BY/HAVING twin)
+    despite its approximate core.
+
+    At 100 TB: pass 1 reads everything once and emits
+    partitions×capacity rows; pass 2 re-reads with a broadcast
+    semi-join (Bloom-prunable) and aggregates only matching keys. No
+    full-cardinality shuffle ever happens — the reason this beats a
+    plain groupBy at extreme key cardinality.
+
+    The n/capacity threshold stays IN-PLAN (a broadcast one-row count
+    joined into the filter) — no driver-side count job; pass `total` to
+    pin it to a known constant instead. Returns (key, cnt, share)
+    sorted by cnt desc, key asc."""
+    key_field = df.schema[key_col]
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for k in pdf[key_col]:
+                if k in counters:
+                    counters[k] += 1
+                elif len(counters) < capacity:
+                    counters[k] = 1
+                else:
+                    # decrement-all: drop zeroed counters
+                    dead = []
+                    for kk in counters:
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counters[kk]
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    candidates = (
+        df.select(key_col)
+        .mapInPandas(mg, schema=f"{key_col} {key_field.dataType.simpleString()}")
+        .distinct()
+    )
+    if total is not None:
+        tot = df.sparkSession.range(1).select(F.lit(total).alias("__n"))
+    else:
+        tot = df.agg(F.count(F.lit(1)).alias("__n"))
+    exact = (
+        df.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") > F.col("__n").cast("double") / F.lit(capacity))
+    )
+    return exact.select(
+        key_col,
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("__n"), 6).alias("share"),
+    ).orderBy(F.col("cnt").desc(), F.col(key_col).asc())

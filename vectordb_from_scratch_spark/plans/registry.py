@@ -3495,6 +3495,33 @@ def _q_approx_distinct(spark, sf_dir):
     )
 
 
+_HH_CAPACITY = 128
+
+
+@_register(
+    "rel_heavy_hitters",
+    f"""
+    SELECT user_id, count(*) AS cnt,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM events), 6) AS share
+    FROM events GROUP BY user_id
+    HAVING count(*) > (SELECT count(*) FROM events)::DOUBLE / {_HH_CAPACITY}
+    ORDER BY cnt DESC, user_id ASC
+    """,
+    doc="Exact heavy hitters above the n/128 support threshold via the "
+    "two-pass Misra-Gries sketch-then-verify design "
+    "(metrics.heavy_hitters): bounded per-partition summaries prune to "
+    "a guaranteed-superset candidate set (≤ capacity keys/partition "
+    "shuffled, never the full cardinality), exact recount decides — so "
+    "the sketch path is value-exact against the plain GROUP BY/HAVING "
+    "oracle by construction",
+)
+def _q_rel_heavy_hitters(spark, sf_dir):
+    from ..operators import metrics as mx
+
+    ev = _t(spark, sf_dir, "events")
+    return mx.heavy_hitters(ev, "user_id", capacity=_HH_CAPACITY)
+
+
 _Q17_SQL = """
     SELECT l.l_partkey,
            CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS below_avg_revenue,
