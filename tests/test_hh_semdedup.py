@@ -71,8 +71,6 @@ def clustered(spark):
     tiny perturbations of the same direction (cosine sim ≈ 1); across
     bundles the directions are orthogonal (sim 0)."""
     rows = []
-    base_a = [1.0, 0.0, 0.0, 0.0]
-    base_b = [0.0, 1.0, 0.0, 0.0]
     for i, eps in enumerate([0.0, 0.001, 0.002]):        # ids 0,1,2 ~ dup group A
         rows.append((i, [1.0, eps, 0.0, 0.0]))
     for i, eps in enumerate([0.0, 0.001]):               # ids 3,4   ~ dup group B
@@ -106,3 +104,28 @@ def test_semantic_dedup_blocking_only_within_cluster(clustered):
     res = dedup.semantic_dedup(clustered, cent, min_sim=0.5).collect()
     comps = {r.id: r.component for r in res}
     assert comps[0] != comps[3] and comps[0] != comps[5] and comps[3] != comps[5]
+
+
+# ---------------------------------------------------------------- MMR re-rank
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """id2 is more relevant than id3 but near-duplicates the first pick;
+    MMR must pick the diverse id3 second — the defining behavior."""
+    from vectordb_from_scratch_spark.operators.knn import mmr_diversify
+
+    cands = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.85), (0, 3, 0.3)],
+        "query_id long, id long, rel double",
+    )
+    sims = {(1, 2): 0.95, (1, 3): 0.1, (2, 3): 0.1}
+    pair_rows = []
+    for (a, b), s in sims.items():
+        pair_rows += [(0, a, b, s), (0, b, a, s)]
+    pairs = spark.createDataFrame(
+        pair_rows, "query_id long, id_a long, id_b long, sim double"
+    )
+    res = mmr_diversify(cands, pairs, k=3, lam=0.5).orderBy("mmr_rank").collect()
+    assert [(r.id, r.mmr_rank) for r in res] == [(1, 1), (3, 2), (2, 3)]
+    assert res[0].score == 0.5 * 0.9
+    assert res[1].score == 0.5 * 0.3 - 0.5 * 0.1      # diversity beat rel
+    assert res[2].score == 0.5 * 0.85 - 0.5 * 0.95    # redundant pick last

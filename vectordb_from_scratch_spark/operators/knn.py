@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 from ..functions import vectormath as vm
 from ..sources.tables import spread
 
-__all__ = ["knn", "knn_filtered", "knn_filtered_overfetch", "self_knn"]
+__all__ = ["knn", "knn_filtered", "knn_filtered_overfetch", "self_knn",
+           "mmr_diversify"]
 
 
 def _local_topk(k: int) -> callable:
@@ -376,3 +377,68 @@ def self_knn(
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_embedding"))
     )
     return knn(vectors, probes, k=k, metric=metric, id_col=id_col, vec_col=vec_col, **kwargs)
+
+
+def mmr_diversify(
+    cands: DataFrame,
+    pair_sims: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998 — public): greedily pick, k times, the candidate that
+    maximizes  lam·rel(c) − (1−lam)·max_{s∈selected} sim(c, s)  — high
+    relevance AND low redundancy against what's already picked. The
+    standard diversity tail of a RAG retrieval stack; absent from the
+    reference (its search returns the raw top-k, src/storage.rs:217-245).
+
+    `cands` is (query_id, id, rel) — the retrieval shortlist with its
+    relevance score; `pair_sims` is (query_id, id_a, id_b, sim) for every
+    ORDERED candidate pair (both directions) of a query. The greedy loop
+    unrolls into k DataFrame stages — an argmax window + an anti-join +
+    a max-sim aggregate per step, all JVM-side (no Python in the loop),
+    all deterministic (ties on (score desc, id asc), doubles combined in
+    a fixed order) — so the whole re-rank is value-exact
+    oracle-twinnable (plans/registry.py knn_mmr_diversify).
+
+    Scale: every stage is keyed by query_id; the shortlist per query is
+    small by construction (k' ≲ 100 from any search path), so state per
+    key is bounded and queries shard freely. Step 1's argmax is pure
+    relevance (max over the empty selected set contributes 0). Each
+    round's pick (one row per query) is localCheckpoint'd: the selected
+    set feeds TWO branches of the next round (anti-join + redundancy
+    max), so without truncation the lineage doubles per step — the same
+    reason connected_components checkpoints its labels.
+
+    Returns (query_id, id, mmr_rank 1..k, score)."""
+    q, oneminus = "query_id", 1.0 - lam
+    selected = None
+    for step in range(1, k + 1):
+        if selected is None:
+            scored = cands.select(q, "id", (F.lit(lam) * F.col("rel")).alias("score"))
+        else:
+            maxsim = (
+                pair_sims.join(
+                    selected.select(q, F.col("id").alias("id_b")), [q, "id_b"]
+                )
+                .groupBy(q, F.col("id_a").alias("id"))
+                .agg(F.max("sim").alias("__msim"))
+            )
+            scored = (
+                cands.join(selected.select(q, "id"), [q, "id"], "left_anti")
+                .join(maxsim, [q, "id"])
+                .select(
+                    q, "id",
+                    (F.lit(lam) * F.col("rel") - F.lit(oneminus) * F.col("__msim"))
+                    .alias("score"),
+                )
+            )
+        w = Window.partitionBy(q).orderBy(F.col("score").desc(), F.col("id").asc())
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(q, "id", F.lit(step).alias("mmr_rank"), "score")
+            .localCheckpoint()
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+    return selected
