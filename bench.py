@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     # quantized IVF-SQ8 serve path
     "ann_srp_filtered_knn",
     "ann_ivf_sq8_knn",
+    # round 4 (cont.): IVF-PQ serving, semantic dedup, MMR diversity
+    "ann_ivf_pq_knn",
+    "dedup_semantic",
+    "knn_mmr_diversify",
 ]
 
 

@@ -156,6 +156,42 @@ def main() -> int:
         results["ivf_sq8_index_bytes"] = _du(idx + "/sq8")
         results["embeddings_f32_bytes"] = _du(emb_path) if os.path.isdir(emb_path) else os.path.getsize(emb_path)
 
+        # PQ: codebook on a deterministic 5% sample (the production
+        # pattern — FAISS trains PQ codebooks on a sample too), encode
+        # the FULL table to 16 one-byte codes/row, then flat-ADC and
+        # IVF-PQ probes; plus the measured codes-vs-float32 disk ratio
+        if want("pq"):
+            from vectordb_from_scratch_spark.operators import pq as pqm
+
+            m_, ks_, d_sub_ = 16, 32, 4
+            sample = emb.filter(F.col("vec_id") % 20 == 0)
+            cb = pqm.pq_codebook(sample, m=m_, ks=ks_, dim=64, iters=1)
+            cell("pq_codebook_build_%dsample" % (n_emb // 20), lambda: sink(cb))
+            pq_dir = tempfile.mkdtemp(prefix="pq_")
+            cb.write.mode("overwrite").parquet(pq_dir + "/cb")
+            cb_p = spark.read.parquet(pq_dir + "/cb")
+            t0 = time.monotonic()
+            pqm.pq_encode(emb, cb_p, m_, d_sub_).write.mode("overwrite").parquet(
+                pq_dir + "/codes"
+            )
+            results["pq_encode_write_%d" % n_emb] = round(time.monotonic() - t0, 3)
+            print(json.dumps({"cell": "pq_encode_write_%d" % n_emb,
+                              "sec": results["pq_encode_write_%d" % n_emb]}), flush=True)
+            codes_p = spark.read.parquet(pq_dir + "/codes")
+            cell("pq_adc_probe_100x%d" % n_emb,
+                 lambda: sink(pqm.pq_adc_topk(codes_p, cb_p, probes, k=K,
+                                              ks=ks_, d_sub=d_sub_)))
+            pqm.ivf_pq_index(assigned_p, cb_p, m_, d_sub_,
+                             id_col="id", vec_col="vec").write.mode(
+                "overwrite").parquet(pq_dir + "/ivfpq")
+            ivfpq_p = spark.read.parquet(pq_dir + "/ivfpq")
+            cell("ivf_pq_probe_100x%d" % n_emb,
+                 lambda: sink(pqm.ann_knn_ivf_pq(
+                     ivfpq_p, cent_p, cb_p, probes, k=K, n_probe=4,
+                     ks=ks_, d_sub=d_sub_, rerank=3 * K,
+                     raw=assigned_p.select("id", "vec"))))
+            results["pq_codes_bytes"] = _du(pq_dir + "/codes")
+
     # streaming exact-dedup throughput: the whole corpus through the
     # digest-state ingest path in multi-file micro-batches (8 files per
     # trigger) — state stays (fp, keep_id)-sized; measures end-to-end

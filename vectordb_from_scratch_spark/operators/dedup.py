@@ -461,7 +461,10 @@ def semantic_dedup(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    assigned = assign_ivf_det(v, centroids)
+    # the assignment feeds BOTH sides of the pair self-join and the node
+    # list — persist it (session cache registry) or the centroid
+    # assignment re-executes once per consumer
+    assigned = _track(assign_ivf_det(v, centroids))
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
         a.join(
@@ -477,9 +480,23 @@ def semantic_dedup(
         .filter(F.col("__sim") >= F.lit(min_sim))
         .select("id_a", "id_b")
     )
-    comp = connected_components(pairs, v.select("id"), node_col="id")
+    # run the CC loop ONLY over nodes that appear in a pair: in a real
+    # corpus near-dups are the small minority, so every pointer-jumping
+    # round shuffles the pair-graph nodes, not the whole corpus;
+    # singletons rejoin as their own component in one narrow step
+    paired = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(pairs, paired, node_col="id")
+    all_comp = (
+        assigned.select("id")
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
     w = Window.partitionBy("component")
-    return comp.select(
+    return all_comp.select(
         "id",
         "component",
         F.count(F.lit(1)).over(w).alias("cluster_size"),

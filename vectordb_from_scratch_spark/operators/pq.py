@@ -66,15 +66,22 @@ def subvectors(vectors: DataFrame, m: int, d_sub: int,
 def _assign_codes(subvecs: DataFrame, codebook: DataFrame) -> DataFrame:
     """Nearest-centroid code per (sub, id): euclidean over the subspace,
     tie-break code asc — the per-subspace twin of ann.assign_ivf_det.
-    The codebook (m·ks rows) broadcasts; no shuffle beyond the window's
-    hash on (sub, id)."""
-    w = Window.partitionBy("sub", "id").orderBy(F.col("__d").asc(), F.col("code").asc())
+    The codebook (m·ks rows) broadcasts; the argmin is a lexicographic
+    struct-min AGGREGATION, not a window: min(struct(d, code)) picks
+    exactly the (distance asc, code asc) winner the oracle's row_number
+    does, but combines map-side — the shuffle carries one partial row
+    per (sub, id) instead of ks sorted candidates (a ks× cut; at 1M
+    rows × m=16 × ks=32 that is 512M window rows avoided)."""
+    dc = F.struct(
+        vm.euclidean_distance("svec", "cvec").alias("d"),
+        F.col("code").alias("c"),
+    )
     return (
         subvecs.join(F.broadcast(codebook), on="sub")
-        .withColumn("__d", vm.euclidean_distance("svec", "cvec"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("sub", "id", "svec", "code")
+        .select("sub", "id", "svec", dc.alias("__dc"))
+        .groupBy("sub", "id")
+        .agg(F.min("__dc").alias("__m"), F.first("svec").alias("svec"))
+        .select("sub", "id", "svec", F.col("__m.c").alias("code"))
     )
 
 
