@@ -25,6 +25,7 @@ __all__ = [
     "vocabulary",
     "repetition_metrics",
     "bigram_logprob",
+    "bpe_merges",
     "pii_scrub",
     "PII_PATTERNS",
     "LANG_MARKERS",
@@ -677,3 +678,82 @@ def pii_scrub(
     return out.select(
         F.col(id_col), scrubbed.alias("scrubbed"), *counts
     )
+
+
+def bpe_merges(
+    documents: DataFrame, n_merges: int = 6, *, text_col: str = "text"
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction (Sennrich, Haddow, Birch,
+    "Neural Machine Translation of Rare Words with Subword Units", ACL
+    2016 — public): the tokenizer-training step of an LLM data pipeline.
+    Start from per-word character sequences weighted by corpus word
+    frequency; repeat n_merges times: count adjacent symbol pairs, merge
+    the most frequent pair everywhere. Returns the learned merge table
+    (step, lhs, rhs, merged, pair_count) — the artifact a BPE tokenizer
+    ships.
+
+    Distributed shape: word frequencies are one exploded groupBy (the
+    heavy pass over the corpus happens ONCE — every merge step then works
+    on the vocabulary table, which is heavy-hitters-bounded, not
+    corpus-bounded); each step is a pair-count aggregation + a global
+    top-1 (TakeOrdered, 1 row, localCheckpoint'd so the per-step lineage
+    stays linear) + one literal string rewrite of the symbol column.
+
+    Merge application is a separator-padded string replace: symbols live
+    in ' a b c '-form and replacing ' lhs rhs ' with ' lhsrhs ' performs
+    the leftmost-nonoverlapping rewrite IN ONE JVM string op — both
+    engines' replace() share that exact semantics, which is what makes
+    every step value-exact in the DuckDB twin. (For runs of the same
+    repeated pair the shared-space scan differs from the textbook
+    per-symbol fold in WHICH occurrences merge first — e.g. 'aaaaa' →
+    aa,a,aa instead of aa,aa,a — identically on both engines; documented
+    divergence, affects only same-symbol runs.) Ties on pair count break
+    lexicographically (lhs, rhs asc).
+
+    Determinism: counts are exact integers, selection is total-ordered,
+    the rewrite is literal — no RNG, no floats, no partition dependence
+    anywhere."""
+    words = (
+        documents.select(F.explode(X.tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        "w", "freq",
+        F.concat(F.regexp_replace("w", "(.)", " $1"), F.lit(" ")).alias("seq"),
+    )
+    out = None
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("seq")), " ")
+        n = F.greatest(F.size(syms) - 1, F.lit(0))
+        pairs_arr = F.zip_with(
+            F.slice(syms, 1, n),
+            F.slice(syms, F.lit(2), n),
+            lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+        )
+        pc = (
+            cur.select("freq", F.explode(pairs_arr).alias("p"))
+            .groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = (
+            pc.orderBy(
+                F.col("pair_count").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+            )
+            .limit(1)
+            .localCheckpoint()
+        )
+        pick = best.select(
+            F.lit(step).alias("step"), "lhs", "rhs",
+            F.concat("lhs", "rhs").alias("merged"), "pair_count",
+        )
+        out = pick if out is None else out.unionByName(pick)
+        cur = cur.crossJoin(F.broadcast(best.select("lhs", "rhs"))).select(
+            "w", "freq",
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit(" "), F.col("lhs"), F.lit(" "), F.col("rhs"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" ")),
+            ).alias("seq"),
+        )
+    return out

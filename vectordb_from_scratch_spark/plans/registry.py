@@ -3178,6 +3178,68 @@ def _q_pack_sequences(spark, sf_dir):
     return textops.pack_sequences(d, budget=_PACK_BUDGET)
 
 
+_BPE_MERGES = 6
+
+
+def _sql_bpe() -> str:
+    """Unrolled DuckDB twin of textops.bpe_merges: word-frequency table
+    once, then per merge step a pair-count aggregation, a total-ordered
+    top-1, and the same separator-padded replace() rewrite (both
+    engines' replace is leftmost-nonoverlapping, so the rewrites agree
+    byte-for-byte)."""
+    toks = _SQL_TOKENS.format(t="text")
+    ctes = [
+        f"""bw0 AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest({toks}) AS w FROM documents) GROUP BY w
+    )""",
+        "bs0 AS (SELECT w, freq, regexp_replace(w, '(.)', ' \\1', 'g') || ' ' AS seq FROM bw0)",
+    ]
+    for i in range(1, _BPE_MERGES + 1):
+        ctes.append(f"""bpc{i} AS (
+      SELECT p.l AS lhs, p.r AS rhs, sum(freq)::BIGINT AS pair_count FROM (
+        SELECT freq,
+               unnest(list_transform(
+                 list_zip(syms[1:len(syms)-1], syms[2:len(syms)]),
+                 z -> struct_pack(l := z[1], r := z[2]))) AS p
+        FROM (SELECT freq,
+                     list_filter(regexp_split_to_array(trim(seq), ' '), x -> x != '') AS syms
+              FROM bs{i - 1})
+      ) GROUP BY 1, 2
+    )""")
+        ctes.append(f"""bb{i} AS (
+      SELECT lhs, rhs, pair_count FROM bpc{i}
+      ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
+    )""")
+        ctes.append(f"""bs{i} AS (
+      SELECT w, freq,
+             replace(seq, ' ' || b.lhs || ' ' || b.rhs || ' ',
+                     ' ' || b.lhs || b.rhs || ' ') AS seq
+      FROM bs{i - 1} CROSS JOIN bb{i} b
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, pair_count FROM bb{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
+@_register(
+    "text_bpe_merges",
+    _sql_bpe(),
+    doc="BPE vocabulary induction (Sennrich et al. ACL'16, public): "
+    f"{_BPE_MERGES} merge steps over frequency-weighted per-word char "
+    "sequences — the tokenizer-training step of an LLM pipeline "
+    "(textops.bpe_merges). Corpus is touched once (word-freq groupBy); "
+    "every step then works on the vocab table via one pair-count agg, "
+    "a total-ordered top-1, and a separator-padded string rewrite. "
+    "Value-exact at every step",
+)
+def _q_text_bpe_merges(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textops.bpe_merges(d, n_merges=_BPE_MERGES)
+
+
 @_register(
     "text_bigram_logprob",
     f"""
