@@ -342,3 +342,68 @@ def test_serve_index_srp_over_http(spark, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_store_ivf_sq8_mode_exhaustive_equals_exact(spark):
+    """n_probe = n_lists + full-depth rerank makes the quantized path an
+    exact search with extra steps — results must match the flat scan
+    rank for rank."""
+    from vectordb_from_scratch_spark.operators.store import VectorStore
+
+    store = VectorStore.empty(spark)
+    items = [(f"a{i}", [1.0 + i * 0.01, 1.0, 1.0, 1.0], {"grp": "a"}) for i in range(5)]
+    items += [(f"b{i}", [-1.0 - i * 0.01, -1.0, -1.0, -1.0], {"grp": "b"}) for i in range(5)]
+    store = store.insert_batch(items)
+    exact = store.search([1.0, 1.0, 1.0, 1.0], k=4)
+    q = store.with_ivf_sq8(n_lists=2, n_probe=2, rerank=10)
+    res = q.search([1.0, 1.0, 1.0, 1.0], k=4)
+    assert [i for i, _ in res] == [i for i, _ in exact]
+    for (_, d1), (_, d2) in zip(res, exact):
+        assert abs(d1 - d2) < 1e-9
+
+
+def test_store_ivf_sq8_filtered_and_guards(spark):
+    from vectordb_from_scratch_spark.operators.store import VectorStore
+
+    store = VectorStore.empty(spark)
+    items = [(f"a{i}", [1.0 + i * 0.01, 1.0, 1.0, 1.0],
+              {"grp": "even" if i % 2 == 0 else "odd"}) for i in range(6)]
+    store = store.insert_batch(items).with_ivf_sq8(n_lists=4, n_probe=4, rerank=10)
+    res = store.search_with_filter(
+        [1.0, 1.0, 1.0, 1.0], 3, {"eq": {"field": "grp", "value": "even"}}
+    )
+    assert res and [i for i, _ in res] == ["a0", "a2", "a4"]
+    # metric guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        VectorStore.empty(spark, metric="cosine").with_ivf_sq8()
+
+
+def test_serve_index_ivf_sq8_over_http(spark, tmp_path):
+    import json
+    import threading
+    import urllib.request
+
+    from vectordb_from_scratch_spark.operators.store import VectorStore
+    from vectordb_from_scratch_spark.server import AppState, make_server
+
+    store = VectorStore.empty(spark).insert_batch(
+        [(f"v{i}", [float(i), float(i)], {}) for i in range(1, 9)]
+    ).with_ivf_sq8(n_lists=2, n_probe=2, rerank=10)
+    httpd = make_server(AppState(store))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"vector": [3.0, 3.0], "k": 2}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        assert out and out[0]["id"] == "v3" and out[0]["distance"] == 0.0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -115,9 +115,11 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8080)
     p_serve.add_argument(
-        "--index", default="exact", choices=["exact", "srp"],
-        help="search path: exact FlatIndex scan or SRP-LSH approximate "
-        "index (the reference server's HnswIndex analog)",
+        "--index", default="exact", choices=["exact", "srp", "ivf_sq8"],
+        help="search path: exact FlatIndex scan, SRP-LSH approximate "
+        "index (the reference server's HnswIndex analog), or the "
+        "quantized IVF-SQ8 index (coarse routing over int8 codes + "
+        "exact re-rank)",
     )
 
     args = ap.parse_args(argv)

@@ -74,7 +74,35 @@ class VectorStore:
         return replace(
             self,
             ann_params=dict(
-                nbits=nbits, n_tables=n_tables, seed=seed, multiprobe=multiprobe
+                kind="srp",
+                nbits=nbits, n_tables=n_tables, seed=seed, multiprobe=multiprobe,
+            ),
+        )
+
+    def with_ivf_sq8(
+        self,
+        n_lists: int = 8,
+        n_probe: int = 4,
+        rerank: int = 30,
+        seed: int = 42,
+    ) -> "VectorStore":
+        """Switch the store's search path to the QUANTIZED IVF-SQ8 index:
+        KMeans coarse routing reads n_probe lists of int8 codes
+        (asymmetric distance, zero decode materialization), then the
+        rerank-deep shortlist exact-re-ranks on raw vectors — the
+        production quantized serving design (FAISS IVF-SQ, public),
+        composed over the same facade the reference's VectorStore<Index>
+        exposes. Euclidean only (the asymmetric kernel); filtered search
+        composes by pre-filtering the corpus before the build — exactly
+        min(k, matches) rows, no starvation. n_lists is clamped to the
+        row count at search time so tiny stores stay valid."""
+        if self.metric != "euclidean":
+            raise ValueError("ivf_sq8 serving supports metric='euclidean' only")
+        return replace(
+            self,
+            ann_params=dict(
+                kind="ivf_sq8",
+                n_lists=n_lists, n_probe=n_probe, rerank=rerank, seed=seed,
             ),
         )
 
@@ -158,13 +186,37 @@ class VectorStore:
         if kmax <= 0:
             return [[] for _ in queries]
         qdf = self._query_df(queries)
-        if self.ann_params is not None and self.dimension is not None:
+        kind = (self.ann_params or {}).get("kind")
+        if kind == "ivf_sq8" and not self.df.isEmpty():
+            from ..functions import vectormath as vm
             from . import ann
 
+            params = {k_: v for k_, v in self.ann_params.items() if k_ != "kind"}
+            n_lists = max(1, min(params["n_lists"], self.df.count()))
+            centers, assigned = ann.build_ivf(
+                self.df, n_lists=n_lists, id_col="id", vec_col="embedding",
+                seed=params["seed"],
+            )
+            centers_df = self.spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+                "list_id int, cvec array<double>",
+            )
+            idx = ann.ivf_sq8_index(assigned, id_col="id", vec_col="embedding")
+            res = ann.ann_knn_ivf_sq8(
+                idx, centers_df, qdf.drop("k"), k=kmax,
+                n_probe=params["n_probe"], rerank=params["rerank"],
+                raw=assigned.select(
+                    "id", vm.as_double("embedding").alias("vec")
+                ),
+            )
+        elif kind == "srp" and self.dimension is not None:
+            from . import ann
+
+            params = {k_: v for k_, v in self.ann_params.items() if k_ != "kind"}
             res = ann.ann_knn_srp(
                 self.df, qdf.drop("k"), k=kmax, metric=self.metric,
                 dim=self.dimension, id_col="id", vec_col="embedding",
-                **self.ann_params,
+                **params,
             )
         else:
             res = knn.knn(

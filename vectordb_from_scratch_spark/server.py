@@ -344,8 +344,10 @@ def serve(
     ``index="srp"`` serves searches through the SRP-LSH approximate
     index (bucket probe → exact re-rank) — parity with the reference's
     production server, which serves over HnswIndex
-    (src/server/mod.rs:39), not the flat scan; "exact" keeps FlatIndex
-    behavior. Filtered search composes with either path."""
+    (src/server/mod.rs:39), not the flat scan; ``index="ivf_sq8"``
+    serves through the QUANTIZED coarse index (KMeans routing over int8
+    codes + exact re-rank — the FAISS IVF-SQ design); "exact" keeps
+    FlatIndex behavior. Filtered search composes with every path."""
     if data_dir is not None:
         from .cli import _load
 
@@ -354,8 +356,12 @@ def serve(
         store = VectorStore.empty(spark, metric=metric)
     if index == "srp":
         store = store.with_ann()
+    elif index == "ivf_sq8":
+        store = store.with_ivf_sq8()
     elif index != "exact":
-        raise ValueError(f"unknown index mode {index!r}; expected exact|srp")
+        raise ValueError(
+            f"unknown index mode {index!r}; expected exact|srp|ivf_sq8"
+        )
     httpd = make_server(AppState(store, data_dir=data_dir), host, port)
     print(f"serving on http://{host}:{httpd.server_address[1]}")
     try:
