@@ -162,3 +162,34 @@ def test_ivf_pq_subset_of_probed_lists(emb, cb, probes):
         assert lists[r.id] in routed[r.query_id]
     cent.unpersist()
     assigned.unpersist()
+
+
+def test_ivf_pq_filtered_compose(emb, cb, probes):
+    """filter × coarse routing × PQ: every result id satisfies the
+    predicate, and with a full-coverage probe + full rerank the filtered
+    result equals exact filtered k-NN."""
+    cent = ann.build_ivf_det(emb, n_lists=2, iters=1)
+    cent.persist().count()
+    v = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent)
+    assigned.persist().count()
+    idx = pq.ivf_pq_index(assigned, cb, M, D_SUB, id_col="id", vec_col="vec")
+    n = emb.count()
+    res = pq.ann_knn_ivf_pq(
+        idx, cent, cb, probes, k=5, n_probe=2, ks=KS, d_sub=D_SUB,
+        rerank=n, raw=assigned.select("id", "vec"),
+        predicate=F.col("label") == 1, attrs=emb,
+    )
+    exact = knn.knn_filtered(
+        emb, probes, F.col("label") == 1, k=5, metric="euclidean",
+    )
+    got = [(r.query_id, r.id, round(r.distance, 9)) for r in
+           res.orderBy("query_id", "rank").collect()]
+    want = [(r.query_id, r.id, round(r.distance, 9)) for r in
+            exact.orderBy("query_id", "rank").collect()]
+    assert got and got == want
+    cent.unpersist()
+    assigned.unpersist()

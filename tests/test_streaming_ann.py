@@ -187,3 +187,100 @@ def test_ivf_drift_trigger(spark, ivf_setup):
         "id", F.transform("vec", lambda x: x + F.lit(500.0)).alias("vec"), "list_id"
     )
     assert ivf_should_rebuild(shifted, cent, threshold=100.0)
+
+
+# -- incremental IVF-PQ maintenance (quantized serve index) ----------------
+
+
+@pytest.fixture()
+def ivf_pq_setup(spark, tmp_path):
+    """Fixed centroids + frozen PQ codebook built offline from the first
+    10 vectors; same 3-batch stream as ivf_setup (inserts, upsert,
+    delete)."""
+    from vectordb_from_scratch_spark.operators import pq as pqm
+    from vectordb_from_scratch_spark.streaming import (
+        ivf_pq_index_stream_foreach_batch,
+    )
+
+    m_, ks_, d_sub_ = 4, 4, DIM // 4
+    base = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    cent = ann.build_ivf_det(base, n_lists=3, iters=2)
+    cent = spark.createDataFrame(cent.collect(), cent.schema)  # freeze
+    cb = pqm.pq_codebook(base, m=m_, ks=ks_, dim=DIM, iters=1)
+    cb = spark.createDataFrame(cb.collect(), cb.schema)  # freeze
+
+    src = str(tmp_path / "ivfpq_log_src")
+    index_dir = str(tmp_path / "ivfpq_index")
+    ckpt = str(tmp_path / "ivfpq_ckpt")
+    batches = [
+        [(i, "insert", i, _vec(i)) for i in range(0, 10)],
+        [(i + 10, "insert", i, _vec(i)) for i in range(10, 20)],
+        [(99, "insert", 3, _vec(55)), (100, "insert", 3, _vec(99)), (101, "delete", 7, None)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, LOG_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ivf_pq_index_stream_foreach_batch(
+            stream, index_dir, ckpt, cent, cb, m=m_, d_sub=d_sub_
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return index_dir, cent, cb, (m_, ks_, d_sub_)
+
+
+def test_stream_ivf_pq_equals_batch_index(spark, ivf_pq_setup):
+    """Stream-built quantized index ≡ batch pq.ivf_pq_index over the
+    same frozen centroids + codebook and final row state."""
+    from vectordb_from_scratch_spark.operators import pq as pqm
+    from vectordb_from_scratch_spark.operators.ann import assign_ivf_det
+    from vectordb_from_scratch_spark.streaming import read_ivf_pq_index
+
+    index_dir, cent, cb, (m_, ks_, d_sub_) = ivf_pq_setup
+    live = {
+        (r.id, r.list_id, tuple(r.codes))
+        for r in read_ivf_pq_index(spark, index_dir).collect()
+    }
+    final = _final_state(spark).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = assign_ivf_det(final, cent)
+    batch = {
+        (r.id, r.list_id, tuple(r.codes))
+        for r in pqm.ivf_pq_index(
+            assigned, cb, m_, d_sub_, id_col="id", vec_col="vec"
+        ).collect()
+    }
+    assert live == batch
+    assert not any(i == 7 for i, _, _ in live)  # tombstoned id gone
+
+
+def test_pq_distortion_drift_signal(spark, ivf_pq_setup):
+    """In-distribution data has finite reconstruction error; shifting
+    every vector far off the codebook raises mse by orders of
+    magnitude — the rebuild cue."""
+    from vectordb_from_scratch_spark.streaming import pq_distortion
+
+    _, _, cb, (m_, ks_, d_sub_) = ivf_pq_setup
+    final = _final_state(spark).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    base = pq_distortion(final, cb, m_, d_sub_).first()
+    assert base.n == final.count() and base.mse >= 0
+    shifted = final.select(
+        "id", F.transform("vec", lambda x: x + F.lit(100.0)).alias("vec")
+    )
+    drifted = pq_distortion(shifted, cb, m_, d_sub_).first()
+    assert drifted.mse > base.mse * 100

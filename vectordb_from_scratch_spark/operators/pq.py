@@ -316,13 +316,23 @@ def ann_knn_ivf_pq(
     *,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
+    predicate: Column | None = None,
+    attrs: DataFrame | None = None,
+    attrs_id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF-PQ search: route each query to its n_probe nearest coarse
     centroids (ann.ann_knn_ivf's routing shape), scan ONLY those lists'
     PQ codes with ADC (broadcast LUT, m lookups/row), then optionally
     exact-re-rank the shortlist against raw vectors. The distances and
     candidate sets are bit-deterministic, so the whole compose is
-    value-exact oracle-twinnable (plans/registry.py ann_ivf_pq_knn)."""
+    value-exact oracle-twinnable (plans/registry.py ann_ivf_pq_knn).
+
+    ``predicate`` over ``attrs`` composes the metadata filter exactly as
+    on the SQ8/IVF/SRP paths (reference search_with_filter over any
+    Index, src/storage.rs:249-290): a qualifying-id semi-join prunes
+    code candidates BEFORE the shortlist window, so shortlist and top-k
+    fill from qualifying rows only — filter × coarse index × PQ, the
+    full serve composition."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         vm.as_double(query_vec_col).alias("__qvec"),
@@ -372,6 +382,11 @@ def ann_knn_ivf_pq(
         .join(F.broadcast(lut), on="query_id")
         .select("query_id", "__qvec", "id", adist.alias("adist"))
     )
+    if predicate is not None:
+        if attrs is None:
+            raise ValueError("filtered search needs BOTH predicate and attrs")
+        qualifying = attrs.filter(predicate).select(F.col(attrs_id_col).alias("id"))
+        cands = cands.join(qualifying, "id", "left_semi")
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("id").asc())
     if not rerank or raw is None:
         return (

@@ -2,8 +2,11 @@ from .ann_stream import (  # noqa: F401
     compact_srp_index,
     ivf_drift,
     ivf_index_stream_foreach_batch,
+    ivf_pq_index_stream_foreach_batch,
     ivf_should_rebuild,
+    pq_distortion,
     read_ivf_index,
+    read_ivf_pq_index,
     read_srp_index,
     srp_index_stream_foreach_batch,
 )

@@ -33,6 +33,9 @@ __all__ = [
     "read_ivf_index",
     "ivf_drift",
     "ivf_should_rebuild",
+    "ivf_pq_index_stream_foreach_batch",
+    "read_ivf_pq_index",
+    "pq_distortion",
 ]
 
 # op codes in the log stream / index dir
@@ -258,6 +261,126 @@ def ivf_should_rebuild(
         .first()
     )
     return bool(row.d is not None and row.d > threshold)
+
+
+def ivf_pq_index_stream_foreach_batch(
+    log_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int,
+    d_sub: int,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+):
+    """Incremental maintenance for the QUANTIZED serve index: each
+    micro-batch assigns its own rows to the nearest FIXED coarse
+    centroid AND encodes them against the FROZEN PQ codebook (both
+    broadcast; cost ∝ batch size × (n_lists + m·ks)), then appends
+    (id, list_id, codes) with a monotone seq; deletes append tombstones
+    (list_id = -1). The stream-built index is row-for-row
+    interchangeable with batch pq.ivf_pq_index over the same centroids
+    and codebook (asserted in tests/test_streaming_ann.py) — the
+    quantized twin of ivf_index_stream_foreach_batch, same append-only
+    WAL shape, same at-least-once/byte-identical-retry contract.
+
+    Both the centroids and the codebook drift as data accrues: track
+    routing drift with ivf_drift/ivf_should_rebuild and quantization
+    drift with pq_distortion (mean reconstruction error vs the at-build
+    baseline), and rebuild offline when either trips."""
+    from ..operators.ann import assign_ivf_det
+    from ..operators.pq import pq_encode
+
+    cent = centroids.select("list_id", "cvec")
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        rows = batch.filter(F.col("op") != "checkpoint")
+        latest = (
+            rows.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(F.col("seq").desc())
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        inserts = latest.filter(F.col("op") == _INSERT)
+        deletes = latest.filter(F.col("op") == _DELETE)
+        v = inserts.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            "seq",
+        )
+        assigned = assign_ivf_det(v.select("id", "vec"), cent)
+        codes = pq_encode(assigned, codebook, m, d_sub, id_col="id", vec_col="vec")
+        idx = (
+            codes.join(assigned.select("id", "list_id"), "id")
+            .join(v.select("id", "seq"), "id")
+            .select("id", "codes", "list_id", "seq", F.lit(_INSERT).alias("op"))
+        )
+        tombs = deletes.select(
+            F.col(id_col).alias("id"),
+            F.lit(None).cast("array<int>").alias("codes"),
+            F.lit(-1).cast("int").alias("list_id"),
+            "seq",
+            F.lit(_DELETE).alias("op"),
+        )
+        idx.unionByName(tombs).write.mode("append").parquet(index_dir)
+
+    return (
+        log_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def read_ivf_pq_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Resolve the append-only IVF-PQ dir to the live code table
+    (id, codes, list_id): per id, max-seq wins; tombstones drop the id;
+    byte-identical at-least-once retries collapse in the final dedup
+    (codes are deterministic, so retries ARE byte-identical)."""
+    raw = spark.read.parquet(index_dir)
+    w = Window.partitionBy("id")
+    return (
+        raw.withColumn("__mx", F.max("seq").over(w))
+        .filter((F.col("seq") == F.col("__mx")) & (F.col("op") == _INSERT))
+        .dropDuplicates(["id", "list_id"])
+        .select("id", "codes", "list_id")
+    )
+
+
+def pq_distortion(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    d_sub: int,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Codebook-drift signal: mean squared reconstruction error of
+    `vectors` under the frozen codebook — one row (n, mse). Encode-and-
+    reconstruct never materializes: the per-subspace argmin distance IS
+    the subspace reconstruction error, so the metric is one broadcast
+    join + two aggregations. Compare against the at-build baseline on
+    the maintenance cadence; a rising ratio means the data distribution
+    has left the codebook and recall is decaying — the PQ analog of
+    ivf_should_rebuild's displacement trigger."""
+    from ..operators.pq import _assign_codes, subvectors
+
+    sv = subvectors(vectors, m, d_sub, id_col=id_col, vec_col=vec_col)
+    assigned = _assign_codes(sv, codebook)
+    from ..functions import vectormath as vm
+
+    per_sub = assigned.join(F.broadcast(codebook), ["sub", "code"]).select(
+        "id", vm.squared_euclidean("svec", "cvec").alias("e2")
+    )
+    per_id = per_sub.groupBy("id").agg(F.sum("e2").alias("se"))
+    return per_id.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("se").alias("mse")
+    )
 
 
 def compact_srp_index(spark: SparkSession, index_dir: str) -> None:
