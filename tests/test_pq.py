@@ -193,3 +193,44 @@ def test_ivf_pq_filtered_compose(emb, cb, probes):
     assert got and got == want
     cent.unpersist()
     assigned.unpersist()
+
+
+def test_ivf_pq_residual_identity_and_rerank(emb, probes):
+    """Residual ADC distance must equal ‖q − (centroid + recon)‖ for its
+    query's probed lists, and the full rerank recovers exact k-NN."""
+    cent = ann.build_ivf_det(emb, n_lists=2, iters=1)
+    cent.persist().count()
+    v = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent)
+    assigned.persist().count()
+    res = pq.ivf_residuals(assigned, cent)
+    cb = pq.pq_codebook(res, m=M, ks=KS, dim=DIM, iters=1, id_col="id", vec_col="rvec")
+    cb.persist().count()
+    idx = pq.ivf_pq_residual_index(assigned, cent, cb, M, D_SUB, id_col="id", vec_col="vec")
+    out = pq.ann_knn_ivf_pq_residual(
+        idx, cent, cb, probes, k=3, n_probe=2, ks=KS, d_sub=D_SUB
+    )
+    cbm = {(r.sub, r.code): r.cvec for r in cb.collect()}
+    centm = {r.list_id: r.cvec for r in cent.collect()}
+    code_map = {r.id: (r.list_id, r.codes) for r in idx.collect()}
+    qm = {r.query_id: [float(x) for x in r.query_embedding] for r in probes.collect()}
+    for r in out.collect():
+        lid, codes_ = code_map[r.id]
+        recon = [x for s in range(M) for x in cbm[(s, codes_[s])]]
+        approx = [c + rr for c, rr in zip(centm[lid], recon)]
+        q = qm[r.query_id]
+        expect = math.sqrt(sum((a - b) ** 2 for a, b in zip(q, approx)))
+        assert r.distance == pytest.approx(expect, rel=1e-9)
+    n = emb.count()
+    full = pq.ann_knn_ivf_pq_residual(
+        idx, cent, cb, probes, k=5, n_probe=2, ks=KS, d_sub=D_SUB,
+        rerank=n, raw=assigned.select("id", "vec"),
+    )
+    exact = knn.knn(emb, probes, k=5, metric="euclidean", strategy="window")
+    got = [(r.query_id, r.id) for r in full.orderBy("query_id", "rank").collect()]
+    want = [(r.query_id, r.id) for r in exact.orderBy("query_id", "rank").collect()]
+    assert got == want  # n_probe = n_lists → full coverage → exact after rerank
+    cent.unpersist(); assigned.unpersist(); cb.unpersist()

@@ -46,6 +46,7 @@ from ..functions import vectormath as vm
 __all__ = [
     "pq_codebook", "pq_encode", "pq_adc_topk", "subvectors",
     "ivf_pq_index", "ann_knn_ivf_pq",
+    "ivf_residuals", "ivf_pq_residual_index", "ann_knn_ivf_pq_residual",
 ]
 
 
@@ -380,6 +381,159 @@ def ann_knn_ivf_pq(
     cands = (
         index.join(F.broadcast(routed), on="list_id")
         .join(F.broadcast(lut), on="query_id")
+        .select("query_id", "__qvec", "id", adist.alias("adist"))
+    )
+    if predicate is not None:
+        if attrs is None:
+            raise ValueError("filtered search needs BOTH predicate and attrs")
+        qualifying = attrs.filter(predicate).select(F.col(attrs_id_col).alias("id"))
+        cands = cands.join(qualifying, "id", "left_semi")
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("id").asc())
+    if not rerank or raw is None:
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "id", F.col("adist").alias("distance"), "rank")
+        )
+    shortlist = (
+        cands.withColumn("__sr", F.row_number().over(w))
+        .filter(F.col("__sr") <= rerank)
+        .select("query_id", "__qvec", "id")
+    )
+    exact = raw.join(F.broadcast(shortlist), on="id").select(
+        "query_id", "id", vm.euclidean_distance("__qvec", "vec").alias("distance")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc_nulls_last(), F.col("id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
+
+
+def ivf_residuals(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Residual vectors r = v − centroid(list(v)): (id, list_id, rvec).
+    A broadcast join + elementwise subtract — narrow, no shuffle. The
+    residual distribution is centered near zero with far less variance
+    than the raw vectors, which is why residual-PQ codebooks quantize
+    tighter than raw-PQ codebooks at the same (m, ks)."""
+    return assigned.join(
+        F.broadcast(centroids.select("list_id", "cvec")), "list_id"
+    ).select(
+        F.col(id_col).alias("id"),
+        "list_id",
+        vm.vec_sub(vec_col, "cvec").alias("rvec"),
+    )
+
+
+def ivf_pq_residual_index(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    d_sub: int,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """TRUE FAISS IVF-PQ layout (Jégou et al. TPAMI 2011, §IV): codes
+    quantize the RESIDUAL vs the assigned coarse centroid, not the raw
+    vector — ivf_pq_index's documented accuracy gap closed. `codebook`
+    must be trained on ivf_residuals (pq_codebook over rvec). Same
+    (id, codes, list_id) schema as the non-residual index; only the
+    meaning of the codes differs."""
+    res = ivf_residuals(assigned, centroids, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(res, codebook, m, d_sub, id_col="id", vec_col="rvec")
+    return codes.join(res.select("id", "list_id"), "id")
+
+
+def ann_knn_ivf_pq_residual(
+    index: DataFrame,
+    centers: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    ks: int = 16,
+    d_sub: int = 8,
+    rerank: int = 0,
+    raw: DataFrame | None = None,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    predicate: Column | None = None,
+    attrs: DataFrame | None = None,
+    attrs_id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual IVF-PQ search: the LUT is PER (query, probed list) —
+    each probed list's residual query r_q = q − c_list gets its own
+    m×ks table of squared subspace distances, so the ADC distance
+    approximates ‖q − (c_list + recon(codes))‖ exactly as FAISS's
+    IVFPQ does. LUT volume is n_queries × n_probe × m × ks doubles —
+    still a broadcast (a few MB for realistic probe widths); candidates
+    join it on (query_id, list_id), everything else matches
+    ann_knn_ivf_pq (shortlist window, optional exact re-rank, optional
+    metadata-filter semi-join). Deterministic end-to-end — value-exact
+    oracle-twinnable (plans/registry.py ann_ivf_pq_res_knn)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        vm.as_double(query_vec_col).alias("__qvec"),
+    )
+    centers_df = F.broadcast(centers.select("list_id", F.col("cvec").alias("center")))
+    w_route = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("list_id").asc()
+    )
+    routed = (
+        q.crossJoin(centers_df)
+        .select(
+            "query_id", "__qvec", "list_id", "center",
+            vm.euclidean_distance("__qvec", "center").alias("cdist"),
+        )
+        .withColumn("__r", F.row_number().over(w_route))
+        .filter(F.col("__r") <= n_probe)
+        .select(
+            "query_id", "list_id", "__qvec",
+            vm.vec_sub("__qvec", "center").alias("__rq"),
+        )
+    )
+    rq_slice = F.slice(F.col("__rq"), F.col("sub") * d_sub + 1, F.lit(d_sub))
+    lut = (
+        routed.crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id", "list_id", "__qvec", "sub", "code",
+            vm.squared_euclidean(rq_slice, F.col("cvec")).alias("d2"),
+        )
+        .groupBy("query_id", "list_id")
+        .agg(
+            F.first("__qvec").alias("__qvec"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code", "d2"))),
+                lambda s: s["d2"],
+            ).alias("__lut"),
+        )
+    )
+    adist = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("codes"),
+                lambda c, i: F.element_at(F.col("__lut"), (i * ks + c + 1).cast("int")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    # one lut row per (query, probed list): joining on list_id alone
+    # yields exactly the candidates of that query's probed lists
+    cands = (
+        index.join(F.broadcast(lut), on="list_id")
         .select("query_id", "__qvec", "id", adist.alias("adist"))
     )
     if predicate is not None:

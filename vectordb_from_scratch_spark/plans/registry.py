@@ -2252,12 +2252,14 @@ _PQ = {"m": 16, "ks": 32, "d_sub": 4, "iters": 2, "block": 4096, "k": 10,
        "rerank": 100}
 
 
-def _sql_pq_ctes(include_v: bool = True) -> str:
+def _sql_pq_ctes(include_v: bool = True, src: str = "v") -> str:
     """Unrolled DuckDB twin of pq.pq_codebook + pq.pq_encode: md5-ordered
     seed slices, per-(sub, code) fixed-tree Lloyd updates, final
     assignment grouped into per-id code lists. CTE names are prefixed
     (psubs/sv/cb*/pa*/pcodes) so the block composes with
-    _sql_ivf_det_ctes in one WITH clause (ann_ivf_pq_knn)."""
+    _sql_ivf_det_ctes in one WITH clause (ann_ivf_pq_knn). ``src`` names
+    the (id, vec) CTE the codebook trains on and the codes encode —
+    "vres" for the residual variant."""
     p = _PQ
     m, ks, d_sub = p["m"], p["ks"], p["d_sub"]
 
@@ -2309,11 +2311,11 @@ def _sql_pq_ctes(include_v: bool = True) -> str:
         f"""sv AS (
       SELECT v.id, s.sub,
              list_slice(v.vec, s.sub * {d_sub} + 1, s.sub * {d_sub} + {d_sub}) AS svec
-      FROM v CROSS JOIN psubs s
+      FROM {src} v CROSS JOIN psubs s
     )""",
         f"""pseeds AS (
       SELECT (row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1)::INTEGER AS code, vec
-      FROM v QUALIFY row_number() OVER (ORDER BY md5(id::VARCHAR), id) <= {ks}
+      FROM {src} QUALIFY row_number() OVER (ORDER BY md5(id::VARCHAR), id) <= {ks}
     )""",
         f"""cb0 AS (
       SELECT s.sub, d.code,
@@ -2561,6 +2563,120 @@ def _q_ivf_pq_knn(spark, sf_dir):
         rerank=_PQ["rerank"], raw=assigned.select("id", "vec"),
     )
     return res.withColumn("distance", F.round("distance", 6))
+
+
+def _sql_ivfpq_res() -> str:
+    """Residual IVF-PQ twin: residual table vres = vec − assigned
+    centroid feeds the PQ CTEs (src="vres"); the search side routes,
+    forms the PER-(query, list) residual LUT, ADCs the probed lists'
+    codes, and exact-re-ranks on raw vectors."""
+    p, ivf = _PQ, _IVF_DET
+    ks, d_sub = p["ks"], p["d_sub"]
+    ci = f"c{ivf['iters']}"
+    return f"""
+    WITH {_sql_ivf_det_ctes()},
+    vres AS (
+      SELECT a.id, list_transform(list_zip(a.vec, c.cvec), z -> z[1] - z[2]) AS vec
+      FROM afinal a JOIN {ci} c ON c.list_id = a.list_id
+    ),
+    {_sql_pq_ctes(include_v=False, src="vres")},
+    rprobes AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    rrouted AS (
+      SELECT query_id, list_id, qv, cvec FROM (
+        SELECT p.query_id, p.qv, c.list_id, c.cvec,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {_sql_euclid('p.qv', 'c.cvec')} ASC, c.list_id ASC) AS rn
+        FROM rprobes p CROSS JOIN {ci} c) WHERE rn <= {ivf['n_probe']}
+    ),
+    rq AS (
+      SELECT query_id, list_id, qv,
+             list_transform(list_zip(qv, cvec), z -> z[1] - z[2]) AS rqv
+      FROM rrouted
+    ),
+    rlut AS (
+      SELECT r.query_id, r.list_id, cb.sub, cb.code,
+             {_sql_sqeuclid(f'list_slice(r.rqv, cb.sub * {d_sub} + 1, cb.sub * {d_sub} + {d_sub})', 'cb.cvec')} AS d2
+      FROM rq r CROSS JOIN cb{p['iters']} cb
+    ),
+    rla AS (
+      SELECT query_id, list_id,
+             list_transform(list_sort(list(struct_pack(s := sub, c := code, d := d2))), x -> x.d) AS la
+      FROM rlut GROUP BY query_id, list_id
+    ),
+    ricodes AS (
+      SELECT pc.id, pc.codes, a.list_id FROM pcodes pc JOIN afinal a ON a.id = pc.id
+    ),
+    radc AS (
+      SELECT l.query_id, p.id,
+             sqrt({_sql_fold_sum(f'list_transform(p.codes, (cd, i) -> l.la[(i - 1) * {ks} + cd + 1])')}) AS adist
+      FROM ricodes p JOIN rla l ON l.list_id = p.list_id
+    ),
+    rshort AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, id ASC) AS sr
+        FROM radc) WHERE sr <= {p['rerank']}
+    ),
+    rex AS (
+      SELECT s.query_id, s.id, {_sql_euclid('p.qv', 'e.vec')} AS dist
+      FROM rshort s
+      JOIN rprobes p ON p.query_id = s.query_id
+      JOIN v e ON e.id = s.id
+    )
+    SELECT query_id, id, round(dist, 6) AS distance, rnk::INTEGER AS rank
+    FROM (SELECT query_id, id, dist,
+                 row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+          FROM rex)
+    WHERE rnk <= {p['k']}
+    """
+
+
+@_register(
+    "ann_ivf_pq_res_knn",
+    _sql_ivfpq_res(),
+    doc="TRUE FAISS IVF-PQ (residual encoding, Jégou et al. TPAMI'11 "
+    "§IV), value-exact: codes quantize v − coarse_centroid, search "
+    "builds a PER-(query, probed-list) residual LUT so ADC approximates "
+    "‖q − (centroid + reconstruction)‖ — the accuracy gap of the "
+    "shared-LUT variant closed (pq.ivf_pq_residual_index / "
+    "pq.ann_knn_ivf_pq_residual); exact re-rank on the 100-deep "
+    "shortlist",
+)
+def _q_ivf_pq_res_knn(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    # The three build artifacts (centroids, assignment, residual
+    # codebook) each feed 2-3 consumers AND nest (codebook ⊃ residuals
+    # ⊃ assignment ⊃ centroids) — localCheckpoint materializes each
+    # once and truncates the nested lineage (the tracked-persist form
+    # printed the unrolled Lloyd build 500+ exchanges deep). In
+    # production these are written index tables; the checkpoint is the
+    # session-local stand-in.
+    cent = ann.build_ivf_det(
+        e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
+    ).localCheckpoint()
+    v = e.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent).localCheckpoint()
+    res = pq.ivf_residuals(assigned, cent)
+    cb = pq.pq_codebook(
+        res, m=_PQ["m"], ks=_PQ["ks"], dim=64, iters=_PQ["iters"],
+        block=_PQ["block"], id_col="id", vec_col="rvec",
+    ).localCheckpoint()
+    idx = pq.ivf_pq_residual_index(
+        assigned, cent, cb, _PQ["m"], _PQ["d_sub"], id_col="id", vec_col="vec"
+    )
+    probes = _probes(spark, sf_dir, F.col("vec_id") < 5)
+    out = pq.ann_knn_ivf_pq_residual(
+        idx, cent, cb, probes,
+        k=_PQ["k"], n_probe=_IVF_DET["n_probe"], ks=_PQ["ks"], d_sub=_PQ["d_sub"],
+        rerank=_PQ["rerank"], raw=assigned.select("id", "vec"),
+    )
+    return out.withColumn("distance", F.round("distance", 6))
 
 
 _SEMDEDUP_MIN_SIM = 0.35
