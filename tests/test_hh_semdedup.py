@@ -129,3 +129,43 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert res[0].score == 0.5 * 0.9
     assert res[1].score == 0.5 * 0.3 - 0.5 * 0.1      # diversity beat rel
     assert res[2].score == 0.5 * 0.85 - 0.5 * 0.95    # redundant pick last
+
+
+# ---------------------------------------------------------------- hybrid / RRF
+
+def test_rrf_fusion_semantics(spark):
+    """Doc ranked well by BOTH sources beats a doc that tops one source
+    but misses the other; missing-source contribution is 0; source
+    ranks ride along as NULLs where absent."""
+    from vectordb_from_scratch_spark.operators.hybrid import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2), (0, 13, 3)], "query_id long, id long, rank int"
+    )
+    res = {r.id: r for r in rrf_fuse(lex, vec, k=4, k0=60).collect()}
+    # id 11: 1/62 + 1/61 tops id 10's 1/61 + 0 and id 12's 1/63 + 1/62
+    assert res[11].rank == 1
+    assert res[11].rrf_score == pytest.approx(1 / 62 + 1 / 61)
+    assert res[12].rank == 2            # two mid ranks beat one top rank
+    assert res[10].vec_rank is None and res[10].rrf_score == pytest.approx(1 / 61)
+    assert res[13].text_rank is None
+
+
+def test_hybrid_search_self_match_first(spark):
+    """With the doc↔embedding id pairing, the probe itself tops both
+    rankings, so it must come out rank 1 with both source ranks = 1."""
+    from vectordb_from_scratch_spark.operators.hybrid import hybrid_search_rrf
+    from vectordb_from_scratch_spark.sources import load_table
+
+    from conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    res = hybrid_search_rrf(d, e, n_probes=3, k=5, depth=10)
+    top = {r.query_id: r for r in res.filter(F.col("rank") == 1).collect()}
+    assert set(top) == {0, 1, 2}
+    for q, r in top.items():
+        assert r.id == q and r.text_rank == 1 and r.vec_rank == 1

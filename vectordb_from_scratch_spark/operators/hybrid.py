@@ -1,0 +1,159 @@
+"""Hybrid retrieval: lexical + vector rankings fused with Reciprocal
+Rank Fusion (Cormack, Clarke, Büttcher, "Reciprocal Rank Fusion
+outperforms Condorcet and individual rank learning methods", SIGIR 2009
+— public; the fusion every production vector DB ships as "hybrid
+search").
+
+The reference searches one signal at a time (flat/HNSW over vectors,
+src/storage.rs:217-245); real retrieval stacks run BOTH a lexical
+ranking (BM25/TF-IDF) and a vector ranking, then fuse:
+
+    RRF(d) = Σ_sources 1/(k0 + rank_source(d))
+
+Rank-based fusion needs no score calibration between sources — only the
+RANKS travel, which also makes it the cheapest possible distributed
+fusion: two narrow (query_id, id, rank) tables, one full-outer join.
+
+Determinism: ranks are integers from total-ordered windows (score desc,
+id asc); each contribution is 1.0/(k0 + rank) in double; contributions
+add in fixed source order — bit-identical across engines, so the whole
+hybrid pipeline is value-exact oracle-twinnable (plans/registry.py
+hybrid_search_rrf).
+
+Scale: the lexical side is the inverted-index join of
+textops.tfidf_cosine_pairs (probe side semi-joined to the probe set, so
+fan-out is probes × df, never df²); the vector side is any search path
+(exact knn here; swap in an ANN/PQ path unchanged — rankings are
+rankings). The fusion join carries ≤ probes × depth rows per source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..sources.tables import spread
+
+__all__ = ["lexical_topk", "rrf_fuse", "hybrid_search_rrf"]
+
+
+def lexical_topk(
+    documents: DataFrame,
+    probe_pred: Column,
+    depth: int = 20,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-probe lexical ranking: TF-IDF cosine of each probe document
+    against the whole corpus via the inverted index, top `depth` per
+    probe (self included at rank 1 — same convention as the vector
+    side's self-match). Returns (query_id, id, rank).
+
+    Decimal-exact dot/norm sums (order-independent across
+    partitionings), the same parity rule as tfidf_cosine_pairs. Docs
+    sharing no term with the probe never appear — they'd carry sim 0."""
+    toks = spread(documents).select(
+        F.col(id_col), F.explode(X.tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = documents.agg(F.count(F.lit(1)).alias("__n"))
+    idf = F.log(
+        (F.col("__n") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)).cast("double")
+    )
+    inv = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(nd))
+        .select("term", F.col(id_col), (F.col("tf") * idf).alias("w"))
+    )
+    norms = inv.groupBy(id_col).agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(18,12)")).cast("double")
+        ).alias("nrm")
+    )
+    probe_inv = inv.join(
+        documents.filter(probe_pred).select(id_col), id_col, "left_semi"
+    ).select(F.col(id_col).alias("query_id"), "term", F.col("w").alias("qw"))
+    dots = (
+        probe_inv.join(inv, "term")
+        .groupBy("query_id", F.col(id_col).alias("id"))
+        .agg(
+            F.sum((F.col("qw") * F.col("w")).cast("decimal(18,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nq = norms.select(F.col(id_col).alias("query_id"), F.col("nrm").alias("qnrm"))
+    ndoc = norms.select(F.col(id_col).alias("id"), F.col("nrm").alias("dnrm"))
+    sim = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(ndoc, "id")
+        .select(
+            "query_id", "id",
+            (F.col("dot") / (F.col("qnrm") * F.col("dnrm"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= depth)
+        .select("query_id", "id", "rank")
+    )
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    vector: DataFrame,
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Fuse two (query_id, id, rank) rankings:
+    score = 1/(k0 + lex_rank) + 1/(k0 + vec_rank), a source missing a
+    doc contributes 0. Returns the top-k per query:
+    (query_id, id, rrf_score, text_rank, vec_rank, rank) — the source
+    ranks ride along (NULL where the source missed the doc)."""
+    le = lexical.select("query_id", "id", F.col("rank").alias("text_rank"))
+    ve = vector.select("query_id", "id", F.col("rank").alias("vec_rank"))
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(k0) + F.col(r)).cast("double"), F.lit(0.0)
+    )
+    fused = le.join(ve, ["query_id", "id"], "full_outer").select(
+        "query_id", "id",
+        (contrib("text_rank") + contrib("vec_rank")).alias("rrf_score"),
+        "text_rank", "vec_rank",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "rrf_score", "text_rank", "vec_rank", "rank")
+    )
+
+
+def hybrid_search_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    n_probes: int = 5,
+    k: int = 10,
+    depth: int = 20,
+    k0: int = 60,
+) -> DataFrame:
+    """End-to-end hybrid search over the synthetic doc↔embedding pairing
+    (doc_id i ↔ vec_id i, ids < n_probes are the probes): lexical
+    TF-IDF-cosine top-`depth` + vector cosine top-`depth`, RRF-fused to
+    a top-`k`. The shape every hybrid vector DB serves; both sides and
+    the fusion are deterministic."""
+    from . import knn
+
+    lex = lexical_topk(documents, F.col("doc_id") < n_probes, depth=depth)
+    probes = embeddings.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    vec = knn.knn(embeddings, probes, k=depth, metric="cosine").select(
+        "query_id", "id", "rank"
+    )
+    return rrf_fuse(lex, vec, k=k, k0=k0)

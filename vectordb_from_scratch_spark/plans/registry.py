@@ -2972,6 +2972,88 @@ def _q_text_cosine(spark, sf_dir):
     return textops.tfidf_cosine_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+_RRF = {"n_probes": 5, "depth": 20, "k": 10, "k0": 60}
+
+
+@_register(
+    "hybrid_search_rrf",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    inv AS (
+      SELECT tf.term, tf.doc_id,
+             tf.tf * ln((n.n_docs + 1)::DOUBLE / (dfq.df + 1)::DOUBLE) AS w
+      FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(sum(CAST(w * w AS DECIMAL(18,12))) AS DOUBLE)) AS nrm
+      FROM inv GROUP BY doc_id
+    ),
+    pdots AS (
+      SELECT q.doc_id AS query_id, d.doc_id AS id,
+             CAST(sum(CAST(q.w * d.w AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM inv q JOIN inv d ON q.term = d.term
+      WHERE q.doc_id < {_RRF['n_probes']}
+      GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT query_id, id, rnk FROM (
+        SELECT p.query_id, p.id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY p.dot / (nq.nrm * nd.nrm) DESC, p.id ASC) AS rnk
+        FROM pdots p
+        JOIN norms nq ON nq.doc_id = p.query_id
+        JOIN norms nd ON nd.doc_id = p.id
+      ) WHERE rnk <= {_RRF['depth']}
+    ),
+    vecr AS (
+      SELECT query_id, id, rnk FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_sql_cosine_dist('q.embedding', 'e.embedding')} ASC,
+                          e.vec_id ASC) AS rnk
+        FROM (SELECT * FROM embeddings WHERE vec_id < {_RRF['n_probes']}) q
+        CROSS JOIN embeddings e
+      ) WHERE rnk <= {_RRF['depth']}
+    ),
+    fused AS (
+      SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.id, v.id) AS id,
+             coalesce(1.0::DOUBLE / ({_RRF['k0']} + l.rnk)::DOUBLE, 0.0::DOUBLE)
+             + coalesce(1.0::DOUBLE / ({_RRF['k0']} + v.rnk)::DOUBLE, 0.0::DOUBLE) AS score,
+             l.rnk AS text_rank, v.rnk AS vec_rank
+      FROM lex l FULL OUTER JOIN vecr v ON l.query_id = v.query_id AND l.id = v.id
+    )
+    SELECT query_id, id, round(score, 6) AS rrf_score,
+           text_rank::INTEGER AS text_rank, vec_rank::INTEGER AS vec_rank,
+           rnk::INTEGER AS rank
+    FROM (SELECT query_id, id, score, text_rank, vec_rank,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, id ASC) AS rnk
+          FROM fused)
+    WHERE rnk <= {_RRF['k']}
+    """,
+    doc="Hybrid search with Reciprocal Rank Fusion (Cormack et al. "
+    "SIGIR'09, public — the fusion every hybrid vector DB serves): "
+    "lexical TF-IDF-cosine top-20 (inverted-index join, decimal-exact "
+    "sums) + vector cosine top-20, fused by 1/(60+rank) sums, top-10 "
+    "per probe (operators/hybrid.py). Rank-based fusion needs no score "
+    "calibration and ships only (query, id, rank) between sources; "
+    "value-exact end-to-end",
+)
+def _q_hybrid_search_rrf(spark, sf_dir):
+    from ..operators import hybrid
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return hybrid.hybrid_search_rrf(
+        d, e, n_probes=_RRF["n_probes"], k=_RRF["k"],
+        depth=_RRF["depth"], k0=_RRF["k0"],
+    ).withColumn("rrf_score", F.round("rrf_score", 6))
+
+
 @_register(
     "text_cosine_pruned",
     f"""
