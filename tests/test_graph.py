@@ -1,0 +1,46 @@
+"""PageRank (operators/graph.py): hand-computed values on a 3-node
+graph, determinism across partitionings, and sink behavior of the
+documented simplified form."""
+
+from __future__ import annotations
+
+import pytest
+
+from vectordb_from_scratch_spark.operators import graph
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # 1→2, 1→3, 2→3 ; node 3 is a sink
+    return spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+
+
+def test_pagerank_hand_computed_one_iter(spark, tiny):
+    res = {r.node: r.pr for r in graph.pagerank(tiny, iters=1).collect()}
+    base = (1.0 - 0.85) / 3.0
+    assert res[1] == pytest.approx(base, abs=0)
+    assert res[2] == pytest.approx(base + 0.85 * ((1 / 3) / 2), rel=1e-15)
+    assert res[3] == pytest.approx(base + 0.85 * ((1 / 3) / 2 + (1 / 3) / 1), rel=1e-15)
+    # sink ranks highest, source lowest
+    assert res[3] > res[2] > res[1]
+
+
+def test_pagerank_partitioning_invariant(spark, tiny):
+    a = {r.node: r.pr for r in graph.pagerank(tiny, iters=3).collect()}
+    b = {
+        r.node: r.pr
+        for r in graph.pagerank(tiny.repartition(7), iters=3).collect()
+    }
+    assert a == b  # bit-identical, not approximately equal
+
+
+def test_pagerank_uniform_cycle(spark):
+    """A directed cycle is rank-uniform at every iteration and conserves
+    total mass exactly (no sinks)."""
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    res = [r.pr for r in graph.pagerank(cyc, iters=4).collect()]
+    assert all(p == pytest.approx(0.2, rel=1e-12) for p in res)

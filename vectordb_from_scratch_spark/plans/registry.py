@@ -3905,6 +3905,85 @@ def _q_rel_heavy_hitters(spark, sf_dir):
     return mx.heavy_hitters(ev, "user_id", capacity=_HH_CAPACITY)
 
 
+_PR = {"iters": 3, "damping": 0.85, "block": 4096, "supp_offset": 1000000}
+
+
+def _sql_pagerank() -> str:
+    """Unrolled DuckDB twin of graph.pagerank over the customer→supplier
+    transaction graph: per iteration one contribution join + the fixed
+    two-level src-block reduction tree (sums independent of any
+    engine's grouping order). Damping complement is embedded via repr()
+    so both engines parse the IDENTICAL double (1-0.85 is not 0.15 in
+    binary)."""
+    p = _PR
+    base = repr(1.0 - p["damping"])
+    ctes = [
+        f"""ge AS (
+      SELECT DISTINCT o.o_custkey::BIGINT AS src,
+             l.l_suppkey::BIGINT + {p['supp_offset']} AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )""",
+        "gnodes AS (SELECT src AS node FROM ge UNION SELECT dst FROM ge)",
+        "godeg AS (SELECT src, count(*) AS outdeg FROM ge GROUP BY src)",
+        "gn AS (SELECT count(*) AS n FROM gnodes)",
+        """gpr0 AS (
+      SELECT node, 1.0::DOUBLE / n::DOUBLE AS pr FROM gnodes CROSS JOIN gn
+    )""",
+    ]
+    for i in range(1, p["iters"] + 1):
+        ctes.append(f"""gct{i} AS (
+      SELECT ge.dst AS node, ge.src, ge.src // {p['block']} AS blk,
+             p.pr / godeg.outdeg::DOUBLE AS c
+      FROM ge JOIN gpr{i - 1} p ON p.node = ge.src JOIN godeg ON godeg.src = ge.src
+    )""")
+        ctes.append(f"""gl1_{i} AS (
+      SELECT node, blk,
+             {_sql_fold_sum("list_transform(list_sort(list(struct_pack(i := src, v := c))), s -> s.v)")} AS s1
+      FROM gct{i} GROUP BY node, blk
+    )""")
+        ctes.append(f"""gsum{i} AS (
+      SELECT node,
+             {_sql_fold_sum("list_transform(list_sort(list(struct_pack(b := blk, s := s1))), x -> x.s)")} AS s
+      FROM gl1_{i} GROUP BY node
+    )""")
+        ctes.append(f"""gpr{i} AS (
+      SELECT n.node,
+             ({base}::DOUBLE / gn.n::DOUBLE)
+             + {p['damping']}::DOUBLE * coalesce(s.s, 0.0::DOUBLE) AS pr
+      FROM gnodes n LEFT JOIN gsum{i} s ON s.node = n.node CROSS JOIN gn
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, round(pr, 6) AS pr FROM gpr{p['iters']}"
+    )
+
+
+@_register(
+    "graph_pagerank",
+    _sql_pagerank(),
+    doc="PageRank (Page et al. 1998, public) over the customer→supplier "
+    "transaction graph (distinct orders⋈lineitem edges, suppliers "
+    "offset into their own id space): 3 unrolled iterations, per-target "
+    "sums via the fixed two-level src-block reduction tree — "
+    "partitioning-independent doubles, value-exact (graph.pagerank; "
+    "simplified no-dangling-redistribution form, divergence documented "
+    "in the module docstring)",
+)
+def _q_graph_pagerank(spark, sf_dir):
+    from ..operators import graph
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + _PR["supp_offset"]).alias("dst"),
+    )
+    res = graph.pagerank(
+        edges, iters=_PR["iters"], damping=_PR["damping"], block=_PR["block"]
+    )
+    return res.withColumn("pr", F.round("pr", 6))
+
+
 _Q17_SQL = """
     SELECT l.l_partkey,
            CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS below_avg_revenue,
