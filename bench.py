@@ -49,10 +49,13 @@ BENCH_QUERIES = [
     # quantized IVF-SQ8 serve path
     "ann_srp_filtered_knn",
     "ann_ivf_sq8_knn",
-    # round 4 (cont.): IVF-PQ serving, semantic dedup, MMR diversity
+    # round 4 (cont.): IVF-PQ serving, semantic dedup, MMR diversity,
+    # hybrid RRF retrieval, graph centrality
     "ann_ivf_pq_knn",
     "dedup_semantic",
     "knn_mmr_diversify",
+    "hybrid_search_rrf",
+    "graph_pagerank",
 ]
 
 

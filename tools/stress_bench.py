@@ -192,6 +192,21 @@ def main() -> int:
                      raw=assigned_p.select("id", "vec"))))
             results["pq_codes_bytes"] = _du(pq_dir + "/codes")
 
+    # PageRank at graph scale: a 10M-edge synthetic graph (deterministic
+    # multiplicative wiring, ~1M nodes) through 3 unrolled fixed-tree
+    # iterations — evidence the per-iteration join+tree-aggregate shape
+    # holds an order of magnitude above the relational oracle graph
+    if want("pagerank"):
+        from vectordb_from_scratch_spark.operators import graph as G
+
+        n_nodes, n_edges = 1_000_000, 10_000_000
+        ge = spark.range(n_edges).select(
+            (F.col("id") % n_nodes).alias("src"),
+            ((F.col("id") * 31 + 7) % n_nodes).alias("dst"),
+        )
+        cell("pagerank_%dedges" % n_edges,
+             lambda: sink(G.pagerank(ge, iters=3)))
+
     # streaming exact-dedup throughput: the whole corpus through the
     # digest-state ingest path in multi-file micro-batches (8 files per
     # trigger) — state stays (fp, keep_id)-sized; measures end-to-end
