@@ -169,3 +169,35 @@ def test_hybrid_search_self_match_first(spark):
     assert set(top) == {0, 1, 2}
     for q, r in top.items():
         assert r.id == q and r.text_rank == 1 and r.vec_rank == 1
+
+
+# ---------------------------------------------------------------- count-min
+
+def test_countmin_never_underestimates_and_collides_over(spark):
+    """CM guarantee: estimate ≥ true count for EVERY key; with width
+    smaller than the key cardinality, at least one key must overestimate
+    (pigeonhole), and a dominant key's estimate stays close."""
+    from vectordb_from_scratch_spark.operators.metrics import countmin_estimates
+
+    rows = [(k % 97,) for k in range(4000)] + [(999,)] * 1000
+    df = spark.createDataFrame(rows, "user_id int").repartition(9)
+    res = countmin_estimates(df, "user_id", depth=3, width=32).collect()
+    assert len(res) == 98
+    assert all(r.cm_est >= r.true_cnt for r in res)
+    assert all(r.overestimate == r.cm_est - r.true_cnt for r in res)
+    assert any(r.overestimate > 0 for r in res)  # 98 keys into 32 cells
+    big = next(r for r in res if r.user_id == 999)
+    assert big.true_cnt == 1000 and big.cm_est < 1000 + 4000  # sane bound
+
+
+def test_countmin_partitioning_invariant(spark):
+    from vectordb_from_scratch_spark.operators.metrics import countmin_estimates
+
+    rows = [(k % 12,) for k in range(500)]
+    a = spark.createDataFrame(rows, "user_id int")
+    got1 = {(r.user_id, r.cm_est) for r in countmin_estimates(a, "user_id").collect()}
+    got2 = {
+        (r.user_id, r.cm_est)
+        for r in countmin_estimates(a.repartition(7), "user_id").collect()
+    }
+    assert got1 == got2

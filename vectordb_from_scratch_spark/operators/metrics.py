@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["latency_report", "heavy_hitters"]
+__all__ = ["latency_report", "heavy_hitters", "countmin_estimates"]
 
 
 def latency_report(
@@ -122,3 +122,68 @@ def heavy_hitters(
         "cnt",
         F.round(F.col("cnt").cast("double") / F.col("__n"), 6).alias("share"),
     ).orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+
+
+def countmin_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 64,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, "An improved data
+    stream summary: the count-min sketch and its applications", 2005 —
+    public): depth×width counters; every row increments one cell per
+    hash row; a key's estimate is the MIN of its cells — never an
+    underestimate, over by at most εn with probability 1-δ
+    (ε = e/width, δ = e^-depth).
+
+    Distributed build in ONE JVM-side pass: the groupBy(d, cell)
+    aggregation IS the sketch — map-side partial aggregation keeps
+    per-partition state at depth×width counters and the shuffle carries
+    at most depth×width rows TOTAL, independent of row count or key
+    cardinality (the reason a sketch beats exact groupBy when keys
+    explode). Hashes are the shared md5-nibble recipe
+    (functions.text.hex_value_from_md5), so cells — and therefore every
+    estimate — are deterministic and engine-portable: the whole sketch
+    is value-exact oracle-twinnable despite being an approximation.
+
+    Returns (key, cm_est, true_cnt, overestimate) for every distinct
+    key — the exact count rides along to exhibit the one-sided
+    guarantee (cm_est ≥ true_cnt always; equality unless cells
+    collide). In production the true count is of course omitted; it is
+    the demonstrandum here, not a dependency of the estimate."""
+    from ..functions import text as X
+
+    def cells_for(k: Column) -> Column:
+        return F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    X.hex_value_from_md5(
+                        F.md5(F.concat(F.lit(f"{d}:"), k)), 0, 8
+                    ) % F.lit(width)
+                ).alias("cell"),
+            )
+            for d in range(depth)
+        ])
+
+    keyed = df.select(F.col(key_col).cast("string").alias("__k"))
+    sketch = (
+        keyed.select(F.explode(cells_for(F.col("__k"))).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keys = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("true_cnt"))
+    qcells = keys.select(
+        key_col, "true_cnt",
+        F.explode(cells_for(F.col(key_col).cast("string"))).alias("c"),
+    ).select(key_col, "true_cnt", F.col("c.d").alias("d"), F.col("c.cell").alias("cell"))
+    est = (
+        qcells.join(F.broadcast(sketch), ["d", "cell"])
+        .groupBy(key_col, "true_cnt")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    return est.select(
+        key_col, "cm_est", "true_cnt",
+        (F.col("cm_est") - F.col("true_cnt")).alias("overestimate"),
+    )

@@ -3905,6 +3905,63 @@ def _q_rel_heavy_hitters(spark, sf_dir):
     return mx.heavy_hitters(ev, "user_id", capacity=_HH_CAPACITY)
 
 
+_CM = {"depth": 3, "width": 64}
+
+
+def _sql_cm_hex(h: str) -> str:
+    """Integer value of the first 8 hex digits of a staged md5 column —
+    the SQL twin of functions.text.hex_value_from_md5(·, 0, 8)."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({terms})::BIGINT)"
+
+
+@_register(
+    "rel_countmin",
+    f"""
+    WITH ck AS (
+      SELECT user_id, user_id::VARCHAR AS k, count(*) AS true_cnt
+      FROM events GROUP BY 1, 2
+    ),
+    crows AS (SELECT user_id::VARCHAR AS k FROM events),
+    cd AS (SELECT unnest(generate_series(0, {_CM['depth'] - 1})) AS d),
+    ccells AS (
+      SELECT d, {_sql_cm_hex('h')} % {_CM['width']} AS cell, count(*) AS cnt
+      FROM (SELECT cd.d, md5(cd.d::VARCHAR || ':' || r.k) AS h
+            FROM crows r CROSS JOIN cd)
+      GROUP BY 1, 2
+    ),
+    cq AS (
+      SELECT user_id, true_cnt, d, {_sql_cm_hex('h')} % {_CM['width']} AS cell
+      FROM (SELECT y.user_id, y.true_cnt, cd.d,
+                   md5(cd.d::VARCHAR || ':' || y.k) AS h
+            FROM ck y CROSS JOIN cd)
+    )
+    SELECT q.user_id, min(c.cnt) AS cm_est, q.true_cnt,
+           min(c.cnt) - q.true_cnt AS overestimate
+    FROM cq q JOIN ccells c ON c.d = q.d AND c.cell = q.cell
+    GROUP BY q.user_id, q.true_cnt
+    """,
+    doc="Count-Min sketch (Cormode & Muthukrishnan 2005, public): "
+    "3×64 counters built in ONE JVM pass — the groupBy(d, cell) IS the "
+    "sketch, map-side combine bounds per-partition state and the "
+    "shuffle at depth×width rows regardless of key cardinality "
+    "(metrics.countmin_estimates). md5-nibble hashing makes every cell "
+    "and estimate engine-portable, so the approximate sketch is "
+    "value-exact under the oracle; exact counts ride along to exhibit "
+    "the one-sided cm_est ≥ true_cnt guarantee",
+)
+def _q_rel_countmin(spark, sf_dir):
+    from ..operators import metrics as mx
+
+    ev = _t(spark, sf_dir, "events")
+    return mx.countmin_estimates(
+        ev, "user_id", depth=_CM["depth"], width=_CM["width"]
+    )
+
+
 _PR = {"iters": 3, "damping": 0.85, "block": 4096, "supp_offset": 1000000}
 
 
