@@ -252,7 +252,7 @@ class TestConnectedComponents:
 
         edges = [(i, i + 1) for i in range(1, 8)]
         with _pytest.raises(RuntimeError, match="did not converge"):
-            self._cc(spark, edges, list(range(1, 9)), max_iters=1)
+            self._cc(spark, edges, list(range(1, 9)), max_iters=1, driver_threshold=0)
 
     def test_long_chain_converges_in_log_rounds(self, spark):
         # Adversarial 300-node chain (diameter 299): pure min-propagation
@@ -260,9 +260,17 @@ class TestConnectedComponents:
         # default max_iters=25 budget (~log2(300) + constants).
         n = 300
         edges = [(i, i + 1) for i in range(1, n)]
-        got = self._cc(spark, edges, list(range(1, n + 1)))
+        got = self._cc(spark, edges, list(range(1, n + 1)), driver_threshold=0)
         assert set(got.values()) == {1}
         assert len(got) == n
+
+    def test_driver_and_distributed_paths_agree(self, spark):
+        # strategy selection must be invisible: same graph, same result
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 4)]
+        ids = [1, 2, 3, 4, 10, 11, 12, 20, 99]
+        via_driver = self._cc(spark, edges, ids)                      # ≤ threshold
+        via_loop = self._cc(spark, edges, ids, driver_threshold=0)    # forced loop
+        assert via_driver == via_loop
 
     def test_two_long_chains_stay_separate(self, spark):
         # jump steps must not leak labels across disconnected chains
@@ -271,7 +279,8 @@ class TestConnectedComponents:
             (i, i + 1) for i in range(1000, 1000 + n - 1)
         ]
         got = self._cc(
-            spark, edges, list(range(1, n + 1)) + list(range(1000, 1000 + n))
+            spark, edges, list(range(1, n + 1)) + list(range(1000, 1000 + n)),
+            driver_threshold=0,
         )
         assert set(got.values()) == {1, 1000}
         assert all(c == (1 if k <= n else 1000) for k, c in got.items())
