@@ -110,3 +110,32 @@ def test_numpy_kernel_handles_string_ids(spark):
     got_np = [(r.query_id, r.id, round(r.distance, 9), r.rank) for r in res_np]
     got_w = [(r.query_id, r.id, round(r.distance, 9), r.rank) for r in res_w]
     assert got_np == got_w == [("q1", "a", 0.0, 1), ("q1", "c", round(res_w[1].distance, 9), 2)]
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """Perfect ranking → rr=1, ndcg=1; one relevant at rank 3 → rr=1/3
+    and ndcg = discount(3)/idcg; nothing relevant → zeros."""
+    import math
+
+    from vectordb_from_scratch_spark.operators.knn import ranking_metrics
+
+    k = 3
+    idcg = sum(1.0 / (math.log(i + 1) / math.log(2.0)) for i in range(1, k + 1))
+    exact = spark.createDataFrame(
+        [(q, i, r) for q in (0, 1, 2) for r, i in enumerate(
+            {0: [10, 11, 12], 1: [20, 21, 22], 2: [30, 31, 32]}[q], start=1)],
+        "query_id long, id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        # q0: perfect; q1: only relevant doc 20 at rank 3; q2: all misses
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3),
+         (1, 90, 1), (1, 91, 2), (1, 20, 3),
+         (2, 95, 1), (2, 96, 2), (2, 97, 3)],
+        "query_id long, id long, rank int",
+    )
+    res = {r.query_id: r for r in ranking_metrics(approx, exact, k=k).collect()}
+    assert res[0].rr == 1.0 and res[0].ndcg_at_3 == 1.0 and res[0].n_relevant == 3
+    assert res[1].rr == round(1 / 3, 6)
+    want = (1.0 / (math.log(4) / math.log(2.0))) / idcg
+    assert res[1].ndcg_at_3 == round(want, 6)
+    assert res[2].rr == 0.0 and res[2].ndcg_at_3 == 0.0 and res[2].n_relevant == 0

@@ -57,9 +57,7 @@ EXCHANGE_BUDGETS = {
     "knn_pq_recall": 80,              # exact + adc + rerank subplans unioned
     "ann_ivf_pq_knn": 100,            # det-IVF build + PQ build in one plan
     "ann_ivf_pq_res_knn": 120,        # + residual join feeding the PQ build
-    # det-IVF assignment (persisted, subtree reprints under the node
-    # list, the singleton join-back, and the cluster-size window)
-    "dedup_semantic": 55,
+    "eval_ann_ndcg": 40,              # det-IVF build feeding the evaluated ranking
 }
 
 

@@ -461,10 +461,13 @@ def semantic_dedup(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    # the assignment feeds BOTH sides of the pair self-join and the node
-    # list — persist it (session cache registry) or the centroid
-    # assignment re-executes once per consumer
-    assigned = _track(assign_ivf_det(v, centroids))
+    # the assignment feeds BOTH sides of the pair self-join, the node
+    # list, and the singleton join-back — localCheckpoint materializes
+    # it once AND truncates the unrolled centroid-build lineage that a
+    # plain persist reprints under every consumer (in production the
+    # assignment is a written index table; this is the session-local
+    # stand-in, same as the IVF-PQ queries)
+    assigned = assign_ivf_det(v, centroids).localCheckpoint()
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
         a.join(

@@ -44,7 +44,7 @@ from ..functions import vectormath as vm
 from ..sources.tables import spread
 
 __all__ = ["knn", "knn_filtered", "knn_filtered_overfetch", "self_knn",
-           "mmr_diversify"]
+           "mmr_diversify", "ranking_metrics"]
 
 
 def _local_topk(k: int) -> callable:
@@ -442,3 +442,63 @@ def mmr_diversify(
         )
         selected = pick if selected is None else selected.unionByName(pick)
     return selected
+
+
+def ranking_metrics(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+    idcg: float | None = None,
+) -> DataFrame:
+    """Offline retrieval evaluation: MRR and nDCG@k of a ranking against
+    exact ground truth (Järvelin & Kekäläinen, "Cumulated gain-based
+    evaluation of IR techniques", TOIS 2002 — public; the metric every
+    search-quality pipeline reports next to recall). Binary relevance:
+    a result is relevant iff it appears in the exact top-k.
+
+    `approx` and `exact` are (query_id, id, rank) tables from any search
+    path — rankings are rankings, so this composes with exact/SRP/IVF/
+    PQ/hybrid outputs unchanged. Returns one row per query:
+    (query_id, rr, ndcg_at_k, n_relevant).
+
+    Determinism: relevance is a join; DCG folds contributions in rank
+    order (sorted collect_list → left fold); discounts use ln(rank+1)/
+    ln(2) explicitly — the same ln both engines' oracles already rely
+    on — and the IDCG normalizer is a Python-computed literal embedded
+    identically on both sides, so the metric is value-exact
+    oracle-twinnable. One narrow join + one bounded aggregation —
+    queries shard freely at any scale."""
+    import math
+
+    if idcg is None:
+        idcg = sum(1.0 / (math.log(i + 1) / math.log(2.0)) for i in range(1, k + 1))
+    rel_tbl = exact.filter(F.col("rank") <= k).select(
+        "query_id", "id", F.lit(1.0).alias("__rel")
+    )
+    j = (
+        approx.filter(F.col("rank") <= k)
+        .join(rel_tbl, ["query_id", "id"], "left")
+        .select(
+            "query_id", "rank", F.coalesce("__rel", F.lit(0.0)).alias("rel")
+        )
+    )
+    ln2 = F.log(F.lit(2.0))
+    per = j.select(
+        "query_id", "rank", "rel",
+        (F.col("rel") / (F.log((F.col("rank") + 1).cast("double")) / ln2)).alias("c"),
+    )
+    dcg = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "c"))), lambda s: s["c"]
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    first_rel = F.min(F.when(F.col("rel") > 0, F.col("rank")))
+    return per.groupBy("query_id").agg(
+        F.round(
+            F.coalesce(F.lit(1.0) / first_rel.cast("double"), F.lit(0.0)), 6
+        ).alias("rr"),
+        F.round(dcg / F.lit(idcg), 6).alias(f"ndcg_at_{k}"),
+        F.sum("rel").cast("long").alias("n_relevant"),
+    )

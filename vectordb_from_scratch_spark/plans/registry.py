@@ -3905,6 +3905,95 @@ def _q_rel_heavy_hitters(spark, sf_dir):
     return mx.heavy_hitters(ev, "user_id", capacity=_HH_CAPACITY)
 
 
+import math as _math
+
+_NDCG_K = 10
+_IDCG_10 = sum(
+    1.0 / (_math.log(i + 1) / _math.log(2.0)) for i in range(1, _NDCG_K + 1)
+)
+
+
+@_register(
+    "eval_ann_ndcg",
+    f"""
+    WITH {_sql_ivf_det_ctes()},
+    eprobes AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    erouted AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT p.query_id, p.qv, c.list_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {_sql_euclid('p.qv', 'c.cvec')} ASC, c.list_id ASC) AS rn
+        FROM eprobes p CROSS JOIN c{_IVF_DET['iters']} c) WHERE rn <= {_IVF_DET['n_probe']}
+    ),
+    eapprox AS (
+      SELECT query_id, id, rnk AS rank FROM (
+        SELECT r.query_id, a.id,
+               row_number() OVER (PARTITION BY r.query_id
+                 ORDER BY {_sql_euclid('r.qv', 'a.vec')} ASC, a.id ASC) AS rnk
+        FROM erouted r JOIN afinal a ON r.list_id = a.list_id
+      ) WHERE rnk <= {_NDCG_K}
+    ),
+    eexact AS (
+      SELECT query_id, id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_sql_euclid('q.embedding', 'e.embedding')} ASC,
+                          e.vec_id ASC) AS rnk
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN embeddings e
+      ) WHERE rnk <= {_NDCG_K}
+    ),
+    ej AS (
+      SELECT a.query_id, a.rank,
+             CASE WHEN e.id IS NOT NULL THEN 1.0 ELSE 0.0 END AS rel
+      FROM eapprox a LEFT JOIN eexact e
+        ON e.query_id = a.query_id AND e.id = a.id
+    ),
+    eper AS (
+      SELECT query_id, rank, rel,
+             rel / (ln((rank + 1)::DOUBLE) / ln(2.0)) AS c
+      FROM ej
+    )
+    SELECT query_id,
+           round(coalesce(1.0::DOUBLE / min(CASE WHEN rel > 0 THEN rank END)::DOUBLE,
+                          0.0::DOUBLE), 6) AS rr,
+           round({_sql_fold_sum("list_transform(list_sort(list(struct_pack(r := rank, c := c))), x -> x.c)")}
+                 / {_IDCG_10!r}, 6) AS ndcg_at_{_NDCG_K},
+           sum(rel)::BIGINT AS n_relevant
+    FROM eper GROUP BY query_id
+    """,
+    doc="Offline retrieval evaluation (Järvelin & Kekäläinen TOIS'02, "
+    "public): per-query MRR and nDCG@10 of the deterministic-IVF ANN "
+    "ranking against the exact top-10 (binary relevance). DCG folds in "
+    "rank order, discounts via explicit ln(r+1)/ln 2, IDCG embedded as "
+    "one Python literal on both engines — the quality metric every "
+    "search pipeline reports, value-exact (knn.ranking_metrics; "
+    "composes with any search path's (query_id, id, rank) output)",
+)
+def _q_eval_ann_ndcg(spark, sf_dir):
+    from ..operators.cache import track
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = track(ann.build_ivf_det(
+        e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
+    ))
+    v = e.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent)
+    probes = _probes(spark, sf_dir, F.col("vec_id") < 5)
+    approx = ann.ann_knn_ivf(
+        assigned, cent, probes, k=_NDCG_K, n_probe=_IVF_DET["n_probe"],
+        id_col="id", vec_col="vec",
+    ).select("query_id", "id", "rank")
+    exact = knn.knn(e, probes, k=_NDCG_K, metric="euclidean").select(
+        "query_id", "id", "rank"
+    )
+    return knn.ranking_metrics(approx, exact, k=_NDCG_K, idcg=_IDCG_10)
+
+
 _CM = {"depth": 3, "width": 64}
 
 
