@@ -58,6 +58,11 @@ EXCHANGE_BUDGETS = {
     "ann_ivf_pq_knn": 100,            # det-IVF build + PQ build in one plan
     "ann_ivf_pq_res_knn": 120,        # + residual join feeding the PQ build
     "eval_ann_ndcg": 40,              # det-IVF build feeding the evaluated ranking
+    # persisted det-IVF assignment reprints its unrolled build under the
+    # pair join (both sides), node list, singleton join-back, and window
+    # — executes once (InMemoryTableScan); checkpoint alternative
+    # measured ~16 s slower at sf0.1 (see semantic_dedup comment)
+    "dedup_semantic": 260,
 }
 
 

@@ -462,12 +462,13 @@ def semantic_dedup(
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
     # the assignment feeds BOTH sides of the pair self-join, the node
-    # list, and the singleton join-back — localCheckpoint materializes
-    # it once AND truncates the unrolled centroid-build lineage that a
-    # plain persist reprints under every consumer (in production the
-    # assignment is a written index table; this is the session-local
-    # stand-in, same as the IVF-PQ queries)
-    assigned = assign_ivf_det(v, centroids).localCheckpoint()
+    # list, and the singleton join-back — persist it (session cache
+    # registry) so it computes once. (A localCheckpoint was tried for
+    # the cleaner plan PRINT but measured ~16 s slower at sf0.1 — the
+    # eager checkpoint is a full extra materialization job; the persist
+    # reprints the build subtree under each consumer textually while
+    # executing it once, covered by the audit budget.)
+    assigned = _track(assign_ivf_det(v, centroids))
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
         a.join(
