@@ -4930,3 +4930,339 @@ def _apply_driver_priority() -> None:
 
 
 _apply_driver_priority()
+
+
+# --------------------------------------------------------------------------
+# 12. TPC-H shape completion (round 5) — the remaining query shapes,
+# adapted to the shipped schema (no partsupp / shipmode / commitdate;
+# lateness = l_shipdate vs o_orderdate + grace). With these, all 22
+# TPC-H query shapes have a registered, oracle-checked twin.
+# --------------------------------------------------------------------------
+
+_REV_DEC = "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))"
+
+
+@_register(
+    "rel_tpch_q4_shape",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS → left-semi join, order counts by priority "
+    "(late = shipped >30d after order; schema has no commitdate)",
+)
+def _q_tpch_q4(spark, sf_dir):
+    return rel.order_priority_check(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "rel_tpch_q8_shape",
+    f"""
+    SELECT year(o_orderdate)::INTEGER AS o_year,
+           round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN {_REV_DEC}
+                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum({_REV_DEC}) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY year(o_orderdate)::INTEGER
+    """,
+    doc="TPC-H Q8 shape: national market share by year (conditional share "
+    "in one aggregation pass)",
+)
+def _q_tpch_q8(spark, sf_dir):
+    return rel.market_share(
+        _t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+@_register(
+    "rel_tpch_q9_shape",
+    """
+    SELECT n_name AS nation, year(o_orderdate)::INTEGER AS o_year,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                         - p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY n_name, year(o_orderdate)::INTEGER
+    """,
+    doc="TPC-H Q9 shape: profit by supplier nation × year (cost side "
+    "adapted to p_retailprice × quantity — no partsupp in schema)",
+)
+def _q_tpch_q9(spark, sf_dir):
+    return rel.product_profit(
+        _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+@_register(
+    "rel_tpch_q10_shape",
+    f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(sum({_REV_DEC}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer, "
+    "deterministic top-20",
+)
+def _q_tpch_q10(spark, sf_dir):
+    return rel.returned_items(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "nation"),
+    )
+
+
+@_register(
+    "rel_tpch_q11_shape",
+    """
+    WITH national AS (
+      SELECT l_partkey, CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    )
+    SELECT l_partkey, round(CAST(sum(value) AS DOUBLE), 6) AS part_value
+    FROM national
+    GROUP BY l_partkey
+    HAVING CAST(sum(value) AS DOUBLE) >
+           (SELECT CAST(sum(value) AS DOUBLE) * 0.001 FROM national)
+    """,
+    doc="TPC-H Q11 shape: parts above a fraction of one nation's shipped "
+    "value (shared slice reused for agg + threshold; no partsupp)",
+)
+def _q_tpch_q11(spark, sf_dir):
+    return rel.important_parts(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_register(
+    "rel_tpch_q12_shape",
+    """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                THEN 'FAST' ELSE 'SLOW' END AS ship_bucket,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape: priority counts by ship-delay bucket (delay "
+    "stands in for shipmode)",
+)
+def _q_tpch_q12(spark, sf_dir):
+    return rel.ship_delay_priority(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "rel_tpch_q13_shape",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: customer order-count distribution incl. "
+    "zero-order customers (priority exclusion stands in for the comment "
+    "pattern)",
+)
+def _q_tpch_q13(spark, sf_dir):
+    return rel.customer_distribution(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+
+@_register(
+    "rel_tpch_q14_shape",
+    f"""
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_DEC}
+                                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum({_REV_DEC}) AS DOUBLE), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: PROMO share of one month's revenue, single "
+    "conditional aggregation pass",
+)
+def _q_tpch_q14(spark, sf_dir):
+    return rel.promo_revenue(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+@_register(
+    "rel_tpch_q15_shape",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum({_REV_DEC}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: supplier(s) at the quarterly revenue maximum "
+    "(scalar-max broadcast back onto the agg)",
+)
+def _q_tpch_q15(spark, sf_dir):
+    return rel.top_supplier(_t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "rel_tpch_q16_shape",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: distinct suppliers per (brand,type,size) from "
+    "shipped lineitems (no partsupp)",
+)
+def _q_tpch_q16(spark, sf_dir):
+    return rel.part_supplier_counts(_t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "rel_tpch_q18_shape",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o_totalprice, 6) AS o_totalprice,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0
+    """,
+    doc="TPC-H Q18 shape: large-volume orders — fact-side HAVING agg "
+    "runs before any dim join",
+)
+def _q_tpch_q18(spark, sf_dir):
+    return rel.large_volume_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_register(
+    "rel_tpch_q19_shape",
+    f"""
+    SELECT CAST(sum({_REV_DEC}) AS DOUBLE) AS revenue, count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunctive predicate triples over a hash join "
+    "(the OR filters rows; the equi-key keeps the join hashed)",
+)
+def _q_tpch_q19(spark, sf_dir):
+    return rel.disjunctive_revenue(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+@_register(
+    "rel_tpch_q20_shape",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_2'
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+      GROUP BY l_suppkey
+      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50.0)
+    """,
+    doc="TPC-H Q20 shape: one nation's suppliers shipping heavy volume "
+    "of a part-name prefix (semi-join chain; shipped qty for availqty)",
+)
+def _q_tpch_q20(spark, sf_dir):
+    return rel.excess_supply_suppliers(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+    )
+
+
+@_register(
+    "rel_tpch_q21_shape",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape: sole-late supplier on finished multi-supplier "
+    "orders — EXISTS/NOT-EXISTS → left-semi + left-anti hash joins",
+)
+def _q_tpch_q21(spark, sf_dir):
+    return rel.late_suppliers(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@_register(
+    "rel_tpch_q22_shape",
+    """
+    SELECT c_nationkey AS cntry, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 5, 9, 13, 17, 21, 24)
+      AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                       FROM customer
+                       WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 5, 9, 13, 17, 21, 24))
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape: rich recently-inactive customers per nation "
+    "whitelist (scalar-avg broadcast + anti-join on the trailing window; "
+    "nationkey for phone prefix)",
+)
+def _q_tpch_q22(spark, sf_dir):
+    return rel.sales_opportunity(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
