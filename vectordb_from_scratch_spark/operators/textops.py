@@ -26,6 +26,7 @@ __all__ = [
     "repetition_metrics",
     "bigram_logprob",
     "bpe_merges",
+    "bpe_encode",
     "pii_scrub",
     "PII_PATTERNS",
     "LANG_MARKERS",
@@ -713,6 +714,14 @@ def bpe_merges(
     Determinism: counts are exact integers, selection is total-ordered,
     the rewrite is literal — no RNG, no floats, no partition dependence
     anywhere."""
+    out, _ = _bpe_fit(documents, n_merges, text_col)
+    return out
+
+
+def _bpe_fit(documents: DataFrame, n_merges: int, text_col: str):
+    """Shared BPE training loop: returns (merge table, encoded vocab) —
+    the vocab's `seq` column after step N is each word's final symbol
+    sequence, i.e. the tokenizer's encoding of that word."""
     words = (
         documents.select(F.explode(X.tokens(text_col)).alias("w"))
         .groupBy("w")
@@ -756,4 +765,55 @@ def bpe_merges(
                 F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" ")),
             ).alias("seq"),
         )
-    return out
+    return out, cur
+
+
+def bpe_encode(
+    documents: DataFrame,
+    n_merges: int = 6,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the learned BPE merges to the corpus: per-document subword
+    token counts — the number an LLM data pipeline actually budgets by
+    (sequence packing, token quotas, tokens-per-byte quality signals all
+    consume THIS, not whitespace word counts).
+
+    Distributed shape: encoding is a vocab-table join, not a per-token
+    rewrite — the merge loop runs on the word-frequency table (heavy-
+    hitters-bounded), each word's final symbol sequence comes out of the
+    SAME loop that trained the merges, and documents join that tiny
+    (w → piece-count) table after one explode. The corpus is scanned
+    once for training (word freq) and once for encoding; no Python UDF,
+    no per-document merge loop anywhere.
+
+    Output: (id, n_words, n_bpe_tokens, chars_per_token) — n_bpe_tokens
+    is the exact sum of per-word piece counts; chars_per_token is the
+    compression the tokenizer achieves on that document.
+    """
+    _, vocab = _bpe_fit(documents, n_merges, text_col)
+    pieces = vocab.select(
+        "w", F.size(F.split(F.trim("seq"), " ")).cast("long").alias("n_pieces")
+    )
+    toks = documents.select(
+        id_col,
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+        F.explode(X.tokens(text_col)).alias("w"),
+    )
+    return (
+        toks.join(pieces, "w")
+        .groupBy(id_col, "__chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_bpe_tokens"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("__chars").cast("double") / F.col("n_bpe_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )

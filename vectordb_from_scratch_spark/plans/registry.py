@@ -3379,12 +3379,12 @@ def _q_pack_sequences(spark, sf_dir):
 _BPE_MERGES = 6
 
 
-def _sql_bpe() -> str:
-    """Unrolled DuckDB twin of textops.bpe_merges: word-frequency table
-    once, then per merge step a pair-count aggregation, a total-ordered
-    top-1, and the same separator-padded replace() rewrite (both
-    engines' replace is leftmost-nonoverlapping, so the rewrites agree
-    byte-for-byte)."""
+def _sql_bpe_ctes() -> list:
+    """Shared CTE prefix for the BPE twins: word-frequency table once,
+    then per merge step a pair-count aggregation, a total-ordered top-1,
+    and the separator-padded replace() rewrite (both engines' replace is
+    leftmost-nonoverlapping, so the rewrites agree byte-for-byte).
+    bs{N} is the final encoded vocabulary."""
     toks = _SQL_TOKENS.format(t="text")
     ctes = [
         f"""bw0 AS (
@@ -3415,11 +3415,36 @@ def _sql_bpe() -> str:
                      ' ' || b.lhs || b.rhs || ' ') AS seq
       FROM bs{i - 1} CROSS JOIN bb{i} b
     )""")
+    return ctes
+
+
+def _sql_bpe() -> str:
     union = "\n    UNION ALL ".join(
         f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, pair_count FROM bb{i}"
         for i in range(1, _BPE_MERGES + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+    return "WITH " + ",\n    ".join(_sql_bpe_ctes()) + "\n    " + union
+
+
+def _sql_bpe_encode() -> str:
+    ctes = _sql_bpe_ctes()
+    n = _BPE_MERGES
+    ctes.append(f"""benc AS (
+      SELECT w, len(list_filter(regexp_split_to_array(trim(seq), ' '),
+                                 x -> x != ''))::BIGINT AS n_pieces
+      FROM bs{n}
+    )""")
+    ctes.append(f"""btok AS (
+      SELECT doc_id, length(text)::BIGINT AS chars, unnest({_TOK}) AS w
+      FROM documents
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + """
+    SELECT doc_id, count(*) AS n_words, sum(n_pieces)::BIGINT AS n_bpe_tokens,
+           round(chars::DOUBLE / sum(n_pieces), 6) AS chars_per_token
+    FROM btok JOIN benc USING (w)
+    GROUP BY doc_id, chars"""
+    )
 
 
 @_register(
@@ -3436,6 +3461,21 @@ def _sql_bpe() -> str:
 def _q_text_bpe_merges(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return textops.bpe_merges(d, n_merges=_BPE_MERGES)
+
+
+@_register(
+    "text_bpe_encode",
+    _sql_bpe_encode(),
+    doc="BPE tokenization applied: per-document subword token counts "
+    f"under the {_BPE_MERGES}-merge learned vocabulary — the number "
+    "sequence packing and token budgeting actually consume. Encoding is "
+    "a vocab-table join (the merge loop's final word→pieces table), not "
+    "a per-token rewrite: corpus scanned once to train, once to encode "
+    "(textops.bpe_encode). Value-exact",
+)
+def _q_text_bpe_encode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textops.bpe_encode(d, n_merges=_BPE_MERGES)
 
 
 @_register(
