@@ -105,3 +105,53 @@ def test_pack_sequences_invariants(spark):
     # doc 2 straddles windows 1 and 2 (starts at offset 5)
     d2 = sorted((r.seq_id, r.n_tokens_in_seq) for r in out if r.doc_id == 2)
     assert d2 == [(0, 3), (1, 4)]
+
+
+class TestClusterSample:
+    def _assigned(self, spark, n=400, clusters=3):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(n)
+            .select(F.col("id"), (F.col("id") % clusters).cast("int").alias("list_id"))
+        )
+
+    def test_exact_per_cluster_counts(self, spark):
+        from vectordb_from_scratch_spark.operators.sampling import cluster_sample
+
+        out = cluster_sample(self._assigned(spark), per_cluster=10).collect()
+        from collections import Counter
+
+        per = Counter(r["list_id"] for r in out)
+        assert per == {0: 10, 1: 10, 2: 10}
+        # ranks are 1..per_cluster with no gaps
+        ranks = sorted(r["draw_rank"] for r in out if r["list_id"] == 0)
+        assert ranks == list(range(1, 11))
+
+    def test_small_cluster_keeps_all_rows(self, spark):
+        from vectordb_from_scratch_spark.operators.sampling import cluster_sample
+
+        out = cluster_sample(self._assigned(spark, n=9), per_cluster=10).collect()
+        assert len(out) == 9
+
+    def test_partitioning_invariance(self, spark):
+        from vectordb_from_scratch_spark.operators.sampling import cluster_sample
+
+        base = self._assigned(spark)
+        a = {(r["list_id"], r["id"]) for r in cluster_sample(base, per_cluster=7).collect()}
+        b = {
+            (r["list_id"], r["id"])
+            for r in cluster_sample(base.repartition(13), per_cluster=7).collect()
+        }
+        assert a == b
+
+    def test_no_single_task_cluster_window(self, spark):
+        """The full-data window must key on (cluster, partition id) —
+        only the survivor set (≤ parts × n per cluster) may see the
+        per-cluster-only window."""
+        from vectordb_from_scratch_spark.operators.sampling import cluster_sample
+
+        df = cluster_sample(self._assigned(spark), per_cluster=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        first_window = plan.split("Window")[-1]  # deepest = level-1 window
+        assert "SPARK_PARTITION_ID" in first_window.upper() or "__pid" in first_window

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import _HEXDIGITS, hex_value_from_md5
 
-__all__ = ["hash_uniform", "stratified_sample"]
+__all__ = ["hash_uniform", "stratified_sample", "cluster_sample"]
 
 
 def hash_uniform(key: Column | str, salt: str = "") -> Column:
@@ -77,3 +77,51 @@ def stratified_sample(
         F.lit(float(default_rate)),
     )
     return df.filter(hash_uniform(key_col, salt=salt) < rate)
+
+
+def cluster_sample(
+    assigned: DataFrame,
+    per_cluster: int,
+    *,
+    id_col: str = "id",
+    cluster_col: str = "list_id",
+    salt: str = "",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling: a deterministic `per_cluster`-
+    row draw from every cluster — the curation step that keeps a corpus
+    from collapsing onto its densest embedding regions (each semantic
+    cluster keeps equal representation regardless of its population;
+    cf. cluster-based selection in SemDeDup, Abbas et al. 2023, public).
+
+    Draw = the `per_cluster` smallest salted-hash uniforms per cluster
+    (ties impossible: (draw, id) is total). Deterministic, engine-
+    portable, and independent of Spark partitioning.
+
+    Scale shape: clusters are FEW (n_lists) and rows are many, so a
+    bare row_number window partitioned by cluster would collapse each
+    cluster onto one task. Instead the top-n runs TWO-LEVEL, the same
+    tree as vocabulary()'s top-k: level 1 keeps ≤ per_cluster rows per
+    (cluster, input partition) — map-side, no shuffle of the data, the
+    window sees only one partition's slice of one cluster — then level 2
+    ranks the ≤ partitions × per_cluster survivors per cluster. The full
+    table is never shuffled; only survivors move.
+    """
+    from pyspark.sql import Window
+
+    draw = hash_uniform(id_col, salt=salt)
+    staged = assigned.withColumn("__draw", draw).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    order = (F.col("__draw").asc(), F.col(id_col).asc())
+    w1 = Window.partitionBy(cluster_col, "__pid").orderBy(*order)
+    level1 = (
+        staged.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= per_cluster)
+        .drop("__r1", "__pid")
+    )
+    w2 = Window.partitionBy(cluster_col).orderBy(*order)
+    return (
+        level1.withColumn("draw_rank", F.row_number().over(w2))
+        .filter(F.col("draw_rank") <= per_cluster)
+        .drop("__draw")
+    )

@@ -5306,3 +5306,36 @@ def _q_tpch_q21(spark, sf_dir):
 )
 def _q_tpch_q22(spark, sf_dir):
     return rel.sales_opportunity(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+
+@_register(
+    "pipeline_cluster_sample",
+    f"""
+    WITH {{ivf_ctes}}
+    SELECT list_id, id, draw_rank FROM (
+      SELECT list_id, id,
+             row_number() OVER (PARTITION BY list_id
+               ORDER BY {sampling.sql_hash_uniform('id', salt='cluster-sample-v1')} ASC,
+                        id ASC) AS draw_rank
+      FROM afinal)
+    WHERE draw_rank <= 25
+    """.format(ivf_ctes=_sql_ivf_det_ctes()),
+    doc="Cluster-balanced diversity sampling: deterministic k-means over "
+    "the embedding space (build_ivf_det), then a salted-hash top-25 draw "
+    "per cluster — equal representation per semantic cluster regardless "
+    "of density (cf. SemDeDup's cluster-based curation, Abbas et al. "
+    "2023, public). Two-level top-n: no per-cluster task collapse "
+    "(operators/sampling.py cluster_sample). Value-exact",
+)
+def _q_pipeline_cluster_sample(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cent = ann.build_ivf_det(
+        e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"]
+    )
+    v = e.select(F.col("vec_id").cast("long").alias("id"), vm.as_double("embedding").alias("vec"))
+    assigned = ann.assign_ivf_det(v, cent)
+    picked = sampling.cluster_sample(
+        assigned.select("list_id", "id"), per_cluster=25,
+        id_col="id", cluster_col="list_id", salt="cluster-sample-v1",
+    )
+    return picked.select("list_id", "id", F.col("draw_rank").cast("long"))
