@@ -1,0 +1,84 @@
+"""One-pass column profiling — the data-quality screen a pipeline runs
+before trusting a new drop of data (the same statistics Deequ/TFDV-style
+validators compute; public pattern). Row count, null count, distinct
+count, and numeric min/max/mean for every requested column, in a SINGLE
+aggregation over ONE scan.
+
+Scale notes:
+- `exact=True` uses count(DISTINCT col) per column. Spark plans multiple
+  distinct aggregates via Expand: the scan's rows are replicated once
+  per distinct-agg into narrow (grouping-id, value) tuples before the
+  partial aggregate. That is an O(columns) row blow-up of a NARROW
+  projection — acceptable at oracle scale and for modest column lists,
+  and it is the only plan that is value-exact cross-engine.
+- `exact=False` swaps in approx_count_distinct (HyperLogLog++): no
+  Expand, one true pass, mergeable sketches — the 100-TB default. The
+  rest of the profile is identical, so callers flip one flag to trade
+  exactness for the single-pass plan.
+- Means go through exact DECIMAL sums (order-independent; see
+  plans/relational._dec_sum) so profiles are stable across partitionings
+  and engines.
+
+Output is long-format — one row per profiled column:
+  (column, n_rows, n_null, n_distinct, mean, min_val, max_val)
+with mean/min_val/max_val NULL for non-numeric columns. Long format
+keeps the schema fixed as the column list varies, which is what lets
+downstream drift checks diff two profiles with a plain join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["profile"]
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile(df: DataFrame, columns: list[str] | None = None, *, exact: bool = True) -> DataFrame:
+    """Profile `columns` (default: all non-complex columns) of `df` in
+    one aggregation job; see module docstring for the contract."""
+    fields = [
+        f for f in df.schema.fields
+        if (columns is None or f.name in columns)
+        and not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if not fields:
+        raise ValueError("no profilable columns selected")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c = F.col(f.name)
+        nd = F.count_distinct(c) if exact else F.approx_count_distinct(c)
+        aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias(f"{f.name}__nnull"))
+        aggs.append(nd.cast("long").alias(f"{f.name}__nd"))
+        if isinstance(f.dataType, _NUMERIC):
+            aggs.append(
+                (F.sum(c.cast("decimal(18,4)")).cast("double") / F.count(c)).alias(f"{f.name}__mean")
+            )
+            aggs.append(F.min(c).cast("double").alias(f"{f.name}__min"))
+            aggs.append(F.max(c).cast("double").alias(f"{f.name}__max"))
+
+    one = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    structs = []
+    for f in fields:
+        is_num = isinstance(f.dataType, _NUMERIC)
+        structs.append(
+            F.struct(
+                F.lit(f.name).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"{f.name}__nnull").alias("n_null"),
+                F.col(f"{f.name}__nd").alias("n_distinct"),
+                (F.round(F.col(f"{f.name}__mean"), 6) if is_num else null_d).alias("mean"),
+                (F.round(F.col(f"{f.name}__min"), 6) if is_num else null_d).alias("min_val"),
+                (F.round(F.col(f"{f.name}__max"), 6) if is_num else null_d).alias("max_val"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

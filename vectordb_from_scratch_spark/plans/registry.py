@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..functions import vectormath as vm
-from ..operators import ann, crud, dedup, filters, knn, pq, sampling, textops
+from ..operators import ann, crud, dedup, filters, knn, pq, profile, sampling, textops
 from ..sources import load_table
 from . import relational as rel
 
@@ -5339,3 +5339,40 @@ def _q_pipeline_cluster_sample(spark, sf_dir):
         id_col="id", cluster_col="list_id", salt="cluster-sample-v1",
     )
     return picked.select("list_id", "id", F.col("draw_rank").cast("long"))
+
+
+def _sql_profile_col(col: str, numeric: bool) -> str:
+    num = (
+        f"round(CAST(sum(CAST({col} AS DECIMAL(18,4))) AS DOUBLE) / count({col}), 6) AS mean,\n"
+        f"           round(min({col})::DOUBLE, 6) AS min_val,\n"
+        f"           round(max({col})::DOUBLE, 6) AS max_val"
+        if numeric
+        else "CAST(NULL AS DOUBLE) AS mean,\n"
+        "           CAST(NULL AS DOUBLE) AS min_val,\n"
+        "           CAST(NULL AS DOUBLE) AS max_val"
+    )
+    return f"""SELECT '{col}' AS column, count(*) AS n_rows,
+           sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           count(DISTINCT {col}) AS n_distinct,
+           {num}
+    FROM lineitem"""
+
+
+_PROFILE_COLS = [
+    ("l_quantity", True), ("l_extendedprice", True), ("l_discount", True),
+    ("l_tax", True), ("l_returnflag", False), ("l_linestatus", False),
+]
+
+
+@_register(
+    "rel_profile",
+    "\n    UNION ALL ".join(_sql_profile_col(c, n) for c, n in _PROFILE_COLS),
+    doc="One-pass column profiler (Deequ/TFDV-style data-quality screen, "
+    "public pattern): row/null/distinct counts + decimal-exact numeric "
+    "min/max/mean for six lineitem columns in a single aggregation "
+    "(operators/profile.py; exact=False flips to HLL sketches for the "
+    "no-Expand 100-TB plan). Value-exact",
+)
+def _q_rel_profile(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return profile.profile(li, [c for c, _ in _PROFILE_COLS])
