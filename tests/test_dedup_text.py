@@ -408,3 +408,53 @@ def test_bigram_logprob_known_values(spark):
     assert out[1][1] == 3 and out[2][1] == 2
     assert abs(out[1][0] - round(math.log(0.5) / 3, 6)) < 1e-9
     assert abs(out[2][0] - round(math.log(0.5) / 2, 6)) < 1e-9
+
+
+class TestSubstringOverlap:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_longest_run_recovered(self, spark):
+        from vectordb_from_scratch_spark.operators.dedup import substring_overlap_pairs
+
+        shared = " ".join(f"s{i}" for i in range(15))  # 15-token shared run
+        docs = self._docs(spark, [
+            (1, "alpha beta " + shared + " gamma"),
+            (2, "zzz " + shared + " qqq rrr"),
+            (3, "totally different words only here " + " ".join(f"u{i}" for i in range(10))),
+        ])
+        out = substring_overlap_pairs(docs, k=8, min_tokens=12).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.doc_a, r.doc_b) == (1, 2)
+        # a 15-token common substring = 8 consecutive matching 8-grams
+        assert r.longest_overlap_tokens == 15
+        assert r.n_gram_matches == 8
+
+    def test_scattered_matches_do_not_form_a_run(self, spark):
+        from vectordb_from_scratch_spark.operators.dedup import substring_overlap_pairs
+
+        g1 = " ".join(f"a{i}" for i in range(8))
+        g2 = " ".join(f"b{i}" for i in range(8))
+        docs = self._docs(spark, [
+            (1, g1 + " xx yy zz " + g2),
+            (2, g2 + " pp qq rr " + g1),  # both grams shared, different order
+        ])
+        out = substring_overlap_pairs(docs, k=8, min_tokens=8).collect()
+        assert len(out) == 1
+        # two isolated 8-gram matches on different diagonals → longest is 8
+        assert out[0].longest_overlap_tokens == 8
+        assert out[0].n_gram_matches == 2
+
+    def test_max_df_prunes_boilerplate_grams(self, spark):
+        from vectordb_from_scratch_spark.operators.dedup import substring_overlap_pairs
+
+        boiler = " ".join(f"c{i}" for i in range(8))
+        docs = self._docs(
+            spark,
+            [(i, boiler + f" unique{i} tail{i}") for i in range(1, 6)],
+        )
+        full = substring_overlap_pairs(docs, k=8, min_tokens=8).collect()
+        assert len(full) == 10  # all 5-choose-2 pairs share the boilerplate
+        pruned = substring_overlap_pairs(docs, k=8, min_tokens=8, max_df=3).collect()
+        assert pruned == []  # gram df=5 > 3 → dropped before the join

@@ -44,6 +44,7 @@ __all__ = [
     "semantic_dedup",
     "connected_components",
     "shared_ngram_stats",
+    "substring_overlap_pairs",
     "decontamination_report",
     "release_caches",
 ]
@@ -863,4 +864,86 @@ def decontamination_report(
     return hits.groupBy(id_col).agg(
         F.countDistinct("gram_hash").alias("n_shared_grams"),
         F.countDistinct("eval_id").alias("n_eval_docs"),
+    )
+
+
+def substring_overlap_pairs(
+    documents: DataFrame,
+    k: int = 8,
+    min_tokens: int = 12,
+    *,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style overlap detection (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — public): for
+    every document pair, the length in tokens of their LONGEST common
+    token substring (of length ≥ k), exactly.
+
+    The reference paper builds a suffix array; the Spark-first shape is
+    seed-and-extend, fully relational:
+      1. k-token shingles with their positions (one explode; grams
+         travel as md5 digests, never text);
+      2. equal-gram matches across documents (one self-join on the
+         digest) — each match is a dot (i, j) in the pair's alignment
+         matrix;
+      3. maximal diagonal runs: dots on the same diagonal (j - i) with
+         consecutive i form a run — the classic gaps-and-islands
+         rewrite (island = i - row_number), two windows partitioned by
+         (pair, diagonal), both high-cardinality;
+      4. a run of c consecutive matching k-grams = a common substring
+         of c + k - 1 tokens; report each pair's max and its total
+         match-dot count.
+
+    `max_df` drops grams appearing in more than max_df documents before
+    the self-join — the same frequent-shingle cap LSH banding uses: the
+    join's cost is Σ_g df(g)², so boilerplate grams dominate without it.
+    Pairs whose only overlaps ride on dropped grams are missed; that is
+    the documented recall trade the cap buys. At 100 TB set it always
+    (the default None is exact, for oracle parity).
+
+    Output: (doc_a, doc_b, longest_overlap_tokens, n_gram_matches),
+    doc_a < doc_b, filtered to longest_overlap_tokens ≥ min_tokens.
+    """
+    from pyspark.sql import Window
+
+    w = X.tokens(text_col)
+    grams = documents.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(X.shingles_from_tokens(w, k)).alias("pos0", "gram"),
+    ).select("doc", (F.col("pos0") + 1).alias("pos"), F.md5("gram").alias("gh"))
+    if max_df is not None:
+        keep = (
+            grams.groupBy("gh")
+            .agg(F.countDistinct("doc").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("gh")
+        )
+        grams = grams.join(keep, "gh")
+    a = grams.alias("a")
+    b = grams.alias("b")
+    dots = (
+        a.join(b, "gh")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.pos").alias("i"),
+            (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+        )
+    )
+    w1 = Window.partitionBy("doc_a", "doc_b", "diag").orderBy(F.col("i").asc())
+    runs = (
+        dots.withColumn("island", F.col("i") - F.row_number().over(w1))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run") + F.lit(k - 1)).alias("longest_overlap_tokens"),
+            F.sum("run").alias("n_gram_matches"),
+        )
+        .filter(F.col("longest_overlap_tokens") >= min_tokens)
     )

@@ -5376,3 +5376,48 @@ _PROFILE_COLS = [
 def _q_rel_profile(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return profile.profile(li, [c for c, _ in _PROFILE_COLS])
+
+
+def _sql_substring_overlap(k: int, min_tokens: int) -> str:
+    parts = ", ".join(f"w[pos+{j}]" for j in range(k))
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    g AS (
+      SELECT doc_id AS doc, pos, md5(concat_ws(' ', {parts})) AS gh
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - {k - 2}))::BIGINT AS pos
+            FROM t WHERE len(w) >= {k})
+    ),
+    d AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS i, b.pos - a.pos AS diag
+      FROM g a JOIN g b ON a.gh = b.gh AND a.doc < b.doc
+    ),
+    r AS (
+      SELECT doc_a, doc_b, diag,
+             i - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY i ASC) AS island
+      FROM d
+    ),
+    runs AS (SELECT doc_a, doc_b, diag, island, count(*) AS run
+             FROM r GROUP BY doc_a, doc_b, diag, island)
+    SELECT doc_a, doc_b,
+           (max(run) + {k - 1})::BIGINT AS longest_overlap_tokens,
+           sum(run)::BIGINT AS n_gram_matches
+    FROM runs GROUP BY doc_a, doc_b
+    HAVING max(run) + {k - 1} >= {min_tokens}
+    """
+
+
+@_register(
+    "dedup_substring_overlap",
+    _sql_substring_overlap(8, 12),
+    doc="ExactSubstr-style dedup signal (Lee et al. ACL'22, public): the "
+    "exact longest common token substring (≥8 tokens) per document pair "
+    "via seed-and-extend — equal-k-gram dots on one digest self-join, "
+    "maximal diagonal runs by gaps-and-islands windows keyed on (pair, "
+    "diagonal). The suffix-array algorithm's Spark-relational twin "
+    "(operators/dedup.py substring_overlap_pairs; max_df caps the "
+    "boilerplate-gram fan-out at scale). Value-exact",
+)
+def _q_dedup_substring_overlap(spark, sf_dir):
+    return dedup.substring_overlap_pairs(
+        _t(spark, sf_dir, "documents"), k=8, min_tokens=12
+    )
