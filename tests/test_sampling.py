@@ -155,3 +155,41 @@ class TestClusterSample:
         plan = df._jdf.queryExecution().executedPlan().toString()
         first_window = plan.split("Window")[-1]  # deepest = level-1 window
         assert "SPARK_PARTITION_ID" in first_window.upper() or "__pid" in first_window
+
+
+class TestDsirWeights:
+    def test_target_like_docs_score_higher(self, spark):
+        from pyspark.sql import functions as F
+
+        from vectordb_from_scratch_spark.operators.sampling import dsir_logweights
+
+        target_text = "the quick brown fox jumps over the lazy dog again and again"
+        other_text = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+        rows = (
+            [(i, target_text, "en") for i in range(10)]
+            + [(i + 10, other_text, "xx") for i in range(10)]
+            # held-out docs, one from each domain, NOT in the target class
+            + [(100, target_text, "xx"), (101, other_text, "yy")]
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = {
+            r["doc_id"]: r["logw"]
+            for r in dsir_logweights(docs, F.col("lang") == "en").collect()
+        }
+        # the held-out target-domain doc must outscore the raw-domain one
+        assert out[100] > out[101]
+        # and target-domain text scores above zero (more likely under target)
+        assert out[100] > 0 > out[101]
+
+    def test_partitioning_invariance(self, spark):
+        from pyspark.sql import functions as F
+
+        from vectordb_from_scratch_spark.operators.sampling import dsir_logweights
+        from vectordb_from_scratch_spark.sources import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        a = {r["doc_id"]: r["logw"]
+             for r in dsir_logweights(d, F.col("lang") == "en").collect()}
+        b = {r["doc_id"]: r["logw"]
+             for r in dsir_logweights(d.repartition(17), F.col("lang") == "en").collect()}
+        assert a == b

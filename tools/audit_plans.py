@@ -39,6 +39,7 @@ EXCHANGE_BUDGETS = {
     "pipeline_corpus_prep_v2": 18,    # 3-stage composed pipeline
     "ann_recall_curve": 30,           # 5 configs × SRP subplan
     "ann_ivf_det_knn": 35,            # 2 unrolled Lloyd iterations
+    "pipeline_cluster_sample": 20,    # det-IVF build + two-level per-cluster draw
     "ann_ivf_filtered_knn": 35,       # same det-IVF build + filter semi-join
     # det-IVF build + shortlist re-rank; the centroid/assignment subtrees
     # are persisted (execute once) but the plan STRING prints the cached

@@ -21,9 +21,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import _HEXDIGITS, hex_value_from_md5
+from ..functions.text import _HEXDIGITS, hex_value_from_md5, shingles_from_tokens, tokens
 
-__all__ = ["hash_uniform", "stratified_sample", "cluster_sample"]
+__all__ = ["hash_uniform", "stratified_sample", "cluster_sample", "md5_bucket", "dsir_logweights"]
 
 
 def hash_uniform(key: Column | str, salt: str = "") -> Column:
@@ -124,4 +124,91 @@ def cluster_sample(
         level1.withColumn("draw_rank", F.row_number().over(w2))
         .filter(F.col("draw_rank") <= per_cluster)
         .drop("__draw")
+    )
+
+
+def md5_bucket(col: Column, n_buckets: int, salt: str = "") -> Column:
+    """Engine-portable feature hash: md5 nibbles → u32 → mod n_buckets
+    (the same shared nibble recipe as hash_uniform, without the scale)."""
+    h = F.md5(F.concat(F.lit(salt), col))
+    return (hex_value_from_md5(h, start=0, digits=8) % n_buckets).cast("int")
+
+
+def sql_md5_bucket(expr: str, n_buckets: int, salt: str = "") -> str:
+    """DuckDB twin of md5_bucket — identical nibbles, integer arithmetic."""
+    h = f"md5('{salt.replace(chr(39), chr(39) * 2)}' || ({expr}))"
+    terms = " + ".join(
+        f"(instr('{_HEXDIGITS}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"((({terms}) % {n_buckets})::INTEGER)"
+
+
+def dsir_logweights(
+    documents: DataFrame,
+    target_filter: Column,
+    n_buckets: int = 64,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023 — public): score
+    every document by how much more likely its hashed-bigram bag is
+    under the TARGET distribution than under the RAW corpus
+    distribution. Selecting top-weight (or weight-resampled) documents
+    tilts a giant raw corpus toward a small high-quality target domain —
+    the data-selection step between crawling and training.
+
+      features : word bigrams hashed into `n_buckets` (md5 nibble
+                 recipe — engine-portable, no vocab to ship);
+      model    : bag-of-buckets multinomial per side, add-1 smoothed;
+      weight   : log w(x) = Σ_b n_b(x) · (ln p_target[b] − ln p_raw[b]).
+
+    Scale: one explode of the corpus into (doc, bucket) counts; both
+    distributions are `n_buckets`-row aggregates of that SAME staged
+    table (the target side via a conditional sum — no second scan); the
+    log-likelihood-ratio table broadcasts back. Nothing driver-side,
+    no UDF. Output: (id, n_bigrams, logw) for docs with ≥1 bigram.
+    """
+    staged = documents.withColumn("__is_t", target_filter.cast("int"))
+    grams = staged.select(
+        F.col(id_col),
+        F.col("__is_t"),
+        F.explode(shingles_from_tokens(tokens(text_col), 2)).alias("g"),
+    )
+    doc_bucket = (
+        grams.select(
+            id_col, "__is_t", md5_bucket(F.col("g"), n_buckets, salt=salt).alias("bucket")
+        )
+        .groupBy(id_col, "__is_t", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_bucket = doc_bucket.groupBy("bucket").agg(
+        F.sum("n").alias("c_raw"),
+        F.sum(F.col("n") * F.col("__is_t")).alias("c_t"),
+    )
+    totals = per_bucket.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_t").alias("t_t")
+    )
+    llr = per_bucket.join(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + 1).cast("double") / (F.col("t_t") + n_buckets))
+            - F.log((F.col("c_raw") + 1).cast("double") / (F.col("t_raw") + n_buckets))
+        ).alias("llr"),
+    )
+    return (
+        doc_bucket.join(F.broadcast(llr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    (F.col("n").cast("double") * F.col("llr")).cast("decimal(28,18)")
+                ).cast("double"),
+                6,
+            ).alias("logw"),
+        )
     )

@@ -5421,3 +5421,42 @@ def _q_dedup_substring_overlap(spark, sf_dir):
     return dedup.substring_overlap_pairs(
         _t(spark, sf_dir, "documents"), k=8, min_tokens=12
     )
+
+
+_DSIR_B = 64
+
+
+@_register(
+    "pipeline_dsir_weights",
+    f"""
+    WITH t AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+                      {_TOK} AS w FROM documents),
+    g AS (SELECT doc_id, is_t, unnest({_sql_shingles('w', 2)}) AS g FROM t),
+    db AS (SELECT doc_id, is_t, {sampling.sql_md5_bucket('g', _DSIR_B, salt='dsir-v1')} AS bucket,
+                  count(*) AS n
+           FROM g GROUP BY doc_id, is_t, bucket),
+    pb AS (SELECT bucket, sum(n)::BIGINT AS c_raw, sum(n * is_t)::BIGINT AS c_t
+           FROM db GROUP BY bucket),
+    tt AS (SELECT sum(c_raw)::BIGINT AS t_raw, sum(c_t)::BIGINT AS t_t FROM pb),
+    l AS (SELECT bucket,
+                 ln((c_t + 1)::DOUBLE / (t_t + {_DSIR_B}))
+                 - ln((c_raw + 1)::DOUBLE / (t_raw + {_DSIR_B})) AS llr
+          FROM pb CROSS JOIN tt)
+    SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+           round(CAST(sum(CAST(n * llr AS DECIMAL(28,18))) AS DOUBLE), 6) AS logw
+    FROM db JOIN l USING (bucket) GROUP BY doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. NeurIPS'23, public): hashed-"
+    f"bigram bag ({_DSIR_B} buckets, md5 nibble recipe), add-1-smoothed "
+    "target-vs-raw multinomials (target = lang='en'), per-doc "
+    "log-likelihood-ratio weight — the importance-resampling data-"
+    "selection step. One corpus explode; both distributions come from "
+    "the SAME staged (doc,bucket) counts via a conditional sum; the "
+    f"{_DSIR_B}-row LLR table broadcasts back "
+    "(operators/sampling.py dsir_logweights). Value-exact",
+)
+def _q_pipeline_dsir_weights(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return sampling.dsir_logweights(
+        d, F.col("lang") == F.lit("en"), n_buckets=_DSIR_B, salt="dsir-v1"
+    )
