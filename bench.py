@@ -56,6 +56,14 @@ BENCH_QUERIES = [
     "knn_mmr_diversify",
     "hybrid_search_rrf",
     "graph_pagerank",
+    # round 5: TPC-H completion representatives (heaviest shapes: the
+    # sole-late-supplier EXISTS pair and the profit snowflake), the
+    # ExactSubstr dedup signal, DSIR selection, cluster-balanced draw
+    "rel_tpch_q9_shape",
+    "rel_tpch_q21_shape",
+    "dedup_substring_overlap",
+    "pipeline_dsir_weights",
+    "pipeline_cluster_sample",
 ]
 
 

@@ -44,3 +44,37 @@ def test_pagerank_uniform_cycle(spark):
     )
     res = [r.pr for r in graph.pagerank(cyc, iters=4).collect()]
     assert all(p == pytest.approx(0.2, rel=1e-12) for p in res)
+
+
+class TestLabelPropagation:
+    def test_two_cliques_separate_communities(self, spark):
+        from vectordb_from_scratch_spark.operators.graph import label_propagation
+
+        # clique A {1,2,3,4}, clique B {10,11,12,13}, one bridge 4-10
+        def clique(ns):
+            return [(a, b) for a in ns for b in ns if a < b]
+
+        edges = spark.createDataFrame(
+            clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+            "src long, dst long",
+        )
+        out = {r["node"]: r["label"] for r in label_propagation(edges, iters=4).collect()}
+        a_labels = {out[n] for n in (1, 2, 3)}
+        b_labels = {out[n] for n in (11, 12, 13)}
+        # clique cores converge to one label each, and the two differ
+        assert len(a_labels) == 1 and len(b_labels) == 1
+        assert a_labels != b_labels
+
+    def test_synchronous_determinism_under_repartition(self, spark):
+        from vectordb_from_scratch_spark.operators.graph import label_propagation
+
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % 20) for i in range(20)] + [(i, (i + 7) % 20) for i in range(20)],
+            "src long, dst long",
+        )
+        a = sorted((r["node"], r["label"]) for r in label_propagation(edges, iters=3).collect())
+        b = sorted(
+            (r["node"], r["label"])
+            for r in label_propagation(edges.repartition(11), iters=3).collect()
+        )
+        assert a == b

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "label_propagation"]
 
 
 def pagerank(
@@ -91,3 +91,54 @@ def pagerank(
             .localCheckpoint()
         )
     return pr
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert, Kumara 2007 —
+    public): community detection, the third canonical graph operator
+    next to connected components (connectivity) and PageRank
+    (centrality). Each node starts with its own id as label; each round
+    every node adopts the MOST FREQUENT label among its neighbors.
+
+    Determinism (the textbook algorithm is run-order dependent; this
+    formulation is not): updates are fully synchronous (round i+1 sees
+    only round-i labels) and ties break total-ordered (count desc,
+    label asc) — integer counts, no RNG, no partition dependence, so
+    the DuckDB twin reproduces every round exactly.
+
+    Scale: the edge list is symmetrized once; each round is ONE
+    edges⋈labels equi-join on dst, a (node,label) count aggregate, and
+    an argmax window partitioned by node (high-cardinality key — no
+    task collapse). Labels localCheckpoint per round, the same
+    linear-lineage device as pagerank. Shuffles carry (node,label)
+    pairs only — never adjacency lists.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(iters):
+        neigh = und.join(labels, und.dst == labels.node).select(
+            und.src.alias("node"), "label"
+        )
+        counts = neigh.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -5460,3 +5460,50 @@ def _q_pipeline_dsir_weights(spark, sf_dir):
     return sampling.dsir_logweights(
         d, F.col("lang") == F.lit("en"), n_buckets=_DSIR_B, salt="dsir-v1"
     )
+
+
+def _sql_lpa(iters: int) -> str:
+    ctes = [
+        f"""ge AS (
+      SELECT DISTINCT o_custkey::BIGINT AS src,
+             l_suppkey::BIGINT + {_PR['supp_offset']} AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )""",
+        "gu AS (SELECT src, dst FROM ge UNION SELECT dst, src FROM ge)",
+        "gl0 AS (SELECT node, node AS label FROM (SELECT DISTINCT src AS node FROM gu))",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""gl{i} AS (
+      SELECT node, label FROM (
+        SELECT n.node, n.label,
+               row_number() OVER (PARTITION BY n.node
+                                  ORDER BY n.c DESC, n.label ASC) AS rn
+        FROM (SELECT gu.src AS node, l.label, count(*) AS c
+              FROM gu JOIN gl{i - 1} l ON gu.dst = l.node
+              GROUP BY gu.src, l.label) n
+      ) WHERE rn = 1
+    )""")
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, label FROM gl{iters}"
+
+
+@_register(
+    "graph_label_propagation",
+    _sql_lpa(3),
+    doc="Label propagation communities (Raghavan et al. 2007, public) "
+    "over the symmetrized customer-supplier transaction graph: 3 fully "
+    "synchronous rounds, argmax label by (count desc, label asc) — the "
+    "deterministic formulation of the run-order-dependent textbook "
+    "algorithm. Each round is one edges-labels join + a (node,label) "
+    "count + a per-node argmax window (operators/graph.py "
+    "label_propagation). Value-exact",
+)
+def _q_graph_lpa(spark, sf_dir):
+    from ..operators import graph
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + _PR["supp_offset"]).alias("dst"),
+    )
+    return graph.label_propagation(edges, iters=3)
