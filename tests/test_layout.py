@@ -1,0 +1,104 @@
+"""Z-order layout — kernel correctness and the measured pruning claim:
+for a 2-D box predicate, z-clustered files' (min,max) ranges exclude
+more files than a 1-D sorted layout on the other column."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.sources.layout import (
+    minmax_scale,
+    write_zordered,
+    zorder_value,
+)
+
+
+def _interleave(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_value_matches_reference_interleave(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    )
+    out = df.select(
+        "x", "y", zorder_value([F.col("x"), F.col("y")], bits=4).alias("z")
+    ).collect()
+    for r in out:
+        assert r["z"] == _interleave(r["x"], r["y"], bits=4)
+
+
+def test_minmax_scale_bounds_and_constant_column(spark):
+    df = spark.createDataFrame([(0,), (50,), (100,)], "v long")
+    out = df.select(
+        minmax_scale(F.col("v"), F.lit(0), F.lit(100), bits=8).alias("s"),
+        minmax_scale(F.col("v"), F.lit(7), F.lit(7), bits=8).alias("c"),
+    ).collect()
+    scaled = sorted(r["s"] for r in out)
+    assert scaled[0] == 0 and scaled[-1] == 255
+    assert all(r["c"] == 0 for r in out)
+
+
+def test_too_many_bits_rejected(spark):
+    with pytest.raises(ValueError):
+        zorder_value([F.col("x")] * 4, bits=16)
+
+
+def _files_intersecting_box(path, xcol, xlo, xhi, ycol, ylo, yhi):
+    hit = 0
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        xmn = min(md.row_group(g).column(names[xcol]).statistics.min for g in range(md.num_row_groups))
+        xmx = max(md.row_group(g).column(names[xcol]).statistics.max for g in range(md.num_row_groups))
+        ymn = min(md.row_group(g).column(names[ycol]).statistics.min for g in range(md.num_row_groups))
+        ymx = max(md.row_group(g).column(names[ycol]).statistics.max for g in range(md.num_row_groups))
+        if xmx >= xlo and xmn <= xhi and ymx >= ylo and ymn <= yhi:
+            hit += 1
+    return hit
+
+
+def test_zorder_prunes_files_for_2d_box(spark):
+    n = 1 << 14
+    side = 1 << 7
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    tmp = tempfile.mkdtemp(prefix="zorder_")
+    zdir, ldir = os.path.join(tmp, "z"), os.path.join(tmp, "linear")
+    try:
+        write_zordered(df, zdir, ["x", "y"], bits=8, n_files=16)
+        (
+            df.repartitionByRange(16, F.col("x").asc())
+            .sortWithinPartitions("x")
+            .write.mode("overwrite")
+            .parquet(ldir)
+        )
+        # correctness: z-ordered copy holds exactly the same rows
+        assert (
+            spark.read.parquet(zdir).agg(F.sum("payload")).collect()[0][0]
+            == df.agg(F.sum("payload")).collect()[0][0]
+        )
+        # a tight 2-D box: the x-sorted layout prunes on x only, so a
+        # y-constrained box still intersects its x-matching files; the
+        # z-layout's files are hyper-rectangles and most miss the box
+        box = dict(xlo=0, xhi=15, ylo=0, yhi=15)
+        z_hits = _files_intersecting_box(zdir, "x", box["xlo"], box["xhi"], "y", box["ylo"], box["yhi"])
+        l_hits = _files_intersecting_box(ldir, "x", box["xlo"], box["xhi"], "y", box["ylo"], box["yhi"])
+        assert z_hits < l_hits, f"z-order must prune more files ({z_hits} vs {l_hits})"
+        assert z_hits <= 4
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -5507,3 +5507,54 @@ def _q_graph_lpa(spark, sf_dir):
         (F.col("l_suppkey").cast("long") + _PR["supp_offset"]).alias("dst"),
     )
     return graph.label_propagation(edges, iters=3)
+
+
+def _sql_zorder() -> str:
+    def bit_terms(col: str, offset: int) -> str:
+        return " + ".join(
+            f"((({col} >> {b}) & 1) << {2 * b + offset})" for b in range(8)
+        )
+
+    def scale(c: str, mn: str, mx: str) -> str:
+        return (
+            f"CASE WHEN {mx} > {mn} THEN "
+            f"least(floor(({c} - {mn})::DOUBLE * 255 / ({mx} - {mn}))::BIGINT, 255) "
+            f"ELSE 0 END"
+        )
+
+    return f"""
+    WITH zst AS (SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+                        min(l_suppkey) AS mns, max(l_suppkey) AS mxs FROM lineitem),
+    zsc AS (SELECT l_orderkey, l_linenumber,
+                   {scale('l_partkey', 'mnp', 'mxp')} AS cx,
+                   {scale('l_suppkey', 'mns', 'mxs')} AS cy
+            FROM lineitem CROSS JOIN zst)
+    SELECT l_orderkey, l_linenumber,
+           ({bit_terms('cx', 0)} + {bit_terms('cy', 1)})::BIGINT AS z
+    FROM zsc
+    """
+
+
+@_register(
+    "rel_zorder_values",
+    _sql_zorder(),
+    doc="Z-order (Morton) clustering key over (l_partkey, l_suppkey): "
+    "min/max-quantized 8-bit codes, bit-interleaved — the layout lever "
+    "that makes parquet min/max stats prune MULTI-column box predicates "
+    "(sources/layout.py; write_zordered range-partitions on this value; "
+    "measured file-pruning effect in tests/test_layout.py). Value-exact",
+)
+def _q_rel_zorder_values(spark, sf_dir):
+    from ..sources import layout
+
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_partkey").alias("mnp"), F.max("l_partkey").alias("mxp"),
+        F.min("l_suppkey").alias("mns"), F.max("l_suppkey").alias("mxs"),
+    )
+    staged = li.join(F.broadcast(stats))
+    cx = layout.minmax_scale(F.col("l_partkey"), F.col("mnp"), F.col("mxp"), bits=8)
+    cy = layout.minmax_scale(F.col("l_suppkey"), F.col("mns"), F.col("mxs"), bits=8)
+    return staged.select(
+        "l_orderkey", "l_linenumber", layout.zorder_value([cx, cy], bits=8).alias("z")
+    )
