@@ -78,3 +78,28 @@ class TestLabelPropagation:
             for r in label_propagation(edges.repartition(11), iters=3).collect()
         )
         assert a == b
+
+
+class TestTriangleCount:
+    def _counts(self, spark, edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r.node: r.n_triangles for r in graph.triangle_count(df).collect()}
+
+    def test_k4_every_vertex_in_three_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        assert self._counts(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_path_graph_has_no_triangles(self, spark):
+        assert self._counts(spark, [(1, 2), (2, 3), (3, 4)]) == {
+            1: 0, 2: 0, 3: 0, 4: 0
+        }
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        # triangle given with mixed directions + a duplicate + a self-loop
+        edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)]
+        assert self._counts(spark, edges) == {1: 1, 2: 1, 3: 1}
+
+    def test_two_triangles_sharing_an_edge(self, spark):
+        # {1,2,3} and {2,3,4}: shared edge (2,3) → nodes 2,3 in 2 triangles
+        edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+        assert self._counts(spark, edges) == {1: 1, 2: 2, 3: 2, 4: 1}

@@ -139,3 +139,98 @@ def test_ranking_metrics_hand_computed(spark):
     want = (1.0 / (math.log(4) / math.log(2.0))) / idcg
     assert res[1].ndcg_at_3 == round(want, 6)
     assert res[2].rr == 0.0 and res[2].ndcg_at_3 == 0.0 and res[2].n_relevant == 0
+
+
+# ---------------------------------------------------------------------------
+# radius_search
+# ---------------------------------------------------------------------------
+
+def test_radius_self_match_and_containment(embeddings):
+    probes = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    small = knn.radius_search(embeddings, probes, radius=0.5)
+    rows = small.collect()
+    # every probe finds itself at distance 0, rank 1
+    top1 = {r.query_id: r for r in rows if r.rank == 1}
+    assert set(top1) == {0, 1, 2}
+    for qid, r in top1.items():
+        assert r.id == qid and abs(r.distance) < 1e-9
+    # monotone containment: a bigger ball is a superset
+    big = knn.radius_search(embeddings, probes, radius=1.3)
+    small_set = {(r.query_id, r.id) for r in rows}
+    big_set = {(r.query_id, r.id) for r in big.collect()}
+    assert small_set <= big_set
+    # all results inside the ball
+    assert all(r.distance <= 1.3 + 1e-12 for r in big.collect())
+
+
+def test_radius_limit_caps_and_ranks_contiguously(embeddings):
+    probes = embeddings.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    res = knn.radius_search(embeddings, probes, radius=2.0, limit=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        assert len(rows) == 5  # radius 2.0 matches far more; the cap binds
+        assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+        ds = [r.distance for r in sorted(rows, key=lambda x: x.rank)]
+        assert ds == sorted(ds)
+
+
+def test_radius_matches_knn_prefix(embeddings):
+    """Within the ball, radius ordering == knn ordering (same tie-break)."""
+    probes = embeddings.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    rad = knn.radius_search(embeddings, probes, radius=1.3, limit=10)
+    top = knn.knn(embeddings, probes, k=10)
+    rad_rows = {(r.query_id, r.rank): r.id for r in rad.collect()}
+    top_rows = {(r.query_id, r.rank): r.id for r in top.collect()}
+    for key, rid in rad_rows.items():
+        assert top_rows[key] == rid
+
+
+# ---------------------------------------------------------------------------
+# maxsim_search (multi-vector late interaction)
+# ---------------------------------------------------------------------------
+
+def _maxsim_fixture(spark):
+    # two docs × two vectors each; query = doc 1's exact bag
+    doc_vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.0, 0.0, 1.0]),
+            (2, [0.7, 0.7, 0.0]),
+        ],
+        "doc_id long, v array<float>",
+    )
+    query_vecs = spark.createDataFrame(
+        [(100, 0, [1.0, 0.0, 0.0]), (100, 1, [0.0, 1.0, 0.0])],
+        "query_id long, qidx int, qv array<float>",
+    )
+    return doc_vecs, query_vecs
+
+
+def test_maxsim_identical_bag_scores_max(spark):
+    doc_vecs, query_vecs = _maxsim_fixture(spark)
+    res = knn.maxsim_search(doc_vecs, query_vecs, k=5).collect()
+    by_rank = {r.rank: r for r in res}
+    # doc 1 holds both query vectors exactly: score = 1 + 1 = 2 (the max
+    # possible for a 2-vector query); doc 2's best per query vector is
+    # cos([1,0,0],[.7,.7,0]) = cos([0,1,0],[.7,.7,0]) = 1/sqrt(2) each
+    assert by_rank[1].id == 1 and abs(by_rank[1].score - 2.0) < 1e-9
+    assert by_rank[2].id == 2 and abs(by_rank[2].score - 2 ** 0.5) < 1e-6
+
+
+def test_maxsim_score_bounded_by_query_bag(spark):
+    doc_vecs, query_vecs = _maxsim_fixture(spark)
+    res = knn.maxsim_search(doc_vecs, query_vecs, k=5).collect()
+    assert all(r.score <= 2.0 + 1e-9 for r in res)  # ≤ n query vectors
+    assert [r.rank for r in sorted(res, key=lambda x: x.rank)] == [1, 2]

@@ -80,9 +80,13 @@ def test_zorder_prunes_files_for_2d_box(spark):
     tmp = tempfile.mkdtemp(prefix="zorder_")
     zdir, ldir = os.path.join(tmp, "z"), os.path.join(tmp, "linear")
     try:
-        write_zordered(df, zdir, ["x", "y"], bits=8, n_files=16)
+        # 64 files (not 16): repartitionByRange boundaries are SAMPLED, so
+        # per-file ranges jitter by ±1 value; at 16 files the expected gap
+        # is 1-vs-2 hits and jitter can collapse it to 2-vs-2. At 64 files
+        # the expectation is ~1-vs-8 — jitter can't close that.
+        write_zordered(df, zdir, ["x", "y"], bits=8, n_files=64)
         (
-            df.repartitionByRange(16, F.col("x").asc())
+            df.repartitionByRange(64, F.col("x").asc())
             .sortWithinPartitions("x")
             .write.mode("overwrite")
             .parquet(ldir)
@@ -100,5 +104,6 @@ def test_zorder_prunes_files_for_2d_box(spark):
         l_hits = _files_intersecting_box(ldir, "x", box["xlo"], box["xhi"], "y", box["ylo"], box["yhi"])
         assert z_hits < l_hits, f"z-order must prune more files ({z_hits} vs {l_hits})"
         assert z_hits <= 4
+        assert l_hits >= 6  # x-only layout must read most x-matching files
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -36,6 +36,7 @@ EXCHANGE_BUDGETS = {
     "text_cosine_similarity": 16,     # inverted index: tf, df, norms, dots
     "text_cosine_pruned": 18,         # + the max_df prune branch
     "hybrid_search_rrf": 24,          # inverted-index lexical side + vector side + fusion
+    "hybrid_search_weighted": 24,     # same legs + per-source min-max windows
     "pipeline_corpus_prep_v2": 18,    # 3-stage composed pipeline
     "ann_recall_curve": 30,           # 5 configs × SRP subplan
     "ann_ivf_det_knn": 35,            # 2 unrolled Lloyd iterations

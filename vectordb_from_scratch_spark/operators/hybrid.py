@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 from ..functions import text as X
 from ..sources.tables import spread
 
-__all__ = ["lexical_topk", "rrf_fuse", "hybrid_search_rrf"]
+__all__ = ["lexical_topk", "rrf_fuse", "hybrid_search_rrf",
+           "weighted_fuse", "hybrid_search_weighted"]
 
 
 def lexical_topk(
@@ -49,7 +50,7 @@ def lexical_topk(
     """Per-probe lexical ranking: TF-IDF cosine of each probe document
     against the whole corpus via the inverted index, top `depth` per
     probe (self included at rank 1 — same convention as the vector
-    side's self-match). Returns (query_id, id, rank).
+    side's self-match). Returns (query_id, id, sim, rank).
 
     Decimal-exact dot/norm sums (order-independent across
     partitionings), the same parity rule as tfidf_cosine_pairs. Docs
@@ -99,7 +100,7 @@ def lexical_topk(
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= depth)
-        .select("query_id", "id", "rank")
+        .select("query_id", "id", "sim", "rank")
     )
 
 
@@ -132,6 +133,88 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "rrf_score", "text_rank", "vec_rank", "rank")
     )
+
+
+def weighted_fuse(
+    lexical: DataFrame,
+    vector: DataFrame,
+    k: int = 10,
+    w_lex: float = 0.5,
+    w_vec: float = 0.5,
+) -> DataFrame:
+    """Relative-score fusion: min-max normalize each source's scores PER
+    QUERY to [0, 1], then combine  w_lex·norm_lex + w_vec·norm_vec  (a
+    source missing a doc contributes 0). The score-based alternative to
+    RRF that production hybrid engines ship alongside it — it preserves
+    score MAGNITUDE (a runaway best match dominates), where RRF only
+    preserves order.
+
+    Inputs are (query_id, id, score[, ...]) tables, higher = better —
+    lexical_topk's `sim` and a vector ranking's similarity both qualify.
+    A single-result source normalizes to 1.0 (max==min guard). Per-query
+    min/max are window aggregates over the shortlists (bounded rows per
+    query), the fusion is one full-outer join of two narrow tables —
+    same distributed shape as rrf_fuse. min/max are order-independent
+    and the weighted sum folds in fixed source order, so the output is
+    value-exact oracle-twinnable.
+
+    Returns (query_id, id, fused_score, lex_norm, vec_norm, rank).
+    """
+
+    def norm(src: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("query_id")
+        lo, hi = F.min("score").over(w), F.max("score").over(w)
+        return src.select(
+            "query_id", "id",
+            F.when(hi == lo, F.lit(1.0))
+            .otherwise((F.col("score") - lo) / (hi - lo))
+            .alias(out),
+        )
+
+    le = norm(lexical.select("query_id", "id", F.col("sim").alias("score")), "lex_norm")
+    ve = norm(vector.select("query_id", "id", F.col("sim").alias("score")), "vec_norm")
+    fused = le.join(ve, ["query_id", "id"], "full_outer").select(
+        "query_id", "id",
+        (
+            F.lit(w_lex) * F.coalesce("lex_norm", F.lit(0.0))
+            + F.lit(w_vec) * F.coalesce("vec_norm", F.lit(0.0))
+        ).alias("fused_score"),
+        "lex_norm", "vec_norm",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("fused_score").desc(), F.col("id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "fused_score", "lex_norm", "vec_norm", "rank")
+    )
+
+
+def hybrid_search_weighted(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    n_probes: int = 5,
+    k: int = 10,
+    depth: int = 20,
+    w_lex: float = 0.5,
+    w_vec: float = 0.5,
+) -> DataFrame:
+    """End-to-end weighted-score hybrid search over the doc↔embedding
+    pairing (doc_id i ↔ vec_id i): lexical TF-IDF-cosine top-`depth` and
+    vector cosine top-`depth`, min-max normalized per query and fused by
+    weight. Same retrieval legs as hybrid_search_rrf; only the fusion
+    differs."""
+    from . import knn
+
+    lex = lexical_topk(documents, F.col("doc_id") < n_probes, depth=depth)
+    probes = embeddings.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    vec = knn.knn(embeddings, probes, k=depth, metric="cosine").select(
+        "query_id", "id", (F.lit(1.0) - F.col("distance")).alias("sim")
+    )
+    return weighted_fuse(lex, vec, k=k, w_lex=w_lex, w_vec=w_vec)
 
 
 def hybrid_search_rrf(

@@ -44,7 +44,7 @@ from ..functions import vectormath as vm
 from ..sources.tables import spread
 
 __all__ = ["knn", "knn_filtered", "knn_filtered_overfetch", "self_knn",
-           "mmr_diversify", "ranking_metrics"]
+           "radius_search", "maxsim_search", "mmr_diversify", "ranking_metrics"]
 
 
 def _local_topk(k: int) -> callable:
@@ -355,6 +355,123 @@ def knn_filtered_overfetch(
         refiltered.withColumn("rank2", F.row_number().over(w))
         .filter(F.col("rank2") <= k)
         .select("query_id", "id", "distance", F.col("rank2").alias("rank"))
+    )
+
+
+def radius_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    metric: str = "euclidean",
+    limit: int | None = None,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Range (radius) search: every vector within ``radius`` of each probe,
+    ordered by (distance, id), optionally capped at ``limit`` rows per
+    query. The range twin of top-k search — the other half of the classic
+    vector-query API (absent from the reference, whose Index trait only
+    exposes k-NN, src/index.rs:18-20; every mainstream vector store ships
+    both).
+
+    Scale: strictly CHEAPER than top-k at the same selectivity. The
+    radius predicate is applied map-side, right after the distance
+    projection and before any exchange — only rows inside the ball ever
+    shuffle (top-k must move p×q×k survivor rows through a reduce even
+    when nothing matches). The rank window then runs over matches only.
+    Returns (query_id, id, distance, rank).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            vm.as_double(query_vec_col).alias("__qvec"),
+        )
+    )
+    v = spread(vectors).select(
+        F.col(id_col).alias("id"), vm.as_double(vec_col).alias("__vvec")
+    )
+    dist = vm.distance(metric, "__qvec", "__vvec")
+    narrow = (
+        v.crossJoin(q)
+        .select("query_id", "id", dist.alias("distance"))
+        # NULL distances (zero-vector cosine) are "undefined", never a
+        # match — filter keeps only defined distances inside the ball
+        .filter(F.col("distance") <= F.lit(float(radius)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("id").asc()
+    )
+    ranked = narrow.withColumn("rank", F.row_number().over(w))
+    if limit is not None:
+        ranked = ranked.filter(F.col("rank") <= limit)
+    return ranked.select("query_id", "id", "distance", "rank")
+
+
+def maxsim_search(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    vec_col: str = "v",
+    query_id_col: str = "query_id",
+    query_idx_col: str = "qidx",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Multi-vector late-interaction search (ColBERT's MaxSim operator —
+    Khattab & Zaharia, SIGIR 2020, public): documents and queries are BAGS
+    of vectors (one per token/chunk); a document's score for a query is
+
+        score(q, d) = Σ_{i ∈ q}  max_{j ∈ d}  cos_sim(q_i, d_j)
+
+    — each query vector independently picks its best-matching document
+    vector, and the per-query-vector maxima add up. Finer-grained than
+    single-vector search (a long doc can match different query aspects
+    with different chunks); the reference's one-vector-per-id model
+    (src/storage.rs:86-95) cannot express it.
+
+    Plan: broadcast the query bag (probes are small) across the doc-vector
+    scan → cosine sim per (doc vec, query vec) pair map-side → two hash
+    aggregations, max over doc vectors then sum over query vectors. Both
+    aggs partial-aggregate map-side (unlike a window), so the exchange
+    carries at most |distinct (id, query_id, qidx)| rows per task — the
+    doc vectors themselves never shuffle. Determinism: max is
+    order-independent; the sum folds decimal(28,12)-cast maxima, so it is
+    partitioning-independent and value-exact oracle-twinnable.
+
+    Returns (query_id, id, score, rank) — top-k docs per query by
+    (score desc, id asc).
+    """
+    q = F.broadcast(
+        query_vecs.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_idx_col).alias("__qidx"),
+            vm.as_double(query_vec_col).alias("__qvec"),
+        )
+    )
+    v = spread(doc_vecs).select(
+        F.col(id_col).alias("id"), vm.as_double(vec_col).alias("__vvec")
+    )
+    sim = F.lit(1.0) - vm.cosine_distance("__qvec", "__vvec")
+    per_qvec = (
+        v.crossJoin(q)
+        .select("query_id", "__qidx", "id", sim.alias("__sim"))
+        .groupBy("query_id", "id", "__qidx")
+        .agg(F.max("__sim").alias("__m"))
+    )
+    scored = per_qvec.groupBy("query_id", "id").agg(
+        F.sum(F.col("__m").cast("decimal(28,12)")).cast("double").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc_nulls_last(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
     )
 
 

@@ -5558,3 +5558,320 @@ def _q_rel_zorder_values(spark, sf_dir):
     return staged.select(
         "l_orderkey", "l_linenumber", layout.zorder_value([cx, cy], bits=8).alias("z")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: range search, late-interaction search, weighted hybrid fusion,
+# triangle counting
+# --------------------------------------------------------------------------
+
+_RADIUS = {"radius": 1.25, "limit": 20, "probe_pred": "vec_id < 5"}
+
+
+@_register(
+    "knn_radius",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE {_RADIUS['probe_pred']}),
+    d AS (
+      SELECT q.query_id, e.vec_id AS id, {_sql_euclid('q.qv', 'e.embedding')} AS dist
+      FROM q CROSS JOIN embeddings e
+    ),
+    m AS (SELECT * FROM d WHERE dist <= {_RADIUS['radius']}),
+    ranked AS (
+      SELECT query_id, id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rnk
+      FROM m
+    )
+    SELECT query_id, id, round(dist, 6) AS distance, rnk::INTEGER AS rank
+    FROM ranked WHERE rnk <= {_RADIUS['limit']}
+    """,
+    doc="Range (radius) search: all vectors within euclidean distance "
+    "1.25 of each probe, capped at 20/query — the range twin of top-k "
+    "(absent from the reference's Index trait, src/index.rs:18-20). The "
+    "radius predicate applies map-side BEFORE any exchange, so only "
+    "in-ball rows ever shuffle (operators/knn.radius_search). Value-exact",
+)
+def _q_knn_radius(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    res = knn.radius_search(
+        e,
+        _probes(spark, sf_dir, F.col("vec_id") < 5),
+        radius=_RADIUS["radius"],
+        limit=_RADIUS["limit"],
+        metric="euclidean",
+    )
+    return res.withColumn("distance", F.round("distance", 6))
+
+
+def _maxsim_sql() -> str:
+    """DuckDB twin of knn.maxsim_search over the rag_ingest chunking:
+    score(q, d) = Σ_{query chunks} max_{doc chunks} cos_sim — max is
+    order-independent, the Σ folds decimal(18,12)-cast maxima, so the
+    doubles are partitioning-independent on both engines."""
+    sim = f"1.0 - ({_sql_cosine_dist('q.qv', 'e.v')})"
+    return f"""
+    WITH n AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil((length(text) - 50)::DOUBLE / 150) AS INTEGER), 1) AS n_chunks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, chunk_idx, substr(text, chunk_idx * 150 + 1, 200) AS chunk
+      FROM (SELECT doc_id, text, unnest(range(0, n_chunks))::INTEGER AS chunk_idx FROM n)
+    ),
+    e AS (SELECT doc_id, chunk_idx, {_RAG_EMBED_SQL} AS v FROM c),
+    q AS (SELECT doc_id AS query_id, chunk_idx AS qidx, v AS qv FROM e WHERE doc_id < 3),
+    s AS (
+      SELECT q.query_id, q.qidx, e.doc_id AS id, {sim} AS sim
+      FROM q CROSS JOIN e
+    ),
+    mx AS (
+      SELECT query_id, id, qidx, max(sim) AS m FROM s GROUP BY query_id, id, qidx
+    ),
+    sc AS (
+      SELECT query_id, id,
+             CAST(sum(CAST(m AS DECIMAL(18,12))) AS DOUBLE) AS score
+      FROM mx GROUP BY query_id, id
+    )
+    SELECT query_id, id, round(score, 6) AS score, rnk::INTEGER AS rank
+    FROM (
+      SELECT query_id, id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, id ASC) AS rnk
+      FROM sc
+    ) WHERE rnk <= 10
+    """
+
+
+@_register(
+    "knn_maxsim",
+    _maxsim_sql(),
+    doc="Multi-vector late-interaction search (ColBERT MaxSim, Khattab & "
+    "Zaharia SIGIR'20, public): docs and queries are bags of chunk "
+    "embeddings (rag_ingest's 200-char chunking + md5 stub encoder); "
+    "score = Σ_query-chunks max_doc-chunks cosine sim. Both aggregations "
+    "partial-aggregate map-side — doc vectors never shuffle "
+    "(operators/knn.maxsim_search). Value-exact (decimal-fold Σ)",
+)
+def _q_knn_maxsim(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    stride, clen = 150, 200
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - F.lit(50)).cast("double") / F.lit(stride)),
+        F.lit(1),
+    ).cast("int")
+    chunks = (
+        d.select(
+            "doc_id",
+            F.col("text"),
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("text").substr(F.col("chunk_idx") * stride + 1, F.lit(clen)).alias("chunk"),
+        )
+        .select("doc_id", "chunk_idx", X.hash_embed("chunk", dims=8).alias("v"))
+    )
+    probes = chunks.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("chunk_idx").alias("qidx"),
+        F.col("v").alias("qv"),
+    )
+    res = knn.maxsim_search(
+        chunks, probes, k=10,
+        id_col="doc_id", vec_col="v",
+        query_id_col="query_id", query_idx_col="qidx", query_vec_col="qv",
+    )
+    return res.withColumn("score", F.round("score", 6))
+
+
+_WF = {"n_probes": 5, "depth": 20, "k": 10, "w_lex": 0.4, "w_vec": 0.6}
+
+
+def _weighted_fuse_sql() -> str:
+    """DuckDB twin of hybrid.hybrid_search_weighted: same lexical/vector
+    legs as the RRF oracle, but carrying SIMS, min-max normalized per
+    query over each depth-shortlist, fused 0.4·lex + 0.6·vec."""
+    p = _WF
+    vsim = f"1.0 - ({_sql_cosine_dist('q.embedding', 'e.embedding')})"
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    inv AS (
+      SELECT tf.term, tf.doc_id,
+             tf.tf * ln((n.n_docs + 1)::DOUBLE / (dfq.df + 1)::DOUBLE) AS w
+      FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(sum(CAST(w * w AS DECIMAL(18,12))) AS DOUBLE)) AS nrm
+      FROM inv GROUP BY doc_id
+    ),
+    pdots AS (
+      SELECT q.doc_id AS query_id, d.doc_id AS id,
+             CAST(sum(CAST(q.w * d.w AS DECIMAL(18,12))) AS DOUBLE) AS dot
+      FROM inv q JOIN inv d ON q.term = d.term
+      WHERE q.doc_id < {p['n_probes']}
+      GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT query_id, id, sim FROM (
+        SELECT p.query_id, p.id, p.dot / (nq.nrm * nd.nrm) AS sim,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY p.dot / (nq.nrm * nd.nrm) DESC, p.id ASC) AS rnk
+        FROM pdots p
+        JOIN norms nq ON nq.doc_id = p.query_id
+        JOIN norms nd ON nd.doc_id = p.id
+      ) WHERE rnk <= {p['depth']}
+    ),
+    vecr AS (
+      SELECT query_id, id, sim FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS id, {vsim} AS sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_sql_cosine_dist('q.embedding', 'e.embedding')} ASC,
+                          e.vec_id ASC) AS rnk
+        FROM (SELECT * FROM embeddings WHERE vec_id < {p['n_probes']}) q
+        CROSS JOIN embeddings e
+      ) WHERE rnk <= {p['depth']}
+    ),
+    lnorm AS (
+      SELECT query_id, id,
+             CASE WHEN max(sim) OVER (PARTITION BY query_id)
+                       = min(sim) OVER (PARTITION BY query_id) THEN 1.0
+                  ELSE (sim - min(sim) OVER (PARTITION BY query_id))
+                       / (max(sim) OVER (PARTITION BY query_id)
+                          - min(sim) OVER (PARTITION BY query_id)) END AS lex_norm
+      FROM lex
+    ),
+    vnorm AS (
+      SELECT query_id, id,
+             CASE WHEN max(sim) OVER (PARTITION BY query_id)
+                       = min(sim) OVER (PARTITION BY query_id) THEN 1.0
+                  ELSE (sim - min(sim) OVER (PARTITION BY query_id))
+                       / (max(sim) OVER (PARTITION BY query_id)
+                          - min(sim) OVER (PARTITION BY query_id)) END AS vec_norm
+      FROM vecr
+    ),
+    fused AS (
+      SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.id, v.id) AS id,
+             {p['w_lex']}::DOUBLE * coalesce(l.lex_norm, 0.0::DOUBLE)
+             + {p['w_vec']}::DOUBLE * coalesce(v.vec_norm, 0.0::DOUBLE) AS score,
+             l.lex_norm, v.vec_norm
+      FROM lnorm l FULL OUTER JOIN vnorm v
+        ON l.query_id = v.query_id AND l.id = v.id
+    )
+    SELECT query_id, id, round(score, 6) AS fused_score,
+           round(lex_norm, 6) AS lex_norm, round(vec_norm, 6) AS vec_norm,
+           rnk::INTEGER AS rank
+    FROM (SELECT query_id, id, score, lex_norm, vec_norm,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, id ASC) AS rnk
+          FROM fused)
+    WHERE rnk <= {p['k']}
+    """
+
+
+@_register(
+    "hybrid_search_weighted",
+    _weighted_fuse_sql(),
+    doc="Weighted-score hybrid fusion (the RRF alternative every hybrid "
+    "engine also ships): lexical TF-IDF-cosine and vector-cosine "
+    "shortlists min-max normalized PER QUERY, fused 0.4·lex + 0.6·vec — "
+    "preserves score magnitude where RRF keeps only order "
+    "(operators/hybrid.weighted_fuse). Value-exact",
+)
+def _q_hybrid_search_weighted(spark, sf_dir):
+    from ..operators import hybrid
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    res = hybrid.hybrid_search_weighted(
+        d, e, n_probes=_WF["n_probes"], k=_WF["k"], depth=_WF["depth"],
+        w_lex=_WF["w_lex"], w_vec=_WF["w_vec"],
+    )
+    return res.select(
+        "query_id", "id",
+        F.round("fused_score", 6).alias("fused_score"),
+        F.round("lex_norm", 6).alias("lex_norm"),
+        F.round("vec_norm", 6).alias("vec_norm"),
+        "rank",
+    )
+
+
+_TRI = {"k": 5}
+
+
+def _triangles_sql() -> str:
+    """DuckDB twin of graph.triangle_count over the mutual {k}-NN
+    similarity graph: the oracle counts each triangle once via the
+    canonical u<v<w three-edge join (algorithm-independent — values must
+    match the Spark side's degree-oriented wedge count)."""
+    k = _TRI["k"]
+    return f"""
+    WITH r AS (
+      SELECT a.vec_id AS qid, b.vec_id AS id,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY {_sql_euclid('a.embedding', 'b.embedding')} ASC,
+                        b.vec_id ASC) AS rnk
+      FROM embeddings a CROSS JOIN embeddings b
+      WHERE a.vec_id <> b.vec_id
+    ),
+    nn AS (SELECT qid, id FROM r WHERE rnk <= {k}),
+    mut AS (
+      SELECT n1.qid AS u, n1.id AS v
+      FROM nn n1 JOIN nn n2 ON n2.qid = n1.id AND n2.id = n1.qid
+      WHERE n1.qid < n1.id
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM mut e1
+      JOIN mut e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN mut e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    verts AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    pv AS (SELECT node, count(*) AS n_triangles FROM verts GROUP BY node),
+    gnodes AS (SELECT u AS node FROM mut UNION SELECT v FROM mut)
+    SELECT g.node, coalesce(pv.n_triangles, 0)::BIGINT AS n_triangles
+    FROM gnodes g LEFT JOIN pv ON pv.node = g.node
+    """
+
+
+@_register(
+    "graph_triangles",
+    _triangles_sql(),
+    doc="Per-vertex triangle counting (Suri & Vassilvitskii WWW'11 "
+    "degree-oriented wedge join, public) over the mutual 5-NN "
+    "similarity graph — local clustering signal for near-duplicate "
+    "neighborhoods. Degree orientation caps join fan-out at O(√|E|) "
+    "per vertex even on power-law graphs (operators/graph."
+    "triangle_count). Value-exact",
+)
+def _q_graph_triangles(spark, sf_dir):
+    from ..operators import graph
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    # nn feeds both sides of the mutuality semi-join — localCheckpoint
+    # runs the all-pairs kNN window once instead of once per consumer
+    nn = (
+        knn.knn(
+            e, probes, k=_TRI["k"], metric="euclidean", exclude_self=True,
+            strategy="window",
+        )
+        .select(F.col("query_id").alias("qid"), "id")
+        .localCheckpoint()
+    )
+    rev = nn.select(F.col("id").alias("qid"), F.col("qid").alias("id"))
+    mut = nn.join(rev, ["qid", "id"], "left_semi").filter(F.col("qid") < F.col("id"))
+    edges = mut.select(F.col("qid").alias("src"), F.col("id").alias("dst"))
+    return graph.triangle_count(edges)
