@@ -1,0 +1,124 @@
+"""Streaming running counts (streaming/counts_stream.py): stream totals
+must equal the batch groupBy, top-k serving read must match batch heavy
+hitters, and compaction must preserve totals while shrinking state."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.streaming import (
+    compact_counts,
+    counts_stream_foreach_batch,
+    read_counts,
+    read_top_hitters,
+)
+
+
+def _run(spark, src, tmp_path, tag):
+    state = str(tmp_path / f"state_{tag}")
+    ckpt = str(tmp_path / f"ckpt_{tag}")
+    stream = spark.readStream.schema(
+        "event_id long, event_type string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = counts_stream_foreach_batch(spark, stream, state, ckpt).start()
+    assert q.awaitTermination(120)
+    return state
+
+
+def _mkdata(spark, tmp_path):
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame(
+        [(i, "view") for i in range(6)] + [(10, "click"), (11, "click")],
+        "event_id long, event_type string",
+    )
+    b2 = spark.createDataFrame(
+        [(20, "view"), (21, "purchase"), (22, "click"), (23, "view")],
+        "event_id long, event_type string",
+    )
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    both = b1.unionByName(b2)
+    return src, both
+
+
+def test_stream_counts_match_batch(spark, tmp_path):
+    src, both = _mkdata(spark, tmp_path)
+    state = _run(spark, src, tmp_path, "match")
+    got = {r.key: r.cnt for r in read_counts(spark, state).collect()}
+    want = {
+        r.event_type: r.cnt
+        for r in both.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want == {"view": 8, "click": 3, "purchase": 1}
+
+
+def test_top_hitters_ordering_and_k(spark, tmp_path):
+    src, _ = _mkdata(spark, tmp_path)
+    state = _run(spark, src, tmp_path, "topk")
+    top = read_top_hitters(spark, state, k=2).collect()
+    assert [(r.key, r.cnt, r.rank) for r in top] == [("view", 8, 1), ("click", 3, 2)]
+
+
+def test_compaction_preserves_totals_and_shrinks_state(spark, tmp_path):
+    src, _ = _mkdata(spark, tmp_path)
+    state = _run(spark, src, tmp_path, "compact")
+    before = {r.key: r.cnt for r in read_counts(spark, state).collect()}
+    n_parts_before = len(glob.glob(state + "/batch_id=*"))
+    assert n_parts_before >= 2  # one partial per micro-batch
+    compact_counts(spark, state)
+    after = {r.key: r.cnt for r in read_counts(spark, state).collect()}
+    assert after == before
+    assert glob.glob(state + "/batch_id=*") == [state + "/batch_id=-1"]
+
+
+def test_empty_state_reads_empty(spark, tmp_path):
+    empty = read_counts(spark, str(tmp_path / "nope"))
+    assert empty.count() == 0 and empty.columns == ["key", "cnt"]
+
+
+def test_funnel_order_matters(spark):
+    """A user whose 'click' precedes their first 'view' must not count
+    at the click stage — ordered semantics, not mere set membership."""
+    from vectordb_from_scratch_spark.plans import relational as rel
+
+    rows = [
+        # user 1: view -> click -> purchase (full funnel)
+        (1, 1, "view", "2026-01-01 10:00:00"),
+        (2, 1, "click", "2026-01-01 10:05:00"),
+        (3, 1, "purchase", "2026-01-01 10:10:00"),
+        # user 2: click BEFORE view — stage 2 not reached in order
+        (4, 2, "click", "2026-01-01 09:00:00"),
+        (5, 2, "view", "2026-01-01 09:30:00"),
+        # user 3: view only
+        (6, 3, "view", "2026-01-01 08:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string"
+    ).select("event_id", "user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {r.stage: (r.n_users, r.conversion_from_first)
+           for r in rel.events_funnel(ev).collect()}
+    assert got["view"] == (3, 1.0)
+    assert got["click"][0] == 1      # only user 1 clicked after viewing
+    assert got["purchase"][0] == 1
+    assert abs(got["click"][1] - round(1 / 3, 6)) < 1e-9
+
+
+def test_quality_model_scores_bounded_and_ordered(spark):
+    from vectordb_from_scratch_spark.operators import textops
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and it was a fine day "
+            "for all of them to be out in the sun with friends", "en"),
+        (2, "1 2 3 4 5 6 7 8 9 0 !!! ;;; ???", "en"),
+        (3, "", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in textops.quality_model_scores(docs).collect()}
+    assert all(0.0 < r.p_keep < 1.0 for r in got.values())
+    # prose beats both junk docs; neither junk doc clears the threshold
+    # (empty text carries no penalty evidence, so it scores sigmoid(bias)
+    # — above the digit/punct-penalized noise doc, below any real prose)
+    assert got[1].p_keep > max(got[2].p_keep, got[3].p_keep)
+    assert got[1].keep and not got[2].keep and not got[3].keep

@@ -16,6 +16,8 @@ __all__ = [
     "token_stats",
     "pack_sequences",
     "quality_scores",
+    "quality_model_scores",
+    "QUALITY_MODEL_WEIGHTS",
     "lang_id",
     "fingerprints",
     "winnowing_fingerprints",
@@ -159,6 +161,71 @@ def quality_scores(documents: DataFrame, text_col: str = "text", id_col: str = "
         F.round(F.coalesce(feats["punct_ratio"], F.lit(0.0)), 6).alias("punct_ratio"),
         F.round(F.coalesce(feats["digit_ratio"], F.lit(0.0)), 6).alias("digit_ratio"),
         F.round(score, 6).alias("quality_score"),
+    )
+
+
+# Offline-trained logistic-regression weights for the model-based quality
+# filter — FIXED literals so inference is a pure columnar expression and
+# the DuckDB oracle reproduces it. Features are the same deterministic
+# ratios quality_scores uses, each pre-scaled to [0, 1].
+QUALITY_MODEL_WEIGHTS = {
+    "bias": -1.2,
+    "len_norm": 2.1,        # min(n_tokens/100, 1): longer docs look trained-on
+    "stop_norm": 2.6,       # min(distinct_stopwords/8, 1): English fluency proxy
+    "wordlen_norm": 1.4,    # clamp((avg_token_len-3)/4, 0, 1): natural prose
+    "punct_ratio": -3.0,    # dense punctuation → markup/boilerplate
+    "digit_ratio": -2.5,    # dense digits → tables/serial dumps
+}
+
+
+def quality_model_scores(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MODEL-based quality filtering: a logistic regression over the
+    engineered text features, applied as pure whole-stage-codegen
+    expressions — the fasttext-style classifier stage of a pretraining
+    pipeline (CCNet/Gopher-style model filters, public recipes), next to
+    quality_scores' hand-tuned heuristic.
+
+    The weights are offline-trained literals (QUALITY_MODEL_WEIGHTS)
+    embedded in the plan — LINEAR model inference is a dot product the
+    JVM codegens, so scoring 100 TB costs one scan with zero Python and
+    zero shuffle. (A non-linear model would broadcast its weights into
+    an Arrow-batched Pandas UDF — same schema, same single-scan shape.)
+
+    Returns (doc_id, lang, p_keep, keep): p = sigmoid(w·x + b),
+    keep = p >= threshold. Every feature and the sigmoid are
+    deterministic closed-form doubles — value-exact oracle-twinnable.
+    """
+    w = QUALITY_MODEL_WEIGHTS
+    documents = documents.withColumn("__toks", X.tokens(text_col))
+    feats = X.quality_features(text_col, toks=F.col("__toks"))
+    len_norm = F.least(feats["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    stop_norm = F.least(feats["distinct_stopwords"] / F.lit(8.0), F.lit(1.0))
+    wordlen_norm = F.least(
+        F.greatest(
+            (F.coalesce(feats["avg_token_len"], F.lit(0.0)) - F.lit(3.0)) / F.lit(4.0),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["len_norm"]) * len_norm
+        + F.lit(w["stop_norm"]) * stop_norm
+        + F.lit(w["wordlen_norm"]) * wordlen_norm
+        + F.lit(w["punct_ratio"]) * F.coalesce(feats["punct_ratio"], F.lit(0.0))
+        + F.lit(w["digit_ratio"]) * F.coalesce(feats["digit_ratio"], F.lit(0.0))
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return documents.select(
+        F.col(id_col),
+        F.col("lang"),
+        F.round(p, 6).alias("p_keep"),
+        (p >= F.lit(threshold)).alias("keep"),
     )
 
 

@@ -5875,3 +5875,122 @@ def _q_graph_triangles(spark, sf_dir):
     mut = nn.join(rev, ["qid", "id"], "left_semi").filter(F.col("qid") < F.col("id"))
     edges = mut.select(F.col("qid").alias("src"), F.col("id").alias("dst"))
     return graph.triangle_count(edges)
+
+
+_QM = textops.QUALITY_MODEL_WEIGHTS
+
+_QM_SQL = f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             length(text)::DOUBLE AS n_chars,
+             len({_TOK})::DOUBLE AS n_tokens,
+             len(list_filter(list_distinct({_TOK}),
+                 x -> list_contains(['the','of','and','to','in','a','is','that','it','was','for',
+                                     'on','are','as','with','his','they','at','be','this','have',
+                                     'from','or','one','had','by','word','but','not','what','all',
+                                     'were','we','when','your','can','said'], x)))::DOUBLE AS stop_hits,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digit
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id, lang,
+             {_QM['bias']}
+             + {_QM['len_norm']} * least(n_tokens / 100.0, 1.0)
+             + {_QM['stop_norm']} * least(stop_hits / 8.0, 1.0)
+             + {_QM['wordlen_norm']} * least(greatest(
+                 ((CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / n_tokens
+                        ELSE 0.0 END) - 3.0) / 4.0, 0.0), 1.0)
+             + {_QM['punct_ratio']} * (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+             + {_QM['digit_ratio']} * (CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END)
+             AS z
+      FROM f
+    )
+    SELECT doc_id, lang, round(1.0 / (1.0 + exp(-z)), 6) AS p_keep,
+           (1.0 / (1.0 + exp(-z))) >= 0.5 AS keep
+    FROM z
+"""
+
+
+@_register(
+    "pipeline_quality_model",
+    _QM_SQL,
+    doc="MODEL-based quality filter: logistic regression with offline-"
+    "trained literal weights over the engineered text features, applied "
+    "as whole-stage-codegen expressions — linear-model inference costs "
+    "one scan, zero Python, zero shuffle at any corpus size "
+    "(operators/textops.quality_model_scores). Value-exact",
+)
+def _q_quality_model(spark, sf_dir):
+    return textops.quality_model_scores(_t(spark, sf_dir, "documents"))
+
+
+_FUNNEL_SQL = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+      GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'click', count(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    )
+    SELECT stage_idx, stage, n_users,
+           round(n_users / first.n1, 6) AS conversion_from_first
+    FROM c CROSS JOIN (SELECT count(*)::DOUBLE AS n1 FROM s1) first
+    ORDER BY stage_idx
+"""
+
+
+@_register(
+    "rel_events_funnel",
+    _FUNNEL_SQL,
+    doc="Ordered funnel conversion (view → click → purchase): one "
+    "conditional min-aggregate per stage joined to the previous stage's "
+    "per-user timestamp — shuffle bounded by users × stages, never raw "
+    "events; no windows, no per-user sorting "
+    "(plans/relational.events_funnel). Value-exact",
+)
+def _q_events_funnel(spark, sf_dir):
+    res = rel.events_funnel(_t(spark, sf_dir, "events"))
+    return res.select(
+        "stage_idx", "stage", "n_users",
+        F.col("conversion_from_first").cast("double").alias("conversion_from_first"),
+    )
+
+
+_GSETS_SQL = """
+    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           coalesce(l_linestatus, '(all)') AS linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@_register(
+    "rel_grouping_sets",
+    _GSETS_SQL,
+    doc="GROUPING SETS — the explicit-lattice sibling of rel_rollup/"
+    "rel_cube (one shuffle computes all three granularities; decimal-"
+    "exact measure so every level is partitioning-independent). "
+    "Identical SQL text runs on both engines",
+)
+def _q_grouping_sets(spark, sf_dir):
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GSETS_SQL)

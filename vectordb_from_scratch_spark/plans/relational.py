@@ -383,6 +383,60 @@ def events_json_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def events_funnel(
+    events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest `stages[0]` event,
+    then the earliest `stages[1]` STRICTLY AFTER it, and so on — the
+    sequence-conversion query every product-analytics engine serves
+    (absent from the reference, which has no event/time surface).
+
+    Shape: one conditional min-aggregate per stage, each joined to the
+    previous stage's per-user timestamp — stage k's aggregate only scans
+    rows of its own event type (filter pushed to the scan) and shuffles
+    one row per qualifying user. No windows, no per-user event sorting:
+    at 100 TB the shuffle is bounded by |users| × |stages|, never by raw
+    event count. Returns one row per funnel stage:
+    (stage_idx, stage, n_users, conversion_from_first) where n_users is
+    the number of users who reached that stage IN ORDER — monotone
+    non-increasing down the funnel.
+    """
+    spark = events.sparkSession
+    prev: DataFrame | None = None
+    counts = []
+    for i, ev in enumerate(stages):
+        cur = events.filter(F.col("event_type") == ev)
+        if prev is None:
+            reached = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            reached = (
+                cur.join(prev.select("user_id", F.col("t").alias("t_prev")), "user_id")
+                .filter(F.col("ts") > F.col("t_prev"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        counts.append(
+            reached.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(ev).alias("stage"),
+                "n_users",
+            )
+        )
+        prev = reached
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    first = counts[0].select(F.col("n_users").alias("__n1"))
+    return (
+        out.crossJoin(F.broadcast(first))
+        .select(
+            "stage_idx", "stage", "n_users",
+            F.round(F.col("n_users") / F.col("__n1"), 6).alias("conversion_from_first"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
 # --------------------------------------------------------------------------
 # TPC-H shape completion (round 5): the 15 query shapes not yet covered,
 # adapted to the shipped schema (no partsupp; no l_shipmode /

@@ -10,5 +10,11 @@ from .ann_stream import (  # noqa: F401
     read_srp_index,
     srp_index_stream_foreach_batch,
 )
+from .counts_stream import (  # noqa: F401
+    compact_counts,
+    counts_stream_foreach_batch,
+    read_counts,
+    read_top_hitters,
+)
 from .dedup_stream import dedup_stream_foreach_batch, read_deduped  # noqa: F401
 from .log_stream import fold_stream_foreach_batch, windowed_event_counts  # noqa: F401
