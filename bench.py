@@ -64,6 +64,15 @@ BENCH_QUERIES = [
     "dedup_substring_overlap",
     "pipeline_dsir_weights",
     "pipeline_cluster_sample",
+    # round 6: range search, multi-vector late interaction, weighted
+    # hybrid fusion, similarity-graph triangles, model quality filter,
+    # ordered funnel
+    "knn_radius",
+    "knn_maxsim",
+    "hybrid_search_weighted",
+    "graph_triangles",
+    "pipeline_quality_model",
+    "rel_events_funnel",
 ]
 
 

@@ -207,6 +207,27 @@ def main() -> int:
         cell("pagerank_%dedges" % n_edges,
              lambda: sink(G.pagerank(ge, iters=3)))
 
+        # triangle counting on a graph with real triangle density: a
+        # 1000×1000 grid with right/down/diagonal edges (every cell closes
+        # two triangles — ~2M triangles over ~3M edges, deterministic)
+        side = 1000
+        cells_df = spark.range(side * side).select(
+            (F.col("id") % side).alias("x"), (F.col("id") / side).cast("long").alias("y")
+        )
+        node = (F.col("y") * side + F.col("x")).alias("src")
+        inner = cells_df.filter((F.col("x") < side - 1) & (F.col("y") < side - 1))
+        tri_edges = (
+            inner.select(node, (F.col("y") * side + F.col("x") + 1).alias("dst"))
+            .union(inner.select(node, ((F.col("y") + 1) * side + F.col("x")).alias("dst")))
+            .union(inner.select(node, ((F.col("y") + 1) * side + F.col("x") + 1).alias("dst")))
+            .union(inner.select(
+                (F.col("y") * side + F.col("x") + 1).alias("src"),
+                ((F.col("y") + 1) * side + F.col("x") + 1).alias("dst"),
+            ))
+        )
+        cell("triangles_%dedges" % (4 * (side - 1) * (side - 1)),
+             lambda: sink(G.triangle_count(tri_edges)))
+
     # streaming exact-dedup throughput: the whole corpus through the
     # digest-state ingest path in multi-file micro-batches (8 files per
     # trigger) — state stays (fp, keep_id)-sized; measures end-to-end

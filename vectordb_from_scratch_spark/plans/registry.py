@@ -4096,11 +4096,11 @@ _PR = {"iters": 3, "damping": 0.85, "block": 4096, "supp_offset": 1000000}
 
 def _sql_pagerank() -> str:
     """Unrolled DuckDB twin of graph.pagerank over the customer→supplier
-    transaction graph: per iteration one contribution join + the fixed
-    two-level src-block reduction tree (sums independent of any
-    engine's grouping order). Damping complement is embedded via repr()
-    so both engines parse the IDENTICAL double (1-0.85 is not 0.15 in
-    binary)."""
+    transaction graph: per iteration one contribution join + an exact
+    DECIMAL(28,18) contribution sum (order-independent in any engine's
+    grouping order — the faster replacement for the old two-level
+    sorted-fold tree). Damping complement is embedded via repr() so both
+    engines parse the IDENTICAL double (1-0.85 is not 0.15 in binary)."""
     p = _PR
     base = repr(1.0 - p["damping"])
     ctes = [
@@ -4118,19 +4118,13 @@ def _sql_pagerank() -> str:
     ]
     for i in range(1, p["iters"] + 1):
         ctes.append(f"""gct{i} AS (
-      SELECT ge.dst AS node, ge.src, ge.src // {p['block']} AS blk,
-             p.pr / godeg.outdeg::DOUBLE AS c
+      SELECT ge.dst AS node,
+             CAST(p.pr / godeg.outdeg::DOUBLE AS DECIMAL(28,18)) AS c
       FROM ge JOIN gpr{i - 1} p ON p.node = ge.src JOIN godeg ON godeg.src = ge.src
     )""")
-        ctes.append(f"""gl1_{i} AS (
-      SELECT node, blk,
-             {_sql_fold_sum("list_transform(list_sort(list(struct_pack(i := src, v := c))), s -> s.v)")} AS s1
-      FROM gct{i} GROUP BY node, blk
-    )""")
         ctes.append(f"""gsum{i} AS (
-      SELECT node,
-             {_sql_fold_sum("list_transform(list_sort(list(struct_pack(b := blk, s := s1))), x -> x.s)")} AS s
-      FROM gl1_{i} GROUP BY node
+      SELECT node, CAST(sum(c) AS DOUBLE) AS s
+      FROM gct{i} GROUP BY node
     )""")
         ctes.append(f"""gpr{i} AS (
       SELECT n.node,
