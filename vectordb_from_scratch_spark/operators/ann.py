@@ -501,30 +501,51 @@ def _det_centroids(assigned: DataFrame, prev: DataFrame, block: int) -> DataFram
 
     Empty clusters keep their previous centroid (left-join + coalesce),
     the same convention MLlib KMeans uses."""
+    # Fold WHOLE VECTORS element-wise instead of posexploding to
+    # rows×dim before the shuffle: per (list, blk) the rows sort by id
+    # once and their vectors fold via zip_with addition — per dimension
+    # this is the SAME additions in the SAME id-then-blk order as the
+    # original per-(pos) formulation, so the doubles are bit-identical
+    # (oracle unchanged), but the shuffle moves `rows` records instead
+    # of `rows×dim` exploded (list_id, id, blk, pos, val) tuples and
+    # runs one hash aggregation instead of dim of them. At sf0.1 the
+    # bench family is stage-overhead-bound so this measures neutral; the
+    # 64× shuffle-volume cut is the 100-TB effect (a 1B-row × 64-dim
+    # build shuffles 64 GB of keys+values instead of 4 TB of exploded
+    # tuples).
+    def vsum(lst: str, field: str):
+        # fold a SORTED list of (key, vector) structs into the element-wise
+        # sum, starting from a zero vector shaped like the first entry; the
+        # list is materialized ONCE in a prior agg so the init/fold don't
+        # re-evaluate the collect
+        col = F.array_sort(F.col(lst))
+        zero = F.transform(F.element_at(F.col(lst), 1)[field], lambda _: F.lit(0.0))
+        return F.aggregate(
+            col, zero, lambda acc, s: F.zip_with(acc, s[field], lambda a, x: a + x)
+        )
+
     ex = assigned.select(
+        "list_id", "id", F.expr(f"id div {block}").alias("blk"), "vec"
+    )
+    l1 = (
+        ex.groupBy("list_id", "blk")
+        .agg(
+            F.collect_list(F.struct("id", "vec")).alias("__lst"),
+            F.count("*").alias("n1"),
+        )
+        .select("list_id", "blk", vsum("__lst", "vec").alias("s1"), "n1")
+    )
+    l2 = (
+        l1.groupBy("list_id")
+        .agg(
+            F.collect_list(F.struct("blk", "s1")).alias("__lst"),
+            F.sum("n1").alias("n"),
+        )
+        .select("list_id", vsum("__lst", "s1").alias("s"), "n")
+    )
+    newc = l2.select(
         "list_id",
-        "id",
-        F.expr(f"id div {block}").alias("blk"),
-        F.posexplode("vec").alias("pos", "val"),
-    )
-    fold = lambda pairs, field: F.aggregate(  # noqa: E731
-        F.transform(F.array_sort(pairs), lambda s: s[field]),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    l1 = ex.groupBy("list_id", "pos", "blk").agg(
-        fold(F.collect_list(F.struct("id", "val")), "val").alias("s1"),
-        F.count("*").alias("n1"),
-    )
-    l2 = l1.groupBy("list_id", "pos").agg(
-        fold(F.collect_list(F.struct("blk", "s1")), "s1").alias("s"),
-        F.sum("n1").alias("n"),
-    )
-    mean = l2.select("list_id", "pos", (F.col("s") / F.col("n")).alias("m"))
-    newc = mean.groupBy("list_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("cvec")
+        F.transform("s", lambda sv: sv / F.col("n")).alias("cvec"),
     )
     return (
         prev.alias("p")

@@ -93,29 +93,41 @@ def _update_codebook(assigned: DataFrame, prev: DataFrame, block: int) -> DataFr
     order — the double sums are a function of the data, not the
     partitioning. Empty cells keep their previous centroid (the MLlib
     KMeans convention). Per-group collect_list is bounded by `block`."""
+    # Whole-subvector element-wise fold (same restructure as
+    # ann._det_centroids): rows sort by id once per (sub, code, blk) and
+    # svecs fold via zip_with — per dimension the additions run in the
+    # SAME id-then-blk order as the old per-(pos) formulation, so the
+    # doubles are bit-identical and the oracle is unchanged, while the
+    # shuffle carries `rows` records instead of `rows×d_sub` exploded
+    # tuples.
+    def vsum(lst: str, field: str):
+        col = F.array_sort(F.col(lst))
+        zero = F.transform(F.element_at(F.col(lst), 1)[field], lambda _: F.lit(0.0))
+        return F.aggregate(
+            col, zero, lambda acc, s: F.zip_with(acc, s[field], lambda a, x: a + x)
+        )
+
     ex = assigned.select(
-        "sub", "code", "id",
-        F.expr(f"id div {block}").alias("blk"),
-        F.posexplode("svec").alias("pos", "val"),
+        "sub", "code", "id", F.expr(f"id div {block}").alias("blk"), "svec"
     )
-    fold = lambda pairs, field: F.aggregate(  # noqa: E731
-        F.transform(F.array_sort(pairs), lambda s: s[field]),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    l1 = (
+        ex.groupBy("sub", "code", "blk")
+        .agg(
+            F.collect_list(F.struct("id", "svec")).alias("__lst"),
+            F.count("*").alias("n1"),
+        )
+        .select("sub", "code", "blk", vsum("__lst", "svec").alias("s1"), "n1")
     )
-    l1 = ex.groupBy("sub", "code", "pos", "blk").agg(
-        fold(F.collect_list(F.struct("id", "val")), "val").alias("s1"),
-        F.count("*").alias("n1"),
+    l2 = (
+        l1.groupBy("sub", "code")
+        .agg(
+            F.collect_list(F.struct("blk", "s1")).alias("__lst"),
+            F.sum("n1").alias("n"),
+        )
+        .select("sub", "code", vsum("__lst", "s1").alias("s"), "n")
     )
-    l2 = l1.groupBy("sub", "code", "pos").agg(
-        fold(F.collect_list(F.struct("blk", "s1")), "s1").alias("s"),
-        F.sum("n1").alias("n"),
-    )
-    mean = l2.select("sub", "code", "pos", (F.col("s") / F.col("n")).alias("m"))
-    newc = mean.groupBy("sub", "code").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("cvec")
+    newc = l2.select(
+        "sub", "code", F.transform("s", lambda sv: sv / F.col("n")).alias("cvec")
     )
     return (
         prev.alias("p")
