@@ -193,3 +193,59 @@ class TestDsirWeights:
         b = {r["doc_id"]: r["logw"]
              for r in dsir_logweights(d.repartition(17), F.col("lang") == "en").collect()}
         assert a == b
+
+
+def test_hard_negatives_excludes_duplicate_group(spark):
+    """A near-identical copy of the probe doc must be dropped from its
+    negatives even when it is the nearest neighbor — and stay a valid
+    negative for OTHER probes' lists."""
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators import sampling
+
+    # doc/vec 0 and 5 are exact text duplicates AND nearest vectors
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.8, 0.6, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+            (4, [0.5, 0.5, 0.7]),
+            (5, [0.99, 0.01, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "same exact text"),
+            (1, "some other words"),
+            (2, "entirely different"),
+            (3, "third thing here"),
+            (4, "fourth thing here"),
+            (5, "Same  EXACT text"),   # normalized dup of doc 0
+        ],
+        "doc_id long, text string",
+    )
+    res = sampling.hard_negatives(emb, docs, n_probes=1, k=3, overfetch=2)
+    rows = sorted(res.collect(), key=lambda r: r.neg_rank)
+    ids = [r.neg_id for r in rows]
+    assert 5 not in ids          # hidden positive excluded
+    assert 0 not in ids          # self excluded
+    assert len(ids) == 3 and ids[0] == 1  # next-nearest non-dup leads
+    assert [r.neg_rank for r in rows] == [1, 2, 3]
+
+
+def test_ppl_buckets_equal_counts_and_order(spark, documents):
+    from vectordb_from_scratch_spark.operators import textops
+
+    res = textops.ppl_buckets(documents).collect()
+    by_tier = {}
+    for r in res:
+        by_tier.setdefault(r.tier, []).append(r)
+    # ntile: equal counts within 1
+    sizes = sorted(len(v) for v in by_tier.values())
+    assert sizes[-1] - sizes[0] <= 1 and set(by_tier) == {"head", "middle", "tail"}
+    # every head doc scores >= every tail doc
+    assert min(r.bigram_logprob for r in by_tier["head"]) >= max(
+        r.bigram_logprob for r in by_tier["tail"]
+    )

@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import _HEXDIGITS, hex_value_from_md5, shingles_from_tokens, tokens
 
-__all__ = ["hash_uniform", "stratified_sample", "cluster_sample", "md5_bucket", "dsir_logweights"]
+__all__ = ["hash_uniform", "stratified_sample", "cluster_sample", "md5_bucket",
+           "dsir_logweights", "hard_negatives"]
 
 
 def hash_uniform(key: Column | str, salt: str = "") -> Column:
@@ -210,5 +211,64 @@ def dsir_logweights(
                 ).cast("double"),
                 6,
             ).alias("logw"),
+        )
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    n_probes: int = 5,
+    k: int = 5,
+    overfetch: int = 8,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DEDUP-AWARE hard-negative mining for retrieval/embedding training
+    (the standard contrastive-training data prep — e.g. DPR/Contriever
+    recipes, public): for each probe, the nearest OTHER documents by
+    cosine are the hard negatives — EXCEPT that near-duplicates of the
+    probe are hidden positives, and training on them as negatives
+    poisons the objective. So: retrieve an over-fetched shortlist,
+    anti-join the probe's exact-duplicate group (normalized-text md5,
+    the dedup_exact fingerprint), keep the first k survivors.
+
+    Composition: any search path (exact here; swap an ANN/PQ ranking
+    unchanged) × the dedup fingerprint table — rankings are rankings.
+    The duplicate table is keyed (query_id, id); the anti-join is an
+    equi-join on the shortlist (probes × overfetch·k rows), never on the
+    corpus. Returns (query_id, neg_id, distance, neg_rank 1..k).
+
+    Uses the doc_id ↔ vec_id pairing of the synthetic tables (doc i is
+    embedded as vector i), the same convention as hybrid_search_rrf."""
+    from . import knn as knn_ops
+    from ..functions import text as X
+
+    probes = embeddings.filter(F.col(id_col) < n_probes).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_embedding")
+    )
+    short = knn_ops.knn(
+        embeddings, probes, k=overfetch * k, metric="cosine",
+        id_col=id_col, vec_col=vec_col, exclude_self=True,
+    )
+    fp = documents.select(
+        F.col("doc_id").alias("id"), X.fingerprint("text").alias("__fp")
+    )
+    dup_pairs = (
+        fp.withColumnRenamed("id", "query_id")
+        .join(fp.withColumnRenamed("__fp", "__fp2"), F.col("__fp") == F.col("__fp2"))
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", "id")
+    )
+    survivors = short.join(dup_pairs, ["query_id", "id"], "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    return (
+        survivors.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "query_id", F.col("id").alias("neg_id"), "distance", "neg_rank"
         )
     )

@@ -27,6 +27,7 @@ __all__ = [
     "vocabulary",
     "repetition_metrics",
     "bigram_logprob",
+    "ppl_buckets",
     "bpe_merges",
     "bpe_encode",
     "pii_scrub",
@@ -883,4 +884,45 @@ def bpe_encode(
                 F.col("__chars").cast("double") / F.col("n_bpe_tokens"), 6
             ).alias("chars_per_token"),
         )
+    )
+
+
+def ppl_buckets(
+    documents: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    Extracting high quality monolingual datasets from web crawl data",
+    LREC 2020 — public): score every document with the corpus bigram LM
+    (bigram_logprob) and split the corpus into `n_buckets` equal-count
+    quality tiers — head / middle / tail for the classic 3 — so
+    downstream sampling can weight tiers instead of hard-filtering.
+
+    Bucketing is ntile over (score desc, id asc) — deterministic and
+    value-exact. The exact global ntile is a single-partition window
+    over the per-DOC score table (one row per document, already
+    aggregated); that is the oracle-checkable spec, fine to ~100M docs.
+    At the 100-TB corpus count, swap the threshold step for
+    percentile_approx score cut-points broadcast into a comparison —
+    the same exact-vs-sketch plan trade documented for rel_profile.
+
+    Returns (doc_id, bigram_logprob, n_bigrams, bucket 1..n, tier) with
+    tier naming head/middle/tail when n_buckets == 3 (else "b<k>")."""
+    from pyspark.sql import Window
+
+    lp = bigram_logprob(documents, text_col=text_col, id_col=id_col)
+    w = Window.orderBy(F.col("bigram_logprob").desc(), F.col(id_col).asc())
+    b = lp.withColumn("bucket", F.ntile(n_buckets).over(w))
+    if n_buckets == 3:
+        tier = (
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        tier = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    return b.select(
+        id_col, "bigram_logprob", "n_bigrams", "bucket", tier.alias("tier")
     )

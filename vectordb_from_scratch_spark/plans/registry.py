@@ -5988,3 +5988,93 @@ def _q_grouping_sets(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_GSETS_SQL)
+
+
+_HN = {"n_probes": 5, "k": 5, "overfetch": 8}
+
+_HN_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {_HN['n_probes']}),
+    d AS (
+      SELECT q.query_id, e.vec_id AS id,
+             {_sql_cosine_dist('q.qv', 'e.embedding')} AS dist
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    ),
+    short AS (
+      SELECT query_id, id, dist FROM (
+        SELECT query_id, id, dist,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist ASC, id ASC) AS rnk
+        FROM d
+      ) WHERE rnk <= {_HN['overfetch'] * _HN['k']}
+    ),
+    fp AS (SELECT doc_id AS id, md5({_NT}) AS f FROM documents),
+    dups AS (
+      SELECT a.id AS query_id, b.id AS id
+      FROM fp a JOIN fp b ON a.f = b.f AND a.id <> b.id
+    ),
+    surv AS (
+      SELECT s.query_id, s.id, s.dist
+      FROM short s ANTI JOIN dups p
+        ON p.query_id = s.query_id AND p.id = s.id
+    )
+    SELECT query_id, neg_id, round(distance, 6) AS distance,
+           neg_rank::INTEGER AS neg_rank
+    FROM (
+      SELECT query_id, id AS neg_id, dist AS distance,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, id ASC) AS neg_rank
+      FROM surv
+    ) WHERE neg_rank <= {_HN['k']}
+    """
+
+
+@_register(
+    "pipeline_hard_negatives",
+    _HN_SQL,
+    doc="Dedup-aware hard-negative mining for contrastive retrieval "
+    "training (DPR/Contriever-style, public): cosine shortlist per "
+    "probe, ANTI-JOINED against the probe's exact-duplicate group "
+    "(normalized-text md5) so hidden positives never become negatives, "
+    "first k survivors kept. Shortlist-only joins — never corpus-wide "
+    "(operators/sampling.hard_negatives). Value-exact",
+)
+def _q_hard_negatives(spark, sf_dir):
+    res = sampling.hard_negatives(
+        _t(spark, sf_dir, "embeddings"),
+        _t(spark, sf_dir, "documents"),
+        n_probes=_HN["n_probes"], k=_HN["k"], overfetch=_HN["overfetch"],
+    )
+    return res.withColumn("distance", F.round("distance", 6))
+
+
+def _ppl_buckets_sql() -> str:
+    base = QUERIES["text_bigram_logprob"].oracle
+    return f"""
+    WITH base AS ({base})
+    SELECT doc_id, bigram_logprob, n_bigrams, bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS tier
+    FROM (
+      SELECT doc_id, bigram_logprob, n_bigrams,
+             ntile(3) OVER (ORDER BY bigram_logprob DESC, doc_id ASC)::INTEGER
+               AS bucket
+      FROM base
+    )
+    """
+
+
+@_register(
+    "pipeline_ppl_buckets",
+    _ppl_buckets_sql(),
+    doc="CCNet-style perplexity bucketing (Wenzek et al. LREC'20, "
+    "public): corpus bigram-LM score -> equal-count head/middle/tail "
+    "tiers via deterministic ntile over (score desc, id asc). The exact "
+    "global ntile runs on the per-DOC score table (one row per doc); "
+    "the 100-TB path swaps in percentile_approx cut-points — the "
+    "documented exact-vs-sketch trade (operators/textops.ppl_buckets). "
+    "Value-exact",
+)
+def _q_ppl_buckets(spark, sf_dir):
+    return textops.ppl_buckets(_t(spark, sf_dir, "documents"), n_buckets=3)
