@@ -5796,29 +5796,29 @@ def _q_hybrid_search_weighted(spark, sf_dir):
     )
 
 
-_TRI = {"k": 5}
+_TRI = {"threshold": 0.2, "nbits": 4}
 
 
 def _triangles_sql() -> str:
-    """DuckDB twin of graph.triangle_count over the mutual {k}-NN
-    similarity graph: the oracle counts each triangle once via the
+    """DuckDB twin of graph.triangle_count over the SRP-bucketed cosine
+    similarity graph (the dedup_embedding_cosine edge base — blocked,
+    never all-pairs): the oracle counts each triangle once via the
     canonical u<v<w three-edge join (algorithm-independent — values must
     match the Spark side's degree-oriented wedge count)."""
-    k = _TRI["k"]
+    cos = (
+        "least(greatest(" + _sql_dot("l.vec", "r.vec") + " / (" + _sql_norm("l.vec")
+        + " * " + _sql_norm("r.vec") + "), -1.0), 1.0)"
+    )
     return f"""
-    WITH r AS (
-      SELECT a.vec_id AS qid, b.vec_id AS id,
-             row_number() OVER (PARTITION BY a.vec_id
-               ORDER BY {_sql_euclid('a.embedding', 'b.embedding')} ASC,
-                        b.vec_id ASC) AS rnk
-      FROM embeddings a CROSS JOIN embeddings b
-      WHERE a.vec_id <> b.vec_id
+    WITH gv AS (
+      SELECT vec_id AS id, embedding AS vec,
+             {_sql_srp_bucket('embedding', ann.srp_planes(64, _TRI['nbits'], table=0))} AS b0
+      FROM embeddings
     ),
-    nn AS (SELECT qid, id FROM r WHERE rnk <= {k}),
     mut AS (
-      SELECT n1.qid AS u, n1.id AS v
-      FROM nn n1 JOIN nn n2 ON n2.qid = n1.id AND n2.id = n1.qid
-      WHERE n1.qid < n1.id
+      SELECT l.id AS u, r.id AS v
+      FROM gv l JOIN gv r ON l.b0 = r.b0 AND l.id < r.id
+      WHERE round({cos}, 6) >= {_TRI['threshold']}
     ),
     tri AS (
       SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -5842,32 +5842,21 @@ def _triangles_sql() -> str:
     "graph_triangles",
     _triangles_sql(),
     doc="Per-vertex triangle counting (Suri & Vassilvitskii WWW'11 "
-    "degree-oriented wedge join, public) over the mutual 5-NN "
-    "similarity graph — local clustering signal for near-duplicate "
-    "neighborhoods. Degree orientation caps join fan-out at O(√|E|) "
-    "per vertex even on power-law graphs (operators/graph."
+    "degree-oriented wedge join, public) over the SRP-bucketed cosine "
+    "similarity graph (same blocked edge base as dedup_embedding_cosine "
+    "— no all-pairs anywhere) — local clustering signal for "
+    "near-duplicate neighborhoods. Degree orientation caps join fan-out "
+    "at O(√|E|) per vertex even on power-law graphs (operators/graph."
     "triangle_count). Value-exact",
 )
 def _q_graph_triangles(spark, sf_dir):
     from ..operators import graph
 
-    e = _t(spark, sf_dir, "embeddings")
-    probes = e.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    pairs = dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=_TRI["threshold"], dim=64, nbits=_TRI["nbits"],
     )
-    # nn feeds both sides of the mutuality semi-join — localCheckpoint
-    # runs the all-pairs kNN window once instead of once per consumer
-    nn = (
-        knn.knn(
-            e, probes, k=_TRI["k"], metric="euclidean", exclude_self=True,
-            strategy="window",
-        )
-        .select(F.col("query_id").alias("qid"), "id")
-        .localCheckpoint()
-    )
-    rev = nn.select(F.col("id").alias("qid"), F.col("qid").alias("id"))
-    mut = nn.join(rev, ["qid", "id"], "left_semi").filter(F.col("qid") < F.col("id"))
-    edges = mut.select(F.col("qid").alias("src"), F.col("id").alias("dst"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     return graph.triangle_count(edges)
 
 
