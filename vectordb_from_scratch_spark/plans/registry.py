@@ -6067,3 +6067,73 @@ def _ppl_buckets_sql() -> str:
 )
 def _q_ppl_buckets(spark, sf_dir):
     return textops.ppl_buckets(_t(spark, sf_dir, "documents"), n_buckets=3)
+
+
+_MHE_SQL = (
+    _LSH_BANDS_SQL
+    + f""",
+    msig AS (
+      SELECT doc_id, [mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7] AS sig
+      FROM sig WHERE mh0 IS NOT NULL
+    ),
+    msh AS (SELECT doc_id, list_distinct({_sql_shingles('toks')}) AS g FROM t),
+    est AS (
+      SELECT p.id_a, p.id_b,
+             len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2]))::DOUBLE
+               / 8.0 AS est_jaccard
+      FROM pairs p
+      JOIN msig a ON a.doc_id = p.id_a
+      JOIN msig b ON b.doc_id = p.id_b
+    ),
+    tru AS (
+      SELECT p.id_a, p.id_b, {_sql_jaccard('ga.g', 'gb.g')} AS true_jaccard
+      FROM pairs p
+      JOIN msh ga ON ga.doc_id = p.id_a
+      JOIN msh gb ON gb.doc_id = p.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           round(e.est_jaccard, 6) AS est_jaccard,
+           round(t2.true_jaccard, 6) AS true_jaccard,
+           round(abs(e.est_jaccard - t2.true_jaccard), 6) AS abs_err
+    FROM est e JOIN tru t2 ON t2.id_a = e.id_a AND t2.id_b = e.id_b
+    """
+)
+
+
+@_register(
+    "dedup_minhash_estimate",
+    _MHE_SQL,
+    doc="MinHash estimator calibration: for every LSH candidate pair, the "
+    "signature-agreement Jaccard ESTIMATE (matching components / 8) next "
+    "to the exact shingle-set Jaccard and the absolute error — the "
+    "estimator-quality evidence for the dedup stack (E[est] = true "
+    "Jaccard; 8 hashes → sd ≈ sqrt(j(1-j)/8)). Candidates-only joins. "
+    "Value-exact",
+)
+def _q_minhash_estimate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, num_hashes=8, bands=4)
+    sigs = dedup.minhash_signatures(d, num_hashes=8)
+    shg = d.select(
+        "doc_id", F.array_distinct(X.word_shingles("text", n=3)).alias("__g")
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("__sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("__sb"))
+    ga = shg.select(F.col("doc_id").alias("id_a"), F.col("__g").alias("__ga"))
+    gb = shg.select(F.col("doc_id").alias("id_b"), F.col("__g").alias("__gb"))
+    matches = F.size(
+        F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda t: t)
+    )
+    est = (matches.cast("double") / F.lit(8.0)).alias("est_jaccard")
+    tru = dedup._jaccard(F.col("__ga"), F.col("__gb"))
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b").join(ga, "id_a").join(gb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(tru, 6).alias("true_jaccard"),
+            F.round(
+                F.abs(matches.cast("double") / F.lit(8.0) - tru), 6
+            ).alias("abs_err"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""JSONL (newline-delimited JSON) source/sink — the interchange format
+LLM corpora actually ship in (one JSON document per line: The Pile,
+RedPajama, Dolma and every scrape pipeline use it). The engine's tables
+are parquet; this module is the ingest/egress edge.
+
+Design rules for 100 TB:
+- ALWAYS read with an explicit schema. Schema inference scans the whole
+  input once before the real job (a full extra pass at corpus scale) and
+  silently widens types on dirty data; a pinned schema makes the read
+  single-pass and the row shape a contract. `read_jsonl` therefore
+  REQUIRES a schema.
+- Corrupt lines are quarantined, not fatal and not silently dropped.
+  The read is text-source + from_json rather than the JSON data source:
+  that keeps the RAW LINE as a first-class column (the JSON source's
+  `_corrupt_record` can only be queried through a cached plan — an
+  awkward contract at scale), so quarantine is a plain filter and the
+  bad bytes survive verbatim for inspection/replay.
+- JSONL is a row format: no column pruning, no predicate pushdown, no
+  min/max stats — every query re-parses every byte. `jsonl_to_table`
+  exists because the FIRST thing to do with JSONL at scale is convert it
+  to parquet once and query the parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["read_jsonl", "write_jsonl", "corrupt_lines", "jsonl_to_table"]
+
+_RAW = "_raw_line"
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema-pinned JSONL read. Returns the columns of `schema` (a DDL
+    string) plus `_raw_line`: NULL for clean rows, the verbatim input
+    line for rows that failed to parse (their schema columns are NULL).
+    Blank lines are skipped. Unknown JSON fields are ignored — the
+    schema is the contract."""
+    raw = spark.read.text(path).filter(F.trim(F.col("value")) != "")
+    # from_json in PERMISSIVE mode fills a corrupt-record field INSIDE the
+    # struct when the line fails to parse (a bare null-struct is what it
+    # returns for parseable-but-empty objects, so null-ness can't signal
+    # corruption)
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"),
+            f"{schema}, __cr string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "__cr"},
+        ).alias("__j"),
+        F.col("value"),
+    )
+    bad = F.col("__j.__cr").isNotNull()
+    return parsed.select(
+        "__j.*", F.when(bad, F.col("value")).alias(_RAW)
+    ).drop("__cr")
+
+
+def corrupt_lines(df: DataFrame) -> DataFrame:
+    """The quarantined raw lines of a read_jsonl frame (empty if clean)."""
+    return df.filter(F.col(_RAW).isNotNull()).select(_RAW)
+
+
+def write_jsonl(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Write a DataFrame as JSONL. One JSON object per line, field order =
+    column order. `n_files` coalesces for hand-off-sized exports; leave
+    None to keep the upstream parallelism (one file per task — the right
+    answer when the next reader is also distributed)."""
+    out = df if n_files is None else df.coalesce(n_files)
+    out.write.mode("overwrite").json(path)
+
+
+def jsonl_to_table(
+    spark: SparkSession, src: str, dest: str, schema: str
+) -> tuple[int, int]:
+    """Ingest JSONL → parquet in one pass, quarantining corrupt lines to
+    `<dest>_corrupt`. Returns (n_clean, n_corrupt). This is the step that
+    buys columnar pruning/stats for everything downstream — at 100 TB you
+    run it exactly once per delivery."""
+    raw = read_jsonl(spark, src, schema)
+    clean = raw.filter(F.col(_RAW).isNull()).drop(_RAW)
+    bad = corrupt_lines(raw)
+    clean.write.mode("overwrite").parquet(dest)
+    n_bad = bad.count()
+    if n_bad:
+        bad.write.mode("overwrite").parquet(dest + "_corrupt")
+    n_clean = spark.read.parquet(dest).count()
+    return n_clean, n_bad
