@@ -122,3 +122,41 @@ def test_quality_model_scores_bounded_and_ordered(spark):
     # — above the digit/punct-penalized noise doc, below any real prose)
     assert got[1].p_keep > max(got[2].p_keep, got[3].p_keep)
     assert got[1].keep and not got[2].keep and not got[3].keep
+
+
+def test_corpus_prep_stream_matches_batch(spark, tmp_path):
+    """Streamed quality-gate + dedup == batch filter + exact_dedup."""
+    from vectordb_from_scratch_spark.operators import dedup, textops
+    from vectordb_from_scratch_spark.streaming import (
+        corpus_prep_stream_foreach_batch,
+        read_deduped,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and it was a fine "
+        "day for all of them to be out in the sun with friends on the "
+        "green hill by the river where they had been before"
+    )
+    rows = [
+        (0, prose),
+        (1, "1 2 3 4 !!! ;;; 777"),            # fails the quality gate
+        (2, prose.upper()),                     # normalized dup of 0
+        (3, prose + " and then some more words here to say"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "cp_src")
+    docs.coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "cp_out")
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = corpus_prep_stream_foreach_batch(
+        spark, stream, out, str(tmp_path / "cp_state"), str(tmp_path / "cp_ckpt")
+    ).start()
+    assert q.awaitTermination(120)
+
+    got = {r.doc_id for r in read_deduped(spark, out).collect()}
+    batch_gated = docs.filter(textops.quality_p_keep("text") >= 0.5)
+    want = {r.keep_id for r in dedup.exact_dedup(batch_gated).collect()}
+    assert got == want == {0, 3}

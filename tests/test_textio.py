@@ -62,3 +62,33 @@ def test_schema_pinned_read_ignores_extra_fields(spark, tmp_path):
     df = read_jsonl(spark, p, "doc_id long, text string")
     rows = df.collect()
     assert rows[0].doc_id == 1 and rows[0]._raw_line is None
+
+
+def test_cli_ingest_and_dedup_roundtrip(spark, tmp_path):
+    """CLI corpus verbs: jsonl -> parquet -> dedup, counts printed."""
+    import io
+    from contextlib import redirect_stdout
+
+    from vectordb_from_scratch_spark.cli import run
+
+    p = str(tmp_path / "cli_src")
+    os.makedirs(p)
+    with open(os.path.join(p, "a.jsonl"), "w") as f:
+        f.write('{"doc_id": 1, "text": "alpha beta"}\n')
+        f.write('{"doc_id": 2, "text": "ALPHA  beta"}\n')   # normalized dup
+        f.write('{"doc_id": 3, "text": "gamma delta"}\n')
+        f.write("garbage line\n")
+    tbl = str(tmp_path / "cli_tbl")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run(["ingest-jsonl", p, tbl, "--schema", "doc_id long, text string"],
+                 spark=spark)
+    assert rc == 0 and "ingested 3 rows" in buf.getvalue()
+    assert "1 corrupt" in buf.getvalue()
+
+    ded = str(tmp_path / "cli_ded")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run(["dedup", tbl, ded], spark=spark)
+    assert rc == 0 and "kept 2 of 3" in buf.getvalue()
+    assert {r.doc_id for r in spark.read.parquet(ded).collect()} == {1, 3}

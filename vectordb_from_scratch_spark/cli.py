@@ -90,7 +90,11 @@ def _parse_meta(pairs: list[str]) -> dict:
 
 def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     ap = argparse.ArgumentParser(prog="vectordb_from_scratch_spark")
-    ap.add_argument("--data-dir", required=True, help="store directory (parquet snapshot)")
+    ap.add_argument(
+        "--data-dir",
+        help="store directory (parquet snapshot); required for the store "
+        "commands, unused by the corpus commands (ingest-jsonl, dedup)",
+    )
     ap.add_argument("--metric", default="euclidean", choices=["euclidean", "cosine", "dot"])
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -109,6 +113,29 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
     sub.add_parser("list", help="list ids")
     sub.add_parser("count", help="row count")
 
+    p_ing = sub.add_parser(
+        "ingest-jsonl",
+        help="JSONL corpus -> parquet table (single pass, corrupt lines "
+        "quarantined to <dest>_corrupt)",
+    )
+    p_ing.add_argument("src")
+    p_ing.add_argument("dest")
+    p_ing.add_argument(
+        "--schema",
+        default="doc_id long, text string, lang string, source string, n_chars long",
+        help="DDL schema of the clean columns (pinned — no inference pass)",
+    )
+
+    p_dd = sub.add_parser(
+        "dedup",
+        help="exact-dedup a documents parquet table (normalized-text md5, "
+        "min-id representative)",
+    )
+    p_dd.add_argument("src")
+    p_dd.add_argument("dest")
+    p_dd.add_argument("--id-col", default="doc_id")
+    p_dd.add_argument("--text-col", default="text")
+
     p_serve = sub.add_parser(
         "serve", help="HTTP API server (reference src/main.rs serve command)"
     )
@@ -123,9 +150,33 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
     )
 
     args = ap.parse_args(argv)
+    if args.cmd not in ("ingest-jsonl", "dedup") and not args.data_dir:
+        ap.error(f"--data-dir is required for the {args.cmd!r} command")
     own_session = spark is None
     spark = spark or _session()
     try:
+        if args.cmd == "ingest-jsonl":
+            from .sources.textio import jsonl_to_table
+
+            n_clean, n_bad = jsonl_to_table(spark, args.src, args.dest, args.schema)
+            print(f"ingested {n_clean} rows to {args.dest}"
+                  + (f" ({n_bad} corrupt quarantined)" if n_bad else ""))
+            return 0
+        if args.cmd == "dedup":
+            from pyspark.sql import functions as F
+
+            from .operators.dedup import exact_dedup
+
+            docs = spark.read.parquet(args.src)
+            n_in = docs.count()
+            keep = exact_dedup(docs, text_col=args.text_col, id_col=args.id_col)
+            out = docs.join(
+                keep.select(F.col("keep_id").alias(args.id_col)), args.id_col, "left_semi"
+            )
+            out.write.mode("overwrite").parquet(args.dest)
+            n_out = spark.read.parquet(args.dest).count()
+            print(f"kept {n_out} of {n_in} rows ({n_in - n_out} duplicates dropped)")
+            return 0
         if args.cmd == "serve":
             from .server import serve
 

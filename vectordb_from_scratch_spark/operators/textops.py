@@ -17,6 +17,7 @@ __all__ = [
     "pack_sequences",
     "quality_scores",
     "quality_model_scores",
+    "quality_p_keep",
     "QUALITY_MODEL_WEIGHTS",
     "lang_id",
     "fingerprints",
@@ -201,9 +202,23 @@ def quality_model_scores(
     keep = p >= threshold. Every feature and the sigmoid are
     deterministic closed-form doubles — value-exact oracle-twinnable.
     """
-    w = QUALITY_MODEL_WEIGHTS
     documents = documents.withColumn("__toks", X.tokens(text_col))
-    feats = X.quality_features(text_col, toks=F.col("__toks"))
+    p = quality_p_keep(text_col, toks=F.col("__toks"))
+    return documents.select(
+        F.col(id_col),
+        F.col("lang"),
+        F.round(p, 6).alias("p_keep"),
+        (p >= F.lit(threshold)).alias("keep"),
+    )
+
+
+def quality_p_keep(text_col: str = "text", toks=None):
+    """The model probability as a bare Column — reusable as a streaming
+    filter predicate (streaming/corpus_stream.py) and inside any plan
+    without materializing the scored frame. Pass staged ``toks`` when
+    the caller already tokenized (avoids re-tokenizing per feature)."""
+    w = QUALITY_MODEL_WEIGHTS
+    feats = X.quality_features(text_col, toks=toks)
     len_norm = F.least(feats["n_tokens"] / F.lit(100.0), F.lit(1.0))
     stop_norm = F.least(feats["distinct_stopwords"] / F.lit(8.0), F.lit(1.0))
     wordlen_norm = F.least(
@@ -221,13 +236,7 @@ def quality_model_scores(
         + F.lit(w["punct_ratio"]) * F.coalesce(feats["punct_ratio"], F.lit(0.0))
         + F.lit(w["digit_ratio"]) * F.coalesce(feats["digit_ratio"], F.lit(0.0))
     )
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return documents.select(
-        F.col(id_col),
-        F.col("lang"),
-        F.round(p, 6).alias("p_keep"),
-        (p >= F.lit(threshold)).alias("keep"),
-    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
 def lang_id(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -10,6 +10,7 @@ from .ann_stream import (  # noqa: F401
     read_srp_index,
     srp_index_stream_foreach_batch,
 )
+from .corpus_stream import corpus_prep_stream_foreach_batch  # noqa: F401
 from .counts_stream import (  # noqa: F401
     compact_counts,
     counts_stream_foreach_batch,
