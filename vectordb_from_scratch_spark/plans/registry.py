@@ -6137,3 +6137,70 @@ def _q_minhash_estimate(spark, sf_dir):
             ).alias("abs_err"),
         )
     )
+
+
+_RETENTION_SQL = """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7.0)
+                  AS INTEGER) AS week_n
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    ),
+    cohorts AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY cohort_week
+    )
+    SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
+           a.week_n,
+           count(*) AS n_active,
+           round(count(*) / c.cohort_size::DOUBLE, 6) AS retention
+    FROM activity a JOIN cohorts c ON c.cohort_week = a.cohort_week
+    GROUP BY strftime(a.cohort_week, '%Y-%m-%d'), a.week_n, c.cohort_size
+"""
+
+
+@_register(
+    "rel_events_retention",
+    _RETENTION_SQL,
+    doc="Cohort retention matrix (the funnel's sibling): users cohorted "
+    "by first-seen week, per-(cohort, weeks-since) distinct-active "
+    "counts and retention share. Two aggregates + one join, all keyed "
+    "by user/cohort — shuffle bounded by |users| then |cohorts×weeks|, "
+    "never raw events. Value-exact",
+)
+def _q_events_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / F.lit(7.0)
+            ).cast("int").alias("week_n"),
+        )
+        .distinct()
+    )
+    cohorts = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        activity.join(cohorts, "cohort_week")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_n",
+            "cohort_size",
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            "cohort_week", "week_n", "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size").cast("double"), 6)
+            .alias("retention"),
+        )
+    )
