@@ -81,3 +81,46 @@ def test_overfetch_can_starve_prefilter_cannot(embeddings):
     ids = [r.id for r in starved.orderBy("rank").collect()]
     labels = {r.label for r in embeddings.filter(F.col("vec_id").isin(ids)).collect()}
     assert labels <= {2}
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """All three directions agree with pandas merge_asof on a
+    no-duplicate-timestamp dataset (the deterministic common core)."""
+    import pandas as pd
+
+    from vectordb_from_scratch_spark.operators.asof import asof_join
+
+    lrows = [(1, 5), (1, 14), (1, 30), (2, 7), (3, 9)]
+    rrows = [(1, 4, 40.0), (1, 10, 100.0), (1, 22, 220.0), (2, 8, 80.0)]
+    left = spark.createDataFrame(lrows, "k long, t long")
+    right = spark.createDataFrame(rrows, "k long, t long, v double")
+    lp = pd.DataFrame(lrows, columns=["k", "t"]).sort_values("t")
+    rp = pd.DataFrame(rrows, columns=["k", "t", "v"]).sort_values("t")
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            (r.k, r.t): r.v_asof
+            for r in asof_join(
+                left, right, on="k", left_time="t", right_time="t",
+                right_cols=["v"], direction=direction,
+            ).collect()
+        }
+        want_df = pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
+        want = {
+            (r.k, r.t): (None if pd.isna(r.v) else r.v)
+            for r in want_df.itertuples()
+        }
+        assert got == want, f"direction={direction}: {got} != {want}"
+
+
+def test_asof_nearest_tie_resolves_backward(spark):
+    from vectordb_from_scratch_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 8, 1.0), (1, 12, 2.0)], "k long, t long, v double"
+    )
+    got = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_cols=["v"], direction="nearest",
+    ).collect()
+    assert got[0].v_asof == 1.0  # equidistant -> backward (pandas rule)

@@ -6204,3 +6204,40 @@ def _q_events_retention(spark, sf_dir):
             .alias("retention"),
         )
     )
+
+
+@_register(
+    "rel_asof_forward",
+    """
+    SELECT v.event_id, v.user_id,
+           p.event_id AS purchase_event_id,
+           (epoch_us(p.ts) - epoch_us(v.ts)) AS micros_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND p.ts >= v.ts
+    """,
+    doc="FORWARD as-of join (pandas merge_asof direction='forward'; "
+    "DuckDB forward ASOF as the oracle): each view matched to the "
+    "user's NEXT purchase — time-to-conversion. Same single-shuffle "
+    "union+sweep as backward, mirrored ordering "
+    "(operators/asof.asof_join(direction='forward')). Value-exact",
+)
+def _q_asof_forward(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = asof_join(
+        views, purchases, on="user_id", left_time="ts", right_time="ts",
+        right_cols=["purchase_event_id", "purchase_ts"], suffix="",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", "purchase_event_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("ts")).alias("micros_to_purchase"),
+    )
