@@ -6241,3 +6241,67 @@ def _q_asof_forward(spark, sf_dir):
         "event_id", "user_id", "purchase_event_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("ts")).alias("micros_to_purchase"),
     )
+
+
+_GAPFILL_SQL = """
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS lo,
+             CAST(date_trunc('day', max(ts)) AS DATE) AS hi
+      FROM events
+    ),
+    spine(d) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine
+      WHERE d < (SELECT hi FROM bounds)
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(s.d AS STRING) AS day, coalesce(daily.n, 0) AS n_events,
+           CASE WHEN daily.n IS NULL THEN true ELSE false END AS is_gap
+    FROM spine s LEFT JOIN daily ON daily.d = s.d
+"""
+
+
+@_register(
+    "rel_events_gapfill",
+    _GAPFILL_SQL,
+    doc="RECURSIVE CTE date-spine gap-fill (WITH RECURSIVE landed in "
+    "Spark 4): generate every day between the corpus min/max, left-join "
+    "daily counts, flag gaps — the standard time-series completeness "
+    "report. IDENTICAL SQL text runs on both engines; spine depth = "
+    "calendar days, independent of event count",
+)
+def _q_events_gapfill(spark, sf_dir):
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GAPFILL_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+    ) o
+    WHERE c.c_custkey <= 50
+"""
+
+
+@_register(
+    "rel_lateral_topn",
+    _LATERAL_SQL,
+    doc="Correlated LATERAL subquery: per-customer top-2 orders by price "
+    "— the SQL-standard alternative to the window row_number idiom "
+    "(Spark rewrites it to a ranked join under AQE). IDENTICAL SQL "
+    "text runs on both engines; deterministic (price, key) ordering",
+)
+def _q_lateral_topn(spark, sf_dir):
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
