@@ -234,3 +234,31 @@ def test_maxsim_score_bounded_by_query_bag(spark):
     res = knn.maxsim_search(doc_vecs, query_vecs, k=5).collect()
     assert all(r.score <= 2.0 + 1e-9 for r in res)  # ≤ n query vectors
     assert [r.rank for r in sorted(res, key=lambda x: x.rank)] == [1, 2]
+
+
+def test_radius_numpy_strategy_equivalent(embeddings):
+    probes = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    w = knn.radius_search(embeddings, probes, radius=1.3, strategy="window")
+    n = knn.radius_search(embeddings, probes, radius=1.3, strategy="numpy")
+    wr = {(r.query_id, r.id): r.distance for r in w.collect()}
+    nr = {(r.query_id, r.id): r.distance for r in n.collect()}
+    assert set(wr) == set(nr)  # same ball membership
+    # kernel uses the ||v||²+||q||²−2v·q expansion: cancellation at
+    # near-zero distances costs sqrt(1e-15) ≈ 3e-8 absolute — fine for a
+    # ball predicate, hence the 1e-6 tolerance (not 1e-9)
+    assert all(abs(wr[k] - nr[k]) < 1e-6 for k in wr)
+
+
+def test_maxsim_numpy_strategy_equivalent(spark):
+    doc_vecs, query_vecs = _maxsim_fixture(spark)
+    w = knn.maxsim_search(doc_vecs, query_vecs, k=5, strategy="window").collect()
+    n = knn.maxsim_search(doc_vecs, query_vecs, k=5, strategy="numpy").collect()
+    wr = {(r.query_id, r.id): (r.score, r.rank) for r in w}
+    nr = {(r.query_id, r.id): (r.score, r.rank) for r in n}
+    assert set(wr) == set(nr)
+    for key in wr:
+        assert wr[key][1] == nr[key][1]                 # same ranking
+        assert abs(wr[key][0] - nr[key][0]) < 1e-9      # same scores

@@ -104,6 +104,26 @@ def main() -> int:
     finally:
         knn.AUTO_NUMPY_THRESHOLD = saved
 
+    # radius search: same scan as exact knn, but the ball predicate is
+    # applied map-side BEFORE any exchange — only in-ball rows shuffle.
+    # radius 1.25 ≈ the ~1-5% ball of the synthetic 64-dim distribution
+    cell("radius_100x%d" % n_emb,
+         lambda: sink(knn.radius_search(emb, probes, radius=1.25, limit=K)))
+
+    # multi-vector MaxSim: 10-vector doc bags (doc = id div 10) scored by
+    # the first 5 docs' bags — n_emb doc-vectors × 50 query vectors of
+    # map-side sims into two partial-aggregating reductions; doc vectors
+    # never shuffle
+    mv = emb.select((F.col("vec_id") / 10).cast("long").alias("doc_id"),
+                    F.col("embedding").alias("v"))
+    mq = mv.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.monotonically_increasing_id().alias("qidx"),
+        F.col("v").alias("qv"),
+    )
+    cell("maxsim_5x10q_x%d" % n_emb,
+         lambda: sink(knn.maxsim_search(mv, mq, k=K)))
+
     # minhash: JVM expression path vs Arrow hashlib kernel (bit-identical)
     cell("minhash_expr_%d" % n_docs,
          lambda: sink(dedup.minhash_signatures(docs, strategy="expr")))
