@@ -431,7 +431,12 @@ def events_funnel(
         out.crossJoin(F.broadcast(first))
         .select(
             "stage_idx", "stage", "n_users",
-            F.round(F.col("n_users") / F.col("__n1"), 6).alias("conversion_from_first"),
+            # empty first stage → conversion undefined (NULL), not a
+            # divide-by-zero (ANSI mode throws on x/0)
+            F.when(
+                F.col("__n1") > 0,
+                F.round(F.col("n_users") / F.col("__n1"), 6),
+            ).alias("conversion_from_first"),
         )
         .orderBy("stage_idx")
     )
