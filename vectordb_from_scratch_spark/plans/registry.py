@@ -6305,3 +6305,142 @@ def _q_lateral_topn(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+_KEEP_BEST_SQL = (
+    _LSH_BANDS_SQL.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    + f""",
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    qf AS (
+      SELECT doc_id,
+             length(text)::DOUBLE AS n_chars,
+             len({_TOK})::DOUBLE AS n_tokens,
+             len(list_filter(list_distinct({_TOK}),
+                 x -> list_contains(['the','of','and','to','in','a','is','that','it','was','for',
+                                     'on','are','as','with','his','they','at','be','this','have',
+                                     'from','or','one','had','by','word','but','not','what','all',
+                                     'were','we','when','your','can','said'], x)))::DOUBLE AS stop_hits,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digit
+      FROM documents
+    ),
+    qp AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-(
+               {_QM['bias']}
+               + {_QM['len_norm']} * least(n_tokens / 100.0, 1.0)
+               + {_QM['stop_norm']} * least(stop_hits / 8.0, 1.0)
+               + {_QM['wordlen_norm']} * least(greatest(
+                   ((CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / n_tokens
+                          ELSE 0.0 END) - 3.0) / 4.0, 0.0), 1.0)
+               + {_QM['punct_ratio']} * (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+               + {_QM['digit_ratio']} * (CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END)
+             ))) AS p
+      FROM qf
+    )
+    SELECT component, doc_id AS keep_id, round(p, 6) AS p_keep,
+           cluster_size
+    FROM (
+      SELECT c.component, c.doc_id, qp.p,
+             count(*) OVER (PARTITION BY c.component) AS cluster_size,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY qp.p DESC, c.doc_id ASC) AS rn
+      FROM comp c JOIN qp ON qp.doc_id = c.doc_id
+    ) WHERE rn = 1
+    """
+)
+
+
+@_register(
+    "pipeline_cluster_keep_best",
+    _KEEP_BEST_SQL,
+    doc="Quality-aware dedup tail: near-duplicate clusters (connected "
+    "components over the LSH pair graph) keep their HIGHEST-QUALITY "
+    "member by the logistic model score instead of min-id — the 'keep "
+    "the best copy' policy real corpus prep uses. One window per "
+    "component over cluster-sized groups. Value-exact",
+)
+def _q_cluster_keep_best(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+    comp = dedup.connected_components(pairs, docs)
+    q = textops.quality_model_scores(docs).select("doc_id", "p_keep")
+    w = Window.partitionBy("component").orderBy(
+        F.col("p_keep").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("component")
+    return (
+        comp.join(q, "doc_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_id"),
+            F.round("p_keep", 6).alias("p_keep"),
+            "cluster_size",
+        )
+    )
+
+
+_MIX_ALPHA = 0.7
+
+_MIX_SQL = f"""
+    WITH t AS (SELECT lang, len({_TOK}) AS n FROM documents),
+    per AS (SELECT lang, sum(n)::BIGINT AS n_tokens FROM t GROUP BY lang),
+    tot AS (SELECT sum(n_tokens)::BIGINT AS total FROM per),
+    shares AS (
+      SELECT lang, n_tokens, n_tokens / total::DOUBLE AS p
+      FROM per CROSS JOIN tot
+    ),
+    pw AS (SELECT lang, n_tokens, p, power(p, {_MIX_ALPHA}) AS pa FROM shares),
+    z AS (SELECT CAST(sum(CAST(pa AS DECIMAL(18,12))) AS DOUBLE) AS zsum FROM pw)
+    SELECT lang, n_tokens, round(p, 6) AS token_share,
+           round(pa / z.zsum, 6) AS sample_weight,
+           round((pa / z.zsum) / p, 6) AS upsample_factor
+    FROM pw CROSS JOIN z
+"""
+
+
+@_register(
+    "pipeline_mix_temperature",
+    _MIX_SQL,
+    doc="Temperature-scaled language mixing (the multilingual-pretraining "
+    "sampling rule, e.g. mBERT/XLM-R's p^alpha renormalization, public; "
+    "alpha=0.7): per-language token shares -> p^0.7 weights -> "
+    "normalized sampling weights + effective upsample factor for "
+    "low-resource languages. Aggregate-only; value-exact (sum over "
+    "<=n_lang doubles in deterministic order)",
+)
+def _q_mix_temperature(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select("lang", F.size(X.tokens("text")).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w_all).cast("double")
+    staged = per.select("lang", "n_tokens", p.alias("p")).select(
+        "lang", "n_tokens", "p", F.pow("p", F.lit(_MIX_ALPHA)).alias("pa")
+    )
+    # decimal-fold the normalizer so the double is order-independent
+    # (a bare window sum of doubles follows row order — nondeterministic)
+    zsum = F.sum(F.col("pa").cast("decimal(18,12)")).over(w_all).cast("double")
+    return staged.select(
+        "lang",
+        "n_tokens",
+        F.round("p", 6).alias("token_share"),
+        F.round(F.col("pa") / zsum, 6).alias("sample_weight"),
+        F.round((F.col("pa") / zsum) / F.col("p"), 6).alias("upsample_factor"),
+    )
