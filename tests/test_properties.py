@@ -182,3 +182,59 @@ def test_pii_scrub_idempotent(spark_global, text):
     twice = pii_scrub(df2).collect()[0]
     assert twice.scrubbed == once
     assert twice.n_email == twice.n_ipv4 == twice.n_phone == 0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-1.0, 1.0, allow_nan=False, width=32), min_size=3, max_size=3),
+        min_size=1, max_size=12,
+    ),
+    radius=st.floats(0.1, 2.5),
+)
+def test_radius_ball_matches_bruteforce(spark_global, vecs, radius):
+    """Ball membership == driver-side exact filter, any data, any radius."""
+    import math
+
+    from vectordb_from_scratch_spark.operators import knn
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark_global.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = spark_global.createDataFrame(
+        [rows[0]], "query_id long, query_embedding array<double>"
+    )
+    got = {r.id for r in knn.radius_search(
+        df, probes, radius=radius, strategy="window").collect()}
+    q = rows[0][1]
+    want = {
+        i for i, v in rows
+        if math.sqrt(sum((a - b) ** 2 for a, b in zip(v, q))) <= radius
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=0, max_size=20
+    )
+)
+def test_triangle_count_matches_bruteforce(spark_global, edges):
+    """Per-vertex counts == itertools enumeration on arbitrary small
+    graphs (self-loops and duplicate/mirrored edges included)."""
+    from itertools import combinations
+
+    from vectordb_from_scratch_spark.operators import graph
+
+    undirected = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in undirected for n in e}
+    want = {n: 0 for n in nodes}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (a, c), (b, c)} <= undirected:
+            for n in (a, b, c):
+                want[n] += 1
+    if not edges:
+        edges = [(0, 0)]  # createDataFrame needs ≥0 rows with schema; keep a loop row
+    df = spark_global.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in graph.triangle_count(df).collect()}
+    assert got == want

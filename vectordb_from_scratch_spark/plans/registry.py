@@ -6444,3 +6444,117 @@ def _q_mix_temperature(spark, sf_dir):
         F.round(F.col("pa") / zsum, 6).alias("sample_weight"),
         F.round((F.col("pa") / zsum) / F.col("p"), 6).alias("upsample_factor"),
     )
+
+
+_FD = {"eval_mod": 89, "eval_offset": 1_000_000, "frac_num": 3, "frac_den": 5,
+       "threshold": 0.25}
+
+
+def _fuzzy_decontam_sql() -> str:
+    """DuckDB twin of the fuzzy decontamination sweep: the eval slice is
+    a TRUNCATED copy (first 3/5 of characters) of the id%89 train docs —
+    the realistic contamination shape (excerpts, not verbatim copies) —
+    so exact n-gram collision under-detects and MinHash similarity is
+    the right tool. Pool = train ∪ derived eval; banded LSH candidates
+    across the two sides; flag pairs with signature-agreement Jaccard ≥
+    0.25."""
+    p = _FD
+    return f"""
+    WITH pool AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {p['eval_offset']} AS doc_id,
+             substr(text, 1, greatest(CAST(length(text) * {p['frac_num']} / {p['frac_den']} AS INTEGER), 1)) AS text
+      FROM documents WHERE doc_id % {p['eval_mod']} = 0
+    ),
+    t AS (SELECT doc_id, {_TOK} AS toks FROM pool),
+    sig AS (
+      SELECT doc_id, {_MH_SQL_COLS}
+      FROM t
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_key FROM sig WHERE mh0 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig WHERE mh0 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig WHERE mh0 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig WHERE mh0 IS NOT NULL
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS train_id, r.doc_id - {p['eval_offset']} AS eval_src_id
+      FROM banded l JOIN banded r
+        ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+      WHERE l.doc_id < {p['eval_offset']} AND r.doc_id >= {p['eval_offset']}
+    ),
+    msig AS (
+      SELECT doc_id, [mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7] AS s
+      FROM sig WHERE mh0 IS NOT NULL
+    ),
+    est AS (
+      SELECT p2.train_id, p2.eval_src_id,
+             len(list_filter(list_zip(a.s, b.s), z -> z[1] = z[2]))::DOUBLE / 8.0
+               AS est_jaccard
+      FROM pairs p2
+      JOIN msig a ON a.doc_id = p2.train_id
+      JOIN msig b ON b.doc_id = p2.eval_src_id + {p['eval_offset']}
+    )
+    SELECT train_id, eval_src_id, round(est_jaccard, 6) AS est_jaccard,
+           (train_id = eval_src_id) AS is_source
+    FROM est WHERE est_jaccard >= {p['threshold']}
+    """
+
+
+@_register(
+    "pipeline_decontaminate_fuzzy",
+    _fuzzy_decontam_sql(),
+    doc="FUZZY benchmark decontamination: the eval set is a truncated "
+    "copy (3/5 prefix) of an in-train slice — excerpt-style "
+    "contamination that exact n-gram collision under-detects — swept by "
+    "banded MinHash-LSH across train × eval with signature-Jaccard ≥ "
+    "0.25. is_source marks recovered true sources. Candidates-only "
+    "joins, digest-only shuffles — the same scale discipline as "
+    "dedup_lsh_candidates. Value-exact",
+)
+def _q_decontaminate_fuzzy(spark, sf_dir):
+    p = _FD
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % p["eval_mod"] == 0).select(
+        (F.col("doc_id") + p["eval_offset"]).alias("doc_id"),
+        F.substring(
+            "text", 1,
+            F.greatest(
+                (F.length("text") * p["frac_num"] / p["frac_den"]).cast("int"),
+                F.lit(1),
+            ),
+        ).alias("text"),
+    )
+    pool = d.select("doc_id", "text").unionByName(ev)
+    pairs = dedup.lsh_candidate_pairs(pool, num_hashes=8, bands=4)
+    cross = pairs.filter(
+        (F.col("id_a") < p["eval_offset"]) & (F.col("id_b") >= p["eval_offset"])
+    ).select(
+        F.col("id_a").alias("train_id"),
+        (F.col("id_b") - p["eval_offset"]).alias("eval_src_id"),
+    )
+    sigs = dedup.minhash_signatures(pool, num_hashes=8).filter(
+        F.size(F.filter(F.col("sig"), lambda x: x.isNotNull())) == 8
+    )
+    sa = sigs.select(F.col("doc_id").alias("train_id"), F.col("sig").alias("__sa"))
+    sb = sigs.select(
+        (F.col("doc_id") - p["eval_offset"]).alias("eval_src_id"),
+        F.col("sig").alias("__sb"),
+    ).filter(F.col("eval_src_id") >= 0)
+    est = (
+        F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda t: t))
+        .cast("double") / F.lit(8.0)
+    )
+    return (
+        cross.join(sa, "train_id").join(sb, "eval_src_id")
+        .select(
+            "train_id", "eval_src_id",
+            F.round(est, 6).alias("est_jaccard"),
+            (F.col("train_id") == F.col("eval_src_id")).alias("is_source"),
+        )
+        .filter(F.col("est_jaccard") >= p["threshold"])
+    )
