@@ -160,3 +160,63 @@ def test_corpus_prep_stream_matches_batch(spark, tmp_path):
     batch_gated = docs.filter(textops.quality_p_keep("text") >= 0.5)
     want = {r.keep_id for r in dedup.exact_dedup(batch_gated).collect()}
     assert got == want == {0, 3}
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Streamed stateful funnel == batch events_funnel counts, with users
+    whose chains SPAN micro-batches (state carries stage progress)."""
+    from vectordb_from_scratch_spark.plans import relational as rel
+    from vectordb_from_scratch_spark.streaming import funnel_stream
+
+    rows = [
+        # user 1 completes the funnel across the batch boundary
+        (1, 1, "view", "2026-01-01 10:00:00"),
+        (2, 1, "click", "2026-01-01 10:05:00"),
+        (3, 1, "purchase", "2026-01-02 10:10:00"),
+        # user 2 clicks before viewing, then views — stuck at stage 1
+        (4, 2, "click", "2026-01-01 09:00:00"),
+        (5, 2, "view", "2026-01-01 09:30:00"),
+        # user 3 views in batch 1, clicks in batch 2
+        (6, 3, "view", "2026-01-01 08:00:00"),
+        (7, 3, "click", "2026-01-02 08:30:00"),
+        # noise event type is ignored
+        (8, 1, "error", "2026-01-01 10:01:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    src = str(tmp_path / "fs_src")
+    # batch 1 = day 1 events, batch 2 = day 2 — per-user ts order holds
+    ev.filter(F.col("ts") < "2026-01-02").coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") >= "2026-01-02").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = str(tmp_path / "fs_out")
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "fs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("stage_idx")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    )
+    got_counts = {r.stage_idx: r.n_users for r in got}
+    want = {r.stage_idx: r.n_users for r in rel.events_funnel(ev).collect()
+            if r.n_users > 0}
+    assert got_counts == want == {1: 3, 2: 2, 3: 1}
+    # advancement rows carry the exact stage timestamps
+    u1 = {r.stage_idx: str(r.ts) for r in spark.read.parquet(out)
+          .filter(F.col("user_id") == 1).collect()}
+    assert u1 == {1: "2026-01-01 10:00:00", 2: "2026-01-01 10:05:00",
+                  3: "2026-01-02 10:10:00"}

@@ -18,4 +18,5 @@ from .counts_stream import (  # noqa: F401
     read_top_hitters,
 )
 from .dedup_stream import dedup_stream_foreach_batch, read_deduped  # noqa: F401
+from .funnel_stream import FUNNEL_STAGES, funnel_stream  # noqa: F401
 from .log_stream import fold_stream_foreach_batch, windowed_event_counts  # noqa: F401
