@@ -6558,3 +6558,31 @@ def _q_decontaminate_fuzzy(spark, sf_dir):
         )
         .filter(F.col("est_jaccard") >= p["threshold"])
     )
+
+
+@_register(
+    "rel_unpivot",
+    """
+    SELECT o_orderkey, 'totalprice' AS measure,
+           CAST(o_totalprice AS DOUBLE) AS value
+    FROM orders WHERE o_custkey < 20
+    UNION ALL
+    SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+    FROM orders WHERE o_custkey < 20
+    """,
+    doc="Unpivot (wide → long): measure columns melted to (key, measure, "
+    "value) rows — Spark's unpivot/melt API; portable UNION ALL form in "
+    "the oracle. The inverse of rel_pivot",
+)
+def _q_unpivot(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
