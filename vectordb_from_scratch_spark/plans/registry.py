@@ -6586,3 +6586,124 @@ def _q_unpivot(spark, sf_dir):
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+_KC = {"k": 5, "probe_pred": "vec_id >= 400"}
+
+
+@_register(
+    "knn_classify",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+               FROM embeddings WHERE {_KC['probe_pred']}),
+    train AS (SELECT vec_id AS id, embedding, label FROM embeddings
+              WHERE NOT ({_KC['probe_pred']})),
+    d AS (
+      SELECT q.query_id, q.true_label, t.id, t.label,
+             {_sql_euclid('q.qv', 't.embedding')} AS dist
+      FROM q CROSS JOIN train t
+    ),
+    nn AS (
+      SELECT query_id, true_label, label FROM (
+        SELECT query_id, true_label, id, label,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist ASC, id ASC) AS rnk
+        FROM d
+      ) WHERE rnk <= {_KC['k']}
+    ),
+    votes AS (
+      SELECT query_id, true_label, label, count(*) AS n
+      FROM nn GROUP BY query_id, true_label, label
+    )
+    SELECT query_id, pred_label, true_label,
+           (pred_label = true_label) AS correct
+    FROM (
+      SELECT query_id, true_label, label AS pred_label,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY n DESC, label ASC) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+    doc="k-NN classification (majority vote over the 5 nearest train "
+    "rows, ties (count desc, label asc)): the labeled-embeddings eval "
+    "every vector store's 'semantic classification' demo runs — "
+    "train/probe split by id, per-probe correctness flag. Same "
+    "broadcast-probe single-scan shape as every knn query. Value-exact",
+)
+def _q_knn_classify(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probe_pred = F.col("vec_id") >= 400
+    probes = e.filter(probe_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    truth = e.filter(probe_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    train = e.filter(~probe_pred)
+    nn = knn.knn(train, probes, k=_KC["k"], metric="euclidean", strategy="window")
+    votes = (
+        nn.join(train.select(F.col("vec_id").alias("id"), "label"), "id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("n").desc(), F.col("label").asc())
+    pred = (
+        votes.withColumn("__vr", F.row_number().over(w))
+        .filter(F.col("__vr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id", "pred_label", "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+_TWA_SQL = """
+    WITH v AS (
+      SELECT user_id, ts, value,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS t_next
+      FROM events WHERE event_type = 'purchase' AND user_id < 50
+    ),
+    seg AS (
+      SELECT user_id, value,
+             CAST(epoch_us(t_next) - epoch_us(ts) AS BIGINT) AS dur_us
+      FROM v WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           round(CAST(sum(CAST(value * dur_us AS DECIMAL(38,6))) AS DOUBLE)
+                 / sum(dur_us)::DOUBLE, 6) AS time_weighted_avg,
+           count(*) AS n_segments
+    FROM seg GROUP BY user_id
+"""
+
+
+@_register(
+    "rel_time_weighted_average",
+    _TWA_SQL,
+    doc="Time-weighted average (the hypertable/financial aggregate plain "
+    "AVG gets wrong on irregular samples): each observation weighted by "
+    "its holding duration until the next one — lead() window for the "
+    "interval, decimal-exact value×duration sums so doubles are "
+    "partitioning-independent. Value-exact",
+)
+def _q_time_weighted_avg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    v = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 50))
+        .select("user_id", "ts", "value", "event_id")
+        .withColumn("t_next", F.lead("ts").over(w))
+    )
+    seg = v.filter(F.col("t_next").isNotNull()).select(
+        "user_id", "value",
+        (F.unix_micros("t_next") - F.unix_micros("ts")).alias("dur_us"),
+    )
+    return seg.groupBy("user_id").agg(
+        F.round(
+            F.sum((F.col("value") * F.col("dur_us")).cast("decimal(38,6)")).cast("double")
+            / F.sum("dur_us").cast("double"),
+            6,
+        ).alias("time_weighted_avg"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
