@@ -6707,3 +6707,66 @@ def _q_time_weighted_avg(spark, sf_dir):
         ).alias("time_weighted_avg"),
         F.count(F.lit(1)).alias("n_segments"),
     )
+
+
+_LC_SQL = f"""
+    WITH lv AS (SELECT vec_id::BIGINT AS id, label, embedding::DOUBLE[] AS vec
+                FROM embeddings),
+    le AS (
+      SELECT label, id, id // 4096 AS blk,
+             unnest(generate_series(1, len(vec))) - 1 AS pos,
+             unnest(vec) AS val
+      FROM lv
+    ),
+    ll1 AS (
+      SELECT label, pos, blk,
+             {_sql_fold_sum("list_transform(list_sort(list(struct_pack(i := id, v := val))), s -> s.v)")} AS s1,
+             count(*) AS n1
+      FROM le GROUP BY label, pos, blk
+    ),
+    ll2 AS (
+      SELECT label, pos,
+             {_sql_fold_sum("list_transform(list_sort(list(struct_pack(b := blk, s := s1))), x -> x.s)")} AS s,
+             sum(n1) AS n
+      FROM ll1 GROUP BY label, pos
+    )
+    SELECT label, pos::INTEGER AS pos, round(s / n, 6) AS c,
+           n::BIGINT AS n_rows
+    FROM ll2
+    """
+
+
+@_register(
+    "vec_label_centroids",
+    _LC_SQL,
+    doc="Per-label embedding centroids via the bit-exact two-level "
+    "id-block fold (the _det_centroids device, labels as cluster keys) "
+    "— class-centroid QA for labeled embedding tables (drift checks, "
+    "nearest-class-mean baselines). Doubles are a function of the data, "
+    "not the partitioning. Value-exact",
+)
+def _q_label_centroids(spark, sf_dir):
+    from ..operators.ann import _det_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned = e.select(
+        F.col("label").cast("int").alias("list_id"),
+        F.col("vec_id").cast("long").alias("id"),
+        vm.as_double("embedding").alias("vec"),
+    )
+    # fallback row per label for _det_centroids' empty-cluster join —
+    # deterministic (min-id vector) and unused: no label is empty here
+    prev = assigned.groupBy("list_id").agg(
+        F.min(F.struct("id", "vec"))["vec"].alias("cvec")
+    )
+    cent = _det_centroids(assigned, prev, block=4096)
+    counts = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        cent.join(counts, "list_id")
+        .select(
+            F.col("list_id").alias("label"),
+            F.posexplode("cvec").alias("pos", "c"),
+            "n_rows",
+        )
+        .select("label", "pos", F.round("c", 6).alias("c"), "n_rows")
+    )
