@@ -141,6 +141,7 @@ def weighted_fuse(
     k: int = 10,
     w_lex: float = 0.5,
     w_vec: float = 0.5,
+    score_col: str = "sim",
 ) -> DataFrame:
     """Relative-score fusion: min-max normalize each source's scores PER
     QUERY to [0, 1], then combine  w_lex·norm_lex + w_vec·norm_vec  (a
@@ -149,8 +150,10 @@ def weighted_fuse(
     score MAGNITUDE (a runaway best match dominates), where RRF only
     preserves order.
 
-    Inputs are (query_id, id, score[, ...]) tables, higher = better —
-    lexical_topk's `sim` and a vector ranking's similarity both qualify.
+    Inputs are (query_id, id, <score_col>[, ...]) tables, higher = better
+    — lexical_topk's `sim` and a vector ranking's similarity both qualify;
+    `score_col` names the score column (default "sim", matching
+    lexical_topk's output).
     A single-result source normalizes to 1.0 (max==min guard). Per-query
     min/max are window aggregates over the shortlists (bounded rows per
     query), the fusion is one full-outer join of two narrow tables —
@@ -171,8 +174,8 @@ def weighted_fuse(
             .alias(out),
         )
 
-    le = norm(lexical.select("query_id", "id", F.col("sim").alias("score")), "lex_norm")
-    ve = norm(vector.select("query_id", "id", F.col("sim").alias("score")), "vec_norm")
+    le = norm(lexical.select("query_id", "id", F.col(score_col).alias("score")), "lex_norm")
+    ve = norm(vector.select("query_id", "id", F.col(score_col).alias("score")), "vec_norm")
     fused = le.join(ve, ["query_id", "id"], "full_outer").select(
         "query_id", "id",
         (

@@ -452,6 +452,12 @@ def radius_search(
                 vm.as_double(query_vec_col).alias("__qvec"),
             ).collect()
         ]
+        if not probe_rows:
+            # np.array([]) is shape (0,): the kernel's (Q*Q).sum(axis=1)
+            # would raise AxisError — the window path returns the same
+            # (empty) result without building a kernel
+            strategy = "window"
+    if strategy == "numpy":
         qid_t = queries.schema[query_id_col].dataType.simpleString()
         id_t = vectors.schema[id_col].dataType.simpleString()
         narrow = v.mapInPandas(
@@ -567,6 +573,12 @@ def maxsim_search(
                 vm.as_double(query_vec_col).alias("__qvec"),
             ).collect()
         ]
+        if not probe_rows:
+            # empty probe set would give the kernel a shape-(0,) Q matrix
+            # (AxisError in (Q*Q).sum(axis=1)); the window path yields the
+            # same empty result safely
+            strategy = "window"
+    if strategy == "numpy":
         qid_t = query_vecs.schema[query_id_col].dataType.simpleString()
         qidx_t = query_vecs.schema[query_idx_col].dataType.simpleString()
         id_t = doc_vecs.schema[id_col].dataType.simpleString()

@@ -36,7 +36,24 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
     string) plus `_raw_line`: NULL for clean rows, the verbatim input
     line for rows that failed to parse (their schema columns are NULL).
     Blank lines are skipped. Unknown JSON fields are ignored — the
-    schema is the contract."""
+    schema is the contract.
+
+    The read machinery reserves three names: `__cr` (in-struct corrupt-
+    record marker), `value` (the text source's raw-line column), and
+    `_raw_line` (the quarantine output column). A user schema using any
+    of them would silently corrupt quarantine detection or hit an
+    ambiguous-reference error after struct expansion, so they are
+    rejected up front."""
+    from pyspark.sql.types import StructType
+
+    reserved = {"__cr", "value", _RAW}
+    clash = reserved.intersection(f.name for f in StructType.fromDDL(schema).fields)
+    if clash:
+        raise ValueError(
+            f"read_jsonl: schema field name(s) {sorted(clash)} collide with "
+            f"reserved column(s) {sorted(reserved)} used by the quarantining "
+            "read — rename them in the schema"
+        )
     raw = spark.read.text(path).filter(F.trim(F.col("value")) != "")
     # from_json in PERMISSIVE mode fills a corrupt-record field INSIDE the
     # struct when the line fails to parse (a bare null-struct is what it
