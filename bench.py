@@ -100,33 +100,40 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
 
-    from vectordb_from_scratch_spark.operators import dedup
+    from vectordb_from_scratch_spark.operators import cache, dedup
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         try:
             QUERIES[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         finally:
-            # composed pipelines persist intermediates; drop them between
-            # runs (even failed ones) so repeats measure the full plan and
-            # storage never accumulates
+            # composed pipelines persist/localCheckpoint intermediates;
+            # drop BOTH between runs (even failed ones) so repeats measure
+            # the full plan and storage never accumulates. The sweep is
+            # what release_caches can't do: checkpoint blocks (graph/CC/
+            # MMR/BPE queries) leaked across the r4 session and spiked
+            # unrelated queries 2-5× via block-manager pressure.
             dedup.release_caches()
+            cache.sweep_persistent_rdds(spark)
         return time.perf_counter() - t0
 
     # min of repeated runs per query: single-shot timings on a shared box
     # are noisy (GC, co-tenants — observed 10× spikes on a 1.2 s query);
     # the min is the engine's actual cost. Two runs normally; a third
     # only when the first two disagree by >20% (a spike hit one of them).
+    # Raw samples are recorded alongside the min so a contaminated round
+    # is diagnosable from the artifact alone (r4 needed a judge re-run).
     # Per-query isolation: one broken query must not zero out the whole
     # round's performance record — record "ERR:<class>" and keep going.
     timings: dict[str, float | str] = {}
+    samples: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         try:
-            t1, t2 = run_once(name), run_once(name)
-            best = min(t1, t2)
-            if abs(t1 - t2) > 0.2 * best:
-                best = min(best, run_once(name))
-            timings[name] = round(best, 3)
+            runs = [run_once(name), run_once(name)]
+            if abs(runs[0] - runs[1]) > 0.2 * min(runs):
+                runs.append(run_once(name))
+            samples[name] = [round(t, 3) for t in runs]
+            timings[name] = round(min(runs), 3)
         except Exception as exc:  # noqa: BLE001 — isolate per query
             timings[name] = f"ERR:{type(exc).__name__}"
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
@@ -144,6 +151,7 @@ def main() -> None:
                 "value": round(sum(numeric), 3),
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": sf_val,
                 "n_ok": len(numeric),
                 "n_err": len(timings) - len(numeric),

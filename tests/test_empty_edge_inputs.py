@@ -57,6 +57,26 @@ def test_radius_and_maxsim_empty(spark):
     assert knn.maxsim_search(dv, qv, k=3, strategy="window").count() == 0
 
 
+def test_radius_and_maxsim_empty_probes_numpy_strategy(spark):
+    """Zero probes with the BLAS kernel selected: np.array([]) is shape
+    (0,), so an unguarded kernel raises AxisError before any Spark job —
+    the guard must fall back to the window path and return empty."""
+    from vectordb_from_scratch_spark.operators import knn
+
+    no_probes = spark.createDataFrame(
+        [], "query_id long, query_embedding array<float>"
+    )
+    out = knn.radius_search(_one_emb(spark), no_probes, radius=9.0, strategy="numpy")
+    assert out.count() == 0
+    assert out.columns == ["query_id", "id", "distance", "rank"]
+
+    qv = spark.createDataFrame([], "query_id long, qidx int, qv array<float>")
+    dv = spark.createDataFrame([(1, [1.0, 0.0])], "doc_id long, v array<float>")
+    ms = knn.maxsim_search(dv, qv, k=3, strategy="numpy")
+    assert ms.count() == 0
+    assert ms.columns == ["query_id", "id", "score", "rank"]
+
+
 def test_singleton_knn_self_only(spark):
     from vectordb_from_scratch_spark.operators import knn
 

@@ -55,3 +55,20 @@ def test_end_to_end_self_match_rank1(spark, documents, embeddings):
     # probe i pairs doc i with vec i; both legs rank self first, so the
     # fused top-1 is the probe itself
     assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_weighted_fuse_score_col_parameter(spark):
+    """The documented generic contract: a source whose score column is
+    named something other than `sim` fuses via score_col=."""
+    from vectordb_from_scratch_spark.operators import hybrid
+
+    lex = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 11, 1.0)], "query_id long, id long, relevance double"
+    )
+    vec = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 12, 0.5)], "query_id long, id long, relevance double"
+    )
+    out = hybrid.weighted_fuse(lex, vec, k=5, score_col="relevance").collect()
+    assert {r["id"] for r in out} == {10, 11, 12}
+    best = max(out, key=lambda r: r["fused_score"])
+    assert best["id"] == 10  # top of both sources

@@ -92,3 +92,19 @@ def test_cli_ingest_and_dedup_roundtrip(spark, tmp_path):
         rc = run(["dedup", tbl, ded], spark=spark)
     assert rc == 0 and "kept 2 of 3" in buf.getvalue()
     assert {r.doc_id for r in spark.read.parquet(ded).collect()} == {1, 3}
+
+
+def test_read_jsonl_rejects_reserved_column_names(spark, tmp_path):
+    """`__cr`, `value`, `_raw_line` are read-machinery names; a schema
+    using one would silently break quarantine detection — reject up
+    front instead."""
+    import pytest as _pt
+
+    from vectordb_from_scratch_spark.sources import textio
+
+    p = str(tmp_path / "x.jsonl")
+    with open(p, "w") as f:
+        f.write('{"value": 1}\n')
+    for bad in ("value int", "doc_id long, __cr string", "_raw_line string"):
+        with _pt.raises(ValueError, match="reserved"):
+            textio.read_jsonl(spark, p, bad)

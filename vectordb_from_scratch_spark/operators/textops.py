@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..sources.tables import spread
+from . import rank as rank_ops
 
 __all__ = [
     "token_stats",
@@ -909,21 +910,27 @@ def ppl_buckets(
     quality tiers — head / middle / tail for the classic 3 — so
     downstream sampling can weight tiers instead of hard-filtering.
 
-    Bucketing is ntile over (score desc, id asc) — deterministic and
-    value-exact. The exact global ntile is a single-partition window
-    over the per-DOC score table (one row per document, already
-    aggregated); that is the oracle-checkable spec, fine to ~100M docs.
-    At the 100-TB corpus count, swap the threshold step for
-    percentile_approx score cut-points broadcast into a comparison —
-    the same exact-vs-sketch plan trade documented for rel_profile.
-
-    Returns (doc_id, bigram_logprob, n_bigrams, bucket 1..n, tier) with
-    tier naming head/middle/tail when n_buckets == 3 (else "b<k>")."""
-    from pyspark.sql import Window
-
+    Bucketing is ntile semantics over (score desc, id asc) —
+    deterministic and value-exact — but NOT executed as an
+    unpartitioned `ntile()` window (a single-partition sort of the
+    whole score table, the textbook scale-killer). Instead the global
+    rank comes from the distributed construction in `operators.rank`
+    (range-partition → per-partition row_number → broadcast offsets —
+    only a partition-count-sized table ever passes through one task)
+    and the bucket number from the exact integer ntile formula on
+    (rank, corpus count). Identical values to SQL ntile at every scale;
+    the DuckDB oracle twin keeps the literal `ntile()` spelling."""
     lp = bigram_logprob(documents, text_col=text_col, id_col=id_col)
-    w = Window.orderBy(F.col("bigram_logprob").desc(), F.col(id_col).asc())
-    b = lp.withColumn("bucket", F.ntile(n_buckets).over(w))
+    ranked = rank_ops.with_global_rank(
+        lp,
+        [F.col("bigram_logprob").desc(), F.col(id_col).asc()],
+        rank_col="__rank",
+    )
+    total = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    b = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "bucket",
+        rank_ops.exact_ntile_bucket(F.col("__rank"), F.col("__n"), n_buckets),
+    )
     if n_buckets == 3:
         tier = (
             F.when(F.col("bucket") == 1, "head")

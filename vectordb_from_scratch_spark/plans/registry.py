@@ -6775,6 +6775,76 @@ def _q_label_centroids(spark, sf_dir):
     )
 
 
+@_register(
+    "multimodal_header_meta",
+    """
+    WITH payloads AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS codec,
+             16 + (doc_id % 50) * 16 AS width,
+             16 + ((doc_id * 7) % 40) * 16 AS height,
+             CASE WHEN doc_id % 2 = 0
+                  THEN CAST([1, 3, 2, 4][1 + (doc_id % 4)] AS INTEGER)
+                  ELSE 3 END AS channels,
+             CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 13 END AS n_bytes
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height, channels, codec,
+           CAST(n_bytes AS BIGINT) AS n_bytes
+    FROM payloads
+    """,
+    doc="REAL image metadata from magic bytes: the query synthesizes valid "
+    "PNG IHDR / GIF screen-descriptor payloads (binary built in-plan from "
+    "doc_id-derived dimensions), runs them through the Arrow-batched "
+    "mapInPandas header parser (operators/multimodal.py:parse_image_header "
+    "— pure Python, O(header) per payload, no imaging library), and the "
+    "oracle recomputes the expected metadata analytically. End-to-end "
+    "bytes→parser→struct parity, value-exact. Upgrades the multimodal "
+    "decode stage from digest-stub to real metadata for PNG/JPEG/GIF/BMP "
+    "containers; full pixel decode remains behind the PIL try-import",
+)
+def _q_multimodal_header(spark, sf_dir):
+    from ..operators.multimodal import decode_metadata
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    width = (16 + (F.col("doc_id") % 50) * 16).cast("int")
+    height = (16 + (F.col("doc_id") * 7 % 40) * 16).cast("int")
+    # PNG color types 0/2/4/6 → 1/3/2/4 channels (parser's spec table)
+    color_type = F.element_at(
+        F.array(F.lit("00"), F.lit("02"), F.lit("04"), F.lit("06")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    hex4 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731 — big-endian u32
+    le16 = lambda c: F.concat(  # noqa: E731 — little-endian u16 hex
+        F.lpad(F.hex(c % 256), 2, "0"), F.lpad(F.hex((c / 256).cast("int")), 2, "0")
+    )
+    png = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),  # sig + IHDR len/type
+        hex4(width), hex4(height),
+        F.lit("08"), color_type, F.lit("000000"),  # depth, color, misc
+        F.lit("00000000"),  # CRC bytes (parser reads header fields only)
+    )
+    gif = F.concat(
+        F.lit("474946383961"), le16(width), le16(height), F.lit("F70000")
+    )
+    payloads = d.select(
+        "doc_id",
+        F.unhex(F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif)).alias(
+            "payload"
+        ),
+    )
+    meta = decode_metadata(payloads, decoder="header")
+    return meta.select(
+        "doc_id",
+        F.col("media.width").alias("width"),
+        F.col("media.height").alias("height"),
+        F.col("media.channels").alias("channels"),
+        F.col("media.codec").alias("codec"),
+        "n_bytes",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: never-driver-sampled queries first.
 #
