@@ -234,3 +234,60 @@ def test_ivf_pq_residual_identity_and_rerank(emb, probes):
     want = [(r.query_id, r.id) for r in exact.orderBy("query_id", "rank").collect()]
     assert got == want  # n_probe = n_lists → full coverage → exact after rerank
     cent.unpersist(); assigned.unpersist(); cb.unpersist()
+
+
+def test_adc_kernel_matches_expr_flat(emb, cb, codes, probes):
+    """The Arrow gather kernel and the in-plan fold agree: identical
+    (query_id, id) top-k with rerank (exact distances both ways), and
+    near-identical adist without (last-ulp summation drift allowed)."""
+    raw = emb.select(F.col("vec_id").alias("id"),
+                     vm.as_double("embedding").alias("vec"))
+    kw = dict(k=5, ks=KS, d_sub=D_SUB, rerank=15, raw=raw)
+    a = pq.pq_adc_topk(codes, cb, probes, strategy="expr", **kw).collect()
+    b = pq.pq_adc_topk(codes, cb, probes, strategy="numpy", **kw).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted((r["query_id"], r["rank"], r["id"]) for r in a) == sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in b
+    )
+    da = {key(r): r["distance"] for r in a}
+    db = {key(r): r["distance"] for r in b}
+    assert all(abs(da[x] - db[x]) < 1e-12 for x in da)
+
+    na = pq.pq_adc_topk(codes, cb, probes, k=5, ks=KS, d_sub=D_SUB,
+                        strategy="expr").collect()
+    nb = pq.pq_adc_topk(codes, cb, probes, k=5, ks=KS, d_sub=D_SUB,
+                        strategy="numpy").collect()
+    assert {(r["query_id"], r["id"]) for r in na} == {
+        (r["query_id"], r["id"]) for r in nb
+    }
+    dna = {(r["query_id"], r["id"]): r["distance"] for r in na}
+    for r in nb:
+        assert abs(dna[(r["query_id"], r["id"])] - r["distance"]) < 1e-9
+
+
+def test_ivf_pq_kernel_matches_expr(emb, cb, probes):
+    v = emb.select(F.col("vec_id").cast("long").alias("id"),
+                   vm.as_double("embedding").alias("vec"))
+    cent = ann.build_ivf_det(emb, n_lists=4, iters=1)
+    assigned = ann.assign_ivf_det(v, cent)
+    idx = pq.ivf_pq_index(assigned, cb, M, D_SUB, id_col="id", vec_col="vec")
+    kw = dict(k=5, n_probe=2, ks=KS, d_sub=D_SUB, rerank=15,
+              raw=assigned.select("id", "vec"))
+    a = pq.ann_knn_ivf_pq(idx, cent, cb, probes, strategy="expr", **kw).collect()
+    b = pq.ann_knn_ivf_pq(idx, cent, cb, probes, strategy="numpy", **kw).collect()
+    assert sorted((r["query_id"], r["rank"], r["id"]) for r in a) == sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in b
+    )
+
+
+def test_adc_kernel_filtered_prefilter_semantics(emb, cb, codes, probes):
+    """predicate+attrs on the kernel path prunes BEFORE the shortlist,
+    same as the expr path (no starvation)."""
+    pred = F.col("vec_id") % 2 == 0
+    kw = dict(k=5, ks=KS, d_sub=D_SUB, predicate=pred, attrs=emb)
+    a = pq.pq_adc_topk(codes, cb, probes, strategy="expr", **kw).collect()
+    b = pq.pq_adc_topk(codes, cb, probes, strategy="numpy", **kw).collect()
+    assert all(r["id"] % 2 == 0 for r in b) and len(b) == len(a) == 25
+    assert {(r["query_id"], r["id"]) for r in a} == {
+        (r["query_id"], r["id"]) for r in b
+    }

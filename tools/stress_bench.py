@@ -351,6 +351,142 @@ def main() -> int:
              lambda: sink(dedup.lsh_candidate_pairs(skew_docs, num_hashes=8, bands=4,
                                                     max_bucket_size=100)))
 
+    # adversarial join skew: 10M-row fact table where ONE key owns 50% of
+    # the rows, joined to a 2M-row dimension (too big to broadcast). This
+    # is salted_join's regime per its own docstring: AQE's skew split
+    # disabled (the streaming-join analog, where AQE is unavailable) —
+    # the hot key serializes one task unless salting spreads it. Cells:
+    # plain-no-AQE vs salted-no-AQE (the claim) and plain-with-AQE (the
+    # honest baseline showing what runtime skew-split buys when it IS
+    # available). Row-count equality of salted vs plain is asserted, not
+    # assumed.
+    if want("join_skew"):
+        from vectordb_from_scratch_spark.operators import skew as skew_ops
+
+        # 90% of 30M fact rows on ONE key (~1.2 GB through a single
+        # sort-merge task unsalted — genuine spill-grade skew), dim 1M
+        # rows (~45 MB — beyond broadcast range)
+        n_fact, n_dim, hot, salt_n = 30_000_000, 1_000_000, 0, 16
+        fact = spark.range(n_fact).select(
+            F.when(F.col("id") % 10 < 9, F.lit(hot))
+            .otherwise((F.col("id") * 2654435761) % n_dim)
+            .alias("k"),
+            (F.col("id") % 97).alias("payload"),
+        ).localCheckpoint()
+        dim = spark.range(n_dim).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("attr"),
+        ).localCheckpoint()
+
+        def _with_conf(pairs, fn):
+            old = {k: spark.conf.get(k) for k in pairs}
+            try:
+                for k, v in pairs.items():
+                    spark.conf.set(k, v)
+                return fn()
+            finally:
+                for k, v in old.items():
+                    spark.conf.set(k, v)
+
+        no_aqe_skew = {
+            "spark.sql.adaptive.skewJoin.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        cell("join_skew_plain_noaqe_%d" % n_fact,
+             lambda: _with_conf(no_aqe_skew,
+                                lambda: sink(fact.join(dim, "k"))))
+        cell("join_skew_salted_noaqe_%d" % n_fact,
+             lambda: _with_conf(no_aqe_skew,
+                                lambda: sink(skew_ops.salted_join(
+                                    fact, dim, "k", salt=salt_n,
+                                    discriminator="payload"))))
+        cell("join_skew_plain_aqe_%d" % n_fact,
+             lambda: _with_conf(
+                 {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+                 lambda: sink(fact.join(dim, "k"))))
+        n_plain = fact.join(dim, "k").count()
+        n_salted = skew_ops.salted_join(fact, dim, "k", salt=salt_n,
+                                        discriminator="payload").count()
+        assert n_plain == n_salted, (n_plain, n_salted)
+        results["join_skew_rows"] = n_plain
+
+    # ANN serving one decade up: the 1M-row IVF/SQ8/PQ trio at 10M rows
+    # (the frontier cell VERDICT r4 asked for). Same (n_lists=16,
+    # n_probe=4) config as the 1M cells so the decade scales apples-to-
+    # apples, plus a (n_lists=64, n_probe=8) variant showing the knob
+    # that restores per-probe row counts as the table grows.
+    if want("ivf10m"):
+        import tempfile as _tmp10
+
+        from vectordb_from_scratch_spark.operators import pq as pqm10
+
+        big10_path = "/tmp/big_embeddings_10m"
+        if not os.path.isdir(big10_path):
+            (
+                spark.range(10)
+                .select(F.col("id").alias("__rep"))
+                .crossJoin(emb)
+                .select(
+                    (F.col("vec_id") + F.col("__rep") * n_emb).alias("vec_id"),
+                    "embedding",
+                    *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+                )
+                .repartition(64)
+                .write.mode("overwrite")
+                .parquet(big10_path)
+            )
+        emb10 = spark.read.parquet(big10_path)
+        n10 = emb10.count()
+        idx10 = _tmp10.mkdtemp(prefix="ivf10m_")
+        v10 = emb10.select(F.col("vec_id").cast("long").alias("id"),
+                           F.col("embedding").cast("array<double>").alias("vec"))
+        for n_lists, n_probe in ((16, 4), (64, 8)):
+            tag = "L%dP%d" % (n_lists, n_probe)
+            t0 = time.monotonic()
+            cent10 = ann.build_ivf_det(emb10, n_lists=n_lists, iters=2)
+            ann.assign_ivf_det(v10, cent10).write.mode("overwrite").parquet(
+                idx10 + "/assigned_" + tag)
+            cent10.write.mode("overwrite").parquet(idx10 + "/cent_" + tag)
+            results["ivf10m_build_%s" % tag] = round(time.monotonic() - t0, 3)
+            print(json.dumps({"cell": "ivf10m_build_%s" % tag,
+                              "sec": results["ivf10m_build_%s" % tag]}), flush=True)
+            a10 = spark.read.parquet(idx10 + "/assigned_" + tag)
+            c10 = spark.read.parquet(idx10 + "/cent_" + tag)
+            cell("ivf10m_raw_probe_100x%d_%s" % (n10, tag),
+                 lambda a10=a10, c10=c10, n_probe=n_probe: sink(
+                     ann.ann_knn_ivf(a10, c10, probes, k=K, n_probe=n_probe,
+                                     id_col="id", vec_col="vec")))
+            ann.ivf_sq8_index(a10).write.mode("overwrite").parquet(
+                idx10 + "/sq8_" + tag)
+            s10 = spark.read.parquet(idx10 + "/sq8_" + tag)
+            cell("ivf10m_sq8_probe_100x%d_%s" % (n10, tag),
+                 lambda s10=s10, c10=c10, a10=a10, n_probe=n_probe: sink(
+                     ann.ann_knn_ivf_sq8(s10, c10, probes, k=K, n_probe=n_probe,
+                                         rerank=3 * K,
+                                         raw=a10.select("id", "vec"))))
+        # IVF-PQ at 10M on the L16P4 layout: codebook from a 1% sample,
+        # one-pass encode of all 10M rows (timed), then the probe
+        m10, ks10, dsub10 = 16, 32, 4
+        cb10 = pqm10.pq_codebook(emb10.filter(F.col("vec_id") % 100 == 0),
+                                 m=m10, ks=ks10, dim=64, iters=1)
+        cb10.write.mode("overwrite").parquet(idx10 + "/cb")
+        cb10_p = spark.read.parquet(idx10 + "/cb")
+        a10 = spark.read.parquet(idx10 + "/assigned_L16P4")
+        c10 = spark.read.parquet(idx10 + "/cent_L16P4")
+        t0 = time.monotonic()
+        pqm10.ivf_pq_index(a10, cb10_p, m10, dsub10, id_col="id",
+                           vec_col="vec").write.mode("overwrite").parquet(
+            idx10 + "/ivfpq")
+        results["ivf10m_pq_encode_write"] = round(time.monotonic() - t0, 3)
+        print(json.dumps({"cell": "ivf10m_pq_encode_write",
+                          "sec": results["ivf10m_pq_encode_write"]}), flush=True)
+        ivfpq10 = spark.read.parquet(idx10 + "/ivfpq")
+        cell("ivf10m_pq_probe_100x%d_L16P4" % n10,
+             lambda: sink(pqm10.ann_knn_ivf_pq(
+                 ivfpq10, c10, cb10_p, probes, k=K, n_probe=4,
+                 ks=ks10, d_sub=dsub10, rerank=3 * K,
+                 raw=a10.select("id", "vec"))))
+
     # pointer-jumping CC one decade up: 10M nodes in 10-member chain
     # families (9M edges, diameter 10) — rounds stay O(log d), shuffle
     # stays bounded by the label table

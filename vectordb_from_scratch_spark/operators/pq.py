@@ -197,6 +197,98 @@ def pq_encode(
     )
 
 
+def _numpy_adc_scan_kernel(lut_rows: list, m: int, ks: int, emit_top: int):
+    """mapInPandas kernel for flat ADC: every query's LUT rides in the
+    closure; per Arrow batch the m code lookups become one numpy fancy-
+    gather + row sum, and only each query's per-batch top-`emit_top`
+    partial (by the global (adist, id) tie-break, so the partial is
+    lossless for the final top-emit_top) leaves the executor. Replaces
+    the interpreted per-row transform/aggregate lambda — the one
+    documented hot-path lambda in SCALE.md (flat ADC 27.3 s vs 13.3 s
+    BLAS exact at 1M)."""
+    import numpy as np
+
+    qids = [r[0] for r in lut_rows]
+    LUT = np.array([list(r[1]) for r in lut_rows], dtype=np.float64).reshape(
+        len(lut_rows), m, ks
+    )
+    subs = np.arange(m)[None, :]
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array([list(c) for c in pdf["codes"]], dtype=np.int64)
+            ids = pdf["id"].to_numpy()
+            frames = []
+            for qi, qid in enumerate(qids):
+                d2 = LUT[qi][subs, C].sum(axis=1)
+                order = np.lexsort((ids, d2))[:emit_top]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "id": ids[order],
+                         "adist": np.sqrt(d2[order])}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return scan
+
+
+def _numpy_adc_candidates_kernel(lut_map: dict, m: int, ks: int, emit_top: int):
+    """mapInPandas kernel for routed (IVF-PQ) ADC: input batches are the
+    probed-list candidate rows (query_id, id, codes) — mixed queries per
+    batch, so the batch groups by query and gathers per group. Emits
+    per-(batch, query) top-`emit_top` partials under the (adist, id)
+    tie-break (lossless for the global shortlist)."""
+    import numpy as np
+
+    subs = np.arange(m)[None, :]
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C_all = np.array([list(c) for c in pdf["codes"]], dtype=np.int64)
+            ids_all = pdf["id"].to_numpy()
+            q_all = pdf["query_id"].to_numpy()
+            frames = []
+            for qid in pd.unique(pdf["query_id"]):
+                mask = q_all == qid
+                C, ids = C_all[mask], ids_all[mask]
+                d2 = lut_map[qid][subs, C].sum(axis=1)
+                order = np.lexsort((ids, d2))[:emit_top]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "id": ids[order],
+                         "adist": np.sqrt(d2[order])}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return scan
+
+
+def _resolve_adc_strategy(strategy: str, candidates: DataFrame) -> str:
+    from . import knn as knn_mod
+
+    if strategy == "auto":
+        return (
+            "numpy"
+            if knn_mod.estimated_rows(candidates) >= knn_mod.AUTO_NUMPY_THRESHOLD
+            else "expr"
+        )
+    if strategy not in ("expr", "numpy"):
+        raise ValueError(f"strategy must be auto|expr|numpy, got {strategy!r}")
+    return strategy
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebook: DataFrame,
@@ -212,6 +304,7 @@ def pq_adc_topk(
     predicate: Column | None = None,
     attrs: DataFrame | None = None,
     attrs_id_col: str = "vec_id",
+    strategy: str = "auto",
 ) -> DataFrame:
     """ADC search over PQ codes: build each query's m×ks lookup table of
     squared subspace distances ONCE (queries ⨯ codebook — both tiny),
@@ -227,6 +320,12 @@ def pq_adc_topk(
     rerank-deep shortlist broadcasts into one join against the raw
     vectors for an exact euclidean final ranking — the standard
     two-stage PQ serving design.
+
+    strategy: "expr" = the in-plan transform/aggregate fold (bitwise-
+    exact vs the DuckDB oracle — the sf0.01 correctness spec); "numpy" =
+    the Arrow-batched gather kernel (last-ulp adist drift possible, so
+    pair it with rerank for exact final distances); "auto" = numpy above
+    knn.AUTO_NUMPY_THRESHOLD rows, matching every other kernel flip.
 
     Returns (query_id, id, distance, rank); `distance` is the ADC
     approximation unless re-ranked."""
@@ -250,24 +349,50 @@ def pq_adc_topk(
             ).alias("__lut"),
         )
     )
-    adist = F.sqrt(
-        F.aggregate(
-            F.transform(
-                F.col("codes"),
-                lambda c, i: F.element_at(F.col("__lut"), (i * ks + c + 1).cast("int")),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    cands = codes.crossJoin(F.broadcast(lut)).select(
-        "query_id", "__qvec", "id", adist.alias("adist")
-    )
+    qualifying = None
     if predicate is not None:
         if attrs is None:
             raise ValueError("filtered search needs BOTH predicate and attrs")
         qualifying = attrs.filter(predicate).select(F.col(attrs_id_col).alias("id"))
-        cands = cands.join(qualifying, "id", "left_semi")
+    strategy = _resolve_adc_strategy(strategy, codes)
+    lut_rows = (
+        lut.select("query_id", "__lut").collect() if strategy == "numpy" else []
+    )
+    if lut_rows:
+        src = codes if qualifying is None else codes.join(qualifying, "id", "left_semi")
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        id_t = codes.schema["id"].dataType.simpleString()
+        emit_top = rerank if (rerank and raw is not None) else k
+        m_ = len(lut_rows[0]["__lut"]) // ks
+        cands = src.select("id", "codes").mapInPandas(
+            _numpy_adc_scan_kernel(lut_rows, m_, ks, emit_top),
+            schema=f"query_id {qid_t}, id {id_t}, adist double",
+        )
+    else:
+        adist = F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col("codes"),
+                    lambda c, i: F.element_at(F.col("__lut"), (i * ks + c + 1).cast("int")),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        cands = codes.crossJoin(F.broadcast(lut)).select(
+            "query_id", "id", adist.alias("adist")
+        )
+        if qualifying is not None:
+            cands = cands.join(qualifying, "id", "left_semi")
+    return _adc_finish(cands, q, raw, k, rerank)
+
+
+def _adc_finish(
+    cands: DataFrame, q: DataFrame, raw: DataFrame | None, k: int, rerank: int
+) -> DataFrame:
+    """Shared ADC tail: global (adist, id) top-k, or rerank-deep
+    shortlist → broadcast join against raw vectors → exact euclidean
+    final ranking."""
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("id").asc())
     if not rerank or raw is None:
         return (
@@ -278,7 +403,8 @@ def pq_adc_topk(
     shortlist = (
         cands.withColumn("__sr", F.row_number().over(w))
         .filter(F.col("__sr") <= rerank)
-        .select("query_id", "__qvec", "id")
+        .select("query_id", "id")
+        .join(F.broadcast(q), "query_id")
     )
     exact = raw.join(F.broadcast(shortlist), on="id").select(
         "query_id", "id", vm.euclidean_distance("__qvec", "vec").alias("distance")
@@ -332,6 +458,7 @@ def ann_knn_ivf_pq(
     predicate: Column | None = None,
     attrs: DataFrame | None = None,
     attrs_id_col: str = "vec_id",
+    strategy: str = "auto",
 ) -> DataFrame:
     """IVF-PQ search: route each query to its n_probe nearest coarse
     centroids (ann.ann_knn_ivf's routing shape), scan ONLY those lists'
@@ -339,6 +466,14 @@ def ann_knn_ivf_pq(
     exact-re-rank the shortlist against raw vectors. The distances and
     candidate sets are bit-deterministic, so the whole compose is
     value-exact oracle-twinnable (plans/registry.py ann_ivf_pq_knn).
+
+    strategy as in pq_adc_topk: "expr" is the oracle-exact in-plan fold;
+    "numpy" scores the probed-list candidate rows in an Arrow-batched
+    gather kernel (grouped per query inside each batch, per-batch
+    top-shortlist partials only leave the executor); "auto" flips on
+    knn.AUTO_NUMPY_THRESHOLD against the INDEX size. The residual
+    variant (ann_knn_ivf_pq_residual) stays expression-only — its LUT is
+    per-(query, list), too large a closure to ship to every task.
 
     ``predicate`` over ``attrs`` composes the metadata filter exactly as
     on the SQ8/IVF/SRP paths (reference search_with_filter over any
@@ -380,49 +515,52 @@ def ann_knn_ivf_pq(
             ).alias("__lut"),
         )
     )
-    adist = F.sqrt(
-        F.aggregate(
-            F.transform(
-                F.col("codes"),
-                lambda c, i: F.element_at(F.col("__lut"), (i * ks + c + 1).cast("int")),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    cands = (
-        index.join(F.broadcast(routed), on="list_id")
-        .join(F.broadcast(lut), on="query_id")
-        .select("query_id", "__qvec", "id", adist.alias("adist"))
-    )
+    qualifying = None
     if predicate is not None:
         if attrs is None:
             raise ValueError("filtered search needs BOTH predicate and attrs")
         qualifying = attrs.filter(predicate).select(F.col(attrs_id_col).alias("id"))
-        cands = cands.join(qualifying, "id", "left_semi")
-    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("id").asc())
-    if not rerank or raw is None:
-        return (
-            cands.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "id", F.col("adist").alias("distance"), "rank")
+    strategy = _resolve_adc_strategy(strategy, index)
+    lut_rows = (
+        lut.select("query_id", "__lut").collect() if strategy == "numpy" else []
+    )
+    if lut_rows:
+        import numpy as np
+
+        m_ = len(lut_rows[0]["__lut"]) // ks
+        lut_map = {
+            r["query_id"]: np.array(list(r["__lut"]), dtype=np.float64).reshape(m_, ks)
+            for r in lut_rows
+        }
+        src = index.join(F.broadcast(routed), on="list_id")
+        if qualifying is not None:
+            src = src.join(qualifying, "id", "left_semi")
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        id_t = index.schema["id"].dataType.simpleString()
+        emit_top = rerank if (rerank and raw is not None) else k
+        cands = src.select("query_id", "id", "codes").mapInPandas(
+            _numpy_adc_candidates_kernel(lut_map, m_, ks, emit_top),
+            schema=f"query_id {qid_t}, id {id_t}, adist double",
         )
-    shortlist = (
-        cands.withColumn("__sr", F.row_number().over(w))
-        .filter(F.col("__sr") <= rerank)
-        .select("query_id", "__qvec", "id")
-    )
-    exact = raw.join(F.broadcast(shortlist), on="id").select(
-        "query_id", "id", vm.euclidean_distance("__qvec", "vec").alias("distance")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("distance").asc_nulls_last(), F.col("id").asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "id", "distance", "rank")
-    )
+    else:
+        adist = F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col("codes"),
+                    lambda c, i: F.element_at(F.col("__lut"), (i * ks + c + 1).cast("int")),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        cands = (
+            index.join(F.broadcast(routed), on="list_id")
+            .join(F.broadcast(lut), on="query_id")
+            .select("query_id", "id", adist.alias("adist"))
+        )
+        if qualifying is not None:
+            cands = cands.join(qualifying, "id", "left_semi")
+    return _adc_finish(cands, q, raw, k, rerank)
 
 
 def ivf_residuals(
