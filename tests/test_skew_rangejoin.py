@@ -48,11 +48,7 @@ def test_salted_join_spreads_hot_key(skewed):
     salts = (
         big.withColumn(
             "__salt",
-            F.pmod(
-                F.conv(F.substring(F.md5(F.col("payload").cast("string")), 1, 8), 16, 10)
-                .cast("long"),
-                F.lit(8),
-            ),
+            F.pmod(F.xxhash64(F.col("payload").cast("string")), F.lit(8)),
         )
         .filter(F.col("k") == "HOT")
         .select("__salt")

@@ -48,6 +48,14 @@ EXCHANGE_BUDGETS = {
     # exchange count — the budget covers the print, runtime shuffles are
     # far fewer (5 InMemoryTableScans confirm the reuse)
     "ann_ivf_sq8_knn": 50,
+    # r5 distributed exact-ntile rewrite (operators/rank.py): the bigram-
+    # LM score table is persisted, then range-exchange + per-partition
+    # window + partition-count-sized offsets window + broadcast join. The
+    # cached score/rank subtree prints under BOTH consumers (the counts
+    # branch and the final join), inflating the textual exchange count;
+    # runtime shuffles after the persist are 4 and all post-aggregation
+    # tables are one-row-per-doc or one-row-per-partition
+    "pipeline_ppl_buckets": 24,
     "ivf_recall_curve": 200,          # 4 configs × unrolled det-IVF
     # PQ family: the codebook build unrolls per-subspace det-Lloyd the
     # same way (explode + two-level tree aggregate + join per iteration,

