@@ -131,12 +131,15 @@ def main() -> int:
          lambda: sink(dedup.minhash_signatures(docs, strategy="kernel")))
 
     # duplicate clustering: LSH pairs -> connected components at corpus size
-    # (rounds = graph diameter; each round shuffles only (id,label) pairs)
-    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4)
-    pairs = pairs.localCheckpoint()  # isolate CC cost from pair generation
-    n_pairs = pairs.count()
-    cell("cc_%dpairs_%ddocs" % (n_pairs, n_docs),
-         lambda: sink(dedup.connected_components(pairs, docs)))
+    # (rounds = graph diameter; each round shuffles only (id,label) pairs).
+    # Setup (pair generation + checkpoint) is itself minutes at 1M docs —
+    # guard it so `only` runs of other groups don't pay it.
+    if want("cc_%ddocs" % n_docs):
+        pairs = dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+        pairs = pairs.localCheckpoint()  # isolate CC cost from pair generation
+        n_pairs = pairs.count()
+        cell("cc_%dpairs_%ddocs" % (n_pairs, n_docs),
+             lambda: sink(dedup.connected_components(pairs, docs)))
 
     # deterministic IVF: one-off build cost, then probe vs the exact scan
     # above (the payoff claim: a persisted index turns every search into

@@ -220,7 +220,10 @@ def _numpy_adc_scan_kernel(lut_rows: list, m: int, ks: int, emit_top: int):
         for pdf in batches:
             if pdf.empty:
                 continue
-            C = np.array([list(c) for c in pdf["codes"]], dtype=np.int64)
+            # np.stack over the Arrow-materialized arrays — a per-row
+            # list() comprehension here costs more than the math at
+            # millions of candidate rows
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64, copy=False)
             ids = pdf["id"].to_numpy()
             frames = []
             for qi, qid in enumerate(qids):
@@ -254,7 +257,7 @@ def _numpy_adc_candidates_kernel(lut_map: dict, m: int, ks: int, emit_top: int):
         for pdf in batches:
             if pdf.empty:
                 continue
-            C_all = np.array([list(c) for c in pdf["codes"]], dtype=np.int64)
+            C_all = np.stack(pdf["codes"].to_numpy()).astype(np.int64, copy=False)
             ids_all = pdf["id"].to_numpy()
             q_all = pdf["query_id"].to_numpy()
             frames = []
