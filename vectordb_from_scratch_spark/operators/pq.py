@@ -470,13 +470,18 @@ def ann_knn_ivf_pq(
     candidate sets are bit-deterministic, so the whole compose is
     value-exact oracle-twinnable (plans/registry.py ann_ivf_pq_knn).
 
-    strategy as in pq_adc_topk: "expr" is the oracle-exact in-plan fold;
-    "numpy" scores the probed-list candidate rows in an Arrow-batched
-    gather kernel (grouped per query inside each batch, per-batch
-    top-shortlist partials only leave the executor); "auto" flips on
-    knn.AUTO_NUMPY_THRESHOLD against the INDEX size. The residual
-    variant (ann_knn_ivf_pq_residual) stays expression-only — its LUT is
-    per-(query, list), too large a closure to ship to every task.
+    strategy: "expr" is the oracle-exact in-plan fold; "numpy" scores
+    the probed-list candidate rows in an Arrow-batched gather kernel
+    (grouped per query inside each batch, per-batch top-shortlist
+    partials only leave the executor). "auto" resolves to EXPR here —
+    unlike flat ADC (where the kernel measured 3.5× faster at 1M), the
+    routed probe's candidates are already row-cut and carry their codes
+    through the Python boundary, and the Arrow export costs more than
+    the interpreted lambda it replaces (measured warm: expr 9.4 s vs
+    kernel 11.7 s at 1M; expr 54.9 s vs kernel 84.5 s at 10M, SCALE.md
+    round-5). The residual variant (ann_knn_ivf_pq_residual) stays
+    expression-only — its LUT is per-(query, list), too large a closure
+    to ship to every task.
 
     ``predicate`` over ``attrs`` composes the metadata filter exactly as
     on the SQ8/IVF/SRP paths (reference search_with_filter over any
@@ -523,7 +528,10 @@ def ann_knn_ivf_pq(
         if attrs is None:
             raise ValueError("filtered search needs BOTH predicate and attrs")
         qualifying = attrs.filter(predicate).select(F.col(attrs_id_col).alias("id"))
-    strategy = _resolve_adc_strategy(strategy, index)
+    if strategy == "auto":
+        strategy = "expr"  # measured faster at 1M and 10M — see docstring
+    elif strategy not in ("expr", "numpy"):
+        raise ValueError(f"strategy must be auto|expr|numpy, got {strategy!r}")
     lut_rows = (
         lut.select("query_id", "__lut").collect() if strategy == "numpy" else []
     )
