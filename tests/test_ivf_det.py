@@ -167,3 +167,34 @@ def test_ivf_sq8_code_only_search_is_close(embeddings):
     es = {(r.query_id, r.id) for r in exact.collect()}
     recall = len(qs & es) / len(es)
     assert recall >= 0.9, f"code-only recall {recall}"
+
+
+def test_sampled_training_deterministic_and_exact_under_full_probe(embeddings):
+    """train_mod>1 trains Lloyd on a deterministic subset: two builds are
+    bit-identical, and because IVF partitions are exhaustive, probing
+    ALL lists returns the exact k-NN regardless of centroid quality —
+    sampled training changes build cost, never correctness semantics."""
+    from vectordb_from_scratch_spark.operators import knn
+
+    a = ann.build_ivf_det(embeddings, n_lists=4, iters=1, train_mod=4)
+    b = ann.build_ivf_det(embeddings, n_lists=4, iters=1, train_mod=4)
+    ra = sorted((r["list_id"], tuple(r["cvec"])) for r in a.collect())
+    rb = sorted((r["list_id"], tuple(r["cvec"])) for r in b.collect())
+    assert ra == rb and len(ra) == 4
+    assert all(len(c) == 64 for _, c in ra)
+
+    v = embeddings.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, a)
+    probes = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    approx = ann.ann_knn_ivf(assigned, a, probes, k=5, n_probe=4,
+                             id_col="id", vec_col="vec")
+    exact = knn.knn(embeddings, probes, k=5, strategy="window")
+    ga = {(r["query_id"], r["rank"], r["id"]) for r in approx.collect()}
+    ge = {(r["query_id"], r["rank"], r["id"]) for r in exact.collect()}
+    assert ga == ge

@@ -562,6 +562,7 @@ def build_ivf_det(
     block: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_mod: int = 1,
 ) -> DataFrame:
     """Deterministic IVF coarse quantizer: Lloyd's k-means with md5-seeded
     init and a fixed-tree mean (see _det_centroids), yielding centroids
@@ -581,23 +582,38 @@ def build_ivf_det(
     Returns the centroids DataFrame (list_id int, cvec array<double>).
     Iteration materializes nothing driver-side (no collect); each round
     is a broadcast-assign plus one bounded-group aggregation, the same
-    shuffle shape MLlib KMeans runs internally. Production builds at
-    scale should still prefer build_ivf (sampled, mini-batched); this
-    path is the spec both are judged against."""
+    shuffle shape MLlib KMeans runs internally.
+
+    ``train_mod``: Lloyd iterations train on the deterministic 1/train_mod
+    subset ``pmod(xxhash64(id), train_mod) == 0`` (the whole table at the
+    default 1). Centroid quality needs a representative sample, not every
+    row — the same economics as pq_codebook's 1%-sample training (FAISS's
+    production pattern), and the fix for the measured build wall-time at
+    scale (SCALE.md round-5: 2 full-data Lloyd iters at 10M rows cost
+    1316 s where the probe they serve costs 56 s; the full-corpus
+    assignment pass that actually builds the index is unavoidable and
+    unaffected). Deterministic and engine-portable, so a sampled build
+    is still exactly reproducible — but the sampled centroids differ
+    from full-data centroids, so the oracle-twinned registry queries
+    keep train_mod=1 as the spec."""
     from pyspark.sql import Window
 
     v = vectors.select(
         F.col(id_col).cast("long").alias("id"), vm.as_double(vec_col).alias("vec")
     )
+    train = (
+        v if train_mod <= 1
+        else v.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(train_mod)) == 0)
+    )
     seed_key = F.md5(F.col("id").cast("string"))
-    seeds = v.orderBy(seed_key.asc(), F.col("id").asc()).limit(n_lists)
+    seeds = train.orderBy(seed_key.asc(), F.col("id").asc()).limit(n_lists)
     w = Window.orderBy(seed_key.asc(), F.col("id").asc())  # over n_lists rows only
     cent = seeds.select(
         (F.row_number().over(w) - 1).cast("int").alias("list_id"),
         F.col("vec").alias("cvec"),
     )
     for _ in range(iters):
-        cent = _det_centroids(assign_ivf_det(v, cent), cent, block)
+        cent = _det_centroids(assign_ivf_det(train, cent), cent, block)
     return cent
 
 
