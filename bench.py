@@ -114,7 +114,10 @@ def main() -> None:
             # MMR/BPE queries) leaked across the r4 session and spiked
             # unrelated queries 2-5× via block-manager pressure.
             dedup.release_caches()
-            cache.sweep_persistent_rdds(spark)
+            # all_rdds: this session is dedicated to the bench, so the
+            # global sweep is safe here and keeps r5's decontamination
+            # guarantee even for blocks that bypassed the tracked path
+            cache.sweep_persistent_rdds(spark, all_rdds=True)
         return time.perf_counter() - t0
 
     # min of repeated runs per query: single-shot timings on a shared box
@@ -144,6 +147,21 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     numeric = [t for t in timings.values() if isinstance(t, float)]
+    # Raw samples go on their OWN line (and a sidecar file) BEFORE the
+    # headline: r5's single fat line with samples inline overflowed the
+    # driver's tail-capture buffer and left BENCH_r05.json "parsed": null
+    # (VERDICT r5 #3). The headline line stays compact and LAST so any
+    # tail-line parser finds a complete JSON object.
+    samples_doc = {"samples": samples, "sf": sf_val}
+    print(json.dumps(samples_doc, separators=(",", ":")))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_samples.json"),
+            "w",
+        ) as fh:
+            json.dump(samples_doc, fh)
+    except OSError:
+        pass  # samples sidecar is best-effort; the headline line is the contract
     print(
         json.dumps(
             {
@@ -151,11 +169,11 @@ def main() -> None:
                 "value": round(sum(numeric), 3),
                 "unit": "sec",
                 "queries": timings,
-                "samples": samples,
                 "sf": sf_val,
                 "n_ok": len(numeric),
                 "n_err": len(timings) - len(numeric),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

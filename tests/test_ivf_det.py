@@ -198,3 +198,19 @@ def test_sampled_training_deterministic_and_exact_under_full_probe(embeddings):
     ga = {(r["query_id"], r["rank"], r["id"]) for r in approx.collect()}
     ge = {(r["query_id"], r["rank"], r["id"]) for r in exact.collect()}
     assert ga == ge
+
+
+def test_sampled_training_falls_back_when_sample_too_small(spark):
+    """Advisor r5: a train_mod that leaves fewer than n_lists sampled
+    rows must not silently build fewer centroids (and shift every
+    downstream list_id) — the build falls back to full-data training."""
+    rows = [(i, [float(i), float(2 * i)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # train_mod=1000 over 12 rows: the hash-sampled subset is almost
+    # surely < n_lists=6 → fallback must kick in and match train_mod=1
+    full = {r["list_id"]: tuple(r["cvec"])
+            for r in ann.build_ivf_det(df, n_lists=6, iters=1).collect()}
+    sampled = {r["list_id"]: tuple(r["cvec"])
+               for r in ann.build_ivf_det(df, n_lists=6, iters=1, train_mod=1000).collect()}
+    assert len(sampled) == 6
+    assert sampled == full

@@ -128,3 +128,130 @@ def test_decode_metadata_auto_mode_sparkside(spark):
     got = {r["doc_id"]: r for r in mm.decode_metadata(df, decoder="auto").collect()}
     assert got[1]["media"]["codec"] in ("jpeg",)  # PIL absent → header rung
     assert got[2]["media"] is None
+
+
+def test_jpeg_eoi_sos_before_sof_returns_none():
+    """Advisor r5: EOI/SOS carry no segment length — a JPEG whose
+    marker stream hits either before any SOF must cleanly return None
+    rather than walking entropy data by garbage 'lengths'."""
+    soi = b"\xff\xd8"
+    # SOS straight after SOI (no SOF yet) + entropy-looking bytes
+    assert mm.parse_image_header(soi + b"\xff\xda" + b"\x12\x34" * 8) is None
+    # EOI immediately — an empty-but-marker-valid stream
+    assert mm.parse_image_header(soi + b"\xff\xd9" + b"\x00" * 8) is None
+
+
+def test_bmp_core_header_rejected():
+    """A 12-byte BITMAPCOREHEADER stores u16 dims at different offsets;
+    trusting BITMAPINFOHEADER offsets would misread them (advisor r5)."""
+    core = (
+        b"BM" + struct.pack("<IHHI", 26 + 64, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 8, 8, 1, 24)  # BITMAPCOREHEADER
+        + b"\x00" * 64
+    )
+    assert mm.parse_image_header(core) is None
+    # the V4 header (108 bytes) keeps the first 40 bytes compatible
+    v4 = (
+        b"BM" + struct.pack("<IHHI", 122 + 4, 0, 0, 122)
+        + struct.pack("<IiiHHIIiiII", 108, 2, 1, 1, 32, 3, 8, 2835, 2835, 0, 0)
+        + b"\x00" * (68 + 4)
+    )
+    got = mm.parse_image_header(v4)
+    assert got == {"width": 2, "height": 1, "channels": 4, "codec": "bmp"}
+
+
+# ---------------------------------------------------------------------------
+# Real PNG pixel decode (stdlib zlib) — round 6
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("w,h,ch", [(1, 1, 1), (5, 7, 3), (16, 3, 4), (8, 10, 2)])
+def test_png_pixel_roundtrip_all_filters(w, h, ch):
+    """encode_png cycles filter types per scanline (row % 5), so any
+    h >= 5 exercises every unfilter branch on the decode side."""
+    px = bytes((r * 7 + c * 13 + k * 97) % 256 for r in range(h) for c in range(w) for k in range(ch))
+    dec = mm.decode_png_pixels(mm.encode_png(px, w, h, ch))
+    assert dec is not None
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, ch)
+    assert dec["pixels"] == px
+
+
+def test_png_unfilter_paeth_hand_computed():
+    """Fixed byte vector decoded against hand-worked Paeth math —
+    independent of the encoder, so a consistent-but-wrong predictor
+    cannot cancel out through the round-trip."""
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", zlib.crc32(tag + data))
+
+    # 2x2 grayscale: row0 filter 0 → [10, 20]; row1 filter 4 (Paeth),
+    # filtered bytes [5, 250]:
+    #   i=0: left=0 up=10 ul=0 → p=10, pa=10 pb=0 pc=10 → pred=up=10 → 15
+    #   i=1: left=15 up=20 ul=10 → p=25, pa=10 pb=5 pc=15 → pred=up=20 → (250+20)&255=14
+    raw = b"\x00\x0a\x14" + b"\x04\x05\xfa"
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    dec = mm.decode_png_pixels(png)
+    assert dec is not None and dec["pixels"] == bytes([10, 20, 15, 14])
+
+
+def test_png_palette_expansion():
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", zlib.crc32(tag + data))
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    raw = b"\x00\x00\x01" + b"\x00\x02\x02"  # 2x2, indices [[0,1],[2,2]]
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    dec = mm.decode_png_pixels(png)
+    assert dec is not None and dec["channels"] == 3
+    assert dec["pixels"] == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 255])
+    # palette index beyond PLTE → rejected, not garbage
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x09"))
+        + chunk(b"IEND", b"")
+    )
+    assert mm.decode_png_pixels(bad) is None
+
+
+def test_png_pixel_decode_rejects_unsupported_profiles():
+    base = bytes((r + c) % 256 for r in range(4) for c in range(4) for _ in range(3))
+    good = mm.encode_png(base, 4, 4, 3)
+    assert mm.decode_png_pixels(good) is not None
+    # 16-bit depth
+    png16 = make_png(4, 4, color_type=2, bit_depth=16)
+    assert mm.decode_png_pixels(png16) is None
+    # truncated IDAT (inflate fails)
+    cut = good[: len(good) - 20]
+    assert mm.decode_png_pixels(cut) is None
+    # non-PNG
+    assert mm.decode_png_pixels(b"BM" + b"\x00" * 60) is None
+
+
+def test_png_pixel_stats_sparkside(spark):
+    px1 = bytes(range(16))  # 4x4 gray: sum 120, min 0, max 15
+    px2 = bytes([10, 200] * 6)  # 2x3 gray+alpha: ch0 all 10, ch1 all 200
+    rows = [
+        (1, mm.encode_png(px1, 4, 4, 1)),
+        (2, mm.encode_png(px2, 2, 3, 2)),
+        (3, b"not a png"),  # rejected → contributes no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {(r["doc_id"], r["channel"]): r for r in mm.png_pixel_stats(df).collect()}
+    assert set(got) == {(1, 0), (2, 0), (2, 1)}
+    assert got[(1, 0)]["px_sum"] == 120 and got[(1, 0)]["px_max"] == 15
+    assert got[(1, 0)]["n_pixels"] == 16 and got[(1, 0)]["px_mean"] == 7.5
+    assert got[(2, 0)]["px_sum"] == 60 and got[(2, 1)]["px_sum"] == 1200
+    assert got[(2, 1)]["px_min"] == 200 and got[(2, 1)]["px_max"] == 200

@@ -84,13 +84,28 @@ def test_ppl_buckets_has_no_single_partition_window(documents):
     assert sizes == [66, 67, 67]
 
 
-def test_sweep_persistent_rdds_clears_checkpoint_blocks(spark):
+def test_sweep_persistent_rdds_scoped_vs_global(spark):
+    """Advisor r5: the default sweep must touch only THIS library's
+    checkpoint blocks (tracked via cache.checkpoint); a co-resident
+    user's cache survives unless all_rdds=True is passed."""
     from vectordb_from_scratch_spark.operators import cache
 
-    df = spark.range(100).localCheckpoint()
-    assert df.count() == 100
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    assert len(list(jmap)) >= 1
-    n = cache.sweep_persistent_rdds(spark)
+    # drain anything earlier tests left behind so counts are ours
+    cache.release_caches()
+    cache.sweep_persistent_rdds(spark, all_rdds=True)
+
+    ours = cache.checkpoint(spark.range(100))
+    assert ours.count() == 100
+    theirs = spark.range(50).localCheckpoint()  # untracked, "user" block
+    assert theirs.count() == 50
+    assert len(list(spark.sparkContext._jsc.getPersistentRDDs())) >= 2
+
+    n = cache.sweep_persistent_rdds(spark)  # scoped default
     assert n >= 1
+    remaining = list(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(remaining) >= 1  # the user's block survived
+
+    n2 = cache.sweep_persistent_rdds(spark, all_rdds=True)
+    assert n2 >= 1
     assert len(list(spark.sparkContext._jsc.getPersistentRDDs())) == 0
+    cache.release_caches()

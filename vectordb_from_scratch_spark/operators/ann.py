@@ -605,6 +605,14 @@ def build_ivf_det(
         v if train_mod <= 1
         else v.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(train_mod)) == 0)
     )
+    if train_mod > 1:
+        # the sampled subset must still seed n_lists distinct centroids —
+        # a too-aggressive train_mod would otherwise silently return
+        # fewer lists and shift every downstream list_id (advisor r5).
+        # The probe is cheap: limit(n_lists).count() is a partial scan
+        # bounded at n_lists rows per partition.
+        if train.limit(n_lists).count() < n_lists:
+            train = v  # fall back to full-data training rather than mis-build
     seed_key = F.md5(F.col("id").cast("string"))
     seeds = train.orderBy(seed_key.asc(), F.col("id").asc()).limit(n_lists)
     w = Window.orderBy(seed_key.asc(), F.col("id").asc())  # over n_lists rows only

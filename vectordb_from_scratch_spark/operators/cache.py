@@ -12,9 +12,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["track", "checkpoint_tracked", "release_caches", "sweep_persistent_rdds"]
+__all__ = [
+    "track",
+    "checkpoint",
+    "checkpoint_tracked",
+    "release_caches",
+    "sweep_persistent_rdds",
+]
 
 _CACHE_HANDLES: list[DataFrame] = []
+# JVM RDD ids of blocks created by this library's localCheckpoint calls —
+# the scoped sweep target. A set of ints, not handles: checkpoint blocks
+# are RDD cache blocks that DataFrame.unpersist() cannot reach.
+_CHECKPOINT_RDD_IDS: set[int] = set()
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -23,17 +33,36 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
-def checkpoint_tracked(df: DataFrame, eager: bool = True) -> DataFrame:
-    """localCheckpoint + register the handle. Checkpoint blocks are RDD
-    cache blocks that `DataFrame.unpersist()` cannot reach (the handle
-    is kept anyway for bookkeeping, and unpersist() on it is a no-op);
-    they are reclaimed by `sweep_persistent_rdds`. Long sessions that
-    run many checkpoint-using queries (graph iteration, CC, MMR, BPE)
-    otherwise accumulate block-manager pressure — the round-4 bench
-    recorded 2-5× timing spikes from exactly this leak."""
+def _persistent_ids(spark) -> set[int]:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+
+def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint + record the resulting persistent-RDD id(s) so the
+    scoped sweep can reclaim them later. Every library call site routes
+    through here (not raw ``.localCheckpoint()``): checkpoint blocks are
+    RDD cache blocks that ``DataFrame.unpersist()`` cannot reach, and
+    long sessions that run many checkpoint-using queries (graph
+    iteration, CC, MMR, BPE) otherwise accumulate block-manager pressure
+    — the round-4 bench recorded 2-5× timing spikes from exactly this
+    leak.
+
+    Id capture is a before/after diff of the session's persistent-RDD
+    map (the checkpointed RDD registers there immediately, eager or
+    lazy). The diff can over-capture if another thread persists an RDD
+    in the same instant — acceptable for a hygiene registry; sweeping a
+    cached DataFrame only forces recompute, never breaks correctness.
+    """
+    spark = df.sparkSession
+    before = _persistent_ids(spark)
     out = df.localCheckpoint(eager)
+    _CHECKPOINT_RDD_IDS.update(_persistent_ids(spark) - before)
     _CACHE_HANDLES.append(out)
     return out
+
+
+# historical alias (round-5 name)
+checkpoint_tracked = checkpoint
 
 
 def release_caches() -> None:
@@ -45,10 +74,15 @@ def release_caches() -> None:
         _CACHE_HANDLES.pop().unpersist()
 
 
-def sweep_persistent_rdds(spark=None) -> int:
-    """Unpersist EVERY persistent RDD in the session — the backstop that
-    reclaims what release_caches cannot: localCheckpoint() blocks and any
-    cache that bypassed track(). Returns the number of RDDs swept.
+def sweep_persistent_rdds(spark=None, *, all_rdds: bool = False) -> int:
+    """Unpersist the checkpoint blocks this library created (the ids
+    recorded by `checkpoint`), reclaiming what release_caches cannot.
+    Returns the number of RDDs swept.
+
+    Scoped by default (advisor r5): a global sweep would also evict
+    caches a co-resident user created in the same session. Pass
+    ``all_rdds=True`` for the global backstop — e.g. a dedicated bench
+    session where every persistent RDD belongs to the harness.
 
     Safe between queries: DataFrame caches evicted this way recompute on
     next use (InMemoryRelation tolerates missing partitions), and a
@@ -61,11 +95,15 @@ def sweep_persistent_rdds(spark=None) -> int:
         if spark is None:
             return 0
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    targets = list(jmap) if all_rdds else [i for i in list(jmap) if i in _CHECKPOINT_RDD_IDS]
     n = 0
-    for rdd_id in list(jmap):
+    for rdd_id in targets:
         try:
             jmap[rdd_id].unpersist(False)
             n += 1
         except Exception:  # noqa: BLE001 — a racing removal is fine
             pass
+        _CHECKPOINT_RDD_IDS.discard(rdd_id)
+    if all_rdds:
+        _CHECKPOINT_RDD_IDS.clear()
     return n

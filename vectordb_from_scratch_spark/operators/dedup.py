@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from . import cache
 from ..sources.tables import spread
 
 __all__ = [
@@ -698,7 +699,7 @@ def connected_components(
     """
     half = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint()
+    ).transform(cache.checkpoint)
     if driver_threshold and half.count() <= driver_threshold:
         parent: dict = {}
 
@@ -732,11 +733,11 @@ def connected_components(
         )
     edges = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).transform(cache.checkpoint)
     labels = (
         nodes.select(F.col(node_col).alias("id")).distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
+        .transform(cache.checkpoint)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -761,7 +762,7 @@ def connected_components(
                 new_comp.alias("comp"),
                 (new_comp < F.col("comp0")).alias("changed"),
             )
-            .localCheckpoint()
+            .transform(cache.checkpoint)
         )
         labels = updated.select("id", "comp")
         if updated.filter("changed").isEmpty():

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import cache
+
 __all__ = ["pagerank", "label_propagation", "triangle_count"]
 
 
@@ -69,7 +71,7 @@ def triangle_count(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .transform(cache.checkpoint)
     )
     deg = (
         canon.select(F.col("u").alias("node"))
@@ -93,7 +95,7 @@ def triangle_count(
             .alias("e")
         )
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
-        .localCheckpoint()
+        .transform(cache.checkpoint)
     )
     e1 = oriented.select(F.col("s").alias("apex"), F.col("t").alias("x"))
     e2 = oriented.select(F.col("s").alias("apex"), F.col("t").alias("y"))
@@ -113,7 +115,7 @@ def triangle_count(
         )
         # three consumers (one per triangle corner) — run the wedge
         # closure once, not three times
-        .localCheckpoint()
+        .transform(cache.checkpoint)
     )
     per_vertex = (
         tri.select(F.col("apex").alias("node"))
@@ -173,21 +175,21 @@ def pagerank(
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(cache.checkpoint)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(cache.checkpoint)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).transform(cache.checkpoint)
     n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
     base = F.lit(1.0 - damping) / F.col("__n").cast("double")
     pr = (
         nodes.crossJoin(F.broadcast(n_df))
         .select("node", (F.lit(1.0) / F.col("__n").cast("double")).alias("pr"))
-        .localCheckpoint()
+        .transform(cache.checkpoint)
     )
     for _ in range(iters):
         contrib = (
@@ -210,7 +212,7 @@ def pagerank(
                 "node",
                 (base + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias("pr"),
             )
-            .localCheckpoint()
+            .transform(cache.checkpoint)
         )
     return pr
 
@@ -247,7 +249,7 @@ def label_propagation(
         und.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        .transform(cache.checkpoint)
     )
     from pyspark.sql import Window
 
@@ -261,6 +263,6 @@ def label_propagation(
             counts.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("node", "label")
-            .localCheckpoint()
+            .transform(cache.checkpoint)
         )
     return labels

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectormath as vm
+from . import cache
 from ..sources.tables import spread
 
 __all__ = ["knn", "knn_filtered", "knn_filtered_overfetch", "self_knn",
@@ -697,7 +698,7 @@ def mmr_diversify(
             scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(q, "id", F.lit(step).alias("mmr_rank"), "score")
-            .localCheckpoint()
+            .transform(cache.checkpoint)
         )
         selected = pick if selected is None else selected.unionByName(pick)
     return selected

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -37,6 +38,9 @@ __all__ = [
     "decode_image",
     "decode_metadata",
     "sample_frames",
+    "encode_png",
+    "decode_png_pixels",
+    "png_pixel_stats",
     "HAS_PIL",
 ]
 
@@ -92,6 +96,11 @@ def parse_image_header(payload: bytes) -> dict | None:
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue
+            if marker in (0xD9, 0xDA):
+                # EOI / SOS before any SOF: no frame header will follow
+                # (entropy-coded data after SOS carries no segment
+                # lengths, so walking past it would mis-scan garbage)
+                return None
             seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
             if marker in _JPEG_SOF:
                 if i + 10 > len(b):  # need through the component-count byte
@@ -108,6 +117,13 @@ def parse_image_header(payload: bytes) -> dict | None:
         # GIF pixels are palette indices into an RGB color table
         return {"width": w, "height": h, "channels": 3, "codec": "gif"}
     if len(b) >= 30 and b[:2] == b"BM":
+        # the field offsets below assume BITMAPINFOHEADER layout (or the
+        # V2-V5 extensions, which keep the first 40 bytes compatible);
+        # a 12-byte BITMAPCOREHEADER stores u16 dims at different
+        # offsets — reject rather than silently misread
+        dib_size = struct.unpack("<I", b[14:18])[0]
+        if dib_size < 40:
+            return None
         w, h = struct.unpack("<ii", b[18:26])
         bpp = struct.unpack("<H", b[28:30])[0]
         if bpp == 0:
@@ -138,6 +154,211 @@ def decode_image(payload: bytes) -> dict:
             "library is installed — full decode requires PIL/libvips"
         )
     return meta
+
+
+# ---------------------------------------------------------------------------
+# Real PNG pixel codec — stdlib only (zlib + struct), no imaging library.
+#
+# Scope (VERDICT r5 #5): non-interlaced 8-bit-per-sample PNGs, all five
+# scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9), color types
+# 0/2/3/4/6 (palette expanded through PLTE). That covers the most common
+# PNG variant end-to-end with zero new dependencies; 16-bit, interlaced
+# and ancillary-transform files still fall to the PIL path / stub.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: bytes, width: int, height: int, channels: int,
+               *, filter_cycle: bool = True) -> bytes:
+    """Encode raw 8-bit row-major samples into a fully valid PNG
+    (correct chunk CRCs, single zlib IDAT). `channels` selects the color
+    type (1→gray, 2→gray+alpha, 3→RGB, 4→RGBA). With ``filter_cycle``
+    each scanline uses filter type ``row % 5``, so a round-trip through
+    `decode_png_pixels` exercises every unfilter branch — the encoder
+    exists exactly to give the decoder (and the oracle-twinned registry
+    query) real compressed input to chew on."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError(f"need {stride * height} bytes, got {len(pixels)}")
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        line = pixels[r * stride : (r + 1) * stride]
+        f = r % 5 if filter_cycle else 0
+        raw.append(f)
+        if f == 0:
+            raw += line
+        else:
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                up = prev[i]
+                ul = prev[i - channels] if i >= channels else 0
+                if f == 1:
+                    pred = left
+                elif f == 2:
+                    pred = up
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    pred = _paeth(left, up, ul)
+                raw.append((line[i] - pred) & 0xFF)
+        prev = line
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes) -> dict | None:
+    """REAL pixel decode for non-interlaced 8-bit PNGs: chunk walk →
+    zlib-inflate IDAT → per-scanline unfilter (all five filter types) →
+    palette expansion for color type 3. Returns {width, height,
+    channels, pixels} with `pixels` the reconstructed row-major samples
+    (bytes, len == width*height*channels), or None for payloads outside
+    the supported profile (16-bit, interlaced, truncated, non-PNG).
+
+    Cost is O(pixels) per payload in pure Python — the right shape for
+    an Arrow-batched narrow map where parallelism comes from input
+    splits, not from the per-payload kernel."""
+    b = bytes(payload)
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(b):
+        clen = struct.unpack(">I", b[pos : pos + 4])[0]
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            return None  # truncated chunk
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen  # len + tag + body + crc (crc not validated)
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    width, height = struct.unpack(">II", ihdr[:8])
+    bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    if color_type not in _PNG_CHANNELS or width == 0 or height == 0:
+        return None
+    bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != (stride + 1) * height:
+        return None
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for r in range(height):
+        f = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if f == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif f != 0:
+            return None  # invalid filter type
+        out[r * stride : (r + 1) * stride] = line
+        prev = bytes(line)
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            return None
+        n_entries = len(plte) // 3
+        if out and max(out) >= n_entries:
+            return None  # index beyond palette
+        expanded = bytearray(width * height * 3)
+        for j, idx in enumerate(out):
+            expanded[3 * j : 3 * j + 3] = plte[3 * idx : 3 * idx + 3]
+        out = expanded
+        channels = 3
+    else:
+        channels = _PNG_CHANNELS[color_type]
+    return {"width": width, "height": height, "channels": channels,
+            "pixels": bytes(out)}
+
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id long, channel int, width int, height int, "
+    "px_sum long, px_min int, px_max int, n_pixels long, px_mean double"
+)
+
+
+def png_pixel_stats(
+    payloads: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel statistics from REAL PNG decode: one output row
+    per (payload, channel) with integer-exact sum/min/max/count plus the
+    derived mean. Payloads `decode_png_pixels` rejects produce no rows
+    (the unsupported-profile filter a 100-TB sweep needs anyway).
+    Arrow-batched narrow map — no shuffle, parallel per input split."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_png_pixels(payload)
+                if dec is None:
+                    continue
+                arr = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(
+                    dec["height"], dec["width"], dec["channels"]
+                )
+                for ch in range(dec["channels"]):
+                    plane = arr[:, :, ch].astype(np.int64)
+                    s, n = int(plane.sum()), int(plane.size)
+                    rows.append(
+                        (int(doc_id), ch, dec["width"], dec["height"],
+                         s, int(plane.min()), int(plane.max()), n,
+                         round(s / n, 6))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "channel", "width", "height",
+                         "px_sum", "px_min", "px_max", "n_pixels", "px_mean"],
+            )
+
+    return payloads.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
 
 
 def fake_decode(payload: bytes) -> dict:

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..sources.tables import spread
+from . import cache
 from . import rank as rank_ops
 
 __all__ = [
@@ -828,7 +829,7 @@ def _bpe_fit(documents: DataFrame, n_merges: int, text_col: str):
                 F.col("pair_count").desc(), F.col("lhs").asc(), F.col("rhs").asc()
             )
             .limit(1)
-            .localCheckpoint()
+            .transform(cache.checkpoint)
         )
         pick = best.select(
             F.lit(step).alias("step"), "lhs", "rhs",

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import cache
 from .dedup_stream import _dir_exists
 
 __all__ = [
@@ -113,7 +114,7 @@ def compact_counts(spark: SparkSession, state_dir: str) -> None:
         .withColumn("batch_id", F.lit(_BASELINE_BATCH))
         .coalesce(1)
         # static overwrite replaces ALL partitions with the baseline
-        .localCheckpoint()
+        .transform(cache.checkpoint)
     )
     (
         totals.write.mode("overwrite")
