@@ -509,6 +509,126 @@ def main() -> int:
         cell("cc_chain_%dnodes" % n_cc,
              lambda: sink(dedup.connected_components(chain, nodes)))
 
+    # Recall at the 10M decade (VERDICT r5 #6): the round-5 cells measured
+    # latency/bytes at 10M but not recall — these cells prove the
+    # reference recall floors (>=0.90 full-dim, >=0.85 quantized;
+    # tests/recall_test.rs:67-80) hold where the latency was measured.
+    # Ground truth = exact brute-force top-k via the numpy kernel.
+    if want("recall10m"):
+        import glob as _glob
+
+        big10_path = "/tmp/big_embeddings_10m"
+        emb10 = spark.read.parquet(big10_path)
+        n10 = emb10.count()
+        layout = None
+        for d in sorted(_glob.glob("/tmp/ivf10m_*")):
+            if os.path.isdir(os.path.join(d, "assigned_L64P8")) and os.path.isdir(
+                os.path.join(d, "ivfpq")
+            ):
+                layout = d
+        assert layout, "run the ivf10m cells first to build the 10M layouts"
+        from vectordb_from_scratch_spark.operators import pq as pqm10
+
+        gt = (
+            knn.knn(emb10, probes, k=K, strategy="numpy")
+            .select("query_id", "id")
+            .localCheckpoint()
+        )
+        n_gt = gt.count()  # 100 probes × K
+
+        def recall_at_k(df) -> float:
+            hits = df.select("query_id", "id").join(gt, ["query_id", "id"]).count()
+            return round(hits / n_gt, 4)
+
+        def rcell(name, df):
+            if not want(name):
+                return
+            results[name] = recall_at_k(df)
+            print(json.dumps({"cell": name, "recall_at_%d" % K: results[name]}),
+                  flush=True)
+
+        a64 = spark.read.parquet(layout + "/assigned_L64P8")
+        c64 = spark.read.parquet(layout + "/cent_L64P8")
+        for n_probe in (2, 4, 8, 16):
+            rcell("recall10m_raw_L64_P%d" % n_probe,
+                  ann.ann_knn_ivf(a64, c64, probes, k=K, n_probe=n_probe,
+                                  id_col="id", vec_col="vec"))
+        a16 = spark.read.parquet(layout + "/assigned_L16P4")
+        c16 = spark.read.parquet(layout + "/cent_L16P4")
+        rcell("recall10m_raw_L16_P4",
+              ann.ann_knn_ivf(a16, c16, probes, k=K, n_probe=4,
+                              id_col="id", vec_col="vec"))
+        s64 = spark.read.parquet(layout + "/sq8_L64P8")
+        rcell("recall10m_sq8_L64_P8_rerank%d" % (3 * K),
+              ann.ann_knn_ivf_sq8(s64, c64, probes, k=K, n_probe=8,
+                                  rerank=3 * K, raw=a64.select("id", "vec")))
+        cb10 = spark.read.parquet(layout + "/cb")
+        ivfpq10 = spark.read.parquet(layout + "/ivfpq")
+        for rerank in (K, 3 * K, 10 * K):
+            rcell("recall10m_ivfpq_L16_P4_rerank%d" % rerank,
+                  pqm10.ann_knn_ivf_pq(ivfpq10, c16, cb10, probes, k=K,
+                                       n_probe=4, ks=32, d_sub=4,
+                                       rerank=rerank,
+                                       raw=a16.select("id", "vec")))
+
+    # Distributed exact ranking at 100M rows (VERDICT r5 #8): the r5
+    # scale fix measured directly at a decade past its biggest indirect
+    # measurement. score = (id * 2654435761) mod N is a modular
+    # permutation (gcd = 1), so the TRUE global rank is analytically
+    # score + 1 — exactness asserted over ALL 100M rows, no reference
+    # window needed. The single-partition window variant is the shape it
+    # replaces.
+    if any(want("rank%dm" % m) for m in (10, 100)):
+        import threading
+
+        from pyspark.sql import Window as _W
+
+        from vectordb_from_scratch_spark.operators import rank as rank_ops
+
+        def capped_window_run(perm, cap_sec=540):
+            """The single-partition window at 100M may simply not finish —
+            cap it so a DNF is recorded as an ERR cell instead of hanging
+            the whole suite past any outer timeout."""
+            sc = spark.sparkContext
+            sc.setJobGroup("rankwin", "single-partition window",
+                           interruptOnCancel=True)
+            t = threading.Timer(cap_sec, lambda: sc.cancelJobGroup("rankwin"))
+            t.start()
+            try:
+                sink(perm.select("id", F.row_number().over(
+                    _W.orderBy(F.col("score").asc())).alias("r")))
+            finally:
+                t.cancel()
+                sc.setLocalProperty("spark.jobGroup.id", None)
+
+        for n_rank, tagm in ((10_000_000, "rank10m"), (100_000_000, "rank100m")):
+            if not want(tagm):
+                continue
+            perm = (
+                spark.range(n_rank)
+                .select("id", F.pmod(F.col("id") * F.lit(2654435761),
+                                     F.lit(n_rank)).alias("score"))
+                .localCheckpoint()  # isolate generation from the ranking cost
+            )
+            cell(tagm + "_distributed",
+                 lambda perm=perm: sink(rank_ops.with_global_rank(
+                     perm, [F.col("score").asc()], "r", num_partitions=64)))
+            # score = (id * 2654435761) mod n is a modular permutation
+            # (gcd = 1 with 10^7/10^8), so the TRUE rank is score + 1 —
+            # exactness asserted over every row, no reference window needed
+            bad = (
+                rank_ops.with_global_rank(perm, [F.col("score").asc()], "r",
+                                          num_partitions=64)
+                .filter(F.col("r") != F.col("score") + 1)
+                .count()
+            )
+            assert bad == 0, f"{bad} rank mismatches vs the analytic permutation"
+            results[tagm + "_exact_mismatches"] = bad
+            print(json.dumps({"cell": tagm + "_exact_mismatches", "n": bad}),
+                  flush=True)
+            cell(tagm + "_single_window",
+                 lambda perm=perm: capped_window_run(perm))
+
     print(json.dumps({"metric": "stress_crossover", "n_emb": n_emb, "n_docs": n_docs,
                       "cpus": int(cpus), "runs": runs, "cells": results}))
     return 0

@@ -56,7 +56,19 @@ def with_global_rank(
         "__pid", F.spark_partition_id()
     )
     wl = Window.partitionBy("__pid").orderBy(*order_cols)
-    part = cache.track(part.withColumn("__local", F.row_number().over(wl)))
+    # Eager localCheckpoint, NOT persist: the counts job and the final
+    # join MUST see the same physical partitioning, and both the range
+    # boundaries (reservoir sampling) and spark_partition_id are
+    # nondeterministic — so the partitioning must be materialized
+    # exactly once. Spark's cache reuse is only best-effort here:
+    # measured at 1M+ rows with a localCheckpoint'd input, the
+    # offsets-side of the self-join was re-planned BELOW the
+    # InMemoryRelation (DeduplicateRelations re-aliases the LogicalRDD)
+    # and re-ran the range exchange with freshly sampled boundaries —
+    # counts from one partitioning, rows from another, ~98% of ranks
+    # wrong. Checkpoint blocks are reclaimed by the scoped sweep
+    # (cache.sweep_persistent_rdds) like every other checkpoint.
+    part = cache.checkpoint(part.withColumn("__local", F.row_number().over(wl)))
     counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     # tiny table (one row per partition): its cumulative window is cheap
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -104,7 +104,15 @@ def pack_sequences(
         "__pid", F.spark_partition_id()
     )
     w1 = Window.partitionBy("__pid").orderBy(F.col(id_col).asc())
-    local = parts.withColumn("__le", F.sum("__n").over(w1))
+    # Eager checkpoint: offs and the final join below both consume this
+    # frame, and its partitioning is nondeterministic (sampled range
+    # boundaries + spark_partition_id). Without a hard materialization
+    # the two consumers rely on exchange/cache reuse to see the SAME
+    # partitioning — a best-effort optimization, and the sibling
+    # construction in operators/rank.py was measured producing ~98%
+    # wrong offsets at 1M+ rows when reuse broke down. Freeze the
+    # sampling once; blocks are reclaimed by the scoped sweep.
+    local = cache.checkpoint(parts.withColumn("__le", F.sum("__n").over(w1)))
     # per-partition totals: tiny (one row per partition) — the only
     # unpartitioned window runs over THIS summary, never the data
     w0 = Window.orderBy(F.col("__pid").asc()).rowsBetween(
