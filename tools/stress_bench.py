@@ -444,55 +444,73 @@ def main() -> int:
             )
         emb10 = spark.read.parquet(big10_path)
         n10 = emb10.count()
-        idx10 = _tmp10.mkdtemp(prefix="ivf10m_")
+        # IVF10M_DIR reuses a previously built layout (resume after a
+        # crash, or recall cells over the exact layout r5 timed);
+        # IVF10M_TRAIN_MOD=100 trains centroids on the deterministic 1%
+        # sample (the production config measured 8.3× cheaper in r5 —
+        # build cost only, assignment/probing exactness is unaffected);
+        # IVF10M_PROBES=0 skips the probe-latency cells (already recorded
+        # in r5) so a recall-only session doesn't re-pay them.
+        idx10 = os.environ.get("IVF10M_DIR") or _tmp10.mkdtemp(prefix="ivf10m_")
+        tm10 = int(os.environ.get("IVF10M_TRAIN_MOD", "1"))
+        probes_on = os.environ.get("IVF10M_PROBES", "1") != "0"
         v10 = emb10.select(F.col("vec_id").cast("long").alias("id"),
                            F.col("embedding").cast("array<double>").alias("vec"))
         for n_lists, n_probe in ((16, 4), (64, 8)):
             tag = "L%dP%d" % (n_lists, n_probe)
-            t0 = time.monotonic()
-            cent10 = ann.build_ivf_det(emb10, n_lists=n_lists, iters=2)
-            ann.assign_ivf_det(v10, cent10).write.mode("overwrite").parquet(
-                idx10 + "/assigned_" + tag)
-            cent10.write.mode("overwrite").parquet(idx10 + "/cent_" + tag)
-            results["ivf10m_build_%s" % tag] = round(time.monotonic() - t0, 3)
-            print(json.dumps({"cell": "ivf10m_build_%s" % tag,
-                              "sec": results["ivf10m_build_%s" % tag]}), flush=True)
+            if not os.path.isdir(idx10 + "/assigned_" + tag):
+                t0 = time.monotonic()
+                cent10 = ann.build_ivf_det(emb10, n_lists=n_lists, iters=2,
+                                           train_mod=tm10)
+                ann.assign_ivf_det(v10, cent10).write.mode("overwrite").parquet(
+                    idx10 + "/assigned_" + tag)
+                cent10.write.mode("overwrite").parquet(idx10 + "/cent_" + tag)
+                results["ivf10m_build_%s" % tag] = round(time.monotonic() - t0, 3)
+                print(json.dumps({"cell": "ivf10m_build_%s" % tag,
+                                  "sec": results["ivf10m_build_%s" % tag]}),
+                      flush=True)
             a10 = spark.read.parquet(idx10 + "/assigned_" + tag)
             c10 = spark.read.parquet(idx10 + "/cent_" + tag)
-            cell("ivf10m_raw_probe_100x%d_%s" % (n10, tag),
-                 lambda a10=a10, c10=c10, n_probe=n_probe: sink(
-                     ann.ann_knn_ivf(a10, c10, probes, k=K, n_probe=n_probe,
-                                     id_col="id", vec_col="vec")))
-            ann.ivf_sq8_index(a10).write.mode("overwrite").parquet(
-                idx10 + "/sq8_" + tag)
+            if probes_on:
+                cell("ivf10m_raw_probe_100x%d_%s" % (n10, tag),
+                     lambda a10=a10, c10=c10, n_probe=n_probe: sink(
+                         ann.ann_knn_ivf(a10, c10, probes, k=K, n_probe=n_probe,
+                                         id_col="id", vec_col="vec")))
+            if not os.path.isdir(idx10 + "/sq8_" + tag):
+                ann.ivf_sq8_index(a10).write.mode("overwrite").parquet(
+                    idx10 + "/sq8_" + tag)
             s10 = spark.read.parquet(idx10 + "/sq8_" + tag)
-            cell("ivf10m_sq8_probe_100x%d_%s" % (n10, tag),
-                 lambda s10=s10, c10=c10, a10=a10, n_probe=n_probe: sink(
-                     ann.ann_knn_ivf_sq8(s10, c10, probes, k=K, n_probe=n_probe,
-                                         rerank=3 * K,
-                                         raw=a10.select("id", "vec"))))
+            if probes_on:
+                cell("ivf10m_sq8_probe_100x%d_%s" % (n10, tag),
+                     lambda s10=s10, c10=c10, a10=a10, n_probe=n_probe: sink(
+                         ann.ann_knn_ivf_sq8(s10, c10, probes, k=K,
+                                             n_probe=n_probe, rerank=3 * K,
+                                             raw=a10.select("id", "vec"))))
         # IVF-PQ at 10M on the L16P4 layout: codebook from a 1% sample,
         # one-pass encode of all 10M rows (timed), then the probe
         m10, ks10, dsub10 = 16, 32, 4
-        cb10 = pqm10.pq_codebook(emb10.filter(F.col("vec_id") % 100 == 0),
-                                 m=m10, ks=ks10, dim=64, iters=1)
-        cb10.write.mode("overwrite").parquet(idx10 + "/cb")
+        if not os.path.isdir(idx10 + "/cb"):
+            cb10 = pqm10.pq_codebook(emb10.filter(F.col("vec_id") % 100 == 0),
+                                     m=m10, ks=ks10, dim=64, iters=1)
+            cb10.write.mode("overwrite").parquet(idx10 + "/cb")
         cb10_p = spark.read.parquet(idx10 + "/cb")
         a10 = spark.read.parquet(idx10 + "/assigned_L16P4")
         c10 = spark.read.parquet(idx10 + "/cent_L16P4")
-        t0 = time.monotonic()
-        pqm10.ivf_pq_index(a10, cb10_p, m10, dsub10, id_col="id",
-                           vec_col="vec").write.mode("overwrite").parquet(
-            idx10 + "/ivfpq")
-        results["ivf10m_pq_encode_write"] = round(time.monotonic() - t0, 3)
-        print(json.dumps({"cell": "ivf10m_pq_encode_write",
-                          "sec": results["ivf10m_pq_encode_write"]}), flush=True)
+        if not os.path.isdir(idx10 + "/ivfpq"):
+            t0 = time.monotonic()
+            pqm10.ivf_pq_index(a10, cb10_p, m10, dsub10, id_col="id",
+                               vec_col="vec").write.mode("overwrite").parquet(
+                idx10 + "/ivfpq")
+            results["ivf10m_pq_encode_write"] = round(time.monotonic() - t0, 3)
+            print(json.dumps({"cell": "ivf10m_pq_encode_write",
+                              "sec": results["ivf10m_pq_encode_write"]}), flush=True)
         ivfpq10 = spark.read.parquet(idx10 + "/ivfpq")
-        cell("ivf10m_pq_probe_100x%d_L16P4" % n10,
-             lambda: sink(pqm10.ann_knn_ivf_pq(
-                 ivfpq10, c10, cb10_p, probes, k=K, n_probe=4,
-                 ks=ks10, d_sub=dsub10, rerank=3 * K,
-                 raw=a10.select("id", "vec"))))
+        if probes_on:
+            cell("ivf10m_pq_probe_100x%d_L16P4" % n10,
+                 lambda: sink(pqm10.ann_knn_ivf_pq(
+                     ivfpq10, c10, cb10_p, probes, k=K, n_probe=4,
+                     ks=ks10, d_sub=dsub10, rerank=3 * K,
+                     raw=a10.select("id", "vec"))))
 
     # pointer-jumping CC one decade up: 10M nodes in 10-member chain
     # families (9M edges, diameter 10) — rounds stay O(log d), shuffle

@@ -112,7 +112,20 @@ def main() -> int:
         except Exception:  # noqa: BLE001 — non-TPCH tables may be absent
             pass
 
-    names = sorted(n for n in QUERIES if n.startswith("rel_tpch_"))
+    # the full 22-query family: rel_tpch_q*_shape plus the five queries
+    # registered under capability names (q1=pricing_summary,
+    # q3=top_revenue_orders, q5=region_revenue, q6=rel_sql_tpch_q6,
+    # q17=small_quantity_revenue)
+    extra = [
+        "rel_pricing_summary",
+        "rel_top_revenue_orders",
+        "rel_region_revenue",
+        "rel_sql_tpch_q6",
+        "rel_small_quantity_revenue",
+    ]
+    names = sorted(n for n in QUERIES if n.startswith("rel_tpch_")) + [
+        n for n in extra if n in QUERIES
+    ]
     if only:
         names = [n for n in names if only in n]
     timings: dict[str, float | str] = {}

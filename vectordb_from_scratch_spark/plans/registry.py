@@ -6908,6 +6908,157 @@ def _q_multimodal_png_pixels(spark, sf_dir):
     return png_pixel_stats(payloads)
 
 
+_SCD2_SQL = """
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             DATE '1995-01-01' AS eff, CAST(NULL AS DATE) AS endd
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 100 AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal          -- no-op re-send
+      FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEW', 0.0            -- brand-new keys
+      FROM customer WHERE c_custkey % 50 = 0
+    ),
+    changed AS (
+      SELECT u.* FROM upd u JOIN cur c USING (c_custkey)
+      WHERE u.c_acctbal IS DISTINCT FROM c.c_acctbal
+         OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+    ),
+    kept AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, c.eff,
+             CASE WHEN ch.c_custkey IS NOT NULL
+                  THEN DATE '1996-01-01' ELSE c.endd END AS endd
+      FROM cur c LEFT JOIN changed ch ON ch.c_custkey = c.c_custkey
+    ),
+    fresh AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             DATE '1996-01-01' AS eff, CAST(NULL AS DATE) AS endd
+      FROM (SELECT * FROM changed
+            UNION ALL
+            SELECT u.* FROM upd u ANTI JOIN cur c USING (c_custkey))
+    )
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 6) AS c_acctbal,
+           CAST(eff AS VARCHAR) AS effective_from,
+           CAST(endd AS VARCHAR) AS effective_to
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM fresh)
+    """
+
+
+@_register(
+    "rel_merge_scd2",
+    _SCD2_SQL,
+    doc="Slowly-changing-dimension type-2 merge (operators/scd.py): an "
+    "update batch (changed balances + idempotent re-sends + brand-new "
+    "keys) closes changed open versions at the effective date and "
+    "appends fresh open versions; closed history and no-op updates pass "
+    "through. The warehouse-history sibling of the reference's in-place "
+    "upsert (src/storage.rs): ONE shuffle (the open⋈updates full-outer "
+    "join — broadcast when the batch is dimension-sized), history "
+    "unions through map-side. Oracle recomputes the merge relationally "
+    "in DuckDB — value-exact",
+)
+def _q_merge_scd2(spark, sf_dir):
+    from ..operators.scd import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    cur = cust.withColumn(
+        "effective_from", F.lit("1995-01-01").cast("date")
+    ).withColumn("effective_to", F.lit(None).cast("date"))
+    k = F.col("c_custkey")
+    upd = (
+        cust.filter(k % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .unionByName(cust.filter((k % 11 == 0) & (k % 7 != 0)))
+        .unionByName(
+            cust.filter(k % 50 == 0).select(
+                (k + 10000000).alias("c_custkey"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    out = scd2_merge(
+        cur, upd, keys=["c_custkey"], tracked=["c_mktsegment", "c_acctbal"],
+        effective_date="1996-01-01",
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 6).alias("c_acctbal"),
+        F.col("effective_from").cast("string").alias("effective_from"),
+        F.col("effective_to").cast("string").alias("effective_to"),
+    )
+
+
+_CARD_SQL = f"""
+    WITH f AS (
+      SELECT lang, source, len({_TOK})::BIGINT AS nt,
+             length(text)::BIGINT AS nc, md5({_NT}) AS dg
+      FROM documents
+    )
+    SELECT coalesce(lang, '<all>') AS lang,
+           coalesce(source, '<all>') AS source,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           round(sum(nc)::DOUBLE / count(*), 6) AS avg_chars,
+           count(DISTINCT dg)::BIGINT AS n_unique_texts,
+           round(1.0 - count(DISTINCT dg)::DOUBLE / count(*), 6) AS dup_rate
+    FROM f GROUP BY ROLLUP (lang, source)
+    """
+
+
+@_register(
+    "pipeline_dataset_card",
+    _CARD_SQL,
+    doc="Dataset-card statistics in ONE pass: the lang × source rollup "
+    "lattice (per-pair, per-lang, corpus total) of doc counts, token "
+    "totals, mean length, and exact-duplicate rate (distinct normalized-"
+    "text digests). One shuffle computes every granularity — the corpus "
+    "report a training-data release ships. count(DISTINCT) is exact "
+    "here; at 100 TB swap it for approx_count_distinct (the HLL path "
+    "rel_approx_distinct demonstrates) to avoid the distinct expand. "
+    "Value-exact vs the identical DuckDB rollup",
+)
+def _q_dataset_card(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        X.token_count(F.col("text")).cast("long").alias("nt"),
+        F.length("text").cast("long").alias("nc"),
+        F.md5(X.normalize_text(F.col("text"))).alias("dg"),
+    )
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.round(F.sum("nc").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_chars"
+            ),
+            F.countDistinct("dg").alias("n_unique_texts"),
+            F.round(
+                1.0 - F.countDistinct("dg").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n_docs",
+            "n_tokens",
+            "avg_chars",
+            "n_unique_texts",
+            "dup_rate",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: never-driver-sampled queries first.
 #
@@ -6928,31 +7079,41 @@ def _q_multimodal_png_pixels(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _driver_sampled_names() -> set:
+def _driver_sampled_rounds() -> dict:
+    """name -> latest round number whose committed CORRECTNESS artifact
+    contains a row for it (absent = never driver-sampled)."""
     import glob
     import json as _json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set = set()
+    last: dict = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 doc = _json.load(fh)
-            if isinstance(doc, dict):
-                seen.update(doc.keys())
         except (OSError, ValueError):
             continue  # a missing/corrupt artifact just means no evidence from it
-    return seen
+        if isinstance(doc, dict):
+            for name in doc:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _reorder_for_driver_sampling() -> None:
-    seen = _driver_sampled_names()
-    never = [n for n in QUERIES if n not in seen]
-    ordered = {n: QUERIES[n] for n in never}
-    for name, spec in QUERIES.items():
-        if name not in ordered:
-            ordered[name] = spec
+    # Never-sampled names first (registration order), then sampled names
+    # by ASCENDING last-sampled round (stable) — so the fixed-prefix
+    # sample rotates over rounds and every query's driver evidence is
+    # periodically refreshed instead of the early registrations being
+    # re-verified forever while later ones go stale (advisor r5).
+    last = _driver_sampled_rounds()
+    orig = list(QUERIES)
+    pos = {n: i for i, n in enumerate(orig)}
+    ordered_names = sorted(orig, key=lambda n: (last.get(n, -1), pos[n]))
+    ordered = {n: QUERIES[n] for n in ordered_names}
     QUERIES.clear()
     QUERIES.update(ordered)
 
