@@ -55,21 +55,27 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("tpch_scale_bench")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+
+    def mk_session():
+        s = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("tpch_scale_bench")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .getOrCreate()
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = mk_session()
 
     from vectordb_from_scratch_spark.sources import load_table
 
+    generated = not os.path.isdir(DST)
     if not os.path.isdir(DST):
         os.makedirs(DST, exist_ok=True)
         # stride per key domain = max over BOTH tables carrying it + 1
@@ -101,6 +107,14 @@ def main() -> int:
                     f"{DST}/{t}.parquet"
                 )
         print(json.dumps({"generated": DST, "strides": strides}), flush=True)
+
+    if generated:
+        # the 10× crossJoin replication churns the JVM badly enough to
+        # contaminate the timed phase (first full run measured q21 at
+        # 55 s vs 2.6 s clean-session) — restart the session so timings
+        # never share a JVM with generation
+        spark.stop()
+        spark = mk_session()
 
     from vectordb_from_scratch_spark.operators import cache, dedup
     from vectordb_from_scratch_spark.plans.registry import QUERIES
