@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "graph_triangles",
     "pipeline_quality_model",
     "rel_events_funnel",
+    # round 6 (cont.): warehouse-history merge and the one-pass corpus
+    # report
+    "rel_merge_scd2",
+    "pipeline_dataset_card",
 ]
 
 

@@ -26,7 +26,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_jsonl", "write_jsonl", "corrupt_lines", "jsonl_to_table"]
+__all__ = [
+    "read_jsonl",
+    "write_jsonl",
+    "corrupt_lines",
+    "jsonl_to_table",
+    "read_csv",
+    "write_csv",
+    "csv_to_table",
+]
 
 _RAW = "_raw_line"
 
@@ -95,6 +103,85 @@ def jsonl_to_table(
     buys columnar pruning/stats for everything downstream — at 100 TB you
     run it exactly once per delivery."""
     raw = read_jsonl(spark, src, schema)
+    clean = raw.filter(F.col(_RAW).isNull()).drop(_RAW)
+    bad = corrupt_lines(raw)
+    clean.write.mode("overwrite").parquet(dest)
+    n_bad = bad.count()
+    if n_bad:
+        bad.write.mode("overwrite").parquet(dest + "_corrupt")
+    n_clean = spark.read.parquet(dest).count()
+    return n_clean, n_bad
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    sep: str = ",",
+    header: bool = False,
+) -> DataFrame:
+    """Schema-pinned CSV read with the same quarantine contract as
+    read_jsonl: the columns of `schema` plus `_raw_line` (NULL for clean
+    rows, the verbatim input line for rows that failed to parse).
+
+    Same 100 TB design rules: no schema inference (from_csv over the
+    text source is single-pass), and corrupt lines keep their raw bytes
+    as a plain column instead of the CSV data source's cached-plan-only
+    `_corrupt_record`. `header=True` drops lines that exactly match the
+    schema's column list (the file's own header row); a header that
+    DISAGREES with the schema is left to quarantine as a corrupt row —
+    a delivery whose column order changed should fail loudly, not parse
+    shifted."""
+    from pyspark.sql.types import StructType
+
+    fields = StructType.fromDDL(schema).fields
+    reserved = {"__cr", "value", _RAW}
+    clash = reserved.intersection(f.name for f in fields)
+    if clash:
+        raise ValueError(
+            f"read_csv: schema field name(s) {sorted(clash)} collide with "
+            f"reserved column(s) {sorted(reserved)} used by the quarantining "
+            "read — rename them in the schema"
+        )
+    raw = spark.read.text(path).filter(F.trim(F.col("value")) != "")
+    if header:
+        raw = raw.filter(F.col("value") != sep.join(f.name for f in fields))
+    parsed = raw.select(
+        F.from_csv(
+            F.col("value"),
+            f"{schema}, __cr string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "__cr",
+             "sep": sep},
+        ).alias("__c"),
+        F.col("value"),
+    )
+    bad = F.col("__c.__cr").isNotNull()
+    return parsed.select(
+        "__c.*", F.when(bad, F.col("value")).alias(_RAW)
+    ).drop("__cr")
+
+
+def write_csv(
+    df: DataFrame, path: str, sep: str = ",", n_files: int | None = None
+) -> None:
+    """Write a DataFrame as headered CSV. Same coalesce contract as
+    write_jsonl: `n_files` only for hand-off-sized exports."""
+    out = df if n_files is None else df.coalesce(n_files)
+    out.write.mode("overwrite").option("header", True).option("sep", sep).csv(path)
+
+
+def csv_to_table(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    schema: str,
+    sep: str = ",",
+    header: bool = False,
+) -> tuple[int, int]:
+    """Ingest CSV → parquet in one pass, quarantining corrupt lines to
+    `<dest>_corrupt`. Returns (n_clean, n_corrupt) — the CSV sibling of
+    jsonl_to_table."""
+    raw = read_csv(spark, src, schema, sep=sep, header=header)
     clean = raw.filter(F.col(_RAW).isNull()).drop(_RAW)
     bad = corrupt_lines(raw)
     clean.write.mode("overwrite").parquet(dest)
