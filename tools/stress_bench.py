@@ -130,6 +130,18 @@ def main() -> int:
     cell("minhash_kernel_%d" % n_docs,
          lambda: sink(dedup.minhash_signatures(docs, strategy="kernel")))
 
+    # full near-dup pipeline (sigs → banded LSH buckets → candidate pairs
+    # → exact shingle-Jaccard verify) at corpus size; the stress copies
+    # are exact-duplicate families, so every replica collides into the
+    # same buckets — the adversarial candidate-density case
+    def neardup_full():
+        try:
+            sink(dedup.neardup_pairs(docs, threshold=0.7))
+        finally:
+            dedup.release_caches()
+
+    cell("neardup_full_%d" % n_docs, neardup_full)
+
     # duplicate clustering: LSH pairs -> connected components at corpus size
     # (rounds = graph diameter; each round shuffles only (id,label) pairs).
     # Setup (pair generation + checkpoint) is itself minutes at 1M docs —
@@ -588,6 +600,93 @@ def main() -> int:
                                        n_probe=4, ks=32, d_sub=4,
                                        rerank=rerank,
                                        raw=a16.select("id", "vec")))
+
+    # Recall at 10M with DISTINCT vectors: the replicated stress table
+    # degenerates recall (a probe's true top-k are its identical
+    # replicas, which route to one list — every config scores 1.0 by
+    # construction; see the recall10m cells). These cells synthesize 10M
+    # deterministic UNIFORM vectors — no cluster structure, the hardest
+    # geometry for IVF (true neighbors scatter across list boundaries)
+    # — and sweep n_probe / re-rank depth against brute-force ground
+    # truth. Layouts resume from RECALL10MU_DIR across crashed runs.
+    if want("recall10mu"):
+        from vectordb_from_scratch_spark.operators import pq as pqm10u
+
+        udir = os.environ.get("RECALL10MU_DIR", "/tmp/recall10mu")
+        n_u, dim_u, lists_u = 10_000_000, 64, 64
+        vec_expr = F.transform(
+            F.sequence(F.lit(0), F.lit(dim_u - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id") * dim_u + j, F.lit(9817)),
+                       F.lit(1_000_003)) / 1_000_003.0 - 0.5
+            ).cast("float"),
+        )
+        if not os.path.isdir(udir + "/base"):
+            (
+                spark.range(n_u)
+                .select(F.col("id").alias("vec_id"), vec_expr.alias("embedding"))
+                .repartition(64)
+                .write.mode("overwrite").parquet(udir + "/base")
+            )
+        ub = spark.read.parquet(udir + "/base")
+        uv = ub.select(F.col("vec_id").alias("id"),
+                       F.col("embedding").cast("array<double>").alias("vec"))
+        if not os.path.isdir(udir + "/assigned"):
+            t0 = time.monotonic()
+            ucent = ann.build_ivf_det(ub, n_lists=lists_u, iters=2,
+                                      train_mod=100)
+            ann.assign_ivf_det(uv, ucent).write.mode("overwrite").parquet(
+                udir + "/assigned")
+            ucent.write.mode("overwrite").parquet(udir + "/cent")
+            print(json.dumps({"cell": "recall10mu_build",
+                              "sec": round(time.monotonic() - t0, 3)}),
+                  flush=True)
+        ua = spark.read.parquet(udir + "/assigned")
+        uc = spark.read.parquet(udir + "/cent")
+        if not os.path.isdir(udir + "/sq8"):
+            ann.ivf_sq8_index(ua).write.mode("overwrite").parquet(udir + "/sq8")
+        us = spark.read.parquet(udir + "/sq8")
+        mu, ksu, dsu = 16, 32, 4
+        if not os.path.isdir(udir + "/cb"):
+            pqm10u.pq_codebook(ub.filter(F.col("vec_id") % 100 == 0),
+                               m=mu, ks=ksu, dim=dim_u, iters=1
+                               ).write.mode("overwrite").parquet(udir + "/cb")
+        ucb = spark.read.parquet(udir + "/cb")
+        if not os.path.isdir(udir + "/ivfpq"):
+            pqm10u.ivf_pq_index(ua, ucb, mu, dsu, id_col="id", vec_col="vec"
+                                ).write.mode("overwrite").parquet(udir + "/ivfpq")
+        upq = spark.read.parquet(udir + "/ivfpq")
+        uprobes = ub.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"))
+        ugt = (
+            knn.knn(ub, uprobes, k=K, strategy="numpy")
+            .select("query_id", "id").localCheckpoint()
+        )
+        n_ugt = ugt.count()
+
+        def urecall(df) -> float:
+            hits = df.select("query_id", "id").join(ugt, ["query_id", "id"]).count()
+            return round(hits / n_ugt, 4)
+
+        def ucell(name, df):
+            results[name] = urecall(df)
+            print(json.dumps({"cell": name, "recall_at_%d" % K: results[name]}),
+                  flush=True)
+
+        for n_probe in (2, 4, 8, 16):
+            ucell("recall10mu_raw_L64_P%d" % n_probe,
+                  ann.ann_knn_ivf(ua, uc, uprobes, k=K, n_probe=n_probe,
+                                  id_col="id", vec_col="vec"))
+        ucell("recall10mu_sq8_L64_P8_rerank%d" % (3 * K),
+              ann.ann_knn_ivf_sq8(us, uc, uprobes, k=K, n_probe=8,
+                                  rerank=3 * K, raw=ua.select("id", "vec")))
+        for rerank in (K, 3 * K, 10 * K):
+            ucell("recall10mu_ivfpq_L64_P8_rerank%d" % rerank,
+                  pqm10u.ann_knn_ivf_pq(upq, uc, ucb, uprobes, k=K,
+                                        n_probe=8, ks=ksu, d_sub=dsu,
+                                        rerank=rerank,
+                                        raw=ua.select("id", "vec")))
 
     # Distributed exact ranking at 100M rows (VERDICT r5 #8): the r5
     # scale fix measured directly at a decade past its biggest indirect
