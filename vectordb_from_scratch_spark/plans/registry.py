@@ -7059,6 +7059,68 @@ def _q_dataset_card(spark, sf_dir):
     )
 
 
+_CANON_NEARDUP_SQL = _LSH_BANDS_SQL.replace(
+    f"WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),",
+    f"""WITH canon AS (
+      SELECT doc_id, text, fam FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5({_NT}) ORDER BY doc_id) AS rn,
+               count(*) OVER (PARTITION BY md5({_NT})) AS fam
+        FROM documents) WHERE rn = 1
+    ),
+    t AS (SELECT doc_id, {_TOK} AS toks FROM canon),""",
+) + f""",
+    sh AS (SELECT doc_id, list_distinct({_sql_shingles('toks')}) AS sh FROM t),
+    j AS (
+      SELECT p.id_a, p.id_b, round({_sql_jaccard('a.sh', 'b.sh')}, 6) AS jaccard
+      FROM pairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
+    )
+    SELECT j.id_a, j.id_b, j.jaccard,
+           a.fam::BIGINT AS fam_a, b.fam::BIGINT AS fam_b
+    FROM j JOIN canon a ON a.doc_id = j.id_a JOIN canon b ON b.doc_id = j.id_b
+    WHERE j.jaccard >= 0.1
+    """
+assert "FROM canon)" in _CANON_NEARDUP_SQL  # the splice must have landed
+
+
+@_register(
+    "dedup_canonical_neardup",
+    _CANON_NEARDUP_SQL,
+    doc="Production dedup ORDER as one plan: exact dedup first (min-id "
+    "canonical per normalized-text md5, family size kept), THEN "
+    "MinHash-LSH near-dup over canonicals only, family sizes joined "
+    "back. Measured 19× over straight LSH at 1M replicated docs "
+    "(SCALE.md): candidate volume on replicated corpora grows with "
+    "family-size², and the cheap hash-groupBy removes that before "
+    "banding ever runs. Value-exact",
+)
+def _q_canonical_neardup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    wdg = Window.partitionBy("dg")
+    canon = (
+        docs.withColumn("dg", F.md5(X.normalize_text(F.col("text"))))
+        .withColumn(
+            "rn", F.row_number().over(wdg.orderBy(F.col("doc_id").asc()))
+        )
+        .withColumn("fam", F.count(F.lit(1)).over(wdg))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "fam")
+    )
+    fam = canon.select("doc_id", F.col("fam").cast("long").alias("fam"))
+    pairs = dedup.neardup_pairs(canon.select("doc_id", "text"), threshold=0.1)
+    return (
+        pairs.join(
+            fam.select(F.col("doc_id").alias("id_a"), F.col("fam").alias("fam_a")),
+            "id_a",
+        )
+        .join(
+            fam.select(F.col("doc_id").alias("id_b"), F.col("fam").alias("fam_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "jaccard", "fam_a", "fam_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: never-driver-sampled queries first.
 #
