@@ -53,3 +53,28 @@ def test_validate_dimension(spark):
     )
     flags = {r["id"]: r["__dim_ok"] for r in crud.validate_dimension(df, dim=2).collect()}
     assert flags == {"a": True, "b": False}
+
+
+def test_time_travel_versions(log_df):
+    """Every requested as_of yields exactly the fold of the log prefix —
+    the WAL-replay generalization (replay to seq T, not just to head)."""
+    tt = crud.time_travel(log_df, [2, 5, 8])
+    by_ver = {}
+    for r in tt.collect():
+        by_ver.setdefault(r.as_of, {})[r.id] = r
+    # as_of=2: both initial inserts visible, no upsert yet
+    assert set(by_ver[2]) == {"a", "b"}
+    assert by_ver[2]["a"].embedding == [1.0, 0.0]
+    # as_of=5: a upserted (seq 3), b tombstoned (seq 5)
+    assert set(by_ver[5]) == {"a"}
+    assert by_ver[5]["a"].embedding == [2.0, 0.0]
+    # as_of=8 (head): identical to fold_insert_log
+    head = {r.id: r.embedding for r in crud.fold_insert_log(log_df).collect()}
+    assert {r: v.embedding for r, v in by_ver[8].items()} == head
+
+
+def test_time_travel_checkpoint_entries_ignored(log_df):
+    # an as_of landing ON a checkpoint marker sees the state just before it
+    tt = {r.id: r for r in crud.time_travel(log_df, [4]).collect()}
+    assert set(tt) == {"a", "b"}
+    assert tt["a"].metadata == {"v": "2"}

@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["fold_insert_log", "upsert", "delete_ids", "validate_dimension"]
+__all__ = [
+    "fold_insert_log",
+    "time_travel",
+    "upsert",
+    "delete_ids",
+    "validate_dimension",
+]
 
 LOG_SCHEMA = "seq long, op string, id string, embedding array<float>, metadata map<string,string>"
 
@@ -42,6 +48,42 @@ def fold_insert_log(log: DataFrame, *, id_col: str = "id", seq_col: str = "seq")
     w = Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
     return (
         log.filter(F.col("op") != F.lit("checkpoint"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("op") == F.lit("insert")))
+        .drop("__rn", "op", seq_col)
+    )
+
+
+def time_travel(
+    log: DataFrame,
+    as_of_seqs: list[int],
+    *,
+    id_col: str = "id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Point-in-time state reconstruction: the store's contents AS OF each
+    sequence number in ``as_of_seqs``, all versions in one plan. Because
+    the engine's state IS a replayable insert/delete log (the reference's
+    WAL, src/persistence/wal.rs; replay order engine.rs:57-61), any
+    historical state is just the fold truncated at `seq <= as_of` — the
+    same recovery machinery as `fold_insert_log`, parameterized by time.
+    The reference can only recover to "now" (snapshot ∪ full tail);
+    time travel is the generalization a log-structured store gets for free.
+
+    Returns one folded state per as_of value, tagged with an `as_of`
+    column: (as_of, <id>, ...payload columns).
+
+    Scale: the as_of list is a handful of literals, broadcast onto the log
+    map-side (each log row replicates only to the versions that can see
+    it), then ONE hash-shuffle on (as_of, id) folds every requested
+    version simultaneously — k versions cost one pass over the log, not k.
+    """
+    spark = log.sparkSession
+    asof = spark.createDataFrame([(int(s),) for s in as_of_seqs], "as_of long")
+    w = Window.partitionBy("as_of", id_col).orderBy(F.col(seq_col).desc())
+    return (
+        log.filter(F.col("op") != F.lit("checkpoint"))
+        .join(F.broadcast(asof), F.col(seq_col) <= F.col("as_of"))
         .withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & (F.col("op") == F.lit("insert")))
         .drop("__rn", "op", seq_col)

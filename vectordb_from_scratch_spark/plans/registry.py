@@ -7121,6 +7121,163 @@ def _q_canonical_neardup(spark, sf_dir):
     )
 
 
+@_register(
+    "upsert_time_travel",
+    """
+    WITH log AS (
+      SELECT vec_id AS seq, 'insert' AS op, vec_id AS id, label FROM embeddings
+      UNION ALL
+      SELECT 100000 + vec_id, 'delete', vec_id, NULL FROM embeddings WHERE vec_id % 10 = 0
+      UNION ALL
+      SELECT 200000 + vec_id, 'insert', vec_id, label + 1000 FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    versions AS (SELECT unnest([99999, 199999, 299999])::BIGINT AS as_of),
+    visible AS (
+      SELECT v.as_of, l.* FROM versions v JOIN log l ON l.seq <= v.as_of
+    ),
+    folded AS (
+      SELECT *, row_number() OVER (PARTITION BY as_of, id ORDER BY seq DESC) AS rn
+      FROM visible
+    )
+    SELECT as_of, id, label FROM folded WHERE rn = 1 AND op = 'insert'
+    """,
+    doc="Point-in-time recovery / time travel over the same insert+delete "
+    "log as `upsert_fold`: state AS OF three log positions (after base "
+    "inserts / after deletes / after re-inserts) reconstructed in ONE "
+    "pass — broadcast as_of tags map-side, one (as_of,id) shuffle folds "
+    "every version (operators/crud.py:time_travel). Generalizes the "
+    "reference's WAL replay (src/persistence/wal.rs, engine.rs:57-61), "
+    "which can only recover to the log head. Value-exact",
+)
+def _q_upsert_time_travel(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        F.col("vec_id").alias("seq"),
+        F.lit("insert").alias("op"),
+        F.col("vec_id").alias("id"),
+        F.col("label").cast("int").alias("label"),
+    )
+    deletes = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.lit(100000) + F.col("vec_id")).alias("seq"),
+        F.lit("delete").alias("op"),
+        F.col("vec_id").alias("id"),
+        F.lit(None).cast("int").alias("label"),
+    )
+    reinserts = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.lit(200000) + F.col("vec_id")).alias("seq"),
+        F.lit("insert").alias("op"),
+        F.col("vec_id").alias("id"),
+        (F.col("label") + 1000).cast("int").alias("label"),
+    )
+    log = base.unionByName(deletes).unionByName(reinserts)
+    return crud.time_travel(log, [99999, 199999, 299999])
+
+
+@_register(
+    "pipeline_outlier_scores",
+    f"""
+    WITH {_sql_ivf_det_ctes()},
+    d AS (
+      SELECT a.id, a.list_id, {_sql_euclid('a.vec', 'c.cvec')} AS dist
+      FROM afinal a JOIN c{_IVF_DET['iters']} c ON a.list_id = c.list_id
+    ),
+    r AS (
+      SELECT id, list_id, dist,
+             row_number() OVER (PARTITION BY list_id
+               ORDER BY dist DESC, id ASC) AS rnk_far
+      FROM d
+    )
+    SELECT id, list_id, round(dist, 6) AS dist,
+           rnk_far::INTEGER AS rank_far,
+           CAST(rnk_far <= 3 AS INTEGER) AS is_outlier
+    FROM r
+    """,
+    doc="Embedding-outlier scoring for corpus cleaning: every vector's "
+    "euclidean distance to its det-IVF cluster centroid, ranked "
+    "farthest-first WITHIN each cluster (rank-based flag, top-3/list — "
+    "no cross-engine float variance from mean/stddev), the standard "
+    "cluster-distance heuristic for flagging mislabeled/degenerate "
+    "embeddings before training. Reuses the index's own assignment: "
+    "scoring costs one broadcast join against n_lists centroids, no new "
+    "shuffle at 100 TB. Value-exact",
+)
+def _q_outlier_scores(spark, sf_dir):
+    p = _IVF_DET
+    e = _t(spark, sf_dir, "embeddings")
+    # the n_lists-row centroid frame feeds both the assignment and the
+    # distance join; checkpoint it so the Lloyd build runs once and its
+    # per-iteration exchanges drop out of the serving plan
+    cent = cache.checkpoint(
+        ann.build_ivf_det(
+            e, n_lists=p["n_lists"], iters=p["iters"], block=p["block"]
+        )
+    )
+    v = e.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = ann.assign_ivf_det(v, cent)
+    wfar = Window.partitionBy("list_id").orderBy(
+        F.col("dist").desc(), F.col("id").asc()
+    )
+    return (
+        assigned.join(F.broadcast(cent), "list_id")
+        .withColumn("dist", vm.euclidean_distance("vec", "cvec"))
+        .withColumn("rank_far", F.row_number().over(wfar))
+        .select(
+            "id",
+            "list_id",
+            F.round("dist", 6).alias("dist"),
+            F.col("rank_far").cast("int").alias("rank_far"),
+            (F.col("rank_far") <= 3).cast("int").alias("is_outlier"),
+        )
+    )
+
+
+@_register(
+    "knn_facets",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE {_RADIUS['probe_pred']}),
+    d AS (
+      SELECT q.query_id, e.vec_id AS id, e.label,
+             {_sql_euclid('q.qv', 'e.embedding')} AS dist
+      FROM q CROSS JOIN embeddings e
+    ),
+    m AS (SELECT * FROM d WHERE dist <= {_RADIUS['radius']})
+    SELECT query_id, label, count(*)::BIGINT AS n_within,
+           round(min(dist), 6) AS min_dist
+    FROM m GROUP BY query_id, label
+    """,
+    doc="Faceted search: per-probe neighbor COUNTS per metadata bucket "
+    "(label) within the radius ball, with the closest distance per "
+    "facet — the aggregation-over-results feature vector stores ship "
+    "alongside top-k (absent from the reference's Index trait, "
+    "src/index.rs:18-20). Composes radius_search's map-side ball "
+    "predicate with a partial-agg groupBy: only in-ball rows shuffle, "
+    "then facet cells, never candidate lists. Value-exact",
+)
+def _q_knn_facets(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    matches = knn.radius_search(
+        e, probes, radius=_RADIUS["radius"], metric="euclidean",
+        strategy="window",
+    )
+    labels = e.select(F.col("vec_id").alias("id"), "label")
+    return (
+        matches.join(labels, "id")
+        .groupBy("query_id", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.round(F.min("distance"), 6).alias("min_dist"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: never-driver-sampled queries first.
 #
