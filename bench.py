@@ -77,6 +77,12 @@ BENCH_QUERIES = [
     # report
     "rel_merge_scd2",
     "pipeline_dataset_card",
+    # round 6 (cont.): canonical-first near-dup composition, multi-version
+    # time travel, cluster-distance outlier scoring, faceted radius search
+    "dedup_canonical_neardup",
+    "upsert_time_travel",
+    "pipeline_outlier_scores",
+    "knn_facets",
 ]
 
 

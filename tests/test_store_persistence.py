@@ -113,3 +113,41 @@ def test_snapshot_recover_compact(spark, tmp_path):
     assert m2["vector_count"] == 2
     after = {r.id for r in P.read_snapshot(spark, snap2).collect()}
     assert after == {"a", "c"}
+
+
+def test_recover_as_of_point_in_time(spark, tmp_path):
+    """Point-in-time recovery: replay the tail only through `as_of`, and
+    refuse a snapshot that already folds past the requested point."""
+    state = spark.createDataFrame(
+        [("a", [1.0, 2.0], {"v": "1"}), ("b", [3.0, 4.0], {"v": "1"})],
+        "id string, embedding array<double>, metadata map<string,string>",
+    )
+    snap1 = str(tmp_path / "pit_snap1")
+    m = P.write_snapshot(state, snap1, log_seq=9)
+    assert m["log_seq"] == 9
+
+    tail = spark.createDataFrame(
+        [
+            (10, "insert", "a", [9.0, 9.0], {"v": "2"}),
+            (11, "delete", "b", None, None),
+            (12, "insert", "c", [5.0, 6.0], {"v": "1"}),
+        ],
+        crud.LOG_SCHEMA,
+    ).withColumn("embedding", F.col("embedding").cast("array<double>"))
+
+    # as_of=10: a's upsert applied, b's delete and c's insert not yet
+    at10 = {r.id: r for r in P.recover(spark, snap1, tail, as_of=10).collect()}
+    assert set(at10) == {"a", "b"}
+    assert at10["a"].embedding == [9.0, 9.0]
+    # as_of=11: b now tombstoned
+    assert {r.id for r in P.recover(spark, snap1, tail, as_of=11).collect()} == {"a"}
+    # as_of at the head == plain recover
+    head = {r.id for r in P.recover(spark, snap1, tail).collect()}
+    assert {r.id for r in P.recover(spark, snap1, tail, as_of=12).collect()} == head
+
+    # compact records the folded-through position; recovering BEFORE it fails loudly
+    snap2 = str(tmp_path / "pit_snap2")
+    m2 = P.compact(spark, snap1, tail, snap2)
+    assert m2["log_seq"] == 12
+    with pytest.raises(ValueError, match="folds the log through"):
+        P.recover(spark, snap2, None, as_of=10)

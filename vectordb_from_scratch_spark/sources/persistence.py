@@ -61,14 +61,17 @@ def overwrite_via_rename(df: DataFrame, target_dir: str) -> None:
 
 def write_snapshot(
     state: DataFrame, path: str, vec_col: str = "embedding",
-    partition_by: str | None = None,
+    partition_by: str | None = None, log_seq: int | None = None,
 ) -> dict:
     """Write current state as a parquet snapshot + manifest.
 
     `partition_by`: optional partition column (e.g. a shard key =
     substr(md5(id),1,2)) so recovery and point lookups prune partitions —
     at 100 TB a monolithic snapshot directory is unmanageable; a
-    256-shard layout bounds per-task recovery reads."""
+    256-shard layout bounds per-task recovery reads.
+
+    `log_seq`: the log position this state is a fold of, recorded in the
+    manifest (enables `recover(as_of=...)` validation)."""
     writer = state.write.mode("overwrite")
     if partition_by is not None:
         writer = writer.partitionBy(partition_by)
@@ -81,6 +84,11 @@ def write_snapshot(
         "dimension": (dim_row.d if dim_row else None),
         "format": "parquet",
     }
+    if log_seq is not None:
+        # high-water log position this snapshot folds up to — what lets
+        # recover(as_of=...) tell whether the snapshot is usable as the
+        # base of a point-in-time reconstruction
+        manifest["log_seq"] = int(log_seq)
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f)
     return manifest
@@ -95,11 +103,34 @@ def read_manifest(path: str) -> dict:
         return json.load(f)
 
 
-def recover(spark: SparkSession, snapshot_path: str, log_tail: DataFrame | None) -> DataFrame:
+def recover(
+    spark: SparkSession,
+    snapshot_path: str,
+    log_tail: DataFrame | None,
+    as_of: int | None = None,
+) -> DataFrame:
     """Snapshot ∪ replay tail (reference engine open/recover,
     engine.rs:44-73): tail entries supersede snapshot rows per id;
-    tombstones in the tail drop snapshot rows."""
+    tombstones in the tail drop snapshot rows.
+
+    `as_of`: replay the tail only up to log position `as_of` (inclusive)
+    — point-in-time recovery, the durable twin of crud.time_travel. The
+    snapshot must be a fold of the log at or before `as_of`; when the
+    manifest records its `log_seq` (write_snapshot/compact) this is
+    validated, otherwise it is the caller's contract. The reference can
+    only recover to the log head (engine.rs:44-73)."""
     snap = read_snapshot(spark, snapshot_path)
+    if as_of is not None:
+        manifest = read_manifest(snapshot_path)
+        snap_seq = manifest.get("log_seq")
+        if snap_seq is not None and snap_seq > as_of:
+            raise ValueError(
+                f"snapshot at {snapshot_path} folds the log through seq "
+                f"{snap_seq} > as_of={as_of}; recover from an earlier "
+                "snapshot (or the log head) for this point in time"
+            )
+        if log_tail is not None:
+            log_tail = log_tail.filter(F.col("seq") <= F.lit(int(as_of)))
     if log_tail is None:
         return snap
     folded_tail = fold_insert_log(log_tail)  # id, embedding, metadata
@@ -114,5 +145,14 @@ def compact(
     """Checkpoint (P6): fold tail into snapshot, write the new snapshot.
     The caller then truncates/starts a fresh log — same move as the
     reference's maybe_checkpoint (engine.rs:199-204) minus the interval
-    counter, which belongs to the ingestion job."""
-    return write_snapshot(recover(spark, snapshot_path, log_tail), new_path)
+    counter, which belongs to the ingestion job. The new manifest records
+    the folded-through log position (tail max seq, else the previous
+    snapshot's) so point-in-time recover() can validate against it."""
+    if log_tail is not None:
+        seq_row = log_tail.agg(F.max("seq").alias("m")).first()
+        log_seq = None if seq_row.m is None else int(seq_row.m)
+    else:
+        log_seq = read_manifest(snapshot_path).get("log_seq")
+    return write_snapshot(
+        recover(spark, snapshot_path, log_tail), new_path, log_seq=log_seq
+    )
