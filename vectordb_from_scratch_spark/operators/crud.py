@@ -71,22 +71,50 @@ def time_travel(
     time travel is the generalization a log-structured store gets for free.
 
     Returns one folded state per as_of value, tagged with an `as_of`
-    column: (as_of, <id>, ...payload columns).
+    column: (as_of, <id>, ...payload columns). `seq` must be unique per
+    id (it is the log's total order).
 
-    Scale: the as_of list is a handful of literals, broadcast onto the log
-    map-side (each log row replicates only to the versions that can see
-    it), then ONE hash-shuffle on (as_of, id) folds every requested
-    version simultaneously — k versions cost one pass over the log, not k.
+    Scale: one hash-aggregate on id — for each version, a conditional
+    `max_by(entry, seq WHERE seq <= as_of)` picks that version's winning
+    entry, all k versions in the SAME aggregate. Partial aggregation
+    runs map-side, so the exchange moves ~one row per id, NOT the log
+    and NOT k copies of it. The obvious alternative — broadcast-joining
+    the as_of list onto the log with `seq <= as_of` and window-folding
+    per (as_of, id) — was measured 3× SLOWER than even k separate folds
+    at a 50M-row log (38.2 s vs 13.1 s, SCALE.md round 6): the theta
+    join defeats parquet prefix pruning AND replicates every row into
+    each version that sees it, tripling the shuffled volume. The
+    aggregate form shuffles 0.4× of what the separate folds do and wins
+    at any k.
     """
-    spark = log.sparkSession
-    asof = spark.createDataFrame([(int(s),) for s in as_of_seqs], "as_of long")
-    w = Window.partitionBy("as_of", id_col).orderBy(F.col(seq_col).desc())
-    return (
+    entry_cols = [c for c in log.columns if c not in (id_col, seq_col, "op")]
+    entry = F.struct(F.col("op"), *[F.col(c) for c in entry_cols])
+    aggs = [
+        F.max_by(
+            entry,
+            F.when(F.col(seq_col) <= F.lit(int(t)), F.col(seq_col)),
+        ).alias(f"__v{i}")
+        for i, t in enumerate(as_of_seqs)
+    ]
+    folded = (
         log.filter(F.col("op") != F.lit("checkpoint"))
-        .join(F.broadcast(asof), F.col(seq_col) <= F.col("as_of"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & (F.col("op") == F.lit("insert")))
-        .drop("__rn", "op", seq_col)
+        .groupBy(id_col)
+        .agg(*aggs)
+    )
+    stack_args = []
+    for i, t in enumerate(as_of_seqs):
+        stack_args += [F.lit(int(t)).cast("long"), F.col(f"__v{i}")]
+    return (
+        folded.select(
+            F.col(id_col),
+            F.stack(F.lit(len(as_of_seqs)), *stack_args).alias("as_of", "__e"),
+        )
+        .filter(F.col("__e").isNotNull() & (F.col("__e.op") == "insert"))
+        .select(
+            "as_of",
+            id_col,
+            *[F.col(f"__e.{c}").alias(c) for c in entry_cols],
+        )
     )
 
 

@@ -7144,10 +7144,13 @@ def _q_canonical_neardup(spark, sf_dir):
     doc="Point-in-time recovery / time travel over the same insert+delete "
     "log as `upsert_fold`: state AS OF three log positions (after base "
     "inserts / after deletes / after re-inserts) reconstructed in ONE "
-    "pass — broadcast as_of tags map-side, one (as_of,id) shuffle folds "
-    "every version (operators/crud.py:time_travel). Generalizes the "
-    "reference's WAL replay (src/persistence/wal.rs, engine.rs:57-61), "
-    "which can only recover to the log head. Value-exact",
+    "pass — per-version conditional max_by in a single id-keyed "
+    "aggregate, partial agg map-side, ~one shuffled row per id for ALL "
+    "versions (operators/crud.py:time_travel; the replicate-join form "
+    "was measured 3x worse than even separate folds, SCALE.md r6). "
+    "Generalizes the reference's WAL replay (src/persistence/wal.rs, "
+    "engine.rs:57-61), which can only recover to the log head. "
+    "Value-exact",
 )
 def _q_upsert_time_travel(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
