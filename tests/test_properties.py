@@ -52,6 +52,32 @@ def test_fold_matches_sequential_replay(spark_global, entries):
     assert got == expect
 
 
+@given(log_entries, st.lists(st.integers(min_value=-1, max_value=12), min_size=1, max_size=4, unique=True))
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_time_travel_matches_prefix_replay(spark_global, entries, as_ofs):
+    """Every version from time_travel equals the model replay of the log
+    prefix seq <= as_of (including as_of before the first entry and past
+    the head)."""
+    spark = spark_global
+    rows = [
+        (seq, op, id_, [float(v)], {"v": str(v)})
+        for seq, (op, id_, v) in enumerate(entries)
+    ]
+    log = (
+        spark.createDataFrame(rows, crud.LOG_SCHEMA)
+        if rows
+        else spark.createDataFrame([], crud.LOG_SCHEMA)
+    )
+    got = {}
+    for r in crud.time_travel(log, as_ofs).collect():
+        got.setdefault(r.as_of, {})[r.id] = r.embedding[0]
+    for t in as_ofs:
+        expect = {
+            k: float(v) for k, v in _model_replay(entries[: t + 1]).items()
+        }
+        assert got.get(t, {}) == expect, f"as_of={t}"
+
+
 meta_maps = st.dictionaries(
     st.sampled_from(["color", "size", "kind"]),
     st.sampled_from(["red", "blue", "big"]),
