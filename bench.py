@@ -78,11 +78,14 @@ BENCH_QUERIES = [
     "rel_merge_scd2",
     "pipeline_dataset_card",
     # round 6 (cont.): canonical-first near-dup composition, multi-version
-    # time travel, cluster-distance outlier scoring, faceted radius search
+    # time travel, cluster-distance outlier scoring, faceted radius search,
+    # and the two real in-plan media decodes (PNG pixels, WAV PCM)
     "dedup_canonical_neardup",
     "upsert_time_travel",
     "pipeline_outlier_scores",
     "knn_facets",
+    "multimodal_png_pixel_stats",
+    "multimodal_wav_stats",
 ]
 
 

@@ -255,3 +255,79 @@ def test_png_pixel_stats_sparkside(spark):
     assert got[(1, 0)]["n_pixels"] == 16 and got[(1, 0)]["px_mean"] == 7.5
     assert got[(2, 0)]["px_sum"] == 60 and got[(2, 1)]["px_sum"] == 1200
     assert got[(2, 1)]["px_min"] == 200 and got[(2, 1)]["px_max"] == 200
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — real lossless decode, both bit depths
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_16bit_stereo():
+    # interleaved stereo: L = f*3 - 100, R = -f*2 + 5
+    frames = 25
+    samples = []
+    for f in range(frames):
+        samples += [f * 3 - 100, -f * 2 + 5]
+    payload = mm.encode_wav(samples, 16000, 2, bits=16)
+    hdr = mm.parse_wav_header(payload)
+    assert hdr == {
+        "sample_rate": 16000, "channels": 2, "bits": 16,
+        "n_frames": frames, "duration_ms": round(frames * 1000 / 16000),
+    }
+    dec = mm.decode_wav_samples(payload)
+    assert dec["samples"].shape == (frames, 2)
+    assert [int(v) for v in dec["samples"][:, 0]] == [f * 3 - 100 for f in range(frames)]
+    assert [int(v) for v in dec["samples"][:, 1]] == [-f * 2 + 5 for f in range(frames)]
+
+
+def test_wav_roundtrip_8bit_mono():
+    vals = [(-128 + 7 * i) % 256 - 128 for i in range(40)]
+    vals = [v if -128 <= v <= 127 else v - 256 for v in vals]
+    payload = mm.encode_wav(vals, 8000, 1, bits=8)
+    hdr = mm.parse_wav_header(payload)
+    assert hdr["bits"] == 8 and hdr["n_frames"] == 40
+    dec = mm.decode_wav_samples(payload)
+    assert [int(v) for v in dec["samples"][:, 0]] == vals
+
+
+def test_wav_rejects_out_of_profile():
+    good = mm.encode_wav([0, 1, 2, 3], 8000, 1, bits=16)
+    assert mm.parse_wav_header(b"not a riff") is None
+    assert mm.parse_wav_header(good[:20]) is None          # truncated
+    # non-PCM format code (3 = IEEE float) is out of profile
+    float_fmt = bytearray(good)
+    fmt_off = good.index(b"fmt ") + 8
+    float_fmt[fmt_off:fmt_off + 2] = struct.pack("<H", 3)
+    assert mm.parse_wav_header(bytes(float_fmt)) is None
+    # PNG bytes are not audio
+    assert mm.parse_wav_header(make_png(4, 4)) is None
+
+
+def test_wav_stats_matches_analytic(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i,) for i in range(0, 30, 5)]
+    d = spark.createDataFrame(rows, "doc_id long")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                samples = [((i * 131 + f * 17) % 65536) - 32768 for f in range(10)]
+                payloads.append(mm.encode_wav(samples, 8000, 1, bits=16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    out = mm.wav_audio_stats(
+        d.mapInPandas(synth, schema="doc_id long, payload binary")
+    ).collect()
+    assert len(out) == 6
+    for r in out:
+        i = r.doc_id
+        vals = [((i * 131 + f * 17) % 65536) - 32768 for f in range(10)]
+        assert r.amp_sum == sum(vals)
+        assert r.amp_min == min(vals) and r.amp_max == max(vals)
+        assert r.sq_sum == sum(v * v for v in vals)
+        assert r.n_frames == 10 and r.sample_rate == 8000

@@ -41,6 +41,10 @@ __all__ = [
     "encode_png",
     "decode_png_pixels",
     "png_pixel_stats",
+    "encode_wav",
+    "parse_wav_header",
+    "decode_wav_samples",
+    "wav_audio_stats",
     "HAS_PIL",
 ]
 
@@ -359,6 +363,154 @@ def png_pixel_stats(
             )
 
     return payloads.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL audio decode: RIFF/WAVE PCM needs no codec — the header is a chunk
+# walk and the samples are raw little-endian integers, so unlike JPEG the
+# whole path is stdlib `struct` with nothing approximated. 8-bit (unsigned,
+# offset 128) and 16-bit (signed LE) PCM are the supported profile;
+# compressed codecs (MP3/AAC/float WAV) fall to None like any other
+# unsupported payload.
+# --------------------------------------------------------------------------
+
+
+def encode_wav(
+    samples: list[int], sample_rate: int, channels: int, bits: int = 16
+) -> bytes:
+    """Build a valid RIFF/WAVE PCM payload from interleaved integer
+    samples (the in-plan synthesis twin of `decode_wav_samples`, same
+    role as encode_png). 16-bit: signed values in [-32768, 32767];
+    8-bit: signed values in [-128, 127] stored offset-128 unsigned per
+    the WAV spec."""
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 8:
+        data = bytes((v + 128) & 0xFF for v in samples)
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    block_align = channels * (bits // 8)
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_header(payload: bytes) -> dict | None:
+    """Metadata from the RIFF chunk walk alone (no sample decode):
+    {sample_rate, channels, bits, n_frames, duration_ms}, or None for
+    non-WAV / non-PCM / malformed payloads. The audio sibling of
+    parse_image_header."""
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        clen = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if pos + 8 + clen > len(b):
+            return None  # truncated chunk
+        if tag == b"fmt ":
+            fmt = b[pos + 8 : pos + 8 + clen]
+        elif tag == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data_len is None:
+        return None
+    audio_fmt, channels, rate, _, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_fmt != 1 or channels == 0 or bits not in (8, 16):
+        return None  # PCM only; compressed codecs are out of profile
+    if block_align != channels * (bits // 8) or block_align == 0:
+        return None
+    n_frames = data_len // block_align
+    return {
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "bits": int(bits),
+        "n_frames": int(n_frames),
+        "duration_ms": int(round(n_frames * 1000 / rate)) if rate else None,
+    }
+
+
+def decode_wav_samples(payload: bytes) -> dict | None:
+    """REAL sample decode for PCM WAV: header walk + raw little-endian
+    sample read. Returns {sample_rate, channels, bits, n_frames,
+    samples} with `samples` an int32 numpy array of shape
+    (n_frames, channels) — 8-bit values re-centered to signed
+    (byte - 128) so both depths share one scale convention."""
+    import numpy as np
+
+    hdr = parse_wav_header(payload)
+    if hdr is None:
+        return None
+    b = bytes(payload)
+    pos = 12
+    raw = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        clen = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if tag == b"data":
+            raw = b[pos + 8 : pos + 8 + clen]
+            break
+        pos += 8 + clen + (clen & 1)
+    if raw is None:
+        return None
+    if hdr["bits"] == 16:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    else:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    n = hdr["n_frames"] * hdr["channels"]
+    arr = arr[:n].reshape(hdr["n_frames"], hdr["channels"])
+    return {**hdr, "samples": arr}
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, channel int, sample_rate int, n_frames long, "
+    "amp_sum long, amp_min int, amp_max int, sq_sum long, rms double"
+)
+
+
+def wav_audio_stats(
+    payloads: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel amplitude statistics from REAL WAV decode: one row per
+    (payload, channel) with integer-exact sum/min/max/sum-of-squares and
+    the derived RMS (IEEE sqrt of exact integers — cross-engine
+    bit-stable). Unsupported payloads produce no rows. Arrow-batched
+    narrow map, no shuffle — the same shape as png_pixel_stats."""
+    import math
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_wav_samples(payload)
+                if dec is None or dec["n_frames"] == 0:
+                    continue
+                arr = dec["samples"].astype("int64")
+                for ch in range(dec["channels"]):
+                    col = arr[:, ch]
+                    s, sq, n = int(col.sum()), int((col * col).sum()), len(col)
+                    rows.append(
+                        (int(doc_id), ch, dec["sample_rate"], n,
+                         s, int(col.min()), int(col.max()), sq,
+                         round(math.sqrt(sq / n), 6))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "channel", "sample_rate", "n_frames",
+                         "amp_sum", "amp_min", "amp_max", "sq_sum", "rms"],
+            )
+
+    return payloads.mapInPandas(stats, schema=AUDIO_STATS_SCHEMA)
 
 
 def fake_decode(payload: bytes) -> dict:

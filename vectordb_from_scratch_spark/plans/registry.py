@@ -7281,6 +7281,68 @@ def _q_knn_facets(spark, sf_dir):
     )
 
 
+@_register(
+    "multimodal_wav_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS nch,
+             50 + doc_id % 37 AS nframes,
+             CAST([8000, 16000, 44100][1 + (doc_id % 3)] AS INTEGER) AS rate
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    amp AS (
+      SELECT d.doc_id, d.rate, ch.chan, ff.f,
+             ((d.doc_id * 131 + ff.f * 17 + ch.chan * 59) % 65536) - 32768 AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.nch - 1)) AS chan) ch,
+           LATERAL (SELECT unnest(generate_series(0, d.nframes - 1)) AS f) ff
+    )
+    SELECT doc_id, CAST(chan AS INTEGER) AS channel,
+           rate AS sample_rate, count(*)::BIGINT AS n_frames,
+           CAST(sum(v) AS BIGINT) AS amp_sum,
+           CAST(min(v) AS INTEGER) AS amp_min,
+           CAST(max(v) AS INTEGER) AS amp_max,
+           CAST(sum(v * v) AS BIGINT) AS sq_sum,
+           round(sqrt(sum(v * v)::DOUBLE / count(*)), 6) AS rms
+    FROM amp GROUP BY doc_id, chan, rate
+    """,
+    doc="REAL audio decode, stdlib only: RIFF/WAVE PCM needs no codec, so "
+    "the full path — header chunk walk, 16-bit LE sample read, "
+    "per-channel amplitude stats (sum/min/max/sum-of-squares/RMS) — is "
+    "exact (operators/multimodal.py:encode_wav/decode_wav_samples/"
+    "wav_audio_stats). The query synthesizes valid mono+stereo WAVs at "
+    "three sample rates in an Arrow-batched stage and decodes them "
+    "back; the oracle recomputes the deterministic PCM pattern "
+    "analytically. Two narrow maps, no shuffle. Compressed codecs "
+    "(MP3/AAC) stay out of profile, rejected to None like non-PNG "
+    "images. Value-exact",
+)
+def _q_multimodal_wav_stats(spark, sf_dir):
+    from ..operators.multimodal import encode_wav, wav_audio_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nch, nframes = 1 + i % 2, 50 + i % 37
+                rate = [8000, 16000, 44100][i % 3]
+                samples = [
+                    ((i * 131 + f * 17 + ch * 59) % 65536) - 32768
+                    for f in range(nframes) for ch in range(nch)
+                ]
+                payloads.append(encode_wav(samples, rate, nch, bits=16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return wav_audio_stats(payloads)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: never-driver-sampled queries first.
 #
