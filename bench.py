@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "knn_facets",
     "multimodal_png_pixel_stats",
     "multimodal_wav_stats",
+    "multimodal_jpeg_pixel_stats",
 ]
 
 

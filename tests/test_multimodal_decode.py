@@ -331,3 +331,70 @@ def test_wav_stats_matches_analytic(spark):
         assert r.amp_min == min(vals) and r.amp_max == max(vals)
         assert r.sq_sum == sum(v * v for v in vals)
         assert r.n_frames == 10 and r.sample_rate == 8000
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential, grayscale) — real codec, layered exactness
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_blocks_roundtrip_bit_exact():
+    # DC quant = 8 makes flat 8x8 blocks round-trip with zero loss
+    w, h = 24, 16
+    px = bytes((3 + (y // 8) * 50 + (x // 8) * 91) % 256 for y in range(h) for x in range(w))
+    payload = mm.encode_jpeg_gray(px, w, h)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    dec = mm.decode_jpeg_gray(payload)
+    assert dec["width"] == w and dec["height"] == h and dec["channels"] == 1
+    assert dec["pixels"] == px
+
+
+def test_jpeg_entropy_layer_is_lossless_on_arbitrary_images():
+    """encode -> decode_jpeg_coefficients must reproduce the encoder's
+    quantize-dequantize output bit-for-bit: huffman + bitstream +
+    stuffing are lossless; only quantization may lose information."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(19, 13), dtype=np.uint8)
+    payload = mm.encode_jpeg_gray(img.tobytes(), 13, 19)
+    co = mm.decode_jpeg_coefficients(payload)
+    assert co is not None and (co["width"], co["height"]) == (13, 19)
+    c = mm._dct_matrix()
+    q = np.array(mm._JPG_QTABLE, dtype=np.float64)[
+        np.argsort(mm._JPG_ZIGZAG)
+    ].reshape(8, 8)
+    pad = np.pad(img, ((0, 5), (0, 3)), mode="edge")
+    for (by, bx), blk in co["blocks"].items():
+        src = pad[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+        expect = np.rint((c @ src @ c.T) / q) * q
+        assert np.array_equal(blk, expect), f"block {(by, bx)}"
+
+
+def test_jpeg_decode_error_is_quantization_bounded():
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    dec = mm.decode_jpeg_gray(mm.encode_jpeg_gray(img.tobytes(), 16, 16))
+    arr = np.frombuffer(dec["pixels"], dtype=np.uint8).astype(int).reshape(16, 16)
+    # worst-case spatial error is bounded by sum of per-coefficient
+    # quant errors; with steps (8, 16*63) a generous envelope is 64
+    assert np.abs(arr - img.astype(int)).max() <= 64
+
+
+def test_jpeg_rejects_out_of_profile():
+    px = bytes(64)
+    good = mm.encode_jpeg_gray(px, 8, 8)
+    assert mm.decode_jpeg_gray(b"\xff\xd8\xff\xd9") is None        # no frame
+    assert mm.decode_jpeg_gray(good[:30]) is None                  # truncated
+    assert mm.decode_jpeg_gray(make_png(4, 4)) is None             # not JPEG
+    # progressive SOF2 is out of profile
+    prog = bytearray(good)
+    sof = good.index(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    assert mm.decode_jpeg_gray(bytes(prog)) is None
+    # 0xFF bytes inside entropy data must be stuffed and decodable:
+    # a gradient image exercises many magnitudes/codes
+    grad = bytes((x * 16 + y) % 256 for y in range(16) for x in range(16))
+    assert mm.decode_jpeg_gray(mm.encode_jpeg_gray(grad, 16, 16)) is not None

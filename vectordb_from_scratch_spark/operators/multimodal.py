@@ -16,6 +16,7 @@ spark.sql.execution.arrow.maxRecordsPerBatch so executor memory holds.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -45,6 +46,10 @@ __all__ = [
     "parse_wav_header",
     "decode_wav_samples",
     "wav_audio_stats",
+    "encode_jpeg_gray",
+    "decode_jpeg_gray",
+    "decode_jpeg_coefficients",
+    "jpeg_pixel_stats",
     "HAS_PIL",
 ]
 
@@ -356,6 +361,401 @@ def png_pixel_stats(
                          s, int(plane.min()), int(plane.max()), n,
                          round(s / n, 6))
                     )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "channel", "width", "height",
+                         "px_sum", "px_min", "px_max", "n_pixels", "px_mean"],
+            )
+
+    return payloads.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real baseline-JPEG codec, grayscale profile — stdlib + numpy only.
+#
+# Baseline JPEG carries its huffman and quantization tables IN the file
+# (DQT/DHT segments), so the encoder is free to use simple canonical
+# tables (all DC categories at 4 bits, all 162 AC run/size symbols at
+# 8 bits — valid Kraft, no all-ones code) instead of the Annex-K
+# "typical" ones; any conforming decoder, including this one and PIL,
+# reads whatever tables the file declares. The decoder handles ANY
+# 8-bit sequential-baseline single-component JPEG without restart
+# markers: marker walk → DQT/DHT/SOF0/SOS → huffman-decode the entropy
+# stream (0xFF00 unstuffing) → dequantize → float64 IDCT → level shift,
+# round, clamp. Color (multi-component YCbCr) and progressive files
+# still fall to the PIL ladder — profile honesty over coverage claims.
+#
+# Exactness lever for the oracle: with DC quant = 8, a flat 8×8 block's
+# only nonzero coefficient is DC = 8·(v−128), which quantizes and
+# reconstructs with ZERO rounding error — flat-block images round-trip
+# bit-exactly, so a DuckDB oracle can predict decoded pixels without
+# implementing JPEG. Non-flat content is covered at the coefficient
+# level in tests (the huffman/bitstream layer is lossless by
+# construction; only quantization is lossy).
+# --------------------------------------------------------------------------
+
+# canonical table = (bits_per_length[1..16], symbols in canonical order)
+_JPG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPG_DC_SYMS = list(range(12))  # DC size categories 0..11, all 4-bit codes
+_JPG_AC_SYMS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)  # EOB, ZRL, then every (run,size) — 162 symbols, all 8-bit codes
+_JPG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+# quant table: DC step 8 (the flat-block exactness lever), AC step 16
+_JPG_QTABLE = [8] + [16] * 63
+
+_JPG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpg_canonical_codes(bits: list[int], syms: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the JPEG canonical-code construction."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[syms[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            c[u, x] = math.cos((2 * x + 1) * u * math.pi / 16) * (
+                math.sqrt(0.125) if u == 0 else 0.5
+            )
+    return c
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def _jpg_magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: (size, additional bits)."""
+    if v == 0:
+        return 0, 0
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """A complete, spec-valid baseline sequential grayscale JPEG from
+    row-major 8-bit samples (the in-plan synthesis twin of
+    decode_jpeg_gray). Edges replicate-pad to 8×8 MCU multiples."""
+    import numpy as np
+
+    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width)
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    img = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+    c = _dct_matrix()
+    q = np.array(_JPG_QTABLE, dtype=np.float64)[
+        np.argsort(_JPG_ZIGZAG)
+    ].reshape(8, 8)
+    # _JPG_QTABLE is in zig-zag order (as DQT stores it); un-zig-zag for math
+    dc_codes = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_SYMS)
+    ac_codes = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_SYMS)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = img[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = c @ block @ c.T
+            quant = np.rint(coef / q).astype(np.int64)
+            zz = quant.reshape(-1)[_JPG_ZIGZAG]
+            # DC: category-coded difference
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            size, extra = _jpg_magnitude(diff)
+            code, ln = dc_codes[size]
+            w.write(code, ln)
+            if size:
+                w.write(extra, size)
+            # AC: run-length of zeros + magnitude
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for i in range(1, 64):
+                if i > last_nz:
+                    break
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    w.write(code, ln)
+                    run -= 16
+                size, extra = _jpg_magnitude(v)
+                code, ln = ac_codes[(run << 4) | size]
+                w.write(code, ln)
+                w.write(extra, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                w.write(code, ln)
+    entropy = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(_JPG_QTABLE))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_SYMS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_SYMS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise EOFError
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:  # stuffed byte: 0xFF00 → literal 0xFF
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1
+                else:
+                    raise EOFError  # a real marker inside entropy data
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpg_decode_tree(bits: list[int], syms: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, inverse of the canonical construction."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = syms[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpg_read_symbol(r: "_BitReader", tree: dict) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        if (length, code) in tree:
+            return tree[(length, code)]
+    raise ValueError("invalid huffman code")
+
+
+def _jpg_extend(extra: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return extra if extra >= (1 << (size - 1)) else extra - (1 << size) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> dict | None:
+    """REAL pixel decode for 8-bit sequential-baseline SINGLE-COMPONENT
+    JPEGs without restart markers (tables read from the file's own
+    DQT/DHT, so any conforming grayscale baseline file decodes, not just
+    this module's encoder output). Returns {width, height, channels: 1,
+    pixels} or None for payloads outside the profile (color,
+    progressive, 12-bit, restart intervals) — those fall to the PIL
+    ladder like compressed audio does."""
+    coefs = decode_jpeg_coefficients(payload)
+    if coefs is None:
+        return None
+    import numpy as np
+
+    c = _dct_matrix()
+    width, height = coefs["width"], coefs["height"]
+    pw, ph = -(-width // 8) * 8, -(-height // 8) * 8
+    out = np.zeros((ph, pw), dtype=np.uint8)
+    for (by, bx), block in coefs["blocks"].items():
+        spatial = c.T @ block @ c
+        pix = np.clip(np.rint(spatial + 128.0), 0, 255).astype(np.uint8)
+        out[by : by + 8, bx : bx + 8] = pix
+    return {
+        "width": width, "height": height, "channels": 1,
+        "pixels": out[:height, :width].tobytes(),
+    }
+
+
+def decode_jpeg_coefficients(payload: bytes) -> dict | None:
+    """The decoder's lossless half, exposed for exact testing: marker
+    walk + huffman decode + dequantize, WITHOUT the float IDCT. The
+    entropy layer is lossless, so encode→this must reproduce the
+    encoder's quantized-dequantized coefficients bit-for-bit. Returns
+    {width, height, blocks: {(y,x): 8×8 float64 dequantized block}}."""
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_q = 0
+    sos_params = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            return None  # EOI before SOS
+        seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        body = b[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    return None  # 16-bit quant = out of profile
+                qtables[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            return None  # progressive / extended — out of profile
+        elif marker == 0xC0:
+            precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8 or ncomp != 1:
+                return None  # color stays behind the PIL ladder
+            comp_q = body[8]
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                syms = list(body[i + 17 : i + 17 + n])
+                htables[(tc, th)] = _jpg_decode_tree(bits, syms)
+                i += 17 + n
+        elif marker == 0xDD:
+            return None  # restart intervals out of profile
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                return None
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            sos_params = (dc_id, ac_id)
+            pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if sos_params is None or width is None or comp_q not in qtables:
+        return None
+    dc_tree = htables.get((0, sos_params[0]))
+    ac_tree = htables.get((1, sos_params[1]))
+    if dc_tree is None or ac_tree is None:
+        return None
+    q = np.array(qtables[comp_q], dtype=np.float64)[
+        np.argsort(_JPG_ZIGZAG)
+    ].reshape(8, 8)
+    # entropy data runs to the next marker (EOI)
+    end = b.rfind(b"\xff\xd9")
+    r = _BitReader(b[pos : end if end > pos else len(b)])
+    blocks: dict[tuple[int, int], object] = {}
+    prev_dc = 0
+    try:
+        for by in range(0, -(-height // 8) * 8, 8):
+            for bx in range(0, -(-width // 8) * 8, 8):
+                zz = np.zeros(64, dtype=np.int64)
+                size = _jpg_read_symbol(r, dc_tree)
+                prev_dc += _jpg_extend(r.read_bits(size), size)
+                zz[0] = prev_dc
+                i = 1
+                while i < 64:
+                    sym = _jpg_read_symbol(r, ac_tree)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    i += run
+                    if i > 63:
+                        return None
+                    zz[i] = _jpg_extend(r.read_bits(size), size)
+                    i += 1
+                block = np.zeros(64, dtype=np.float64)
+                block[_JPG_ZIGZAG] = zz
+                blocks[(by, bx)] = block.reshape(8, 8) * q
+    except (EOFError, ValueError):
+        return None
+    return {"width": int(width), "height": int(height), "blocks": blocks}
+
+
+def jpeg_pixel_stats(
+    payloads: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Pixel statistics from REAL grayscale-baseline JPEG decode — the
+    JPEG sibling of png_pixel_stats (same output schema, channel always
+    0 for the single-component profile). Out-of-profile payloads
+    (color, progressive) produce no rows. Arrow-batched narrow map, no
+    shuffle."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_jpeg_gray(payload)
+                if dec is None:
+                    continue
+                plane = np.frombuffer(dec["pixels"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                s, n = int(plane.sum()), int(plane.size)
+                rows.append(
+                    (int(doc_id), 0, dec["width"], dec["height"],
+                     s, int(plane.min()), int(plane.max()), n,
+                     round(s / n, 6))
+                )
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "channel", "width", "height",

@@ -6881,8 +6881,9 @@ def _q_multimodal_header(spark, sf_dir):
     "— bytes→deflate→inflate→unfilter→stats parity, value-exact. Two "
     "narrow maps, no shuffle; parallelism is per input split. The "
     "reference has no image surface (floats only, src/vector.rs) — this "
-    "is north-star training-data-pipeline infrastructure; JPEG/video "
-    "pixel decode remains behind the PIL try-import",
+    "is north-star training-data-pipeline infrastructure; grayscale "
+    "baseline JPEG decode is real too (multimodal_jpeg_pixel_stats); "
+    "color/progressive JPEG and video stay behind the PIL try-import",
 )
 def _q_multimodal_png_pixels(spark, sf_dir):
     from ..operators.multimodal import encode_png, png_pixel_stats
@@ -7341,6 +7342,69 @@ def _q_multimodal_wav_stats(spark, sf_dir):
 
     payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
     return wav_audio_stats(payloads)
+
+
+@_register(
+    "multimodal_jpeg_pixel_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             1 + doc_id % 3 AS bw,
+             1 + (doc_id * 2) % 3 AS bh
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    blocks AS (
+      SELECT d.doc_id, d.bw, d.bh,
+             (d.doc_id * 37 + br.r * 11 + bc.c * 23) % 256 AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.bh - 1)) AS r) br,
+           LATERAL (SELECT unnest(generate_series(0, d.bw - 1)) AS c) bc
+    )
+    SELECT doc_id, 0 AS channel,
+           CAST(8 * bw AS INTEGER) AS width, CAST(8 * bh AS INTEGER) AS height,
+           CAST(64 * sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS INTEGER) AS px_min,
+           CAST(max(v) AS INTEGER) AS px_max,
+           CAST(64 * count(*) AS BIGINT) AS n_pixels,
+           round((64 * sum(v))::DOUBLE / (64 * count(*)), 6) AS px_mean
+    FROM blocks GROUP BY doc_id, bw, bh
+    """,
+    doc="REAL baseline-JPEG pixel decode, stdlib+numpy only: the query "
+    "synthesizes spec-valid grayscale sequential-baseline JPEGs from "
+    "flat 8x8 blocks in an Arrow-batched stage and decodes them back "
+    "through the full pipeline — marker walk, in-file huffman tables, "
+    "entropy decode with 0xFF00 unstuffing, dequantize, float64 IDCT "
+    "(operators/multimodal.py:encode_jpeg_gray/decode_jpeg_gray). With "
+    "DC quant = 8 a flat block's only coefficient, 8*(v-128), quantizes "
+    "with zero rounding error, so flat-block images round-trip "
+    "BIT-EXACTLY and the oracle predicts decoded pixels analytically; "
+    "the lossless entropy layer is additionally coefficient-exact-tested "
+    "on arbitrary images (tests/test_multimodal_decode.py). Color and "
+    "progressive files stay behind the PIL ladder. Value-exact",
+)
+def _q_multimodal_jpeg_pixels(spark, sf_dir):
+    from ..operators.multimodal import encode_jpeg_gray, jpeg_pixel_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                bw, bh = 1 + i % 3, 1 + (i * 2) % 3
+                w, h = 8 * bw, 8 * bh
+                px = bytes(
+                    (i * 37 + (y // 8) * 11 + (x // 8) * 23) % 256
+                    for y in range(h) for x in range(w)
+                )
+                payloads.append(encode_jpeg_gray(px, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return jpeg_pixel_stats(payloads)
 
 
 # ---------------------------------------------------------------------------
