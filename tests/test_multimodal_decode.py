@@ -398,3 +398,18 @@ def test_jpeg_rejects_out_of_profile():
     # a gradient image exercises many magnitudes/codes
     grad = bytes((x * 16 + y) % 256 for y in range(16) for x in range(16))
     assert mm.decode_jpeg_gray(mm.encode_jpeg_gray(grad, 16, 16)) is not None
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn layout (what real camera files use): byte-aligned restart
+    markers every N MCUs with DC-predictor resets must decode to the
+    same exact pixels as the marker-free stream."""
+    w, h = 40, 24  # 5x3 = 15 MCUs
+    px = bytes((9 + (y // 8) * 71 + (x // 8) * 37) % 256 for y in range(h) for x in range(w))
+    plain = mm.encode_jpeg_gray(px, w, h)
+    with_rst = mm.encode_jpeg_gray(px, w, h, restart_interval=4)
+    assert with_rst != plain and b"\xff\xdd" in with_rst  # DRI present
+    assert any(bytes([0xFF, 0xD0 + n]) in with_rst for n in range(8))
+    dec = mm.decode_jpeg_gray(with_rst)
+    assert dec is not None and dec["pixels"] == px
+    assert mm.decode_jpeg_gray(plain)["pixels"] == px

@@ -379,10 +379,10 @@ def png_pixel_stats(
 # 8 bits — valid Kraft, no all-ones code) instead of the Annex-K
 # "typical" ones; any conforming decoder, including this one and PIL,
 # reads whatever tables the file declares. The decoder handles ANY
-# 8-bit sequential-baseline single-component JPEG without restart
-# markers: marker walk → DQT/DHT/SOF0/SOS → huffman-decode the entropy
-# stream (0xFF00 unstuffing) → dequantize → float64 IDCT → level shift,
-# round, clamp. Color (multi-component YCbCr) and progressive files
+# 8-bit sequential-baseline single-component JPEG, restart markers
+# included: marker walk → DQT/DHT/SOF0/SOS → huffman-decode the entropy
+# stream (0xFF00 unstuffing, DRI/RSTn restart handling) → dequantize →
+# float64 IDCT → level shift, round, clamp. Color (YCbCr) and progressive files
 # still fall to the PIL ladder — profile honesty over coverage claims.
 #
 # Exactness lever for the oracle: with DC quant = 8, a flat 8×8 block's
@@ -469,10 +469,15 @@ def _jpg_magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
-def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
+def encode_jpeg_gray(
+    pixels: bytes, width: int, height: int, restart_interval: int = 0
+) -> bytes:
     """A complete, spec-valid baseline sequential grayscale JPEG from
     row-major 8-bit samples (the in-plan synthesis twin of
-    decode_jpeg_gray). Edges replicate-pad to 8×8 MCU multiples."""
+    decode_jpeg_gray). Edges replicate-pad to 8×8 MCU multiples.
+    `restart_interval` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (byte-aligned, DC predictor reset) — the layout most
+    real camera files use."""
     import numpy as np
 
     img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width)
@@ -487,8 +492,18 @@ def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
     ac_codes = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_SYMS)
     w = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align (1-fill), emit RSTn, reset the DC predictor
+                w.buf = bytearray(w.flush())
+                w.acc = w.nbits = 0
+                w.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                prev_dc = 0
+            mcu += 1
             block = img[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
             coef = c @ block @ c.T
             quant = np.rint(coef / q).astype(np.int64)
@@ -537,8 +552,13 @@ def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
         0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_SYMS)
     )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
     )
 
 
@@ -571,6 +591,17 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self) -> None:
+        """Byte-align and consume an RSTn marker (0xFFD0–0xFFD7)."""
+        self.nbits = 0  # discard the interval's padding bits
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
 
 def _jpg_decode_tree(bits: list[int], syms: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol, inverse of the canonical construction."""
@@ -602,12 +633,12 @@ def _jpg_extend(extra: int, size: int) -> int:
 
 def decode_jpeg_gray(payload: bytes) -> dict | None:
     """REAL pixel decode for 8-bit sequential-baseline SINGLE-COMPONENT
-    JPEGs without restart markers (tables read from the file's own
+    JPEGs, restart markers included (tables read from the file's own
     DQT/DHT, so any conforming grayscale baseline file decodes, not just
     this module's encoder output). Returns {width, height, channels: 1,
     pixels} or None for payloads outside the profile (color,
-    progressive, 12-bit, restart intervals) — those fall to the PIL
-    ladder like compressed audio does."""
+    progressive, 12-bit) — those fall to the PIL ladder like compressed
+    audio does."""
     coefs = decode_jpeg_coefficients(payload)
     if coefs is None:
         return None
@@ -644,6 +675,7 @@ def decode_jpeg_coefficients(payload: bytes) -> dict | None:
     width = height = None
     comp_q = 0
     sos_params = None
+    restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
@@ -677,7 +709,7 @@ def decode_jpeg_coefficients(payload: bytes) -> dict | None:
                 htables[(tc, th)] = _jpg_decode_tree(bits, syms)
                 i += 17 + n
         elif marker == 0xDD:
-            return None  # restart intervals out of profile
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             ns = body[0]
             if ns != 1:
@@ -701,9 +733,14 @@ def decode_jpeg_coefficients(payload: bytes) -> dict | None:
     r = _BitReader(b[pos : end if end > pos else len(b)])
     blocks: dict[tuple[int, int], object] = {}
     prev_dc = 0
+    mcu = 0
     try:
         for by in range(0, -(-height // 8) * 8, 8):
             for bx in range(0, -(-width // 8) * 8, 8):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    r.sync_restart()
+                    prev_dc = 0
+                mcu += 1
                 zz = np.zeros(64, dtype=np.int64)
                 size = _jpg_read_symbol(r, dc_tree)
                 prev_dc += _jpg_extend(r.read_bits(size), size)
