@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "multimodal_png_pixel_stats",
     "multimodal_wav_stats",
     "multimodal_jpeg_pixel_stats",
+    "multimodal_jpeg_color_stats",
 ]
 
 

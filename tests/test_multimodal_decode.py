@@ -413,3 +413,53 @@ def test_jpeg_restart_markers_roundtrip():
     dec = mm.decode_jpeg_gray(with_rst)
     assert dec is not None and dec["pixels"] == px
     assert mm.decode_jpeg_gray(plain)["pixels"] == px
+
+
+def test_jpeg_color_flat_blocks_roundtrip_bit_exact():
+    """Gray-valued (R=G=B) flat blocks survive the full color pipeline
+    bit-exactly: YCbCr forward rounds to (v, 128, 128), chroma box-mean
+    and DC-quant-8 are lossless on flat data, and the inverse transform
+    returns exactly v on all three channels — at 4:4:4 AND 4:2:0."""
+    w, h = 32, 16
+
+    def val(y, x):
+        return (10 + (y // 16) * 77 + (x // 16) * 33) % 256
+
+    rgb = bytes(v for y in range(h) for x in range(w) for v in (val(y, x),) * 3)
+    for sampling in [(1, 1), (2, 2)]:
+        p = mm.encode_jpeg(rgb, w, h, channels=3, sampling=sampling)
+        dec = mm.decode_jpeg_pixels(p)
+        assert dec["channels"] == 3 and (dec["width"], dec["height"]) == (w, h)
+        assert dec["pixels"] == rgb, f"sampling {sampling}"
+
+
+def test_jpeg_color_smooth_image_bounded_error():
+    """On chroma-smooth content (constant color cast over a luma
+    gradient) 4:2:0 subsampling loses little: decoded error stays within
+    a quantization-scale envelope."""
+    import numpy as np
+
+    w = h = 32
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            base = 60 + 3 * x + 2 * y
+            img[y, x] = (min(base, 255), min(base + 20, 255), min(base + 40, 255))
+    p = mm.encode_jpeg(img.tobytes(), w, h, channels=3, sampling=(2, 2))
+    dec = mm.decode_jpeg_pixels(p)
+    arr = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(arr - img.astype(int)).max() <= 48
+
+
+def test_jpeg_color_sampling_and_restart_variants_decode():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    for sampling in [(1, 1), (2, 1), (1, 2), (2, 2)]:
+        for ri in (0, 2):
+            p = mm.encode_jpeg(img.tobytes(), 40, 24, channels=3,
+                               sampling=sampling, restart_interval=ri)
+            dec = mm.decode_jpeg_pixels(p)
+            assert dec is not None and dec["channels"] == 3, (sampling, ri)
+            assert (dec["width"], dec["height"]) == (40, 24)

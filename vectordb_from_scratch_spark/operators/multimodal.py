@@ -46,7 +46,9 @@ __all__ = [
     "parse_wav_header",
     "decode_wav_samples",
     "wav_audio_stats",
+    "encode_jpeg",
     "encode_jpeg_gray",
+    "decode_jpeg_pixels",
     "decode_jpeg_gray",
     "decode_jpeg_coefficients",
     "jpeg_pixel_stats",
@@ -382,8 +384,10 @@ def png_pixel_stats(
 # 8-bit sequential-baseline single-component JPEG, restart markers
 # included: marker walk → DQT/DHT/SOF0/SOS → huffman-decode the entropy
 # stream (0xFF00 unstuffing, DRI/RSTn restart handling) → dequantize →
-# float64 IDCT → level shift, round, clamp. Color (YCbCr) and progressive files
-# still fall to the PIL ladder — profile honesty over coverage claims.
+# float64 IDCT → level shift, round, clamp — grayscale AND 3-component
+# YCbCr color at any 1..4 sampling factors (4:4:4/4:2:2/4:2:0, chroma
+# upsampled by replication). Progressive/multi-scan/CMYK files still
+# fall to the PIL ladder — profile honesty over coverage claims.
 #
 # Exactness lever for the oracle: with DC quant = 8, a flat 8×8 block's
 # only nonzero coefficient is DC = 8·(v−128), which quantizes and
@@ -469,20 +473,99 @@ def _jpg_magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
-def encode_jpeg_gray(
-    pixels: bytes, width: int, height: int, restart_interval: int = 0
-) -> bytes:
-    """A complete, spec-valid baseline sequential grayscale JPEG from
-    row-major 8-bit samples (the in-plan synthesis twin of
-    decode_jpeg_gray). Edges replicate-pad to 8×8 MCU multiples.
-    `restart_interval` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (byte-aligned, DC predictor reset) — the layout most
-    real camera files use."""
+def _jpg_encode_block(w, block, q, c, dc_codes, ac_codes, prev_dc: int) -> int:
+    """DCT → quantize → huffman-write one level-shifted 8×8 block;
+    returns the new DC predictor."""
     import numpy as np
 
-    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width)
-    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
-    img = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+    coef = c @ block @ c.T
+    quant = np.rint(coef / q).astype(np.int64)
+    zz = quant.reshape(-1)[_JPG_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    size, extra = _jpg_magnitude(diff)
+    code, ln = dc_codes[size]
+    w.write(code, ln)
+    if size:
+        w.write(extra, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        if i > last_nz:
+            break
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        size, extra = _jpg_magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        w.write(code, ln)
+        w.write(extra, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return int(zz[0])
+
+
+# JFIF YCbCr <-> RGB (ITU-R BT.601 full-range) — the conversion every
+# baseline JPEG uses
+_JPG_FWD = [
+    (0.299, 0.587, 0.114, 0.0),
+    (-0.168736, -0.331264, 0.5, 128.0),
+    (0.5, -0.418688, -0.081312, 128.0),
+]
+
+
+def encode_jpeg(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    sampling: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
+) -> bytes:
+    """A complete, spec-valid baseline sequential JPEG from row-major
+    8-bit samples: grayscale (channels=1) or interleaved RGB
+    (channels=3, JFIF YCbCr with `sampling` = luma (h, v) factors —
+    (1, 1) is 4:4:4, (2, 1) is 4:2:2, (2, 2) is 4:2:0; chroma
+    downsamples by box mean). Edges replicate-pad to MCU multiples.
+    `restart_interval` > 0 emits DRI + byte-aligned RSTn markers with
+    DC-predictor resets every that many MCUs — real camera layout."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    sh, sv = (1, 1) if channels == 1 else sampling
+    if not (1 <= sh <= 4 and 1 <= sv <= 4):
+        raise ValueError("sampling factors must be in 1..4")
+    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    mw, mh = 8 * sh, 8 * sv  # MCU pixel size
+    ph, pw = -(-height // mh) * mh, -(-width // mw) * mw
+    img = np.pad(
+        img, ((0, ph - height), (0, pw - width), (0, 0)), mode="edge"
+    ).astype(np.float64)
+    if channels == 1:
+        planes = [img[:, :, 0]]
+        comp_samp = [(1, 1)]
+    else:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        planes = []
+        for cr_, cg_, cb_, off in _JPG_FWD:
+            planes.append(
+                np.clip(np.rint(cr_ * r + cg_ * g + cb_ * b + off), 0, 255)
+            )
+        for k in (1, 2):  # chroma box-mean downsample to (ph/sv, pw/sh)
+            p = planes[k]
+            planes[k] = np.rint(
+                p.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+            )
+        comp_samp = [(sh, sv), (1, 1), (1, 1)]
     c = _dct_matrix()
     q = np.array(_JPG_QTABLE, dtype=np.float64)[
         np.argsort(_JPG_ZIGZAG)
@@ -491,67 +574,47 @@ def encode_jpeg_gray(
     dc_codes = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_SYMS)
     ac_codes = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_SYMS)
     w = _BitWriter()
-    prev_dc = 0
+    prev = [0] * len(planes)
     mcu = 0
     rst = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for my in range(ph // mh):
+        for mx in range(pw // mw):
             if restart_interval and mcu and mcu % restart_interval == 0:
-                # byte-align (1-fill), emit RSTn, reset the DC predictor
-                w.buf = bytearray(w.flush())
-                w.acc = w.nbits = 0
+                # byte-align (1-fill), emit RSTn, reset every DC predictor
+                w.flush()
                 w.buf += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) & 7
-                prev_dc = 0
+                prev = [0] * len(planes)
             mcu += 1
-            block = img[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            coef = c @ block @ c.T
-            quant = np.rint(coef / q).astype(np.int64)
-            zz = quant.reshape(-1)[_JPG_ZIGZAG]
-            # DC: category-coded difference
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            size, extra = _jpg_magnitude(diff)
-            code, ln = dc_codes[size]
-            w.write(code, ln)
-            if size:
-                w.write(extra, size)
-            # AC: run-length of zeros + magnitude
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for i in range(1, 64):
-                if i > last_nz:
-                    break
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    w.write(code, ln)
-                    run -= 16
-                size, extra = _jpg_magnitude(v)
-                code, ln = ac_codes[(run << 4) | size]
-                w.write(code, ln)
-                w.write(extra, size)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                w.write(code, ln)
+            for ci, plane in enumerate(planes):
+                ch, cv = comp_samp[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        prev[ci] = _jpg_encode_block(
+                            w, block, q, c, dc_codes, ac_codes, prev[ci]
+                        )
     entropy = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     dqt = seg(0xDB, bytes([0x00]) + bytes(_JPG_QTABLE))
+    sof_comps = b"".join(
+        bytes([cid + 1, (hh << 4) | vv, 0])
+        for cid, (hh, vv) in enumerate(comp_samp)
+    )
     sof = seg(
         0xC0,
-        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+        struct.pack(">BHHB", 8, height, width, len(planes)) + sof_comps,
     )
     dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_SYMS)) + seg(
         0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_SYMS)
     )
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(len(planes)))
+    sos = seg(0xDA, bytes([len(planes)]) + sos_comps + bytes([0, 63, 0]))
     dri = (
         seg(0xDD, struct.pack(">H", restart_interval))
         if restart_interval
@@ -559,6 +622,16 @@ def encode_jpeg_gray(
     )
     return (
         b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_gray(
+    pixels: bytes, width: int, height: int, restart_interval: int = 0
+) -> bytes:
+    """Grayscale wrapper over encode_jpeg (the in-plan synthesis twin of
+    decode_jpeg_gray)."""
+    return encode_jpeg(
+        pixels, width, height, channels=1, restart_interval=restart_interval
     )
 
 
@@ -631,51 +704,20 @@ def _jpg_extend(extra: int, size: int) -> int:
     return extra if extra >= (1 << (size - 1)) else extra - (1 << size) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> dict | None:
-    """REAL pixel decode for 8-bit sequential-baseline SINGLE-COMPONENT
-    JPEGs, restart markers included (tables read from the file's own
-    DQT/DHT, so any conforming grayscale baseline file decodes, not just
-    this module's encoder output). Returns {width, height, channels: 1,
-    pixels} or None for payloads outside the profile (color,
-    progressive, 12-bit) — those fall to the PIL ladder like compressed
-    audio does."""
-    coefs = decode_jpeg_coefficients(payload)
-    if coefs is None:
-        return None
-    import numpy as np
-
-    c = _dct_matrix()
-    width, height = coefs["width"], coefs["height"]
-    pw, ph = -(-width // 8) * 8, -(-height // 8) * 8
-    out = np.zeros((ph, pw), dtype=np.uint8)
-    for (by, bx), block in coefs["blocks"].items():
-        spatial = c.T @ block @ c
-        pix = np.clip(np.rint(spatial + 128.0), 0, 255).astype(np.uint8)
-        out[by : by + 8, bx : bx + 8] = pix
-    return {
-        "width": width, "height": height, "channels": 1,
-        "pixels": out[:height, :width].tobytes(),
-    }
-
-
-def decode_jpeg_coefficients(payload: bytes) -> dict | None:
-    """The decoder's lossless half, exposed for exact testing: marker
-    walk + huffman decode + dequantize, WITHOUT the float IDCT. The
-    entropy layer is lossless, so encode→this must reproduce the
-    encoder's quantized-dequantized coefficients bit-for-bit. Returns
-    {width, height, blocks: {(y,x): 8×8 float64 dequantized block}}."""
-    import numpy as np
-
-    b = bytes(payload)
+def _jpg_parse_stream(b: bytes) -> dict | None:
+    """Marker walk through SOS: tables, frame header, scan parameters,
+    and the entropy-data slice. None = out of profile (progressive,
+    12-bit, >3 components) or malformed."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     width = height = None
-    comp_q = 0
-    sos_params = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    scan: dict[int, tuple[int, int]] = {}  # cid -> (td, ta)
     restart_interval = 0
+    entropy_start = None
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
@@ -696,9 +738,11 @@ def decode_jpeg_coefficients(payload: bytes) -> dict | None:
             return None  # progressive / extended — out of profile
         elif marker == 0xC0:
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8 or ncomp != 1:
-                return None  # color stays behind the PIL ladder
-            comp_q = body[8]
+            if precision != 8 or ncomp not in (1, 3):
+                return None  # CMYK etc. stay behind the PIL ladder
+            for k in range(ncomp):
+                cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -712,25 +756,172 @@ def decode_jpeg_coefficients(payload: bytes) -> dict | None:
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             ns = body[0]
-            if ns != 1:
-                return None
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
-            sos_params = (dc_id, ac_id)
-            pos = pos + 2 + seg_len
+            if ns != len(comps) or ns == 0:
+                return None  # multi-scan files are out of profile
+            for k in range(ns):
+                cid, tt = body[1 + 2 * k], body[2 + 2 * k]
+                scan[cid] = (tt >> 4, tt & 0x0F)
+            entropy_start = pos + 2 + seg_len
             break
         pos += 2 + seg_len
-    if sos_params is None or width is None or comp_q not in qtables:
+    if entropy_start is None or width is None or not comps:
         return None
-    dc_tree = htables.get((0, sos_params[0]))
-    ac_tree = htables.get((1, sos_params[1]))
+    for cid, h, v, tq in comps:
+        if not (1 <= h <= 4 and 1 <= v <= 4) or tq not in qtables:
+            return None
+        if cid not in scan:
+            return None
+    end = b.rfind(b"\xff\xd9")
+    return {
+        "width": int(width), "height": int(height),
+        "comps": comps, "scan": scan, "qtables": qtables,
+        "htables": htables, "restart_interval": restart_interval,
+        "entropy": b[entropy_start : end if end > entropy_start else len(b)],
+    }
+
+
+def _jpg_decode_block(r: "_BitReader", dc_tree: dict, ac_tree: dict,
+                      prev_dc: int):
+    """Huffman-decode one block's zig-zag coefficients; returns
+    (zz int64[64] or None on corrupt run, new DC predictor)."""
+    import numpy as np
+
+    zz = np.zeros(64, dtype=np.int64)
+    size = _jpg_read_symbol(r, dc_tree)
+    prev_dc += _jpg_extend(r.read_bits(size), size)
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        sym = _jpg_read_symbol(r, ac_tree)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        i += run
+        if i > 63:
+            return None, prev_dc
+        zz[i] = _jpg_extend(r.read_bits(size), size)
+        i += 1
+    return zz, prev_dc
+
+
+def decode_jpeg_pixels(payload: bytes) -> dict | None:
+    """REAL pixel decode for 8-bit sequential-baseline JPEGs — grayscale
+    AND color (1 or 3 components, any sampling factors 1..4 so 4:4:4 /
+    4:2:2 / 4:2:0 all decode, chroma upsampled by replication), restart
+    markers included, tables read from the file's own DQT/DHT. Returns
+    {width, height, channels: 1|3, pixels row-major (RGB interleaved
+    for color)} or None outside the profile (progressive, 12-bit,
+    multi-scan) — those fall to the PIL ladder."""
+    import numpy as np
+
+    hdr = _jpg_parse_stream(bytes(payload))
+    if hdr is None:
+        return None
+    width, height, comps = hdr["width"], hdr["height"], hdr["comps"]
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    c = _dct_matrix()
+    params = []
+    planes = []
+    for cid, h, v, tq in comps:
+        td, ta = hdr["scan"][cid]
+        dc_tree = hdr["htables"].get((0, td))
+        ac_tree = hdr["htables"].get((1, ta))
+        if dc_tree is None or ac_tree is None:
+            return None
+        q = np.array(hdr["qtables"][tq], dtype=np.float64)[
+            np.argsort(_JPG_ZIGZAG)
+        ].reshape(8, 8)
+        params.append((h, v, q, dc_tree, ac_tree))
+        planes.append(np.zeros((mcus_y * v * 8, mcus_x * h * 8), np.float64))
+    r = _BitReader(hdr["entropy"])
+    restart_interval = hdr["restart_interval"]
+    prev = [0] * len(comps)
+    mcu = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    r.sync_restart()
+                    prev = [0] * len(comps)
+                mcu += 1
+                for ci, (h, v, q, dc_tree, ac_tree) in enumerate(params):
+                    for by in range(v):
+                        for bx in range(h):
+                            zz, prev[ci] = _jpg_decode_block(
+                                r, dc_tree, ac_tree, prev[ci]
+                            )
+                            if zz is None:
+                                return None
+                            block = np.zeros(64, dtype=np.float64)
+                            block[_JPG_ZIGZAG] = zz
+                            spatial = c.T @ (block.reshape(8, 8) * q) @ c
+                            y0 = (my * v + by) * 8
+                            x0 = (mx * h + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = (
+                                spatial + 128.0
+                            )
+    except (EOFError, ValueError):
+        return None
+    full = []
+    for ci, (h, v, _, _, _) in enumerate(params):
+        p = planes[ci]
+        if h != hmax or v != vmax:  # chroma upsample by replication
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return {"width": width, "height": height, "channels": 1,
+                "pixels": out.tobytes()}
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr,
+         y - 0.344136 * cb - 0.714136 * cr,
+         y + 1.772 * cb],
+        axis=2,
+    )
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return {"width": width, "height": height, "channels": 3,
+            "pixels": out.tobytes()}
+
+
+def decode_jpeg_gray(payload: bytes) -> dict | None:
+    """Single-component view of decode_jpeg_pixels: the decoded image
+    when the file is grayscale baseline, None otherwise (color files
+    decode via decode_jpeg_pixels)."""
+    dec = decode_jpeg_pixels(payload)
+    return dec if dec is not None and dec["channels"] == 1 else None
+
+
+def decode_jpeg_coefficients(payload: bytes) -> dict | None:
+    """The decoder's lossless half for SINGLE-component files, exposed
+    for exact testing: marker walk + huffman decode + dequantize,
+    WITHOUT the float IDCT. The entropy layer is lossless, so
+    encode→this must reproduce the encoder's quantized-dequantized
+    coefficients bit-for-bit. Returns {width, height, blocks:
+    {(y,x): 8×8 float64 dequantized block}}."""
+    import numpy as np
+
+    hdr = _jpg_parse_stream(bytes(payload))
+    if hdr is None or len(hdr["comps"]) != 1:
+        return None
+    width, height = hdr["width"], hdr["height"]
+    cid, h, v, tq = hdr["comps"][0]
+    td, ta = hdr["scan"][cid]
+    dc_tree = hdr["htables"].get((0, td))
+    ac_tree = hdr["htables"].get((1, ta))
     if dc_tree is None or ac_tree is None:
         return None
-    q = np.array(qtables[comp_q], dtype=np.float64)[
+    q = np.array(hdr["qtables"][tq], dtype=np.float64)[
         np.argsort(_JPG_ZIGZAG)
     ].reshape(8, 8)
-    # entropy data runs to the next marker (EOI)
-    end = b.rfind(b"\xff\xd9")
-    r = _BitReader(b[pos : end if end > pos else len(b)])
+    r = _BitReader(hdr["entropy"])
+    restart_interval = hdr["restart_interval"]
     blocks: dict[tuple[int, int], object] = {}
     prev_dc = 0
     mcu = 0
@@ -741,24 +932,9 @@ def decode_jpeg_coefficients(payload: bytes) -> dict | None:
                     r.sync_restart()
                     prev_dc = 0
                 mcu += 1
-                zz = np.zeros(64, dtype=np.int64)
-                size = _jpg_read_symbol(r, dc_tree)
-                prev_dc += _jpg_extend(r.read_bits(size), size)
-                zz[0] = prev_dc
-                i = 1
-                while i < 64:
-                    sym = _jpg_read_symbol(r, ac_tree)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    i += run
-                    if i > 63:
-                        return None
-                    zz[i] = _jpg_extend(r.read_bits(size), size)
-                    i += 1
+                zz, prev_dc = _jpg_decode_block(r, dc_tree, ac_tree, prev_dc)
+                if zz is None:
+                    return None
                 block = np.zeros(64, dtype=np.float64)
                 block[_JPG_ZIGZAG] = zz
                 blocks[(by, bx)] = block.reshape(8, 8) * q
@@ -770,29 +946,31 @@ def decode_jpeg_coefficients(payload: bytes) -> dict | None:
 def jpeg_pixel_stats(
     payloads: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Pixel statistics from REAL grayscale-baseline JPEG decode — the
-    JPEG sibling of png_pixel_stats (same output schema, channel always
-    0 for the single-component profile). Out-of-profile payloads
-    (color, progressive) produce no rows. Arrow-batched narrow map, no
-    shuffle."""
+    """Pixel statistics from REAL baseline JPEG decode — the JPEG
+    sibling of png_pixel_stats (same output schema; one row per channel,
+    so grayscale yields channel 0 and color yields 0/1/2 = R/G/B).
+    Out-of-profile payloads (progressive, multi-scan) produce no rows.
+    Arrow-batched narrow map, no shuffle."""
     import numpy as np
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[tuple] = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                dec = decode_jpeg_gray(payload)
+                dec = decode_jpeg_pixels(payload)
                 if dec is None:
                     continue
-                plane = np.frombuffer(dec["pixels"], dtype=np.uint8).astype(
-                    np.int64
+                arr = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(
+                    dec["height"], dec["width"], dec["channels"]
                 )
-                s, n = int(plane.sum()), int(plane.size)
-                rows.append(
-                    (int(doc_id), 0, dec["width"], dec["height"],
-                     s, int(plane.min()), int(plane.max()), n,
-                     round(s / n, 6))
-                )
+                for ch in range(dec["channels"]):
+                    plane = arr[:, :, ch].astype(np.int64)
+                    s, n = int(plane.sum()), int(plane.size)
+                    rows.append(
+                        (int(doc_id), ch, dec["width"], dec["height"],
+                         s, int(plane.min()), int(plane.max()), n,
+                         round(s / n, 6))
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "channel", "width", "height",

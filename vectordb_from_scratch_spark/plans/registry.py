@@ -6882,8 +6882,9 @@ def _q_multimodal_header(spark, sf_dir):
     "narrow maps, no shuffle; parallelism is per input split. The "
     "reference has no image surface (floats only, src/vector.rs) — this "
     "is north-star training-data-pipeline infrastructure; grayscale "
-    "baseline JPEG decode is real too (multimodal_jpeg_pixel_stats); "
-    "color/progressive JPEG and video stay behind the PIL try-import",
+    "and color baseline JPEG decode is real too "
+    "(multimodal_jpeg_pixel_stats, multimodal_jpeg_color_stats); "
+    "progressive JPEG and video stay behind the PIL try-import",
 )
 def _q_multimodal_png_pixels(spark, sf_dir):
     from ..operators.multimodal import encode_png, png_pixel_stats
@@ -7379,8 +7380,9 @@ def _q_multimodal_wav_stats(spark, sf_dir):
     "with zero rounding error, so flat-block images round-trip "
     "BIT-EXACTLY and the oracle predicts decoded pixels analytically; "
     "the lossless entropy layer is additionally coefficient-exact-tested "
-    "on arbitrary images (tests/test_multimodal_decode.py). Color and "
-    "progressive files stay behind the PIL ladder. Value-exact",
+    "on arbitrary images (tests/test_multimodal_decode.py). Color "
+    "decodes too (multimodal_jpeg_color_stats); progressive/multi-scan "
+    "files stay behind the PIL ladder. Value-exact",
 )
 def _q_multimodal_jpeg_pixels(spark, sf_dir):
     from ..operators.multimodal import encode_jpeg_gray, jpeg_pixel_stats
@@ -7401,6 +7403,76 @@ def _q_multimodal_jpeg_pixels(spark, sf_dir):
                     for y in range(h) for x in range(w)
                 )
                 payloads.append(encode_jpeg_gray(px, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return jpeg_pixel_stats(payloads)
+
+
+@_register(
+    "multimodal_jpeg_color_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS mw,
+             1 + (doc_id * 3) % 2 AS mh
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    mcus AS (
+      SELECT d.doc_id, d.mw, d.mh,
+             (d.doc_id * 53 + br.r * 19 + bc.c * 29) % 256 AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.mh - 1)) AS r) br,
+           LATERAL (SELECT unnest(generate_series(0, d.mw - 1)) AS c) bc
+    ),
+    per_doc AS (
+      SELECT doc_id, mw, mh, sum(v) AS sv, min(v) AS mn, max(v) AS mx,
+             count(*) AS nm
+      FROM mcus GROUP BY doc_id, mw, mh
+    )
+    SELECT doc_id, CAST(ch.channel AS INTEGER) AS channel,
+           CAST(16 * mw AS INTEGER) AS width, CAST(16 * mh AS INTEGER) AS height,
+           CAST(256 * sv AS BIGINT) AS px_sum,
+           CAST(mn AS INTEGER) AS px_min, CAST(mx AS INTEGER) AS px_max,
+           CAST(256 * nm AS BIGINT) AS n_pixels,
+           round((256 * sv)::DOUBLE / (256 * nm), 6) AS px_mean
+    FROM per_doc, LATERAL (SELECT unnest([0, 1, 2]) AS channel) ch
+    """,
+    doc="REAL COLOR baseline-JPEG decode, 4:2:0 chroma subsampling: the "
+    "query synthesizes 3-component YCbCr JPEGs from gray-valued flat "
+    "16x16 MCUs (encode_jpeg channels=3 sampling=(2,2)) and decodes "
+    "them through the full color pipeline — interleaved MCU entropy "
+    "decode, per-component dequant+IDCT, chroma upsample, YCbCr→RGB "
+    "(operators/multimodal.py:decode_jpeg_pixels). Gray inputs pin "
+    "chroma at exactly 128 and DC-quant-8 keeps flat luma lossless, so "
+    "all three RGB channels reconstruct BIT-exactly and the oracle "
+    "predicts per-channel stats analytically. Arbitrary-color content "
+    "is covered by bounded-error and variant tests "
+    "(tests/test_multimodal_decode.py). Value-exact",
+)
+def _q_multimodal_jpeg_color(spark, sf_dir):
+    from ..operators.multimodal import encode_jpeg, jpeg_pixel_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                mw, mh = 1 + i % 2, 1 + (i * 3) % 2
+                w, h = 16 * mw, 16 * mh
+                rgb = bytes(
+                    v
+                    for y in range(h)
+                    for x in range(w)
+                    for v in ((i * 53 + (y // 16) * 19 + (x // 16) * 29) % 256,) * 3
+                )
+                payloads.append(
+                    encode_jpeg(rgb, w, h, channels=3, sampling=(2, 2))
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
