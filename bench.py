@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "multimodal_wav_stats",
     "multimodal_jpeg_pixel_stats",
     "multimodal_jpeg_color_stats",
+    "multimodal_gif_pixel_stats",
 ]
 
 

@@ -463,3 +463,110 @@ def test_jpeg_color_sampling_and_restart_variants_decode():
             dec = mm.decode_jpeg_pixels(p)
             assert dec is not None and dec["channels"] == 3, (sampling, ri)
             assert (dec["width"], dec["height"]) == (40, 24)
+
+
+# ---------------------------------------------------------------------------
+# GIF — real LZW decode (lossless), interlace, table-growth streams
+# ---------------------------------------------------------------------------
+
+_PAL8 = [((17 * i) % 256, (31 * i) % 256, (53 * i) % 256) for i in range(8)]
+
+
+def _expand(idx, pal):
+    out = bytearray()
+    for k in idx:
+        out += bytes(pal[k])
+    return bytes(out)
+
+
+def test_gif_roundtrip_exact():
+    w, h = 13, 9
+    idx = bytes((3 + y * 5 + x * 7) % 8 for y in range(h) for x in range(w))
+    dec = mm.decode_gif_pixels(mm.encode_gif(idx, w, h, _PAL8))
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 3)
+    assert dec["pixels"] == _expand(idx, _PAL8)
+
+
+def _real_lzw_gif(idx: bytes, w: int, h: int, pal) -> bytes:
+    """A GIF whose image data is REAL LZW (growing dictionary, widening
+    codes, KwKwK case) — what actual encoders emit, unlike encode_gif's
+    clear-heavy degenerate stream."""
+    import struct as st
+
+    n = max(2, (len(pal) - 1).bit_length())
+    out = bytearray(b"GIF89a") + st.pack("<HH", w, h)
+    out.append(0x80 | (n - 1)); out += bytes([0, 0])
+    for i in range(1 << n):
+        out += bytes(pal[i] if i < len(pal) else (0, 0, 0))
+    out += b"\x2c" + st.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    clear, end = 1 << n, (1 << n) + 1
+    codes, width_bits = [clear], n + 1
+    table = {bytes([i]): i for i in range(1 << n)}
+    next_code = end + 1
+    widths = []
+    cur = b""
+    for ch in bytes(idx):
+        nxt = cur + bytes([ch])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append(table[cur]); widths.append(width_bits)
+        table[nxt] = next_code
+        if next_code == (1 << width_bits) and width_bits < 12:
+            width_bits += 1
+        next_code += 1
+        cur = bytes([ch])
+    codes.append(table[cur]); widths.append(width_bits)
+    codes.append(end); widths.append(width_bits)
+    acc = nbits = 0
+    data = bytearray()
+    allw = [n + 1] + widths  # clear code goes out at the initial width
+    for code, wb in zip(codes, allw):
+        acc |= code << nbits; nbits += wb
+        while nbits >= 8:
+            data.append(acc & 0xFF); acc >>= 8; nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    out.append(n)
+    for i in range(0, len(data), 255):
+        out.append(len(data[i:i + 255])); out += data[i:i + 255]
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decodes_real_lzw_streams():
+    # repetitive data drives dictionary growth + width escalation + KwKwK
+    w, h = 32, 16
+    idx = bytes(((x // 3) + (y // 2)) % 6 for y in range(h) for x in range(w))
+    dec = mm.decode_gif_pixels(_real_lzw_gif(idx, w, h, _PAL8))
+    assert dec is not None and dec["pixels"] == _expand(idx, _PAL8)
+    # degenerate all-same-index stream is the strongest KwKwK exercise
+    idx2 = bytes([5]) * (w * h)
+    dec2 = mm.decode_gif_pixels(_real_lzw_gif(idx2, w, h, _PAL8))
+    assert dec2 is not None and dec2["pixels"] == _expand(idx2, _PAL8)
+
+
+def test_gif_interlaced_rows_restored():
+    w, h = 8, 11
+    idx = bytes((y * 3 + x) % 8 for y in range(h) for x in range(w))
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    shuffled = b"".join(idx[r * w:(r + 1) * w] for r in order)
+    g = bytearray(mm.encode_gif(shuffled, w, h, _PAL8))
+    flags_off = 6 + 7 + 3 * 8 + 9  # header + LSD + GCT + descriptor flags
+    assert g[flags_off - 9] == 0x2C
+    g[flags_off] |= 0x40  # mark interlaced
+    dec = mm.decode_gif_pixels(bytes(g))
+    assert dec is not None and dec["pixels"] == _expand(idx, _PAL8)
+
+
+def test_gif_extensions_skipped_and_rejects():
+    w, h = 4, 4
+    idx = bytes(range(8)) * 2
+    g = mm.encode_gif(idx, w, h, _PAL8)
+    # splice a graphic-control extension between LSD+GCT and the image
+    cut = 6 + 7 + 3 * 8
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    assert mm.decode_gif_pixels(g[:cut] + ext + g[cut:])["pixels"] == _expand(idx, _PAL8)
+    assert mm.decode_gif_pixels(g[:25]) is None
+    assert mm.decode_gif_pixels(b"GIF89a" + bytes(7) + b"\x3b") is None

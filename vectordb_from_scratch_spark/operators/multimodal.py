@@ -52,6 +52,9 @@ __all__ = [
     "decode_jpeg_gray",
     "decode_jpeg_coefficients",
     "jpeg_pixel_stats",
+    "encode_gif",
+    "decode_gif_pixels",
+    "gif_pixel_stats",
     "HAS_PIL",
 ]
 
@@ -964,6 +967,225 @@ def jpeg_pixel_stats(
                     dec["height"], dec["width"], dec["channels"]
                 )
                 for ch in range(dec["channels"]):
+                    plane = arr[:, :, ch].astype(np.int64)
+                    s, n = int(plane.sum()), int(plane.size)
+                    rows.append(
+                        (int(doc_id), ch, dec["width"], dec["height"],
+                         s, int(plane.min()), int(plane.max()), n,
+                         round(s / n, 6))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "channel", "width", "height",
+                         "px_sum", "px_min", "px_max", "n_pixels", "px_mean"],
+            )
+
+    return payloads.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real GIF codec — stdlib only. GIF's LZW is LOSSLESS, so decode is exact
+# by construction (no quantization lever needed, unlike JPEG). The
+# decoder handles general GIF87a/89a streams: global/local color tables,
+# extension-block skip, variable-width LZW with table growth and clear
+# codes, and the 4-pass interlace. Only the FIRST image frame is decoded
+# (animation = frame 0, the standard thumbnail/training-data semantics).
+# The encoder emits a spec-valid non-interlaced stream using the classic
+# clear-per-symbol LZW degenerate mode (every index as a literal code,
+# periodic CLEARs keep the code width fixed) — maximally simple, still
+# decodable by any conformant reader.
+# --------------------------------------------------------------------------
+
+
+def encode_gif(
+    indices: bytes, width: int, height: int, palette: list[tuple[int, int, int]]
+) -> bytes:
+    """A complete, spec-valid GIF89a from palette indices + color table
+    (the in-plan synthesis twin of decode_gif_pixels)."""
+    n = max(2, (len(palette) - 1).bit_length())
+    gct_size = 1 << n
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | (n - 1))  # GCT present, 2^n entries
+    out += bytes([0, 0])  # background index, aspect
+    for i in range(gct_size):
+        out += bytes(palette[i] if i < len(palette) else (0, 0, 0))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    min_code = n
+    clear, _end = 1 << min_code, (1 << min_code) + 1
+    width_bits = min_code + 1
+    acc = 0
+    nbits = 0
+    data = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # LZW codes pack LSB-first
+        nbits += width_bits
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for k, idx in enumerate(bytes(indices)):
+        if k and k % (clear - 2) == 0:
+            emit(clear)  # reset before the table could widen codes
+        emit(idx)
+    emit(_end)
+    if nbits:
+        data.append(acc & 0xFF)
+    out.append(min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes) -> dict | None:
+    """REAL pixel decode for GIF87a/89a: color tables, extension skip,
+    full variable-width LZW (table growth, clear/end codes, deferred
+    clears), 4-pass interlace — first frame only. Returns {width,
+    height, channels: 3, pixels RGB row-major} or None for malformed /
+    truncated payloads."""
+    b = bytes(payload)
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh = struct.unpack("<HH", b[6:10])
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        gct = b[pos : pos + 3 * size]
+        pos += 3 * size
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:  # trailer before any image
+            return None
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            return None
+        break
+    if pos >= len(b):
+        return None
+    left, top, width, height = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+    iflags = b[pos + 9]
+    pos += 10
+    if iflags & 0x80:  # local color table
+        size = 2 << (iflags & 0x07)
+        ct = b[pos : pos + 3 * size]
+        pos += 3 * size
+    else:
+        ct = gct
+    if ct is None or width == 0 or height == 0:
+        return None
+    interlaced = bool(iflags & 0x40)
+    min_code = b[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(b):
+        blen = b[pos]
+        pos += 1
+        if blen == 0:
+            break
+        data += b[pos : pos + blen]
+        pos += blen
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    # LZW decode, LSB-first variable width
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    width_bits = min_code + 1
+    acc = nbits = bitpos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    i = 0
+    n_data = len(data)
+    while True:
+        while nbits < width_bits:
+            if i >= n_data:
+                return None  # ran out before END code
+            acc |= data[i] << nbits
+            i += 1
+            nbits += 8
+        code = acc & ((1 << width_bits) - 1)
+        acc >>= width_bits
+        nbits -= width_bits
+        if code == clear:
+            table = table[: (1 << min_code) + 2]
+            width_bits = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        if len(table) == (1 << width_bits) and width_bits < 12:
+            width_bits += 1
+        if len(out) >= width * height:
+            break
+    if len(out) < width * height:
+        return None
+    idx = out[: width * height]
+    if interlaced:  # 4-pass row shuffle back to sequential
+        rows = [idx[r * width : (r + 1) * width] for r in range(height)]
+        order = (
+            list(range(0, height, 8))
+            + list(range(4, height, 8))
+            + list(range(2, height, 4))
+            + list(range(1, height, 2))
+        )
+        seq = [b""] * height
+        for src, dst in enumerate(order):
+            seq[dst] = rows[src]
+        idx = b"".join(seq)
+    n_entries = len(ct) // 3
+    if idx and max(idx) >= n_entries:
+        return None
+    rgb = bytearray(width * height * 3)
+    for j, k in enumerate(idx):
+        rgb[3 * j : 3 * j + 3] = ct[3 * k : 3 * k + 3]
+    return {"width": int(width), "height": int(height), "channels": 3,
+            "pixels": bytes(rgb)}
+
+
+def gif_pixel_stats(
+    payloads: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel statistics from REAL GIF decode (LZW is
+    lossless, so every in-profile payload is exact). Same schema and
+    plan shape as png_pixel_stats."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_gif_pixels(payload)
+                if dec is None:
+                    continue
+                arr = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(
+                    dec["height"], dec["width"], 3
+                )
+                for ch in range(3):
                     plane = arr[:, :, ch].astype(np.int64)
                     s, n = int(plane.sum()), int(plane.size)
                     rows.append(

@@ -7479,6 +7479,73 @@ def _q_multimodal_jpeg_color(spark, sf_dir):
     return jpeg_pixel_stats(payloads)
 
 
+@_register(
+    "multimodal_gif_pixel_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id, 5 + doc_id % 9 AS w, 4 + (doc_id * 3) % 7 AS h
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             (d.doc_id + 5 * yy.y + 7 * xx.x) % 8 AS idx
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) yy,
+           LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xx
+    ),
+    chan AS (
+      SELECT doc_id, w, h, ch.channel,
+             CASE ch.channel
+               WHEN 0 THEN (17 * idx + doc_id) % 256
+               WHEN 1 THEN (31 * idx + 2 * doc_id) % 256
+               ELSE (53 * idx + 3 * doc_id) % 256
+             END AS v
+      FROM px, LATERAL (SELECT unnest([0, 1, 2]) AS channel) ch
+    )
+    SELECT doc_id, CAST(channel AS INTEGER) AS channel,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INTEGER) AS px_min,
+           CAST(max(v) AS INTEGER) AS px_max, count(*)::BIGINT AS n_pixels,
+           round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+    FROM chan GROUP BY doc_id, channel, w, h
+    """,
+    doc="REAL GIF pixel decode, stdlib only: spec-valid GIF89a payloads "
+    "(8-entry color table, LZW-coded indices) synthesized in-plan and "
+    "decoded back through the full variable-width LZW path + palette "
+    "expansion (operators/multimodal.py:decode_gif_pixels — which also "
+    "handles real growing-dictionary streams, interlace, and extension "
+    "blocks, exercised in tests). LZW is LOSSLESS, so unlike JPEG the "
+    "oracle needs no quantization lever — every pixel is exact by "
+    "construction. Value-exact",
+)
+def _q_multimodal_gif_pixels(spark, sf_dir):
+    from ..operators.multimodal import encode_gif, gif_pixel_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 5 + i % 9, 4 + (i * 3) % 7
+                pal = [
+                    ((17 * k + i) % 256, (31 * k + 2 * i) % 256,
+                     (53 * k + 3 * i) % 256)
+                    for k in range(8)
+                ]
+                idx = bytes(
+                    (i + 5 * y + 7 * x) % 8 for y in range(h) for x in range(w)
+                )
+                payloads.append(encode_gif(idx, w, h, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return gif_pixel_stats(payloads)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: never-driver-sampled queries first.
 #
