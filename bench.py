@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "multimodal_jpeg_pixel_stats",
     "multimodal_jpeg_color_stats",
     "multimodal_gif_pixel_stats",
+    "multimodal_bmp_pixel_stats",
 ]
 
 

@@ -570,3 +570,62 @@ def test_gif_extensions_skipped_and_rejects():
     assert mm.decode_gif_pixels(g[:cut] + ext + g[cut:])["pixels"] == _expand(idx, _PAL8)
     assert mm.decode_gif_pixels(g[:25]) is None
     assert mm.decode_gif_pixels(b"GIF89a" + bytes(7) + b"\x3b") is None
+
+
+# ---------------------------------------------------------------------------
+# BMP — raw layout transform (lossless): BGR/bottom-up/padding, palette
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_exact_with_padding():
+    w, h = 5, 3  # odd width -> 1-byte row padding
+    rgb = bytes((7 * i) % 256 for i in range(w * h * 3))
+    dec = mm.decode_bmp_pixels(mm.encode_bmp(rgb, w, h))
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 3)
+    assert dec["pixels"] == rgb
+
+
+def test_bmp_topdown_and_palette():
+    import struct as st
+
+    # top-down 24-bit: negative height, rows in natural order
+    w, h = 2, 2
+    rgb = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    p = bytearray(mm.encode_bmp(rgb, w, h))
+    p[22:26] = st.pack("<i", -h)
+    stride = (3 * w + 3) & ~3
+    body = p[54:]
+    flipped = b"".join(
+        bytes(body[r * stride:(r + 1) * stride]) for r in range(h - 1, -1, -1)
+    )
+    assert mm.decode_bmp_pixels(bytes(p[:54]) + flipped)["pixels"] == rgb
+
+    # 8-bit palette BMP built by hand
+    pal = [(k * 11 % 256, k * 29 % 256, k * 47 % 256) for k in range(4)]
+    idx = [0, 1, 2, 3]
+    w8 = h8 = 2
+    stride8 = (w8 + 3) & ~3
+    pal_bytes = b"".join(bytes([b_, g, r, 0]) for (r, g, b_) in pal)
+    rows = b""
+    for rr in range(h8 - 1, -1, -1):
+        rows += bytes([idx[rr * w8], idx[rr * w8 + 1]]) + bytes(stride8 - w8)
+    off = 54 + len(pal_bytes)
+    hdr = st.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off) + st.pack(
+        "<IiiHHIIiiII", 40, w8, h8, 1, 8, 0, len(rows), 2835, 2835, 4, 0
+    )
+    dec = mm.decode_bmp_pixels(hdr + pal_bytes + rows)
+    expect = b"".join(bytes(pal[k]) for k in idx)
+    assert dec["pixels"] == expect
+
+
+def test_bmp_rejects_out_of_profile():
+    import struct as st
+
+    good = bytearray(mm.encode_bmp(bytes(12), 2, 2))
+    rle = bytearray(good)
+    rle[30:34] = st.pack("<I", 1)  # BI_RLE8
+    assert mm.decode_bmp_pixels(bytes(rle)) is None
+    bpp16 = bytearray(good)
+    bpp16[28:30] = st.pack("<H", 16)
+    assert mm.decode_bmp_pixels(bytes(bpp16)) is None
+    assert mm.decode_bmp_pixels(bytes(good[:40])) is None

@@ -55,6 +55,9 @@ __all__ = [
     "encode_gif",
     "decode_gif_pixels",
     "gif_pixel_stats",
+    "encode_bmp",
+    "decode_bmp_pixels",
+    "bmp_pixel_stats",
     "HAS_PIL",
 ]
 
@@ -1180,6 +1183,120 @@ def gif_pixel_stats(
             rows: list[tuple] = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 dec = decode_gif_pixels(payload)
+                if dec is None:
+                    continue
+                arr = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(
+                    dec["height"], dec["width"], 3
+                )
+                for ch in range(3):
+                    plane = arr[:, :, ch].astype(np.int64)
+                    s, n = int(plane.sum()), int(plane.size)
+                    rows.append(
+                        (int(doc_id), ch, dec["width"], dec["height"],
+                         s, int(plane.min()), int(plane.max()), n,
+                         round(s / n, 6))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "channel", "width", "height",
+                         "px_sum", "px_min", "px_max", "n_pixels", "px_mean"],
+            )
+
+    return payloads.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real BMP codec — stdlib only. Uncompressed BITMAPINFOHEADER BMPs are
+# raw BGR rows stored bottom-up with 4-byte row padding: no entropy
+# coding at all, so decode is a pure layout transform (lossless, exact).
+# 24-bit (BGR) and 8-bit (palette) profiles; RLE/16-bit/32-bit fall to
+# the PIL ladder. This completes pixel decode for every container
+# parse_image_header recognizes (PNG/JPEG/GIF/BMP).
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """A spec-valid 24-bit uncompressed BMP from row-major RGB samples
+    (the in-plan synthesis twin of decode_bmp_pixels)."""
+    stride = (3 * width + 3) & ~3
+    data = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up row order
+        row = bytearray()
+        for c in range(width):
+            j = 3 * (r * width + c)
+            row += bytes([pixels[j + 2], pixels[j + 1], pixels[j]])  # BGR
+        row += bytes(stride - 3 * width)
+        data += row
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                    len(data), 2835, 2835, 0, 0)
+    return header + bytes(data)
+
+
+def decode_bmp_pixels(payload: bytes) -> dict | None:
+    """REAL pixel decode for uncompressed BITMAPINFOHEADER BMPs: 24-bit
+    BGR and 8-bit palette, top-down or bottom-up, 4-byte row padding.
+    Returns {width, height, channels: 3, pixels RGB row-major} or None
+    outside the profile (RLE, 16/32-bit, BITMAPCOREHEADER)."""
+    b = bytes(payload)
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", b[10:14])[0]
+    dib = struct.unpack("<I", b[14:18])[0]
+    if dib < 40:
+        return None
+    width, height_raw = struct.unpack("<ii", b[18:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    compression = struct.unpack("<I", b[30:34])[0]
+    if planes != 1 or compression != 0 or bpp not in (8, 24) or width <= 0:
+        return None
+    top_down = height_raw < 0
+    height = abs(height_raw)
+    if height == 0:
+        return None
+    palette = None
+    if bpp == 8:
+        n_colors = struct.unpack("<I", b[46:50])[0] or 256
+        pal_off = 14 + dib
+        palette = b[pal_off : pal_off + 4 * n_colors]
+        if len(palette) < 4 * n_colors:
+            return None
+    stride = ((bpp // 8) * width + 3) & ~3
+    if data_off + stride * height > len(b):
+        return None
+    out = bytearray(width * height * 3)
+    for r in range(height):
+        src_r = r if top_down else height - 1 - r
+        row = b[data_off + src_r * stride : data_off + src_r * stride + stride]
+        for c in range(width):
+            j = 3 * (r * width + c)
+            if bpp == 24:
+                out[j] = row[3 * c + 2]      # BGR → RGB
+                out[j + 1] = row[3 * c + 1]
+                out[j + 2] = row[3 * c]
+            else:
+                e = 4 * row[c]  # palette entries are BGRX
+                out[j] = palette[e + 2]
+                out[j + 1] = palette[e + 1]
+                out[j + 2] = palette[e]
+    return {"width": int(width), "height": int(height), "channels": 3,
+            "pixels": bytes(out)}
+
+
+def bmp_pixel_stats(
+    payloads: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel statistics from REAL BMP decode (raw layout
+    transform, lossless). Same schema and plan shape as
+    png_pixel_stats."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_bmp_pixels(payload)
                 if dec is None:
                     continue
                 arr = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(

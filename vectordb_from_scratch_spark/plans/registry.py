@@ -7546,6 +7546,61 @@ def _q_multimodal_gif_pixels(spark, sf_dir):
     return gif_pixel_stats(payloads)
 
 
+@_register(
+    "multimodal_bmp_pixel_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id, 3 + doc_id % 8 AS w, 2 + (doc_id * 5) % 6 AS h
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, ch.channel,
+             (d.doc_id * 13 + yy.y * 7 + xx.x * 3 + ch.channel * 101) % 256 AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) yy,
+           LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xx,
+           LATERAL (SELECT unnest([0, 1, 2]) AS channel) ch
+    )
+    SELECT doc_id, CAST(channel AS INTEGER) AS channel,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INTEGER) AS px_min,
+           CAST(max(v) AS INTEGER) AS px_max, count(*)::BIGINT AS n_pixels,
+           round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+    FROM px GROUP BY doc_id, channel, w, h
+    """,
+    doc="REAL BMP pixel decode, stdlib only: 24-bit uncompressed BMPs "
+    "(BGR samples, bottom-up rows, 4-byte row padding — widths chosen "
+    "to exercise every padding residue) synthesized in-plan and decoded "
+    "back as a pure layout transform "
+    "(operators/multimodal.py:decode_bmp_pixels; 8-bit palette and "
+    "top-down variants tested). No entropy coding → lossless → exact. "
+    "Completes real pixel decode for every container "
+    "parse_image_header recognizes. Value-exact",
+)
+def _q_multimodal_bmp_pixels(spark, sf_dir):
+    from ..operators.multimodal import bmp_pixel_stats, encode_bmp
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 3 + i % 8, 2 + (i * 5) % 6
+                rgb = bytes(
+                    (i * 13 + y * 7 + x * 3 + ch * 101) % 256
+                    for y in range(h) for x in range(w) for ch in range(3)
+                )
+                payloads.append(encode_bmp(rgb, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return bmp_pixel_stats(payloads)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: never-driver-sampled queries first.
 #
