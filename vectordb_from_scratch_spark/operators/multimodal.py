@@ -1,16 +1,22 @@
-"""Multimodal column plumbing — image/audio/video as opaque ``binary``
-columns with typed metadata, processed by Arrow-batched Python stages.
+"""Multimodal columns — image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched Python stages.
 
 The reference has no multimodal surface; this is north-star pipeline
-infrastructure (BASELINE.json). The decode step itself is STUBBED —
-image/audio libraries are not in this container — but the Spark-side
-plumbing is real and tested: schema (binary payload + struct metadata),
-mapInPandas batch iteration (Arrow transfer, zero row-at-a-time Python),
-and deterministic feature extraction on the raw bytes.
+infrastructure (BASELINE.json). Decode is REAL, stdlib-only, for every
+container the header parser recognizes: PNG (zlib + all five filters +
+palette), JPEG (baseline sequential, grayscale AND YCbCr color at any
+1..4 sampling factors, restart markers), GIF (full variable-width LZW +
+interlace), BMP (24-bit/palette), and WAV PCM audio (8/16-bit). Each
+codec has an encode twin so spec-valid payloads synthesize in-plan and
+the decodes check value-exact against analytic oracles. Out-of-profile
+formats (progressive JPEG, RLE BMP, compressed audio, video) fall to
+the PIL try-import ladder or an explicit NotImplementedError — never a
+silent wrong answer.
 
-At scale: payloads ride in parquet binary columns; the Python stage is a
-narrow map (no shuffle), parallel per input split; batch size bounded by
-spark.sql.execution.arrow.maxRecordsPerBatch so executor memory holds.
+At scale: payloads ride in parquet binary columns; every Python stage is
+a narrow map (no shuffle), parallel per input split; batch size bounded
+by spark.sql.execution.arrow.maxRecordsPerBatch so executor memory
+holds. Measured throughput cells live in SCALE.md.
 """
 
 from __future__ import annotations
