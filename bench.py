@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "multimodal_jpeg_color_stats",
     "multimodal_gif_pixel_stats",
     "multimodal_bmp_pixel_stats",
+    # round 6 (cont.): ingest-window drift screen
+    "pipeline_drift_chisq",
 ]
 
 

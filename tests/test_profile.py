@@ -64,3 +64,24 @@ def test_column_subset_and_complex_skip(spark):
     assert [r["column"] for r in only] == ["s"]
     with pytest.raises(ValueError):
         profile(df, ["arr"])
+
+
+def test_drift_chisq_known_values(spark):
+    from vectordb_from_scratch_spark.operators.profile import drift_chisq
+
+    base = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10, "k string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 15 + [("d",)] * 5, "k string"
+    )
+    rows = {r.key: r for r in drift_chisq(base, cur, "k").collect()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    # totals: base 100, cur 50 → expected = base_cnt / 2
+    assert rows["a"].expected == 30.0 and rows["a"].chisq_contrib == 0.0
+    assert rows["b"].expected == 15.0 and rows["b"].chisq_contrib == 0.0
+    # c vanished: expected 5, observed 0 → (0-5)^2/5 = 5
+    assert rows["c"].cur_cnt == 0 and rows["c"].chisq_contrib == 5.0
+    # d appeared: baseline 0 → contribution NULL (the loudest signal)
+    assert rows["d"].base_cnt == 0 and rows["d"].chisq_contrib is None
+    assert rows["d"].cur_cnt == 5

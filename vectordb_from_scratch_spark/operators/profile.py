@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile"]
+__all__ = ["profile", "drift_chisq"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -82,3 +82,55 @@ def profile(df: DataFrame, columns: list[str] | None = None, *, exact: bool = Tr
             )
         )
     return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def drift_chisq(
+    baseline: DataFrame, current: DataFrame, key_col: str
+) -> DataFrame:
+    """Categorical drift between two snapshots of the same stream — the
+    chi-square goodness-of-fit screen a training-data pipeline runs
+    before ingesting a new window (TFDV/Evidently-style check, public
+    pattern). Expected counts scale the baseline distribution to the
+    current window's volume; each category's contribution is
+    (observed − expected)²/expected, and Σ contributions is the
+    statistic to compare against a chi-square critical value.
+
+    Chi-square (not PSI/KL) deliberately: it needs only +,−,×,÷ on
+    exact counts, every one an IEEE correctly-rounded operation, so the
+    result is bit-identical across engines — log-based divergences
+    inherit libm variance and cannot be hash-verified cross-engine.
+
+    Scale: two count-aggregates (map-side partials) + one join on the
+    key — shuffles one row per category, never the data. Returns
+    (key, base_cnt, cur_cnt, expected, chisq_contrib) per category,
+    full-outer so a category that appears or vanishes is visible
+    (expected 0 → contribution NULL, the loudest drift signal of all).
+    """
+    b = baseline.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("base_cnt")
+    )
+    c = current.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cur_cnt")
+    )
+    bt = baseline.count()
+    ct = current.count()
+    j = (
+        b.join(c, "key", "full_outer")
+        .withColumn("base_cnt", F.coalesce("base_cnt", F.lit(0)))
+        .withColumn("cur_cnt", F.coalesce("cur_cnt", F.lit(0)))
+    )
+    expected = (
+        F.col("base_cnt").cast("double") * F.lit(float(ct)) / F.lit(float(bt))
+    )
+    # (o−e)·(o−e), not pow(o−e, 2): Math.pow is not guaranteed correctly
+    # rounded, explicit multiply is — this is what keeps the statistic
+    # bit-identical under the cross-engine hash
+    diff = F.col("cur_cnt").cast("double") - expected
+    contrib = F.when(F.col("base_cnt") > 0, diff * diff / expected)
+    return j.select(
+        F.col("key"),
+        "base_cnt",
+        "cur_cnt",
+        F.round(expected, 6).alias("expected"),
+        F.round(contrib, 6).alias("chisq_contrib"),
+    )

@@ -7601,6 +7601,61 @@ def _q_multimodal_bmp_pixels(spark, sf_dir):
     return bmp_pixel_stats(payloads)
 
 
+@_register(
+    "pipeline_drift_chisq",
+    """
+    WITH base AS (
+      SELECT event_type AS key, count(*) AS base_cnt
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY event_type
+    ),
+    cur AS (
+      SELECT event_type AS key, count(*) AS cur_cnt
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY event_type
+    ),
+    totals AS (
+      SELECT
+        (SELECT count(*) FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00') AS bt,
+        (SELECT count(*) FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00') AS ct
+    ),
+    j AS (
+      SELECT coalesce(b.key, c.key) AS key,
+             coalesce(b.base_cnt, 0) AS base_cnt,
+             coalesce(c.cur_cnt, 0) AS cur_cnt,
+             t.bt, t.ct
+      FROM base b FULL OUTER JOIN cur c ON b.key = c.key, totals t
+    )
+    SELECT key, base_cnt, cur_cnt,
+           round(base_cnt::DOUBLE * ct::DOUBLE / bt::DOUBLE, 6) AS expected,
+           round(CASE WHEN base_cnt > 0 THEN
+             (cur_cnt::DOUBLE - base_cnt::DOUBLE * ct::DOUBLE / bt::DOUBLE)
+             * (cur_cnt::DOUBLE - base_cnt::DOUBLE * ct::DOUBLE / bt::DOUBLE)
+             / (base_cnt::DOUBLE * ct::DOUBLE / bt::DOUBLE)
+           END, 6) AS chisq_contrib
+    FROM j
+    """,
+    doc="Categorical data-drift monitor between two ingest windows "
+    "(events days 1-15 vs 16-30): per-event-type chi-square "
+    "goodness-of-fit contributions, the TFDV/Evidently-style screen a "
+    "training pipeline runs before accepting a new window "
+    "(operators/profile.py:drift_chisq). Chi-square over PSI/KL "
+    "deliberately — only +,-,×,÷ on exact counts, so the statistic is "
+    "bit-identical cross-engine (log-based divergences inherit libm "
+    "variance). Two map-side count-aggs + a full-outer join that "
+    "shuffles one row per category; appear/vanish categories surface "
+    "as NULL contributions. Value-exact",
+)
+def _q_drift_chisq(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return profile.drift_chisq(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        "event_type",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: never-driver-sampled queries first.
 #
