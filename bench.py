@@ -90,8 +90,9 @@ BENCH_QUERIES = [
     "multimodal_jpeg_color_stats",
     "multimodal_gif_pixel_stats",
     "multimodal_bmp_pixel_stats",
-    # round 6 (cont.): ingest-window drift screen
+    # round 6 (cont.): ingest-window drift screen, video frame decode
     "pipeline_drift_chisq",
+    "multimodal_video_frame_stats",
 ]
 
 

@@ -629,3 +629,47 @@ def test_bmp_rejects_out_of_profile():
     bpp16[28:30] = st.pack("<H", 16)
     assert mm.decode_bmp_pixels(bytes(bpp16)) is None
     assert mm.decode_bmp_pixels(bytes(good[:40])) is None
+
+
+# ---------------------------------------------------------------------------
+# AVI-MJPEG — real video decode (container walk + per-frame JPEG)
+# ---------------------------------------------------------------------------
+
+
+def test_avi_mjpeg_frames_roundtrip_bit_exact():
+    w, h = 16, 8
+
+    def frame_px(f):
+        return bytes((f * 40 + 10 + (x // 8) * 90) % 256
+                     for y in range(h) for x in range(w))
+
+    frames = [mm.encode_jpeg_gray(frame_px(f), w, h) for f in range(3)]
+    dec = mm.decode_avi_frames(mm.encode_avi_mjpeg(frames, w, h))
+    assert (dec["width"], dec["height"], dec["channels"], dec["n_frames"]) == (w, h, 1, 3)
+    for f in range(3):
+        assert dec["frames"][f] == frame_px(f)
+
+
+def test_avi_color_frames_and_sampling_cap():
+    w = h = 16
+    cf = [
+        mm.encode_jpeg(bytes(v for _ in range(w * h) for v in ((f * 30 + 50) % 256,) * 3),
+                       w, h, channels=3, sampling=(2, 2))
+        for f in range(4)
+    ]
+    avi = mm.encode_avi_mjpeg(cf, w, h)
+    dec = mm.decode_avi_frames(avi)
+    assert dec["channels"] == 3 and dec["n_frames"] == 4
+    assert mm.decode_avi_frames(avi, max_frames=2)["n_frames"] == 2
+    # first frame is flat gray 50 -> exact on all channels
+    assert dec["frames"][0] == bytes([50]) * (w * h * 3)
+
+
+def test_avi_rejects_non_mjpeg_and_malformed():
+    w = h = 8
+    good = mm.encode_avi_mjpeg([mm.encode_jpeg_gray(bytes(64), w, h)], w, h)
+    assert mm.decode_avi_frames(good[:40]) is None
+    assert mm.decode_avi_frames(mm.encode_wav([0, 1], 8000, 1)) is None
+    # frame chunks that are not JPEGs (a foreign codec) -> no frames -> None
+    bogus = mm.encode_avi_mjpeg([b"\x00" * 50], w, h)
+    assert mm.decode_avi_frames(bogus) is None

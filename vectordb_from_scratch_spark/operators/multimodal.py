@@ -6,12 +6,11 @@ infrastructure (BASELINE.json). Decode is REAL, stdlib-only, for every
 container the header parser recognizes: PNG (zlib + all five filters +
 palette), JPEG (baseline sequential, grayscale AND YCbCr color at any
 1..4 sampling factors, restart markers), GIF (full variable-width LZW +
-interlace), BMP (24-bit/palette), and WAV PCM audio (8/16-bit). Each
-codec has an encode twin so spec-valid payloads synthesize in-plan and
-the decodes check value-exact against analytic oracles. Out-of-profile
-formats (progressive JPEG, RLE BMP, compressed audio, video) fall to
-the PIL try-import ladder or an explicit NotImplementedError — never a
-silent wrong answer.
+interlace), BMP (24-bit/palette), WAV PCM audio (8/16-bit), and
+AVI-MJPEG video (RIFF walk + per-frame JPEG). Out-of-profile formats
+(progressive JPEG, RLE BMP, compressed audio, non-MJPEG video codecs)
+fall to the PIL try-import ladder or an explicit NotImplementedError —
+never a silent wrong answer.
 
 At scale: payloads ride in parquet binary columns; every Python stage is
 a narrow map (no shuffle), parallel per input split; batch size bounded
@@ -64,6 +63,9 @@ __all__ = [
     "encode_bmp",
     "decode_bmp_pixels",
     "bmp_pixel_stats",
+    "encode_avi_mjpeg",
+    "decode_avi_frames",
+    "avi_frame_stats",
     "HAS_PIL",
 ]
 
@@ -1326,6 +1328,144 @@ def bmp_pixel_stats(
 
 
 # --------------------------------------------------------------------------
+# Real video decode: AVI is a RIFF container; with MJPEG streams every
+# frame chunk ('00dc') is a complete baseline JPEG, so video decode is
+# the container walk this module already does for WAV plus the JPEG
+# codec it already has — no new entropy coding at all. The decoder
+# collects the movi-list frame chunks and decodes each through
+# decode_jpeg_pixels; non-MJPEG codecs (H.264 etc.) yield no frames and
+# fall to the PIL/ffmpeg ladder of a production build. encode_avi_mjpeg
+# writes a minimal spec-valid file for in-plan synthesis.
+# --------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """A minimal spec-valid AVI ('RIFF AVI ' → hdrl → movi) whose video
+    stream is MJPEG: each element of `frames` must be a complete JPEG
+    payload (encode_jpeg output). The in-plan synthesis twin of
+    decode_avi_frames."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec, 0, 0, 0x10, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(frames), 0, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_frames(payload: bytes, max_frames: int | None = None) -> dict | None:
+    """REAL video frame decode for AVI-MJPEG: RIFF walk to the movi
+    list, then each video frame chunk ('..dc'/'..db') decodes as a
+    baseline JPEG through decode_jpeg_pixels. Returns {width, height,
+    channels, n_frames, frames: [pixel bytes, ...]} (dimensions from the
+    first decodable frame; `max_frames` caps work for sampling) or None
+    when the container is not RIFF-AVI or no frame decodes (non-MJPEG
+    codecs — a production build ladders those to ffmpeg)."""
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            tag = b[pos : pos + 4]
+            clen = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            body_end = min(pos + 8 + clen, end)
+            yield tag, pos + 8, body_end
+            pos += 8 + clen + (clen & 1)
+
+    frames: list[bytes] = []
+    meta = None
+
+    def scan_movi(start: int, end: int) -> bool:
+        nonlocal meta
+        for tag, bs, be in walk(start, end):
+            if tag == b"LIST" and b[bs : bs + 4] == b"movi":
+                for ftag, fs, fe in walk(bs + 4, be):
+                    if ftag[2:4] in (b"dc", b"db"):
+                        dec = decode_jpeg_pixels(b[fs:fe])
+                        if dec is None:
+                            continue
+                        if meta is None:
+                            meta = (dec["width"], dec["height"], dec["channels"])
+                        if (dec["width"], dec["height"], dec["channels"]) == meta:
+                            frames.append(dec["pixels"])
+                        if max_frames is not None and len(frames) >= max_frames:
+                            return True
+                return True
+        return False
+
+    scan_movi(12, min(12 + struct.unpack("<I", b[4:8])[0] - 4, len(b)))
+    if meta is None or not frames:
+        return None
+    return {"width": meta[0], "height": meta[1], "channels": meta[2],
+            "n_frames": len(frames), "frames": frames}
+
+
+def avi_frame_stats(
+    payloads: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Per-(frame, channel) pixel statistics from REAL AVI-MJPEG video
+    decode — the video member of the *_pixel_stats family. One row per
+    (payload, frame, channel); undecodable payloads produce no rows.
+    Arrow-batched narrow map, no shuffle."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_avi_frames(payload, max_frames=max_frames)
+                if dec is None:
+                    continue
+                for fi, px in enumerate(dec["frames"]):
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(
+                        dec["height"], dec["width"], dec["channels"]
+                    )
+                    for ch in range(dec["channels"]):
+                        plane = arr[:, :, ch].astype(np.int64)
+                        s, n = int(plane.sum()), int(plane.size)
+                        rows.append(
+                            (int(doc_id), fi, ch, dec["width"], dec["height"],
+                             s, int(plane.min()), int(plane.max()), n,
+                             round(s / n, 6))
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "channel", "width", "height",
+                         "px_sum", "px_min", "px_max", "n_pixels", "px_mean"],
+            )
+
+    return payloads.mapInPandas(
+        stats,
+        schema=("doc_id long, frame_idx int, channel int, width int, "
+                "height int, px_sum long, px_min int, px_max int, "
+                "n_pixels long, px_mean double"),
+    )
+
+
+# --------------------------------------------------------------------------
 # REAL audio decode: RIFF/WAVE PCM needs no codec — the header is a chunk
 # walk and the samples are raw little-endian integers, so unlike JPEG the
 # whole path is stdlib `struct` with nothing approximated. 8-bit (unsigned,
@@ -1539,8 +1679,10 @@ def sample_frames(
 ) -> DataFrame:
     """Frame-sampling plumbing: one input payload → up to `max_frames`
     output rows (a 1:N mapInPandas expansion, the video frame-extraction
-    shape). "Frames" are deterministic byte windows; a real build replaces
-    the windowing with a codec's keyframe iterator."""
+    shape). "Frames" here are deterministic byte windows — the
+    codec-agnostic skeleton; REAL frame decode for AVI-MJPEG lives in
+    decode_avi_frames/avi_frame_stats, which plug a true frame iterator
+    into the same 1:N shape."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

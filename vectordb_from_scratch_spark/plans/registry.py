@@ -7656,6 +7656,75 @@ def _q_drift_chisq(spark, sf_dir):
     )
 
 
+@_register(
+    "multimodal_video_frame_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             2 + doc_id % 3 AS nf,
+             8 * (1 + doc_id % 2) AS w,
+             8 * (1 + (doc_id * 3) % 2) AS h
+      FROM documents WHERE doc_id % 19 = 0
+    ),
+    px AS (
+      SELECT d.doc_id, ff.f, d.w, d.h,
+             (d.doc_id * 23 + ff.f * 41 + br.r * 13 + bc.c * 17) % 256 AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS f) ff,
+           LATERAL (SELECT unnest(generate_series(0, d.h // 8 - 1)) AS r) br,
+           LATERAL (SELECT unnest(generate_series(0, d.w // 8 - 1)) AS c) bc
+    )
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, 0 AS channel,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(64 * sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS INTEGER) AS px_min,
+           CAST(max(v) AS INTEGER) AS px_max,
+           CAST(64 * count(*) AS BIGINT) AS n_pixels,
+           round((64 * sum(v))::DOUBLE / (64 * count(*)), 6) AS px_mean
+    FROM px GROUP BY doc_id, f, w, h
+    """,
+    doc="REAL video frame decode: spec-valid AVI-MJPEG payloads (2-4 "
+    "grayscale baseline-JPEG frames each) synthesized in-plan and "
+    "decoded back — RIFF walk to the movi list, every frame chunk "
+    "through the full JPEG pipeline "
+    "(operators/multimodal.py:decode_avi_frames/avi_frame_stats). "
+    "Flat-8x8-block frames reconstruct BIT-exactly (the DC-quant-8 "
+    "lever), so per-(frame,channel) stats match the analytic oracle. "
+    "Non-MJPEG codecs yield no frames — a production build ladders "
+    "those to ffmpeg behind the same mapInPandas seam. Value-exact",
+)
+def _q_multimodal_video_frames(spark, sf_dir):
+    from ..operators.multimodal import (
+        avi_frame_stats,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nf = 2 + i % 3
+                w, h = 8 * (1 + i % 2), 8 * (1 + (i * 3) % 2)
+                frames = []
+                for f in range(nf):
+                    px = bytes(
+                        (i * 23 + f * 41 + (y // 8) * 13 + (x // 8) * 17) % 256
+                        for y in range(h) for x in range(w)
+                    )
+                    frames.append(encode_jpeg_gray(px, w, h))
+                payloads.append(encode_avi_mjpeg(frames, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return avi_frame_stats(payloads)
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: never-driver-sampled queries first.
 #
