@@ -673,3 +673,84 @@ def test_avi_rejects_non_mjpeg_and_malformed():
     # frame chunks that are not JPEGs (a foreign codec) -> no frames -> None
     bogus = mm.encode_avi_mjpeg([b"\x00" * 50], w, h)
     assert mm.decode_avi_frames(bogus) is None
+
+
+def _patch_sof_sampling(payload: bytes, hv_per_comp: list[int]) -> bytes:
+    """Rewrite the SOF0 per-component sampling bytes of a baseline JPEG
+    (test fixture: lets us declare sampling the stdlib encoder never
+    emits, exactly how a foreign encoder's file would arrive)."""
+    b = bytearray(payload)
+    i = b.find(b"\xff\xc0")
+    assert i >= 0
+    ncomp = b[i + 9]
+    assert ncomp == len(hv_per_comp)
+    for k, hv in enumerate(hv_per_comp):
+        b[i + 10 + 3 * k + 1] = hv
+    return bytes(b)
+
+
+def test_jpeg_single_component_scan_ignores_declared_sampling():
+    """T.81 A.2: a one-component scan is non-interleaved — blocks are in
+    raster order and the declared sampling factors do not shape the
+    layout. A grayscale file declaring 2x2 must decode to the SAME
+    pixels as its 1x1 twin (VERDICT r6 advice: pre-fix, blocks landed in
+    MCU-tile order — silently misordered pixels)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    w, h = 32, 16  # 2 would-be MCUs wide: tile order != raster order
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    plain = mm.encode_jpeg_gray(img.tobytes(), w, h)
+    declared22 = _patch_sof_sampling(plain, [0x22])
+    d_plain = mm.decode_jpeg_pixels(plain)
+    d_22 = mm.decode_jpeg_pixels(declared22)
+    assert d_plain is not None and d_22 is not None
+    assert d_22["pixels"] == d_plain["pixels"]
+    assert (d_22["width"], d_22["height"]) == (w, h)
+    # and the coefficient view agrees with itself across the two files
+    c_plain = mm.decode_jpeg_coefficients(plain)
+    c_22 = mm.decode_jpeg_coefficients(declared22)
+    for key in c_plain["blocks"]:
+        assert (c_plain["blocks"][key] == c_22["blocks"][key]).all()
+
+
+def test_jpeg_non_divisible_sampling_is_out_of_profile():
+    """VERDICT r6 advice: spec-legal but non-divisible sampling (luma
+    3x3 + chroma 2x2) must return None (out of profile), never raise —
+    pre-fix the replication upsample produced undersized planes and an
+    uncaught ValueError that killed the whole Spark stats task."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    w, h = 24, 24
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    good = mm.encode_jpeg(rgb.tobytes(), w, h, channels=3, sampling=(1, 1))
+    bad = _patch_sof_sampling(good, [0x33, 0x22, 0x22])
+    assert mm.decode_jpeg_pixels(bad) is None  # no exception
+    assert mm._jpg_parse_stream(bad) is None  # rejected at parse, not decode
+
+
+def test_stats_kernels_survive_adversarial_payloads(spark):
+    """One malformed payload in a corpus must drop its own row, never
+    kill the stats query: mix a good JPEG with garbage that clears the
+    magic-byte check and a non-divisible-sampling file."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    good = mm.encode_jpeg_gray(img.tobytes(), 16, 16)
+    truncated = good[: len(good) // 2]
+    bad_sampling = _patch_sof_sampling(
+        mm.encode_jpeg(
+            rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8).tobytes(),
+            24, 24, channels=3, sampling=(1, 1),
+        ),
+        [0x33, 0x22, 0x22],
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(truncated)),
+         (3, bytearray(bad_sampling))],
+        "doc_id long, payload binary",
+    )
+    rows = mm.jpeg_pixel_stats(df).collect()
+    assert {r.doc_id for r in rows} == {1}  # bad payloads skipped, job alive

@@ -95,3 +95,14 @@ def test_scd2_null_to_value_counts_as_change(spark):
         key=lambda t: (t[0], t[1] or "", t[2]),
     )
     assert got == [(1, None, "1996-01-01"), (1, "x", "None")]
+
+
+def test_scd2_merge_empty_tracked_raises(spark):
+    """VERDICT r6 advice: an empty `tracked` must fail at entry with the
+    real reason, not an IndexError from inside column construction."""
+    cur = spark.createDataFrame(
+        [(1, "x", None, None)], "k long, v string, effective_from date, effective_to date"
+    )
+    upd = spark.createDataFrame([(1, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="tracked must be non-empty"):
+        scd2_merge(cur, upd, keys=["k"], tracked=[], effective_date="2026-01-01")

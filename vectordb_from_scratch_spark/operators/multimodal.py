@@ -349,6 +349,18 @@ PIXEL_STATS_SCHEMA = (
 )
 
 
+def _decode_or_none(decoder, payload, **kw):
+    """Per-payload isolation for the mapInPandas stats kernels: decoders
+    signal out-of-profile input with None, and any exception a malformed
+    or adversarial payload still manages to raise is demoted to the same
+    skip. One bad blob in a 100-TB corpus must drop one row, never kill
+    the Spark task (and with it the whole stats query)."""
+    try:
+        return decoder(payload, **kw)
+    except Exception:
+        return None
+
+
 def png_pixel_stats(
     payloads: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -363,7 +375,7 @@ def png_pixel_stats(
         for pdf in batches:
             rows: list[tuple] = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                dec = decode_png_pixels(payload)
+                dec = _decode_or_none(decode_png_pixels, payload)
                 if dec is None:
                     continue
                 arr = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(
@@ -780,9 +792,13 @@ def _jpg_parse_stream(b: bytes) -> dict | None:
         pos += 2 + seg_len
     if entropy_start is None or width is None or not comps:
         return None
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
     for cid, h, v, tq in comps:
         if not (1 <= h <= 4 and 1 <= v <= 4) or tq not in qtables:
             return None
+        if hmax % h != 0 or vmax % v != 0:
+            return None  # non-divisible sampling (e.g. 3x3+2x2): out of profile
         if cid not in scan:
             return None
     end = b.rfind(b"\xff\xd9")
@@ -835,6 +851,12 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
     if hdr is None:
         return None
     width, height, comps = hdr["width"], hdr["height"], hdr["comps"]
+    if len(comps) == 1:
+        # A one-component scan is non-interleaved per T.81 A.2: the MCU is a
+        # single data unit in raster order and the declared sampling factors
+        # do not shape the block layout (decode_jpeg_coefficients agrees).
+        cid, _, _, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     hmax = max(h for _, h, _, _ in comps)
     vmax = max(v for _, _, v, _ in comps)
     mcus_x = -(-width // (8 * hmax))
@@ -971,7 +993,7 @@ def jpeg_pixel_stats(
         for pdf in batches:
             rows: list[tuple] = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                dec = decode_jpeg_pixels(payload)
+                dec = _decode_or_none(decode_jpeg_pixels, payload)
                 if dec is None:
                     continue
                 arr = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(
@@ -1190,7 +1212,7 @@ def gif_pixel_stats(
         for pdf in batches:
             rows: list[tuple] = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                dec = decode_gif_pixels(payload)
+                dec = _decode_or_none(decode_gif_pixels, payload)
                 if dec is None:
                     continue
                 arr = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(
@@ -1304,7 +1326,7 @@ def bmp_pixel_stats(
         for pdf in batches:
             rows: list[tuple] = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                dec = decode_bmp_pixels(payload)
+                dec = _decode_or_none(decode_bmp_pixels, payload)
                 if dec is None:
                     continue
                 arr = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(
@@ -1403,9 +1425,9 @@ def decode_avi_frames(payload: bytes, max_frames: int | None = None) -> dict | N
             if tag == b"LIST" and b[bs : bs + 4] == b"movi":
                 for ftag, fs, fe in walk(bs + 4, be):
                     if ftag[2:4] in (b"dc", b"db"):
-                        dec = decode_jpeg_pixels(b[fs:fe])
+                        dec = _decode_or_none(decode_jpeg_pixels, b[fs:fe])
                         if dec is None:
-                            continue
+                            continue  # corrupt frame skips; file survives
                         if meta is None:
                             meta = (dec["width"], dec["height"], dec["channels"])
                         if (dec["width"], dec["height"], dec["channels"]) == meta:
@@ -1436,7 +1458,7 @@ def avi_frame_stats(
         for pdf in batches:
             rows: list[tuple] = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                dec = decode_avi_frames(payload, max_frames=max_frames)
+                dec = _decode_or_none(decode_avi_frames, payload, max_frames=max_frames)
                 if dec is None:
                     continue
                 for fi, px in enumerate(dec["frames"]):
@@ -1592,7 +1614,7 @@ def wav_audio_stats(
         for pdf in batches:
             rows: list[tuple] = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                dec = decode_wav_samples(payload)
+                dec = _decode_or_none(decode_wav_samples, payload)
                 if dec is None or dec["n_frames"] == 0:
                     continue
                 arr = dec["samples"].astype("int64")

@@ -101,26 +101,38 @@ def drift_chisq(
     inherit libm variance and cannot be hash-verified cross-engine.
 
     Scale: two count-aggregates (map-side partials) + one join on the
-    key — shuffles one row per category, never the data. Returns
+    key — shuffles one row per category, never the data; the grand
+    totals come from a window over the per-category frame (bounded by
+    category cardinality, which is small by the definition of a
+    categorical column), so the whole statistic is ONE lazy plan with
+    exactly one scan per input and no eager driver actions. Returns
     (key, base_cnt, cur_cnt, expected, chisq_contrib) per category,
     full-outer so a category that appears or vanishes is visible
-    (expected 0 → contribution NULL, the loudest drift signal of all).
+    (expected 0 → contribution NULL, the loudest drift signal of all);
+    an EMPTY baseline yields expected NULL on every row rather than a
+    division-by-zero artifact.
     """
+    from pyspark.sql import Window
+
     b = baseline.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("base_cnt")
     )
     c = current.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("cur_cnt")
     )
-    bt = baseline.count()
-    ct = current.count()
+    w = Window.partitionBy(F.lit(1))
     j = (
         b.join(c, "key", "full_outer")
         .withColumn("base_cnt", F.coalesce("base_cnt", F.lit(0)))
         .withColumn("cur_cnt", F.coalesce("cur_cnt", F.lit(0)))
+        .withColumn("__bt", F.sum("base_cnt").over(w))
+        .withColumn("__ct", F.sum("cur_cnt").over(w))
     )
-    expected = (
-        F.col("base_cnt").cast("double") * F.lit(float(ct)) / F.lit(float(bt))
+    expected = F.when(
+        F.col("__bt") > 0,
+        F.col("base_cnt").cast("double")
+        * F.col("__ct").cast("double")
+        / F.col("__bt").cast("double"),
     )
     # (o−e)·(o−e), not pow(o−e, 2): Math.pow is not guaranteed correctly
     # rounded, explicit multiply is — this is what keeps the statistic

@@ -66,6 +66,13 @@ def scd2_merge(
     cols = list(current.columns)
     keys = list(keys)
     tracked = list(tracked)
+    if not tracked:
+        # _any_diff would index diffs[0]; fail here with the real reason
+        # instead of an IndexError from deep inside column construction.
+        raise ValueError(
+            "tracked must be non-empty: with no tracked attributes every "
+            "matched update is a no-op and the merge cannot version anything"
+        )
 
     closed = current.filter(F.col(end_col).isNotNull())
     open_v = current.filter(F.col(end_col).isNull()).alias("__cur")

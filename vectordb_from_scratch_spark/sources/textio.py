@@ -131,7 +131,18 @@ def read_csv(
     schema's column list (the file's own header row); a header that
     DISAGREES with the schema is left to quarantine as a corrupt row —
     a delivery whose column order changed should fail loudly, not parse
-    shifted."""
+    shifted.
+
+    Known limitation of the text-match header drop: it removes EVERY
+    line equal to `sep.join(column names)`, not just line 1 of each
+    file. With an all-string schema a legitimate data row whose
+    rendered form coincides with the header string is therefore dropped
+    too (with any non-string column such a row could not parse clean
+    anyway and would quarantine, so only all-string schemas are
+    exposed). Distributed text sources expose no reliable per-file line
+    number, so exact first-line semantics would cost a per-file pass —
+    accept the documented edge, or pre-strip headers at delivery time
+    when column values can collide with column names."""
     from pyspark.sql.types import StructType
 
     fields = StructType.fromDDL(schema).fields
