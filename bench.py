@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     # round 6 (cont.): ingest-window drift screen, video frame decode
     "pipeline_drift_chisq",
     "multimodal_video_frame_stats",
+    # round 7: paragraph dedup, URL provenance, leakage-free split
+    "dedup_paragraph",
+    "text_url_domains",
+    "pipeline_split_leakage_free",
 ]
 
 

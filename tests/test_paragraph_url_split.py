@@ -1,0 +1,90 @@
+"""Round-7 pipeline operators: paragraph-level dedup (Dolma/C4
+boilerplate removal), URL/domain provenance audit, and the
+leakage-free content-keyed split."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.functions import text as X
+from vectordb_from_scratch_spark.operators import sampling
+from vectordb_from_scratch_spark.operators.dedup import paragraph_dedup
+from vectordb_from_scratch_spark.operators.textops import url_domains
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha one\n\nSHARED FOOTER\n\nalpha two"),
+            (2, "beta one\n\nSHARED FOOTER\n\nbeta two"),
+            (3, "SHARED FOOTER"),
+        ],
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert out[1].n_paras == 3 and out[1].n_kept == 3
+    assert out[1].clean_text == "alpha one\n\nSHARED FOOTER\n\nalpha two"
+    # doc 2 loses only the footer, order of survivors preserved
+    assert out[2].n_kept == 2
+    assert out[2].clean_text == "beta one\n\nbeta two"
+    # doc 3 was nothing but boilerplate
+    assert out[3].n_kept == 0 and out[3].clean_text == ""
+
+
+def test_paragraph_dedup_intra_doc_duplicates(spark):
+    docs = _docs(spark, [(5, "x\n\nsame\n\nsame\n\ny")])
+    r = paragraph_dedup(docs).collect()[0]
+    assert r.n_paras == 4 and r.n_kept == 3
+    assert r.clean_text == "x\n\nsame\n\ny"
+
+
+def test_paragraph_dedup_normalizes_with_trim_only(spark):
+    # fingerprint is md5(trim(para)): leading/trailing space collapses,
+    # interior differences do not
+    docs = _docs(spark, [(1, "par a\n\n par a "), (2, "par  a")])
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert out[1].n_kept == 1  # " par a " trims equal to "par a"
+    assert out[2].n_kept == 1  # double space is a different paragraph
+
+
+def test_url_domains_counts_and_case(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a https://WWW.Ex.org/p/1 b http://cdn.ex.org/x"),
+            (2, "c https://www.ex.org/p/2"),
+            (3, "no urls here"),
+        ],
+    )
+    out = {r.domain: r for r in url_domains(docs).collect()}
+    assert set(out) == {"www.ex.org", "cdn.ex.org"}
+    assert out["www.ex.org"].n_urls == 2 and out["www.ex.org"].n_docs == 2
+    assert out["cdn.ex.org"].n_urls == 1 and out["cdn.ex.org"].n_docs == 1
+
+
+def test_leakage_free_split_groups_never_straddle(spark):
+    # 200 base docs + exact duplicates of every third one: with the draw
+    # keyed on the content fingerprint, a duplicate pair must always land
+    # in the SAME split, whatever its doc_id
+    rows = [(i, f"document body number {i % 60}") for i in range(200)]
+    docs = _docs(spark, rows)
+    u = sampling.hash_uniform(X.fingerprint("text"), salt="split-v2")
+    assigned = docs.select(
+        "doc_id",
+        X.fingerprint("text").alias("fp"),
+        F.when(u < 0.9, "train").when(u < 0.95, "valid").otherwise("test").alias("split"),
+    )
+    spans = (
+        assigned.groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+    # and the split is non-degenerate on this corpus
+    splits = {r.split for r in assigned.select("split").distinct().collect()}
+    assert "train" in splits and len(splits) >= 2

@@ -46,6 +46,7 @@ __all__ = [
     "connected_components",
     "shared_ngram_stats",
     "substring_overlap_pairs",
+    "paragraph_dedup",
     "decontamination_report",
     "release_caches",
 ]
@@ -947,4 +948,55 @@ def substring_overlap_pairs(
             F.sum("run").alias("n_gram_matches"),
         )
         .filter(F.col("longest_overlap_tokens") >= min_tokens)
+    )
+
+
+def paragraph_dedup(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup (the Dolma / C4 boilerplate-removal
+    pass, public pattern): split each document on `sep`, drop every
+    paragraph whose trimmed text already appeared earlier in the corpus
+    (first occurrence ordered by (id, position) wins — deterministic),
+    and reassemble what is left in original order.
+
+    Returns one row per document: (id, n_paras, n_kept, clean_text) —
+    n_kept = 0 and clean_text = '' when every paragraph was boilerplate
+    someone else already said.
+
+    Scale design: two shuffles, both on PARAGRAPH rows (bounded by the
+    corpus token count, never quadratic) — one exchange on the paragraph
+    fingerprint for the first-occurrence window, one on the doc id for
+    reassembly. The fingerprint is md5(trim(para)) so the window key is
+    a fixed 32-byte column, not the paragraph text: a mega-paragraph
+    shuffles 32 bytes + its own row, and the window inside a fingerprint
+    partition only ranks actual duplicates. At 100 TB the natural-key
+    skew ceiling is the most-repeated boilerplate string; its group is
+    |dups| rows of (id, pos) pairs — millions at worst, one task's work.
+    """
+    paras = documents.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("fp", F.md5(F.trim(F.col("para"))))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy(F.col(id_col), F.col("pos"))
+    ranked = paras.withColumn("keep", F.row_number().over(w) == 1)
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
     )

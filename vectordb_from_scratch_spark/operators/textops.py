@@ -33,6 +33,8 @@ __all__ = [
     "ppl_buckets",
     "bpe_merges",
     "bpe_encode",
+    "url_domains",
+    "URL_PATTERN",
     "pii_scrub",
     "PII_PATTERNS",
     "LANG_MARKERS",
@@ -950,4 +952,43 @@ def ppl_buckets(
         tier = F.concat(F.lit("b"), F.col("bucket").cast("string"))
     return b.select(
         id_col, "bigram_logprob", "n_bigrams", "bucket", tier.alias("tier")
+    )
+
+
+URL_PATTERN = r"https?://[^\s]+"
+_DOMAIN_PATTERN = r"https?://([^/\s]+)"
+
+
+def url_domains(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain corpus statistics from in-text URLs — the provenance
+    audit every web-scale pipeline runs (C4/RefinedWeb publish exactly
+    this table): extract every http(s) URL, reduce it to its host, and
+    aggregate (n_urls, n_docs) per domain. Downstream joins a blocklist
+    (broadcast — domain tables are dimension-sized) or feeds per-domain
+    sampling caps.
+
+    Scale: regexp_extract_all + explode is a narrow pass over the text;
+    the only shuffle is the per-domain hash aggregate with map-side
+    partials — cardinality = distinct hosts, millions at web scale, one
+    row each. Patterns stay in the Java-regex ∩ RE2 common subset
+    (same rule as pii_scrub) so the DuckDB oracle matches span-for-span.
+    """
+    urls = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(text_col, F.lit(URL_PATTERN), F.lit(0))
+        ).alias("url"),
+    )
+    return (
+        urls.select(
+            F.col(id_col),
+            F.lower(F.regexp_extract("url", _DOMAIN_PATTERN, 1)).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
     )

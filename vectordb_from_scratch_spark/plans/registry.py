@@ -7725,6 +7725,174 @@ def _q_multimodal_video_frames(spark, sf_dir):
     return avi_frame_stats(payloads)
 
 
+
+
+# --------------------------------------------------------------------------
+# Round 7: paragraph-level dedup, URL provenance audit, leakage-free split
+# --------------------------------------------------------------------------
+
+@_register(
+    "dedup_paragraph",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[1:6], ' ')
+             || chr(10) || chr(10)
+             || 'shared boilerplate footer ' || (doc_id % 7)::VARCHAR
+             || chr(10) || chr(10)
+             || array_to_string(string_split(text, ' ')[7:12], ' ')
+             || CASE WHEN doc_id % 11 = 0
+                     THEN chr(10) || chr(10) || 'shared boilerplate footer '
+                          || (doc_id % 7)::VARCHAR
+                     ELSE '' END AS t
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id,
+             unnest(string_split(t, chr(10) || chr(10))) AS para,
+             generate_subscripts(string_split(t, chr(10) || chr(10)), 1) AS pos
+      FROM aug
+    ),
+    ranked AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY md5(trim(para))
+                                ORDER BY doc_id, pos) = 1 AS keep
+      FROM paras
+    )
+    SELECT doc_id,
+           count(*) AS n_paras,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN keep THEN para END,
+                                   chr(10) || chr(10) ORDER BY pos),
+                        '')) AS clean_md5
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="Paragraph-level exact dedup (Dolma/C4 boilerplate removal) over "
+    "documents deterministically recomposed as head-words + a shared "
+    "boilerplate footer (7 variants across the corpus, duplicated WITHIN "
+    "every 11th doc) + tail-words: first occurrence by (doc_id, pos) "
+    "wins, survivors reassemble in order; md5 of the cleaned text proves "
+    "byte-identical reassembly cross-engine",
+)
+def _q_dedup_paragraph(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bp = F.concat(
+        F.lit("shared boilerplate footer "),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    t = F.concat(
+        F.array_join(F.slice(words, 1, 6), " "),
+        F.lit("\n\n"),
+        bp,
+        F.lit("\n\n"),
+        F.array_join(F.slice(words, 7, 6), " "),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.lit("\n\n"), bp)
+        ).otherwise(F.lit("")),
+    )
+    aug = d.select("doc_id", t.alias("text"))
+    out = dedup.paragraph_dedup(aug)
+    return out.select(
+        "doc_id", "n_paras", "n_kept", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+@_register(
+    "text_url_domains",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' see https://www.' || source || '.example.org/doc/'
+                  || doc_id::VARCHAR
+                  || ' and http://cdn.' || source || '.example.org/page'
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN ' plus https://www.' || source
+                               || '.example.org/extra'
+                          ELSE '' END AS t
+      FROM documents
+    ),
+    urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url
+      FROM aug
+    )
+    SELECT lower(regexp_extract(url, 'https?://([^/\s]+)', 1)) AS domain,
+           count(*) AS n_urls,
+           count(DISTINCT doc_id) AS n_docs
+    FROM urls GROUP BY 1
+    """,
+    doc="Per-domain URL provenance audit (the C4/RefinedWeb source table) "
+    "over text deterministically augmented with 2-3 URLs per doc across "
+    "40 synthetic hosts: regexp extract + host reduce + per-domain hash "
+    "agg — narrow scan, one dimension-sized shuffle; patterns in the "
+    "Java-regex \u2229 RE2 common subset (operators/textops.py:url_domains)",
+)
+def _q_text_url_domains(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" see https://www."),
+        F.col("source"),
+        F.lit(".example.org/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" and http://cdn."),
+        F.col("source"),
+        F.lit(".example.org/page"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" plus https://www."),
+                F.col("source"),
+                F.lit(".example.org/extra"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return textops.url_domains(d.select("doc_id", t.alias("text")))
+
+
+_SPLIT_FP_U = sampling.sql_hash_uniform(f"md5({_NT})", salt="split-v2")
+
+
+@_register(
+    "pipeline_split_leakage_free",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, md5({_NT}) AS fingerprint,
+             CASE WHEN {_SPLIT_FP_U} < 0.9 THEN 'train'
+                  WHEN {_SPLIT_FP_U} < 0.95 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT fingerprint) AS n_groups,
+           min(doc_id) AS min_doc_id
+    FROM assigned GROUP BY split
+    """,
+    doc="Leakage-free train/valid/test split: the salted hash draw is "
+    "keyed on the CONTENT fingerprint (md5 of normalized text), not the "
+    "doc id, so exact duplicates can never straddle splits (the "
+    "train-test contamination channel pipeline_train_split leaves open); "
+    "group-level membership stays a pure function of content — stable "
+    "under reruns, repartitioning, and corpus growth",
+)
+def _q_pipeline_split_leakage_free(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    u = sampling.hash_uniform(X.fingerprint("text"), salt="split-v2")
+    assigned = d.select(
+        "doc_id",
+        X.fingerprint("text").alias("fingerprint"),
+        F.when(u < 0.9, "train")
+        .when(u < 0.95, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_groups"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Enumeration order: never-driver-sampled queries first.
 #
