@@ -1,0 +1,118 @@
+"""Adversarial-payload fuzz over every media decoder.
+
+The round-6 advisory found a spec-legal JPEG shape that escaped the
+out-of-profile filter and raised mid-decode. This suite generalizes the
+lesson into a standing gate: for EVERY decoder, arbitrary bytes,
+truncations, and bit-flipped valid payloads must return None (or a
+well-formed dict) — never raise. The Spark stats kernels additionally
+guard with _decode_or_none, but the decoders' own contract is
+"None, not exceptions", and that is what keeps `decode_image`'s ladder
+and any direct caller safe.
+
+Deterministic RNG (no hypothesis flakiness): 300 mutations per decoder
+per shape, seeds fixed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vectordb_from_scratch_spark.operators import multimodal as mm
+
+# (decoder, valid payload factory) — factories build small in-profile
+# payloads so bit-flips hit live code paths, not just the magic check.
+def _png():
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    return mm.encode_png(px.tobytes(), 7, 9, 3)
+
+
+def _jpeg_gray():
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    return mm.encode_jpeg_gray(px.tobytes(), 24, 16)
+
+
+def _jpeg_color():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    return mm.encode_jpeg(px.tobytes(), 16, 16, channels=3, sampling=(2, 2))
+
+
+def _gif():
+    rng = np.random.default_rng(4)
+    idx = rng.integers(0, 4, size=63, dtype=np.uint8).tobytes()
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    return mm.encode_gif(idx, 9, 7, pal)
+
+
+def _bmp():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    return mm.encode_bmp(px.tobytes(), 5, 6)
+
+
+def _wav():
+    rng = np.random.default_rng(6)
+    samples = rng.integers(-3000, 3000, size=100).tolist()
+    return mm.encode_wav(samples, sample_rate=8000, channels=2, bits=16)
+
+
+def _avi():
+    rng = np.random.default_rng(7)
+    frames = [
+        mm.encode_jpeg_gray(
+            rng.integers(0, 256, size=(8, 8), dtype=np.uint8).tobytes(), 8, 8
+        )
+        for _ in range(2)
+    ]
+    return mm.encode_avi_mjpeg(frames, 8, 8)
+
+
+DECODERS = [
+    ("png", mm.decode_png_pixels, _png),
+    ("jpeg_gray", mm.decode_jpeg_pixels, _jpeg_gray),
+    ("jpeg_color", mm.decode_jpeg_pixels, _jpeg_color),
+    ("jpeg_coeffs", mm.decode_jpeg_coefficients, _jpeg_gray),
+    ("gif", mm.decode_gif_pixels, _gif),
+    ("bmp", mm.decode_bmp_pixels, _bmp),
+    ("wav_header", mm.parse_wav_header, _wav),
+    ("wav", mm.decode_wav_samples, _wav),
+    ("avi", mm.decode_avi_frames, _avi),
+    ("header_meta", mm.parse_image_header, _png),
+]
+
+
+def _check(decoder, payload):
+    out = decoder(bytes(payload))
+    assert out is None or isinstance(out, dict)
+
+
+@pytest.mark.parametrize("name,decoder,factory", DECODERS,
+                         ids=[d[0] for d in DECODERS])
+def test_decoder_never_raises(name, decoder, factory):
+    valid = factory()
+    # sanity: the unmutated payload decodes
+    assert isinstance(decoder(valid), dict)
+    rng = np.random.default_rng(97)
+    arr = np.frombuffer(valid, dtype=np.uint8).copy()
+    # 1) random garbage of assorted lengths (keeps magic bytes sometimes)
+    for n in (0, 1, 3, 8, 64, 1024):
+        _check(decoder, rng.integers(0, 256, size=n, dtype=np.uint8).tobytes())
+        _check(decoder, valid[:8] + rng.integers(0, 256, size=n, dtype=np.uint8).tobytes())
+    # 2) truncations at every 7th byte
+    for cut in range(0, len(valid), max(1, len(valid) // 40)):
+        _check(decoder, valid[:cut])
+    # 3) single-byte corruption, 300 draws across the whole payload
+    for _ in range(300):
+        i = int(rng.integers(0, len(arr)))
+        mut = arr.copy()
+        mut[i] = int(rng.integers(0, 256))
+        _check(decoder, mut.tobytes())
+    # 4) multi-byte corruption bursts
+    for _ in range(60):
+        i = int(rng.integers(0, max(1, len(arr) - 16)))
+        mut = arr.copy()
+        mut[i : i + 16] = rng.integers(0, 256, size=min(16, len(arr) - i), dtype=np.uint8)
+        _check(decoder, mut.tobytes())

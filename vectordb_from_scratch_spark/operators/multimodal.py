@@ -76,6 +76,38 @@ DECODE_SCHEMA = (
 )
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string, frame_bytes long"
 
+# Decompression-bomb guard: a corrupt or adversarial header that declares
+# more samples (width × height × channels) than this is out of profile —
+# decode returns None instead of attempting a multi-GB allocation on the
+# executor. 2^26 ≈ 67M samples ≈ a 8192×8192 RGB frame, far above any
+# test/training-media profile this module claims.
+MAX_SAMPLES = 1 << 26
+
+
+def _none_on_malformed(fn):
+    """Decoder contract: malformed input returns None, never raises.
+
+    The parsers validate structure as they walk, but an adversarial
+    payload can always find one more truncated length field or
+    out-of-range index (the round-6 advisory's non-divisible-sampling
+    JPEG was exactly this class). This net converts the residual
+    parse-time exceptions — struct.error on short buffers, IndexError,
+    ValueError/EOFError from the bit readers, zlib.error — into the
+    documented None. It deliberately does NOT catch programming-error
+    types (TypeError, AttributeError, KeyError): those should fail
+    tests, not hide."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, IndexError, ValueError, EOFError, zlib.error,
+                OverflowError):
+            return None
+
+    return wrapped
+
 
 def decode_image_stub(payload: bytes) -> dict:
     """Placeholder for a real image decode (PIL/libvips not installed).
@@ -92,6 +124,7 @@ _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
+@_none_on_malformed
 def parse_image_header(payload: bytes) -> dict | None:
     """REAL image metadata from magic bytes — pure Python, no imaging
     library: PNG (IHDR), JPEG (SOFn frame header), GIF (logical screen
@@ -256,6 +289,7 @@ def encode_png(pixels: bytes, width: int, height: int, channels: int,
     )
 
 
+@_none_on_malformed
 def decode_png_pixels(payload: bytes) -> dict | None:
     """REAL pixel decode for non-interlaced 8-bit PNGs: chunk walk →
     zlib-inflate IDAT → per-scanline unfilter (all five filter types) →
@@ -295,12 +329,17 @@ def decode_png_pixels(payload: bytes) -> dict | None:
     if color_type not in _PNG_CHANNELS or width == 0 or height == 0:
         return None
     bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    if width * height * bpp > MAX_SAMPLES:
+        return None  # declared size over profile — bomb guard
     stride = width * bpp
+    expected = (stride + 1) * height
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: never expand past what a valid image needs,
+        # whatever the deflate stream claims
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
     except zlib.error:
         return None
-    if len(raw) != (stride + 1) * height:
+    if len(raw) != expected:
         return None
     out = bytearray(stride * height)
     prev = bytes(stride)
@@ -730,6 +769,7 @@ def _jpg_extend(extra: int, size: int) -> int:
     return extra if extra >= (1 << (size - 1)) else extra - (1 << size) + 1
 
 
+@_none_on_malformed
 def _jpg_parse_stream(b: bytes) -> dict | None:
     """Marker walk through SOS: tables, frame header, scan parameters,
     and the entropy-data slice. None = out of profile (progressive,
@@ -837,6 +877,7 @@ def _jpg_decode_block(r: "_BitReader", dc_tree: dict, ac_tree: dict,
     return zz, prev_dc
 
 
+@_none_on_malformed
 def decode_jpeg_pixels(payload: bytes) -> dict | None:
     """REAL pixel decode for 8-bit sequential-baseline JPEGs — grayscale
     AND color (1 or 3 components, any sampling factors 1..4 so 4:4:4 /
@@ -861,6 +902,8 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
     vmax = max(v for _, _, v, _ in comps)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
+    if mcus_x * mcus_y * hmax * vmax * 64 * len(comps) > 4 * MAX_SAMPLES:
+        return None  # declared size over profile — bomb guard
     c = _dct_matrix()
     params = []
     planes = []
@@ -934,6 +977,7 @@ def decode_jpeg_gray(payload: bytes) -> dict | None:
     return dec if dec is not None and dec["channels"] == 1 else None
 
 
+@_none_on_malformed
 def decode_jpeg_coefficients(payload: bytes) -> dict | None:
     """The decoder's lossless half for SINGLE-component files, exposed
     for exact testing: marker walk + huffman decode + dequantize,
@@ -947,6 +991,8 @@ def decode_jpeg_coefficients(payload: bytes) -> dict | None:
     if hdr is None or len(hdr["comps"]) != 1:
         return None
     width, height = hdr["width"], hdr["height"]
+    if width * height > MAX_SAMPLES:
+        return None  # declared size over profile — bomb guard
     cid, h, v, tq = hdr["comps"][0]
     td, ta = hdr["scan"][cid]
     dc_tree = hdr["htables"].get((0, td))
@@ -1077,6 +1123,7 @@ def encode_gif(
     return bytes(out)
 
 
+@_none_on_malformed
 def decode_gif_pixels(payload: bytes) -> dict | None:
     """REAL pixel decode for GIF87a/89a: color tables, extension skip,
     full variable-width LZW (table growth, clear/end codes, deferred
@@ -1110,6 +1157,8 @@ def decode_gif_pixels(payload: bytes) -> dict | None:
     if pos >= len(b):
         return None
     left, top, width, height = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+    if width * height * 3 > MAX_SAMPLES:
+        return None  # declared size over profile — bomb guard
     iflags = b[pos + 9]
     pos += 10
     if iflags & 0x80:  # local color table
@@ -1264,6 +1313,7 @@ def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
     return header + bytes(data)
 
 
+@_none_on_malformed
 def decode_bmp_pixels(payload: bytes) -> dict | None:
     """REAL pixel decode for uncompressed BITMAPINFOHEADER BMPs: 24-bit
     BGR and 8-bit palette, top-down or bottom-up, 4-byte row padding.
@@ -1395,6 +1445,7 @@ def encode_avi_mjpeg(
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
+@_none_on_malformed
 def decode_avi_frames(payload: bytes, max_frames: int | None = None) -> dict | None:
     """REAL video frame decode for AVI-MJPEG: RIFF walk to the movi
     list, then each video frame chunk ('..dc'/'..db') decodes as a
@@ -1524,6 +1575,7 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_none_on_malformed
 def parse_wav_header(payload: bytes) -> dict | None:
     """Metadata from the RIFF chunk walk alone (no sample decode):
     {sample_rate, channels, bits, n_frames, duration_ms}, or None for
@@ -1562,6 +1614,7 @@ def parse_wav_header(payload: bytes) -> dict | None:
     }
 
 
+@_none_on_malformed
 def decode_wav_samples(payload: bytes) -> dict | None:
     """REAL sample decode for PCM WAV: header walk + raw little-endian
     sample read. Returns {sample_rate, channels, bits, n_frames,
