@@ -88,3 +88,45 @@ def test_leakage_free_split_groups_never_straddle(spark):
     # and the split is non-degenerate on this corpus
     splits = {r.split for r in assigned.select("split").distinct().collect()}
     assert "train" in splits and len(splits) >= 2
+
+
+# ---- property: paragraph_dedup vs an independent Python reference ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_para = st.text(alphabet="ab X", min_size=0, max_size=6)
+_doc_corpus = st.lists(
+    st.lists(_para, min_size=1, max_size=5), min_size=1, max_size=8
+)
+
+
+def _reference(corpus):
+    """First-occurrence-wins paragraph dedup, computed sequentially."""
+    seen = set()
+    out = {}
+    for doc_id, paras in enumerate(corpus):
+        kept = []
+        for p in paras:
+            key = p.strip()
+            if key not in seen:
+                seen.add(key)
+                kept.append(p)
+        out[doc_id] = (len(paras), len(kept), "\n\n".join(kept))
+    return out
+
+
+@given(_doc_corpus)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_paragraph_dedup_matches_sequential_reference(spark, corpus):
+    # paragraphs containing the separator would re-split; exclude by
+    # construction (alphabet has no newline)
+    docs = spark.createDataFrame(
+        [(i, "\n\n".join(paras)) for i, paras in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.clean_text)
+        for r in paragraph_dedup(docs).collect()
+    }
+    assert got == _reference(corpus)
