@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "dedup_paragraph",
     "text_url_domains",
     "pipeline_split_leakage_free",
+    "dedup_incremental",
 ]
 
 

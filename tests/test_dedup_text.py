@@ -458,3 +458,40 @@ class TestSubstringOverlap:
         assert len(full) == 10  # all 5-choose-2 pairs share the boilerplate
         pruned = substring_overlap_pairs(docs, k=8, min_tokens=8, max_df=3).collect()
         assert pruned == []  # gram df=5 > 3 → dropped before the join
+
+
+def test_incremental_delivery_report_classification(spark):
+    """exact > near > fresh precedence; best near match = max jaccard,
+    ties to min corpus id; no corpus-internal pairs ever surface."""
+    from vectordb_from_scratch_spark.operators.dedup import (
+        incremental_delivery_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),  # replica
+            (3, "completely different corpus content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    delivery = spark.createDataFrame(
+        [
+            # exact copy of the 1/2 family -> exact, match_id = 1 (min)
+            (101, "the quick brown fox jumps over the lazy dog tonight"),
+            # near-dup of the family: appended tail -> near, match 1 (tie min)
+            (102, "the quick brown fox jumps over the lazy dog tonight again folks"),
+            # nothing like the corpus -> fresh
+            (103, "utterly novel delivery text with unique vocabulary payload"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.delivery_id: r for r in
+           incremental_delivery_report(corpus, delivery, threshold=0.3).collect()}
+    assert len(out) == 3
+    assert out[101].verdict == "exact" and out[101].match_id == 1
+    assert out[101].jaccard is None
+    assert out[102].verdict == "near" and out[102].match_id == 1
+    assert out[102].jaccard is not None and out[102].jaccard >= 0.3
+    assert out[103].verdict == "fresh"
+    assert out[103].match_id is None and out[103].jaccard is None

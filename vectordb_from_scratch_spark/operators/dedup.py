@@ -47,6 +47,7 @@ __all__ = [
     "shared_ngram_stats",
     "substring_overlap_pairs",
     "paragraph_dedup",
+    "incremental_delivery_report",
     "decontamination_report",
     "release_caches",
 ]
@@ -138,6 +139,45 @@ def minhash_signatures(
     )
 
 
+def _banded_keys(
+    documents: DataFrame,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, band_idx, band_key) — the banded-LSH index rows for a corpus:
+    MinHash signature sliced into `bands` sub-signatures, each md5'd into
+    a ~40-byte join key. Shared by the self-join candidate generator
+    (lsh_candidate_pairs) and the delivery-vs-corpus incremental path
+    (incremental_delivery_report); docs with fewer than shingle_n words
+    carry no complete signature and emit no rows."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        documents, num_hashes=num_hashes, shingle_n=shingle_n, text_col=text_col, id_col=id_col
+    ).filter(F.size(F.filter(F.col("sig"), lambda x: x.isNotNull())) == F.lit(num_hashes))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        F.col(id_col), F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+
+
 def lsh_candidate_pairs(
     documents: DataFrame,
     num_hashes: int = 8,
@@ -160,28 +200,9 @@ def lsh_candidate_pairs(
     Capping drops those buckets entirely (their members are better found
     by exact dedup anyway); off by default so results stay oracle-exact.
     """
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must divide evenly into bands")
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
-        documents, num_hashes=num_hashes, shingle_n=shingle_n, text_col=text_col, id_col=id_col
-    ).filter(F.size(F.filter(F.col("sig"), lambda x: x.isNotNull())) == F.lit(num_hashes))
-
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
-        F.col(id_col), F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    banded = _banded_keys(
+        documents, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
     )
     # The banded signature table IS the batch-built index (H4 analog): cache
     # it so the self-join's two sides don't each recompute the full
@@ -1000,3 +1021,113 @@ def paragraph_dedup(
             sep,
         ).alias("clean_text"),
     )
+
+
+def incremental_delivery_report(
+    corpus: DataFrame,
+    delivery: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classify a NEW delivery against the EXISTING corpus — the
+    continuous-ingest dedup shape: at 100 TB you never re-dedup the
+    standing corpus; each delivery is screened against it and only
+    survivors append.
+
+    Per delivery doc: verdict 'exact' (normalized-text fingerprint
+    already in the corpus; match_id = the corpus family's min id),
+    'near' (word-shingle Jaccard ≥ threshold against a banded-LSH
+    candidate; best match = max jaccard, ties to min corpus id), else
+    'fresh'. Returns (delivery id, verdict, match_id, jaccard) with
+    match_id/jaccard NULL where not applicable; jaccard carries the
+    round-6 HALF_UP value the verify kernel emits (oracle-exact).
+
+    Scale design: NO corpus×corpus work anywhere — the exact screen is
+    one fingerprint join (delivery side is delivery-sized; Catalyst
+    broadcasts it), and near-dup candidates come from joining the
+    DELIVERY's banded keys against the CORPUS's banded keys, i.e. the
+    same persisted index a standing corpus maintains incrementally
+    (streaming/dedup_stream.py holds the digest analog). Verification
+    touches candidate pairs only, and exact-matched delivery docs are
+    anti-joined out before banding so the LSH stage never re-processes
+    them.
+    """
+    fpc = corpus.select(
+        F.col(id_col).alias("corpus_id"), X.fingerprint(text_col).alias("fp")
+    )
+    fpd = delivery.select(
+        F.col(id_col).alias("delivery_id"), X.fingerprint(text_col).alias("fp")
+    )
+    exact = (
+        fpd.join(fpc, "fp")
+        .groupBy("delivery_id")
+        .agg(F.min("corpus_id").alias("match_id"))
+    )
+
+    remaining = delivery.join(
+        exact.select(F.col("delivery_id").alias(id_col)), id_col, "left_anti"
+    )
+    bd = _banded_keys(
+        remaining, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
+    ).withColumnRenamed(id_col, "delivery_id")
+    bc = _banded_keys(
+        corpus, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
+    ).withColumnRenamed(id_col, "corpus_id")
+    cands = bd.join(bc, ["band_idx", "band_key"]).select(
+        "delivery_id", "corpus_id"
+    ).distinct()
+
+    def _shingle_table(df: DataFrame, out_id: str, sh_name: str) -> DataFrame:
+        return spread(df).select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(X.word_shingles(text_col, n=shingle_n)).alias(sh_name),
+        )
+
+    paired = cands.join(
+        _shingle_table(remaining, "delivery_id", "sh_a"), "delivery_id"
+    ).join(_shingle_table(corpus, "corpus_id", "sh_b"), "corpus_id")
+    verified = paired.select(
+        F.col("delivery_id").alias("id_a"), F.col("corpus_id").alias("id_b"),
+        "sh_a", "sh_b",
+    ).mapInPandas(
+        _jaccard_verify_kernel(threshold),
+        schema="id_a long, id_b long, jaccard double",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.desc("jaccard"), F.asc("id_b"))
+    near = (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id_a").alias("delivery_id"),
+            F.col("id_b").alias("match_id"),
+            "jaccard",
+        )
+    )
+
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    out_exact = exact.select(
+        "delivery_id", F.lit("exact").alias("verdict"), "match_id",
+        null_d.alias("jaccard"),
+    )
+    out_near = near.select(
+        "delivery_id", F.lit("near").alias("verdict"), "match_id", "jaccard"
+    )
+    matched = exact.select("delivery_id").union(near.select("delivery_id"))
+    out_fresh = (
+        delivery.select(F.col(id_col).alias("delivery_id"))
+        .join(matched, "delivery_id", "left_anti")
+        .select(
+            "delivery_id", F.lit("fresh").alias("verdict"),
+            null_l.alias("match_id"), null_d.alias("jaccard"),
+        )
+    )
+    return out_exact.union(out_near).union(out_fresh)

@@ -7893,6 +7893,106 @@ def _q_pipeline_split_leakage_free(spark, sf_dir):
     )
 
 
+
+
+_DELIVERY_SQL = """
+      SELECT doc_id + 1000000 AS did,
+             CASE WHEN doc_id % 3 = 0 THEN text
+                  WHEN doc_id % 3 = 1
+                  THEN text || ' with freshly appended trailing marker words'
+                  ELSE 'entirely fresh delivery payload item '
+                       || doc_id::VARCHAR || ' carrying novel vocabulary'
+             END AS text
+      FROM documents
+"""
+
+
+@_register(
+    "dedup_incremental",
+    f"""
+    WITH delivery AS ({_DELIVERY_SQL}),
+    cfp AS (SELECT doc_id AS cid, md5({_NT}) AS fp FROM documents),
+    dfp AS (SELECT did, md5({_SQL_NORMTEXT.format(t='text')}) AS fp FROM delivery),
+    exact AS (
+      SELECT did, min(cid) AS match_id FROM dfp JOIN cfp USING (fp) GROUP BY did
+    ),
+    rem AS (
+      SELECT * FROM delivery WHERE did NOT IN (SELECT did FROM exact)
+    ),
+    ct AS (SELECT doc_id AS id, {_TOK} AS toks FROM documents),
+    dt AS (SELECT did AS id, {_TOK} AS toks FROM rem),
+    csig AS (SELECT id, {_MH_SQL_COLS} FROM ct),
+    dsig AS (SELECT id, {_MH_SQL_COLS} FROM dt),
+    cband AS (
+      SELECT id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_key FROM csig WHERE mh0 IS NOT NULL
+      UNION ALL SELECT id, 1, md5(mh2 || '|' || mh3) FROM csig WHERE mh0 IS NOT NULL
+      UNION ALL SELECT id, 2, md5(mh4 || '|' || mh5) FROM csig WHERE mh0 IS NOT NULL
+      UNION ALL SELECT id, 3, md5(mh6 || '|' || mh7) FROM csig WHERE mh0 IS NOT NULL
+    ),
+    dband AS (
+      SELECT id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_key FROM dsig WHERE mh0 IS NOT NULL
+      UNION ALL SELECT id, 1, md5(mh2 || '|' || mh3) FROM dsig WHERE mh0 IS NOT NULL
+      UNION ALL SELECT id, 2, md5(mh4 || '|' || mh5) FROM dsig WHERE mh0 IS NOT NULL
+      UNION ALL SELECT id, 3, md5(mh6 || '|' || mh7) FROM dsig WHERE mh0 IS NOT NULL
+    ),
+    cands AS (
+      SELECT DISTINCT d.id AS did, c.id AS cid
+      FROM dband d JOIN cband c
+        ON d.band_idx = c.band_idx AND d.band_key = c.band_key
+    ),
+    csh AS (SELECT id, list_distinct({_sql_shingles('toks')}) AS sh FROM ct),
+    dsh AS (SELECT id, list_distinct({_sql_shingles('toks')}) AS sh FROM dt),
+    j AS (
+      SELECT p.did, p.cid, round({_sql_jaccard('a.sh', 'b.sh')}, 6) AS jaccard
+      FROM cands p JOIN dsh a ON a.id = p.did JOIN csh b ON b.id = p.cid
+    ),
+    near AS (
+      SELECT did, cid AS match_id, jaccard
+      FROM (SELECT *, row_number() OVER (PARTITION BY did
+                                         ORDER BY jaccard DESC, cid) AS rn
+            FROM j WHERE jaccard >= 0.5)
+      WHERE rn = 1
+    )
+    SELECT did AS delivery_id, 'exact' AS verdict, match_id,
+           NULL::DOUBLE AS jaccard
+    FROM exact
+    UNION ALL
+    SELECT did, 'near', match_id, jaccard FROM near
+    UNION ALL
+    SELECT did, 'fresh', NULL::BIGINT, NULL::DOUBLE FROM delivery
+    WHERE did NOT IN (SELECT did FROM exact)
+      AND did NOT IN (SELECT did FROM near)
+    """,
+    doc="Incremental delivery dedup (the continuous-ingest screen): a "
+    "synthesized delivery (1/3 exact copies, 1/3 appended-tail near-dups, "
+    "1/3 fresh docs) classified against the standing corpus — exact via "
+    "one fingerprint join, near via delivery-bands x corpus-bands LSH + "
+    "candidate-only Jaccard verify, never corpus x corpus "
+    "(operators/dedup.py:incremental_delivery_report)",
+)
+def _q_dedup_incremental(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    delivery = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" with freshly appended trailing marker words"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("entirely fresh delivery payload item "),
+                F.col("doc_id").cast("string"),
+                F.lit(" carrying novel vocabulary"),
+            )
+        )
+        .alias("text"),
+    )
+    return dedup.incremental_delivery_report(d, delivery, threshold=0.5)
+
 # ---------------------------------------------------------------------------
 # Enumeration order: never-driver-sampled queries first.
 #
