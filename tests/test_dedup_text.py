@@ -495,3 +495,42 @@ def test_incremental_delivery_report_classification(spark):
     assert out[102].jaccard is not None and out[102].jaccard >= 0.3
     assert out[103].verdict == "fresh"
     assert out[103].match_id is None and out[103].jaccard is None
+
+
+def test_incremental_delivery_index_reuse_is_identical(spark):
+    """The persisted corpus index path must produce byte-identical
+    verdicts to the inline path, and reject mismatched parameters."""
+    import pytest as _pytest
+
+    from vectordb_from_scratch_spark.operators.dedup import (
+        build_corpus_dedup_index,
+        incremental_delivery_report,
+        release_caches,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i % 5} body words repeated here zip {i % 5}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    delivery = spark.createDataFrame(
+        [(100, "corpus doc 2 body words repeated here zip 2"),
+         (101, "corpus doc 3 body words repeated here zip 3 extra tail"),
+         (102, "nothing in common with anything at all whatsoever")],
+        "doc_id long, text string",
+    )
+    inline = sorted(
+        incremental_delivery_report(corpus, delivery, threshold=0.3).collect()
+    )
+    idx = build_corpus_dedup_index(corpus)
+    reused = sorted(
+        incremental_delivery_report(
+            corpus, delivery, threshold=0.3, corpus_index=idx
+        ).collect()
+    )
+    assert inline == reused
+    with _pytest.raises(ValueError, match="different"):
+        incremental_delivery_report(
+            corpus, delivery, bands=2, corpus_index=idx
+        )
+    release_caches()

@@ -118,8 +118,98 @@ def main() -> int:
         "exact": bool(row["u"] == 2 * n and row["d"] == 2 * min(n, 50_000)),
     }))
 
+    incremental_cells(n_corpus=n, n_delivery=max(1000, n // 100), runs=runs)
+
     spark.stop()
     return 0
+
+
+def incremental_cells(n_corpus: int, n_delivery: int, runs: int) -> None:
+    """Delivery-vs-corpus dedup screen: cold (corpus tables derived in
+    the same job) vs warm (index prebuilt via build_corpus_dedup_index
+    and persisted — the standing-corpus shape). The corpus is 10-member
+    exact-dup families with family-specific vocabulary (so LSH buckets
+    are family-sized, never corpus-sized); the delivery is 1/3 exact
+    copies, 1/3 appended-tail near-dups, 1/3 fresh."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.dedup import (
+        build_corpus_dedup_index,
+        incremental_delivery_report,
+        release_caches,
+    )
+
+    spark = SparkSession.getActiveSession()
+    n_fam = n_corpus // 10
+
+    def fam_text(fam_col):
+        # every word carries the family id: families share NO shingles, so
+        # LSH buckets are family-sized (an earlier template-similar corpus
+        # shared 'body content segment' across families and produced 14M
+        # cross-family candidates — the verify stage, correctly bounded by
+        # candidates, became the whole cost; see SCALE.md note)
+        f = fam_col.cast("string")
+        return F.concat_ws(
+            " ",
+            F.concat(F.lit("alpha"), f), F.concat(F.lit("beta"), f),
+            F.concat(F.lit("gamma"), f), F.concat(F.lit("delta"), f),
+            F.concat(F.lit("epsilon"), f), F.concat(F.lit("zeta"), f),
+            F.concat(F.lit("eta"), f), F.concat(F.lit("theta"), f),
+        )
+
+    corpus = spark.range(n_corpus).select(
+        F.col("id").alias("doc_id"),
+        fam_text(F.col("id") % n_fam).alias("text"),
+    )
+    delivery = spark.range(n_delivery).select(
+        (F.col("id") + 10 * n_corpus).alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, fam_text(F.col("id")))
+        .when(
+            F.col("id") % 3 == 1,
+            F.concat(fam_text(F.col("id")), F.lit(" appended tail words")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("entirely fresh delivery payload item "),
+                F.col("id").cast("string"),
+                F.lit(" carrying novel vocabulary tokens"),
+            )
+        )
+        .alias("text"),
+    )
+
+    def counts(idx):
+        out = incremental_delivery_report(
+            corpus, delivery, threshold=0.4, corpus_index=idx
+        )
+        return {
+            r["verdict"]: r["n"]
+            for r in out.groupBy("verdict")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    t0 = time.monotonic()
+    cold_counts = counts(None)
+    cold = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    idx = build_corpus_dedup_index(corpus)
+    for k in ("fingerprints", "bands", "shingles"):
+        idx[k].count()  # materialize: the once-per-corpus cost
+    build = round(time.monotonic() - t0, 3)
+
+    warm = _time(lambda: counts(idx), runs)
+    warm_counts = counts(idx)
+    print(json.dumps({
+        "cell": "dedup_incremental",
+        "n_corpus": n_corpus, "n_delivery": n_delivery,
+        "cold_sec": cold, "index_build_sec": build, "warm_sec": warm,
+        "counts": warm_counts,
+        "consistent": bool(cold_counts == warm_counts),
+    }))
+    release_caches()
 
 
 if __name__ == "__main__":

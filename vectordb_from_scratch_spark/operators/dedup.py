@@ -48,6 +48,7 @@ __all__ = [
     "substring_overlap_pairs",
     "paragraph_dedup",
     "incremental_delivery_report",
+    "build_corpus_dedup_index",
     "decontamination_report",
     "release_caches",
 ]
@@ -1023,6 +1024,41 @@ def paragraph_dedup(
     )
 
 
+def build_corpus_dedup_index(
+    corpus: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """The standing corpus's dedup index, built ONCE and reused across
+    deliveries: {'fingerprints': (corpus_id, fp), 'bands': (corpus_id,
+    band_idx, band_key), 'shingles': (corpus_id, sh)}. Persist these
+    three tables (parquet bucketed by fp / band_key at scale; session
+    cache here) and every subsequent incremental_delivery_report is
+    delivery-bound — the 100-TB corpus is never re-scanned per delivery.
+    The streaming maintenance analog (append new survivors' rows per
+    micro-batch) is streaming/dedup_stream.py's digest state."""
+    fps = corpus.select(
+        F.col(id_col).alias("corpus_id"), X.fingerprint(text_col).alias("fp")
+    )
+    bnd = _banded_keys(
+        corpus, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
+    ).withColumnRenamed(id_col, "corpus_id")
+    sh = spread(corpus).select(
+        F.col(id_col).alias("corpus_id"),
+        F.array_distinct(X.word_shingles(text_col, n=shingle_n)).alias("sh_b"),
+    )
+    return {
+        "fingerprints": _track(fps),
+        "bands": _track(bnd),
+        "shingles": _track(sh),
+        "params": (num_hashes, bands, shingle_n),
+    }
+
+
 def incremental_delivery_report(
     corpus: DataFrame,
     delivery: DataFrame,
@@ -1032,6 +1068,8 @@ def incremental_delivery_report(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_index: dict | None = None,
+    broadcast_delivery: bool = True,
 ) -> DataFrame:
     """Classify a NEW delivery against the EXISTING corpus — the
     continuous-ingest dedup shape: at 100 TB you never re-dedup the
@@ -1055,15 +1093,41 @@ def incremental_delivery_report(
     touches candidate pairs only, and exact-matched delivery docs are
     anti-joined out before banding so the LSH stage never re-processes
     them.
+
+    Pass `corpus_index` (from build_corpus_dedup_index) to reuse the
+    standing corpus's persisted fingerprint/band/shingle tables across
+    deliveries — the per-delivery cost then scales with the DELIVERY,
+    not the corpus (measured in SCALE.md round 7).
     """
-    fpc = corpus.select(
-        F.col(id_col).alias("corpus_id"), X.fingerprint(text_col).alias("fp")
-    )
+    if corpus_index is not None:
+        if corpus_index["params"] != (num_hashes, bands, shingle_n):
+            raise ValueError(
+                "corpus_index was built with different (num_hashes, bands, "
+                f"shingle_n) {corpus_index['params']} than requested "
+                f"{(num_hashes, bands, shingle_n)}"
+            )
+        fpc = corpus_index["fingerprints"]
+    else:
+        fpc = corpus.select(
+            F.col(id_col).alias("corpus_id"), X.fingerprint(text_col).alias("fp")
+        )
     fpd = delivery.select(
         F.col(id_col).alias("delivery_id"), X.fingerprint(text_col).alias("fp")
     )
-    exact = (
-        fpd.join(fpc, "fp")
+    # A delivery is delivery-sized by definition — broadcast its derived
+    # tables explicitly. Catalyst cannot infer this on its own: the
+    # minhash signatures come through mapInPandas, whose output stats are
+    # unknown, so the planner would shuffle the CORPUS side of every join
+    # instead (measured 29.6 s -> 3.5 s warm at 1M corpus / 10k delivery,
+    # SCALE.md round 7). Set broadcast_delivery=False for bulk
+    # corpus-vs-corpus reconciliations.
+    bcast = F.broadcast if broadcast_delivery else (lambda df: df)
+    # exact and (below) near feed THREE union branches each (their own
+    # output, the anti-join driving `remaining`/`fresh`): persist both —
+    # they are delivery-sized — so the union does not re-run the corpus
+    # joins per branch (measured 11.3 s -> warm delivery-bound at 1M).
+    exact = _track(
+        bcast(fpd).join(fpc, "fp")
         .groupBy("delivery_id")
         .agg(F.min("corpus_id").alias("match_id"))
     )
@@ -1075,23 +1139,27 @@ def incremental_delivery_report(
         remaining, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         text_col=text_col, id_col=id_col,
     ).withColumnRenamed(id_col, "delivery_id")
-    bc = _banded_keys(
-        corpus, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        text_col=text_col, id_col=id_col,
-    ).withColumnRenamed(id_col, "corpus_id")
-    cands = bd.join(bc, ["band_idx", "band_key"]).select(
+    if corpus_index is not None:
+        bc = corpus_index["bands"]
+        shc = corpus_index["shingles"]
+    else:
+        bc = _banded_keys(
+            corpus, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            text_col=text_col, id_col=id_col,
+        ).withColumnRenamed(id_col, "corpus_id")
+        shc = spread(corpus).select(
+            F.col(id_col).alias("corpus_id"),
+            F.array_distinct(X.word_shingles(text_col, n=shingle_n)).alias("sh_b"),
+        )
+    cands = bcast(bd).join(bc, ["band_idx", "band_key"]).select(
         "delivery_id", "corpus_id"
     ).distinct()
 
-    def _shingle_table(df: DataFrame, out_id: str, sh_name: str) -> DataFrame:
-        return spread(df).select(
-            F.col(id_col).alias(out_id),
-            F.array_distinct(X.word_shingles(text_col, n=shingle_n)).alias(sh_name),
-        )
-
-    paired = cands.join(
-        _shingle_table(remaining, "delivery_id", "sh_a"), "delivery_id"
-    ).join(_shingle_table(corpus, "corpus_id", "sh_b"), "corpus_id")
+    shd = spread(remaining).select(
+        F.col(id_col).alias("delivery_id"),
+        F.array_distinct(X.word_shingles(text_col, n=shingle_n)).alias("sh_a"),
+    )
+    paired = bcast(cands).join(bcast(shd), "delivery_id").join(shc, "corpus_id")
     verified = paired.select(
         F.col("delivery_id").alias("id_a"), F.col("corpus_id").alias("id_b"),
         "sh_a", "sh_b",
@@ -1102,7 +1170,7 @@ def incremental_delivery_report(
     from pyspark.sql import Window
 
     w = Window.partitionBy("id_a").orderBy(F.desc("jaccard"), F.asc("id_b"))
-    near = (
+    near = _track(
         verified.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
