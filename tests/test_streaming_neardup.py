@@ -1,0 +1,107 @@
+"""Streaming near-dup ingest screen: exact AND near duplicates must be
+dropped across micro-batches and within a batch, and the accumulated
+survivor set must match the batch-side incremental screen run
+sequentially over the same batches (stream ≡ batch)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectordb_from_scratch_spark.streaming.neardup_stream import (
+    neardup_stream_foreach_batch,
+    read_survivors,
+)
+
+
+def _run(spark, src, tmp_path, tag, threshold=0.4):
+    out = str(tmp_path / f"out_{tag}")
+    state = str(tmp_path / f"state_{tag}")
+    ckpt = str(tmp_path / f"ckpt_{tag}")
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = neardup_stream_foreach_batch(
+        spark, stream, out, state, ckpt, threshold=threshold
+    ).start()
+    q.awaitTermination(180)
+    return read_survivors(spark, out)
+
+
+BASE = "alpha7 beta7 gamma7 delta7 epsilon7 zeta7 eta7 theta7"
+OTHER = "november kilo lima mike oscar papa quebec romeo"
+
+
+def test_in_batch_exact_near_and_fresh(spark, tmp_path):
+    rows = [
+        (0, BASE),
+        (1, BASE),                          # exact dup of 0
+        (2, BASE + " appended tail words"), # near dup of 0
+        (3, OTHER),                         # fresh
+    ]
+    src = str(tmp_path / "src_one")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(src)
+    got = {r.doc_id for r in _run(spark, src, tmp_path, "one").collect()}
+    assert got == {0, 3}
+
+
+def test_cross_batch_near_duplicates_dropped(spark, tmp_path):
+    """A near-dup arriving in a LATER batch must hit the band state and
+    be dropped; fresh later docs survive; the screen stays idempotent
+    in its own batch (replay-safe partition overwrites are exercised by
+    availableNow restarts elsewhere)."""
+    src = str(tmp_path / "src_multi")
+    b1 = spark.createDataFrame(
+        [(10, BASE), (11, OTHER)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [
+            (20, BASE + " appended tail words"),  # near dup of 10
+            (21, BASE),                           # exact dup of 10
+            (22, "sierra tango uniform victor whiskey xray yankee zulu"),
+        ],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    got = {r.doc_id for r in _run(spark, src, tmp_path, "multi").collect()}
+    # file-source batch order is not guaranteed; whichever of the
+    # BASE-family files lands first, exactly ONE family member survives
+    assert len(got & {10, 20, 21}) == 1
+    assert {11, 22} <= got
+    assert len(got) == 3
+
+
+def test_stream_equals_sequential_batch_screen(spark, tmp_path):
+    """stream ≡ batch: the survivor set must equal running the batch
+    incremental screen sequentially (batch 1's survivors become the
+    corpus for batch 2)."""
+    from vectordb_from_scratch_spark.operators.dedup import (
+        incremental_delivery_report,
+    )
+
+    b1_rows = [(0, BASE), (1, OTHER)]
+    b2_rows = [
+        (10, BASE + " appended tail words"),
+        (11, "papa golf hotel india juliett kilo lima mike"),
+        (12, OTHER),
+    ]
+    src = str(tmp_path / "src_seq")
+    b1 = spark.createDataFrame(b1_rows, "doc_id long, text string")
+    b2 = spark.createDataFrame(b2_rows, "doc_id long, text string")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    got = {r.doc_id for r in _run(spark, src, tmp_path, "seq").collect()}
+
+    # batch reference, order 1→2 (ids chosen so either file order gives
+    # the same family representatives up to the family member that wins)
+    rep = incremental_delivery_report(b1, b2, threshold=0.4)
+    fresh2 = {r.delivery_id for r in rep.collect() if r.verdict == "fresh"}
+    expect = {0, 1} | fresh2
+    alt = None
+    if got != expect:  # file source delivered batch 2 first
+        rep = incremental_delivery_report(b2, b1, threshold=0.4)
+        fresh1 = {r.delivery_id for r in rep.collect() if r.verdict == "fresh"}
+        # within batch 2 itself no near/exact pairs exist
+        alt = {10, 11, 12} | fresh1
+    assert got == expect or got == alt

@@ -19,5 +19,6 @@ from .counts_stream import (  # noqa: F401
 )
 from .dedup_stream import dedup_stream_foreach_batch, read_deduped  # noqa: F401
 from .funnel_stream import FUNNEL_STAGES, funnel_stream  # noqa: F401
+from .neardup_stream import neardup_stream_foreach_batch, read_survivors  # noqa: F401
 from .log_stream import fold_stream_foreach_batch, windowed_event_counts  # noqa: F401
 from .scd_stream import scd2_stream_foreach_batch  # noqa: F401
