@@ -42,6 +42,12 @@ EXCHANGE_BUDGETS = {
     "ann_ivf_det_knn": 35,            # 2 unrolled Lloyd iterations
     "pipeline_cluster_sample": 20,    # det-IVF build + two-level per-cluster draw
     "ann_ivf_filtered_knn": 35,       # same det-IVF build + filter semi-join
+    # three-verdict union over a delivery-sized screen: the exact/near
+    # branch tables are persisted (execute once), but each union branch
+    # prints the cached subplan again, and every shuffle left in the
+    # plan moves DELIVERY-sized rows (the corpus sides are all
+    # broadcast-probed) — 18 textual exchanges, none corpus-sized
+    "dedup_incremental": 20,
     # det-IVF build + shortlist re-rank; the centroid/assignment subtrees
     # are persisted (execute once) but the plan STRING prints the cached
     # build under each InMemoryRelation consumer, inflating the textual
