@@ -24,6 +24,13 @@ def test_readme_query_count_matches_registry():
     # oracle (value-exact or recall-verdict); none are rows-only
     missing = [n for n, s in QUERIES.items() if s.oracle is None]
     assert not missing, f"queries without oracle twins: {missing}"
+    # the architecture map repeats the count — it must not drift either
+    # (round-7 review caught 178 vs 179 between the two lines)
+    m2 = re.search(r"(\d+) driver-checkable query pairs", readme)
+    assert m2 and int(m2.group(1)) == len(QUERIES), (
+        f"architecture map says {m2 and m2.group(1)} query pairs; registry "
+        f"has {len(QUERIES)} — run tools/stamp_readme.py"
+    )
 
 
 def test_readme_test_count_matches_suite():

@@ -66,6 +66,24 @@ def test_url_domains_counts_and_case(spark):
     assert out["cdn.ex.org"].n_urls == 1 and out["cdn.ex.org"].n_docs == 1
 
 
+def test_url_domains_scheme_case_userinfo_and_port(spark):
+    """Round-7 review: uppercase schemes must extract, ports must not
+    split a host's stats, and userinfo must not be attributed as the
+    domain ('trusted.com@evil.com' is an evil.com URL)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "x HTTP://EXAMPLE.COM/a and https://example.com:8080/b"),
+            (2, "y https://trusted.com@evil.com/phish"),
+            (3, "z https://example.com?q=1 w https://example.com#frag"),
+        ],
+    )
+    out = {r.domain: r for r in url_domains(docs).collect()}
+    assert set(out) == {"example.com", "evil.com"}
+    assert out["example.com"].n_urls == 4 and out["example.com"].n_docs == 2
+    assert out["evil.com"].n_urls == 1 and out["evil.com"].n_docs == 1
+
+
 def test_leakage_free_split_groups_never_straddle(spark):
     # 200 base docs + exact duplicates of every third one: with the draw
     # keyed on the content fingerprint, a duplicate pair must always land
@@ -95,7 +113,9 @@ def test_leakage_free_split_groups_never_straddle(spark):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-_para = st.text(alphabet="ab X", min_size=0, max_size=6)
+# tab included: fingerprinting uses SQL trim (ASCII space only), and the
+# reference below must agree — Python's bare strip() would eat the tab too
+_para = st.text(alphabet="ab \tX", min_size=0, max_size=6)
 _doc_corpus = st.lists(
     st.lists(_para, min_size=1, max_size=5), min_size=1, max_size=8
 )
@@ -108,7 +128,7 @@ def _reference(corpus):
     for doc_id, paras in enumerate(corpus):
         kept = []
         for p in paras:
-            key = p.strip()
+            key = p.strip(" ")  # SQL trim semantics: spaces only
             if key not in seen:
                 seen.add(key)
                 kept.append(p)

@@ -44,6 +44,12 @@ def main() -> int:
         f"all {n_queries} registry oracle value-hashes",
         readme,
     )
+    # the architecture map's inventory line carries the same count
+    new = re.sub(
+        r"\d+ driver-checkable query pairs",
+        f"{n_queries} driver-checkable query pairs",
+        new,
+    )
     # Drop the stale "(N collected...)" parenthetical source of drift: the
     # collected count moves with parametrization; only the def count is stamped.
     new = re.sub(

@@ -179,6 +179,20 @@ def _banded_keys(
     )
 
 
+def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop LSH buckets larger than max_bucket_size — the adversarial-
+    corpus escape hatch (a B-member bucket yields B² pairs / B candidates
+    per probe). Shared by the self-join, delivery, and streaming paths."""
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band_idx", "band_key")
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def lsh_candidate_pairs(
     documents: DataFrame,
     num_hashes: int = 8,
@@ -212,14 +226,7 @@ def lsh_candidate_pairs(
     # bucketed by band_key; MEMORY_AND_DISK is the local-session stand-in.
     banded = _track(banded)
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("band_idx", "band_key")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+        banded = _cap_buckets(banded, max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -999,9 +1006,14 @@ def paragraph_dedup(
     skew ceiling is the most-repeated boilerplate string; its group is
     |dups| rows of (id, pos) pairs — millions at worst, one task's work.
     """
+    # `sep` is a LITERAL separator, not a regex: F.split takes a Java
+    # regex, so quote it (\Q..\E, with embedded \E split apart) —
+    # otherwise sep="|||" would alternation-split on the empty string
+    # and explode every character into its own paragraph.
+    sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = documents.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "para"),
     ).withColumn("fp", F.md5(F.trim(F.col("para"))))
     from pyspark.sql import Window
 
@@ -1031,6 +1043,7 @@ def build_corpus_dedup_index(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> dict:
     """The standing corpus's dedup index, built ONCE and reused across
     deliveries: {'fingerprints': (corpus_id, fp), 'bands': (corpus_id,
@@ -1047,6 +1060,12 @@ def build_corpus_dedup_index(
         corpus, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         text_col=text_col, id_col=id_col,
     ).withColumnRenamed(id_col, "corpus_id")
+    if max_bucket_size is not None:
+        # same adversarial-corpus escape hatch as lsh_candidate_pairs, paid
+        # ONCE at build: a boilerplate mega-bucket would otherwise make
+        # every delivery's candidate set (and its broadcast) bucket-sized.
+        # Members of dropped buckets are better caught by the exact screen.
+        bnd = _cap_buckets(bnd, max_bucket_size)
     sh = spread(corpus).select(
         F.col(id_col).alias("corpus_id"),
         F.array_distinct(X.word_shingles(text_col, n=shingle_n)).alias("sh_b"),
@@ -1055,7 +1074,7 @@ def build_corpus_dedup_index(
         "fingerprints": _track(fps),
         "bands": _track(bnd),
         "shingles": _track(sh),
-        "params": (num_hashes, bands, shingle_n),
+        "params": (num_hashes, bands, shingle_n, max_bucket_size),
     }
 
 
@@ -1070,6 +1089,7 @@ def incremental_delivery_report(
     id_col: str = "doc_id",
     corpus_index: dict | None = None,
     broadcast_delivery: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Classify a NEW delivery against the EXISTING corpus — the
     continuous-ingest dedup shape: at 100 TB you never re-dedup the
@@ -1098,13 +1118,23 @@ def incremental_delivery_report(
     standing corpus's persisted fingerprint/band/shingle tables across
     deliveries — the per-delivery cost then scales with the DELIVERY,
     not the corpus (measured in SCALE.md round 7).
+
+    The candidate broadcast assumes candidates stay delivery-bounded,
+    which holds when corpus LSH buckets are bounded. A boilerplate-heavy
+    corpus can break that (a B-member bucket contributes B candidates
+    per colliding delivery doc — 14.2M candidates measured from one
+    template-similar corpus, SCALE.md r7): cap it with
+    `max_bucket_size` (same knob and trade as lsh_candidate_pairs —
+    members of dropped buckets are better caught by the exact screen),
+    or set broadcast_delivery=False to let the planner shuffle instead.
     """
     if corpus_index is not None:
-        if corpus_index["params"] != (num_hashes, bands, shingle_n):
+        want = (num_hashes, bands, shingle_n, max_bucket_size)
+        if corpus_index["params"] != want:
             raise ValueError(
                 "corpus_index was built with different (num_hashes, bands, "
-                f"shingle_n) {corpus_index['params']} than requested "
-                f"{(num_hashes, bands, shingle_n)}"
+                f"shingle_n, max_bucket_size) {corpus_index['params']} than "
+                f"requested {want}"
             )
         fpc = corpus_index["fingerprints"]
     else:
@@ -1118,7 +1148,7 @@ def incremental_delivery_report(
     # tables explicitly. Catalyst cannot infer this on its own: the
     # minhash signatures come through mapInPandas, whose output stats are
     # unknown, so the planner would shuffle the CORPUS side of every join
-    # instead (measured 29.6 s -> 3.5 s warm at 1M corpus / 10k delivery,
+    # instead (measured 29.6 s -> 1.6 s warm at 1M corpus / 10k delivery,
     # SCALE.md round 7). Set broadcast_delivery=False for bulk
     # corpus-vs-corpus reconciliations.
     bcast = F.broadcast if broadcast_delivery else (lambda df: df)
@@ -1147,6 +1177,8 @@ def incremental_delivery_report(
             corpus, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
             text_col=text_col, id_col=id_col,
         ).withColumnRenamed(id_col, "corpus_id")
+        if max_bucket_size is not None:
+            bc = _cap_buckets(bc, max_bucket_size)
         shc = spread(corpus).select(
             F.col(id_col).alias("corpus_id"),
             F.array_distinct(X.word_shingles(text_col, n=shingle_n)).alias("sh_b"),

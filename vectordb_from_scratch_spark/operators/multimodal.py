@@ -335,12 +335,19 @@ def decode_png_pixels(payload: bytes) -> dict | None:
     expected = (stride + 1) * height
     try:
         # bounded inflate: never expand past what a valid image needs,
-        # whatever the deflate stream claims
-        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+        # whatever the deflate stream claims — then require the stream
+        # to END there, which is what makes zlib consume the trailer and
+        # verify the Adler-32 (the integrity check plain zlib.decompress
+        # gave us; a bare max_length cut would silently accept corrupt
+        # or truncated streams that happen to yield enough bytes)
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
+        if not d.eof:
+            raw += d.decompress(d.unconsumed_tail, 1)
     except zlib.error:
-        return None
-    if len(raw) != expected:
-        return None
+        return None  # bad deflate data OR failed Adler-32 check
+    if not d.eof or len(raw) != expected:
+        return None  # truncated stream, or a bomb expanding past profile
     out = bytearray(stride * height)
     prev = bytes(stride)
     for r in range(height):

@@ -955,8 +955,13 @@ def ppl_buckets(
     )
 
 
-URL_PATTERN = r"https?://[^\s]+"
-_DOMAIN_PATTERN = r"https?://([^/\s]+)"
+# (?i): real corpora carry uppercase schemes (HTTP://...); both Java
+# regex and RE2 support the inline flag, keeping the oracle span-exact
+URL_PATTERN = r"(?i)https?://[^\s]+"
+# host only: skip userinfo (user@), stop at port/path/query/fragment —
+# 'https://trusted.com@evil.com/' must attribute to evil.com, and
+# 'ex.org:8080' must not split one host's stats across rows
+_DOMAIN_PATTERN = r"(?i)^https?://(?:[^/@\s]*@)?([^/:\s?#]+)"
 
 
 def url_domains(

@@ -7813,10 +7813,11 @@ def _q_dedup_paragraph(spark, sf_dir):
       FROM documents
     ),
     urls AS (
-      SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url
+      SELECT doc_id, unnest(regexp_extract_all(t, '(?i)https?://[^\s]+')) AS url
       FROM aug
     )
-    SELECT lower(regexp_extract(url, 'https?://([^/\s]+)', 1)) AS domain,
+    SELECT lower(regexp_extract(url,
+               '(?i)^https?://(?:[^/@\s]*@)?([^/:\s?#]+)', 1)) AS domain,
            count(*) AS n_urls,
            count(DISTINCT doc_id) AS n_docs
     FROM urls GROUP BY 1

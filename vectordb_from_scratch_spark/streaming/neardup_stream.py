@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as X
-from ..operators.dedup import _banded_keys, _jaccard_verify_kernel
+from ..operators.dedup import _banded_keys, _cap_buckets, _jaccard_verify_kernel
 from .dedup_stream import _dir_exists
 
 __all__ = ["neardup_stream_foreach_batch", "read_survivors"]
@@ -65,10 +65,18 @@ def neardup_stream_foreach_batch(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ):
     """Wire a document stream into (surviving docs, fp state, band state).
     Returns the unstarted writeStream (availableNow trigger), mirroring
-    dedup_stream_foreach_batch."""
+    dedup_stream_foreach_batch.
+
+    `max_bucket_size` caps LSH buckets on BOTH candidate sources (the
+    prefix-pruned state probe and the in-batch self-join) — the same
+    adversarial-boilerplate escape hatch as lsh_candidate_pairs. Without
+    it, one boilerplate-heavy micro-batch against a mega-bucket makes
+    the candidate broadcast bucket-sized; with it, dropped-bucket
+    members still hit the exact screen."""
     fps_dir = state_dir + "/fps"
     bands_dir = state_dir + "/bands"
 
@@ -98,7 +106,12 @@ def neardup_stream_foreach_batch(
                 )
             else:
                 exact_survivors = firsts
+            # every persist below is covered by the finally at the end
+            # of this try: a batch that fails mid-way (collect, candidate
+            # build, verify kernel) must not leak cached partitions
+            # across its retries
             exact_survivors.persist()
+            bb = survivors = None
 
             # -- near screen: candidates from (batch bands) ⋈ (state
             #    bands ∪ earlier-id batch bands), verify on candidates --
@@ -119,13 +132,22 @@ def neardup_stream_foreach_batch(
                     F.col("pfx").isin(band_pfxs)
                     & (F.col("batch_id") != F.lit(batch_id))
                 )
+                if max_bucket_size is not None:
+                    # cap on the PRUNED probe (bounded by the batch's
+                    # prefix fan-out, never full history)
+                    state_bands = _cap_buckets(state_bands, max_bucket_size)
                 cand_parts.append(
                     F.broadcast(bb.withColumnRenamed(id_col, "new_id"))
                     .join(state_bands, ["band_idx", "band_key"])
                     .select("new_id", F.col("corpus_id").alias("seen_id"))
                 )
             # earlier-id collisions within the batch (seen = lower id)
-            l, r = bb.alias("l"), bb.alias("r")
+            bb_pairs = (
+                _cap_buckets(bb, max_bucket_size)
+                if max_bucket_size is not None
+                else bb
+            )
+            l, r = bb_pairs.alias("l"), bb_pairs.alias("r")
             cand_parts.append(
                 l.join(
                     r,
@@ -174,49 +196,47 @@ def neardup_stream_foreach_batch(
             near_dropped = verified.select(F.col("id_a").alias(id_col)).distinct()
             survivors = exact_survivors.join(near_dropped, id_col, "left_anti")
             survivors.persist()
-            try:
-                (
-                    survivors.drop("__fp", "__pfx")
-                    .withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
-                    .parquet(out_dir)
+            (
+                survivors.drop("__fp", "__pfx")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+            (
+                survivors.select(
+                    F.col("__fp").alias("fp"),
+                    F.col(id_col).alias("keep_id"),
+                    F.lit(batch_id).alias("batch_id"),
+                    F.col("__pfx").alias("pfx"),
                 )
-                (
-                    survivors.select(
-                        F.col("__fp").alias("fp"),
-                        F.col(id_col).alias("keep_id"),
-                        F.lit(batch_id).alias("batch_id"),
-                        F.col("__pfx").alias("pfx"),
-                    )
-                    .repartition(F.col("pfx"))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id", "pfx")
-                    .parquet(fps_dir)
+                .repartition(F.col("pfx"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "pfx")
+                .parquet(fps_dir)
+            )
+            (
+                bb.join(survivors.select(id_col), id_col)
+                .select(
+                    F.col(id_col).alias("corpus_id"),
+                    "band_idx",
+                    "band_key",
+                    F.lit(batch_id).alias("batch_id"),
+                    F.substring("band_key", 1, _PFX_LEN).alias("pfx"),
                 )
-                (
-                    bb.join(survivors.select(id_col), id_col)
-                    .select(
-                        F.col(id_col).alias("corpus_id"),
-                        "band_idx",
-                        "band_key",
-                        F.lit(batch_id).alias("batch_id"),
-                        F.substring("band_key", 1, _PFX_LEN).alias("pfx"),
-                    )
-                    .repartition(F.col("pfx"))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id", "pfx")
-                    .parquet(bands_dir)
-                )
-            finally:
-                survivors.unpersist()
-                bb.unpersist()
-                exact_survivors.unpersist()
+                .repartition(F.col("pfx"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "pfx")
+                .parquet(bands_dir)
+            )
         finally:
             firsts.unpersist()
+            for handle in (exact_survivors, bb, survivors):
+                if handle is not None:
+                    handle.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(merge)
