@@ -327,3 +327,49 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_url_domains_single_exchange(documents):
+    """URL audit = narrow regex scan + ONE hash aggregate: any extra
+    exchange means the extract/explode stage started shuffling text."""
+    from vectordb_from_scratch_spark.operators.textops import url_domains
+
+    plan = _plan(url_domains(documents))
+    import re as _re
+
+    n_shuffles = len(_re.findall(r"Exchange hashpartitioning", plan))
+    assert n_shuffles <= 2  # partial agg + countDistinct expand stage
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan  # map-side partials present
+
+
+def test_paragraph_dedup_shuffles_fingerprint_not_free_text(documents):
+    """The first-occurrence window must key on the 32-byte md5, never the
+    paragraph text, and the whole plan needs exactly two hash exchanges
+    (fingerprint window + doc regroup)."""
+    from vectordb_from_scratch_spark.operators.dedup import paragraph_dedup
+
+    plan = _plan(paragraph_dedup(documents))
+    import re as _re
+
+    keys = _re.findall(r"Exchange hashpartitioning\(([a-zA-Z_#0-9]+)", plan)
+    assert len(keys) == 2, keys
+    assert any(k.startswith("fp") for k in keys)
+    assert any(k.startswith("doc_id") for k in keys)
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_report_broadcasts_delivery_side(documents):
+    """Every corpus-side join must be probed by a BROADCAST of the
+    delivery-derived table — a sort-merge join here means the corpus
+    shuffles per delivery (the 29.6s-vs-1.6s lesson, SCALE.md r7)."""
+    from vectordb_from_scratch_spark.operators.dedup import (
+        incremental_delivery_report,
+    )
+
+    delivery = documents.limit(50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    plan = _plan(incremental_delivery_report(documents, delivery))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # fp, bands, shingle joins

@@ -105,3 +105,32 @@ def test_stream_equals_sequential_batch_screen(spark, tmp_path):
         # within batch 2 itself no near/exact pairs exist
         alt = {10, 11, 12} | fresh1
     assert got == expect or got == alt
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Re-running the stream from a FRESH checkpoint over the same source
+    must overwrite, not duplicate: batch_id-keyed dynamic partition
+    overwrites make a full replay converge to the same survivor set."""
+    src = str(tmp_path / "src_replay")
+    spark.createDataFrame(
+        [(0, BASE), (1, OTHER), (2, BASE + " appended tail words")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "out_replay")
+    state = str(tmp_path / "state_replay")
+
+    def run(ck):
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = neardup_stream_foreach_batch(
+            spark, stream, out, state, str(tmp_path / ck), threshold=0.4
+        ).start()
+        q.awaitTermination(180)
+
+    run("ck1")
+    first = sorted(r.doc_id for r in read_survivors(spark, out).collect())
+    run("ck2")  # fresh checkpoint => every batch replays
+    second = sorted(r.doc_id for r in read_survivors(spark, out).collect())
+    assert first == second == [0, 1]
