@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "text_url_domains",
     "pipeline_split_leakage_free",
     "dedup_incremental",
+    "pipeline_split_cluster_safe",
 ]
 
 

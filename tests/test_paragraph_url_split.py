@@ -150,3 +150,40 @@ def test_paragraph_dedup_matches_sequential_reference(spark, corpus):
         for r in paragraph_dedup(docs).collect()
     }
     assert got == _reference(corpus)
+
+
+def test_cluster_safe_split_never_straddles_near_dup_pairs(spark):
+    """The strongest split guard: even NON-identical near-duplicates
+    (same LSH component) must land in the same split."""
+    from vectordb_from_scratch_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, f"{base} family {i}"))
+        rows.append((2 * i + 1, f"{base} family {i} appended tail"))  # near dup
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+    comp = connected_components(pairs, docs)
+    u = sampling.hash_uniform(F.col("component"), salt="split-cluster-v1")
+    assigned = comp.select(
+        "doc_id", "component",
+        F.when(u < 0.9, "train").when(u < 0.95, "valid").otherwise("test").alias("split"),
+    )
+    straddlers = (
+        assigned.groupBy("component")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # pair-level check: both ends of every LSH pair share a split
+    sp = assigned.select(F.col("doc_id"), F.col("split"))
+    both = (
+        pairs.join(sp.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+        .join(sp.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+    )
+    assert both.filter(F.col("sa") != F.col("sb")).count() == 0

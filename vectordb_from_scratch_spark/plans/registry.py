@@ -7994,6 +7994,64 @@ def _q_dedup_incremental(spark, sf_dir):
     )
     return dedup.incremental_delivery_report(d, delivery, threshold=0.5)
 
+
+
+_SPLIT_C_U = sampling.sql_hash_uniform("component", salt="split-cluster-v1")
+
+
+@_register(
+    "pipeline_split_cluster_safe",
+    _LSH_BANDS_SQL.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    + f""",
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    assigned AS (
+      SELECT doc_id, component,
+             CASE WHEN {_SPLIT_C_U} < 0.9 THEN 'train'
+                  WHEN {_SPLIT_C_U} < 0.95 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM comp
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT component) AS n_clusters,
+           min(doc_id) AS min_doc_id
+    FROM assigned GROUP BY split
+    """,
+    doc="Cluster-safe train/valid/test split: the salted hash draw is "
+    "keyed on the NEAR-DUP CLUSTER representative (connected components "
+    "over the LSH pair graph, min-id label), so even non-identical "
+    "near-duplicates can never straddle splits — the strongest "
+    "contamination guard in the split family (train_split: doc-keyed; "
+    "split_leakage_free: exact-fingerprint-keyed; this: cluster-keyed)",
+)
+def _q_pipeline_split_cluster_safe(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+    comp = dedup.connected_components(pairs, docs)
+    u = sampling.hash_uniform(F.col("component"), salt="split-cluster-v1")
+    assigned = comp.select(
+        "doc_id",
+        "component",
+        F.when(u < 0.9, "train")
+        .when(u < 0.95, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component").alias("n_clusters"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
 # ---------------------------------------------------------------------------
 # Enumeration order: never-driver-sampled queries first.
 #
