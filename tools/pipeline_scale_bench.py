@@ -15,7 +15,10 @@ Exactness is asserted analytically: sum(n_kept) must equal
 2*N (unique head+tail) + n_variants (one keeper per footer variant)
 + 1 (one keeper for the universal footer).
 
-Usage: python tools/pipeline_scale_bench.py [N=1000000] [runs=2]
+Usage: python tools/pipeline_scale_bench.py [N=1000000] [runs=2] [only]
+  `only` = comma-separated cell-name substrings (paragraph, url,
+  incremental); unmatched cells are skipped — lets one cell scale a
+  decade further without re-paying the others.
 Prints one JSON line per cell; results recorded in SCALE.md round 7.
 """
 
@@ -41,7 +44,11 @@ def _time(fn, runs: int) -> float:
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     n_variants = 1000
+
+    def want(name: str) -> bool:
+        return only is None or any(sub in name for sub in only)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -79,46 +86,49 @@ def main() -> int:
     )
 
     # -- cell 1: paragraph dedup over N docs / 4N paragraphs ------------
-    out = paragraph_dedup(docs)
-    t = _time(lambda: out.agg(F.sum("n_kept")).collect(), runs)
-    kept = out.agg(F.sum("n_kept")).collect()[0][0]
-    expected = 2 * n + n_variants + 1
-    print(json.dumps({
-        "cell": "paragraph_dedup",
-        "n_docs": n,
-        "n_paras": 4 * n,
-        "hot_group_members": n,
-        "sec": t,
-        "sum_n_kept": int(kept),
-        "expected": expected,
-        "exact": bool(kept == expected),
-    }))
+    if want("paragraph"):
+        out = paragraph_dedup(docs)
+        t = _time(lambda: out.agg(F.sum("n_kept")).collect(), runs)
+        kept = out.agg(F.sum("n_kept")).collect()[0][0]
+        expected = 2 * n + n_variants + 1
+        print(json.dumps({
+            "cell": "paragraph_dedup",
+            "n_docs": n,
+            "n_paras": 4 * n,
+            "hot_group_members": n,
+            "sec": t,
+            "sum_n_kept": int(kept),
+            "expected": expected,
+            "exact": bool(kept == expected),
+        }))
 
     # -- cell 2: URL extraction + domain aggregate over N docs ----------
-    url_docs = spark.range(n).select(
-        F.col("id").alias("doc_id"),
-        F.concat(
-            F.lit("body words before the link see https://www.site"),
-            (F.col("id") % 50_000).cast("string"),
-            F.lit(".example.org/doc/"), sid,
-            F.lit(" and a mirror http://cdn.site"),
-            (F.col("id") % 50_000).cast("string"),
-            F.lit(".example.org/asset trailing words"),
-        ).alias("text"),
-    )
-    dom = url_domains(url_docs)
-    t2 = _time(lambda: dom.agg(F.sum("n_urls"), F.count(F.lit(1))).collect(), runs)
-    row = dom.agg(F.sum("n_urls").alias("u"), F.count(F.lit(1)).alias("d")).collect()[0]
-    print(json.dumps({
-        "cell": "url_domains",
-        "n_docs": n,
-        "n_urls": int(row["u"]),
-        "n_domains": int(row["d"]),
-        "sec": t2,
-        "exact": bool(row["u"] == 2 * n and row["d"] == 2 * min(n, 50_000)),
-    }))
+    if want("url"):
+        url_docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("body words before the link see https://www.site"),
+                (F.col("id") % 50_000).cast("string"),
+                F.lit(".example.org/doc/"), sid,
+                F.lit(" and a mirror http://cdn.site"),
+                (F.col("id") % 50_000).cast("string"),
+                F.lit(".example.org/asset trailing words"),
+            ).alias("text"),
+        )
+        dom = url_domains(url_docs)
+        t2 = _time(lambda: dom.agg(F.sum("n_urls"), F.count(F.lit(1))).collect(), runs)
+        row = dom.agg(F.sum("n_urls").alias("u"), F.count(F.lit(1)).alias("d")).collect()[0]
+        print(json.dumps({
+            "cell": "url_domains",
+            "n_docs": n,
+            "n_urls": int(row["u"]),
+            "n_domains": int(row["d"]),
+            "sec": t2,
+            "exact": bool(row["u"] == 2 * n and row["d"] == 2 * min(n, 50_000)),
+        }))
 
-    incremental_cells(n_corpus=n, n_delivery=max(1000, n // 100), runs=runs)
+    if want("incremental"):
+        incremental_cells(n_corpus=n, n_delivery=max(1000, n // 100), runs=runs)
 
     spark.stop()
     return 0
