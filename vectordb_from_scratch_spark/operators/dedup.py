@@ -1015,6 +1015,15 @@ def paragraph_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "para"),
     ).withColumn("fp", F.md5(F.trim(F.col("para"))))
+    # First occurrence = row_number()==1 over (id, pos) within each
+    # fingerprint. A/B'd at 100M docs / 400M paragraphs against the
+    # "obvious" skew fix (group-by min(struct(id,pos)) + join back):
+    # the window WINS, 638 s vs 916 s, even with one 100M-member group
+    # sorting in a single task — because real paragraph tables are
+    # mostly UNIQUE, so the aggregate's keeper table is ~|paragraphs|
+    # rows and the join back doubles the shuffled volume, costing more
+    # than the hot partition's sort (SCALE.md r7). The min-agg form is
+    # the right rewrite only for a corpus whose duplicates dominate.
     from pyspark.sql import Window
 
     w = Window.partitionBy("fp").orderBy(F.col(id_col), F.col("pos"))
