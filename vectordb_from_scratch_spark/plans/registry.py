@@ -8052,6 +8052,44 @@ def _q_pipeline_split_cluster_safe(spark, sf_dir):
         F.min("doc_id").alias("min_doc_id"),
     )
 
+
+
+@_register(
+    "dedup_incremental_warm",
+    QUERIES["dedup_incremental"].oracle,
+    doc="The warm-path twin of dedup_incremental: the same delivery "
+    "classified through build_corpus_dedup_index's persisted "
+    "fingerprint/band/shingle tables — the plan a standing corpus "
+    "actually serves (delivery-bound, SCALE.md r7: 1.57 s at 1M corpus "
+    "vs 29.6 s un-broadcast); values identical to the cold path by "
+    "construction, same DuckDB oracle",
+)
+def _q_dedup_incremental_warm(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    delivery = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" with freshly appended trailing marker words"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("entirely fresh delivery payload item "),
+                F.col("doc_id").cast("string"),
+                F.lit(" carrying novel vocabulary"),
+            )
+        )
+        .alias("text"),
+    )
+    idx = dedup.build_corpus_dedup_index(d)
+    return dedup.incremental_delivery_report(
+        d, delivery, threshold=0.5, corpus_index=idx
+    )
+
 # ---------------------------------------------------------------------------
 # Enumeration order: never-driver-sampled queries first.
 #

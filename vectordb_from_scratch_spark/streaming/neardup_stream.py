@@ -165,7 +165,15 @@ def neardup_stream_foreach_batch(
             cands = cands.distinct()
 
             # verify: shingles for candidate ids only — new side from the
-            # batch, seen side from the survivors sink ∪ the batch itself
+            # batch, seen side from the survivors sink ∪ the batch itself.
+            # The candidate-id semi-join comes BEFORE the shingle
+            # projection: a projection ahead of the join would compute
+            # shingles for every historical survivor each batch (measured
+            # as steady per-batch growth), where post-filter the per-batch
+            # tokenize/shingle work is candidate-bound. The history scan
+            # itself (reading the text column) remains O(survivors) per
+            # batch — at warehouse scale the survivors sink is bucketed by
+            # id so this join prunes to candidate buckets.
             new_sh = _shingles(
                 exact_survivors, "new_id", "sh_a", shingle_n, text_col, id_col
             )
@@ -177,8 +185,10 @@ def neardup_stream_foreach_batch(
                     .select(id_col, text_col)
                 )
                 seen_texts = prior.union(seen_texts)
+            cand_ids = cands.select(F.col("seen_id").alias(id_col)).distinct()
             seen_sh = _shingles(
-                seen_texts, "seen_id", "sh_b", shingle_n, text_col, id_col
+                seen_texts.join(F.broadcast(cand_ids), id_col, "left_semi"),
+                "seen_id", "sh_b", shingle_n, text_col, id_col,
             )
             verified = (
                 F.broadcast(cands.join(new_sh, "new_id"))
