@@ -534,3 +534,44 @@ def test_incremental_delivery_index_reuse_is_identical(spark):
             corpus, delivery, bands=2, corpus_index=idx
         )
     release_caches()
+
+
+def test_incremental_delivery_bucket_cap(spark):
+    """max_bucket_size drops mega-bucket candidates (boilerplate guard):
+    with the cap below the family size the near match disappears (falls
+    to fresh), while exact matches are unaffected — and the index params
+    tuple enforces cap agreement."""
+    from vectordb_from_scratch_spark.operators.dedup import (
+        build_corpus_dedup_index,
+        incremental_delivery_report,
+        release_caches,
+    )
+
+    # one 12-member exact-dup family: its band bucket has 12 members
+    corpus = spark.createDataFrame(
+        [(i, "quick brown fox jumps over the lazy dog tonight") for i in range(12)],
+        "doc_id long, text string",
+    )
+    delivery = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog tonight"),        # exact
+         (101, "quick brown fox jumps over the lazy dog tonight extra")], # near
+        "doc_id long, text string",
+    )
+    uncapped = {r.delivery_id: r.verdict for r in
+                incremental_delivery_report(corpus, delivery, threshold=0.3).collect()}
+    assert uncapped == {100: "exact", 101: "near"}
+    capped = {r.delivery_id: r.verdict for r in
+              incremental_delivery_report(
+                  corpus, delivery, threshold=0.3, max_bucket_size=5
+              ).collect()}
+    # the 12-member bucket is dropped: near-dup falls to fresh, exact
+    # still caught by the fingerprint screen (the documented trade)
+    assert capped == {100: "exact", 101: "fresh"}
+    idx = build_corpus_dedup_index(corpus, max_bucket_size=5)
+    via_idx = {r.delivery_id: r.verdict for r in
+               incremental_delivery_report(
+                   corpus, delivery, threshold=0.3,
+                   max_bucket_size=5, corpus_index=idx,
+               ).collect()}
+    assert via_idx == capped
+    release_caches()
