@@ -567,11 +567,52 @@ def test_incremental_delivery_bucket_cap(spark):
     # the 12-member bucket is dropped: near-dup falls to fresh, exact
     # still caught by the fingerprint screen (the documented trade)
     assert capped == {100: "exact", 101: "fresh"}
-    idx = build_corpus_dedup_index(corpus, max_bucket_size=5)
+    # no-silent-caps (VERDICT r7 #6): the index build reports the recall
+    # surface the cap traded away (eager exact aggregate at build time)
+    idx = build_corpus_dedup_index(corpus, max_bucket_size=5, with_cap_report=True)
     via_idx = {r.delivery_id: r.verdict for r in
                incremental_delivery_report(
                    corpus, delivery, threshold=0.3,
                    max_bucket_size=5, corpus_index=idx,
                ).collect()}
     assert via_idx == capped
+    # 12 identical docs → 4 band buckets of 12 rows each, all over the cap
+    assert idx["cap_report"] == {
+        "rows_dropped": 48,
+        "buckets_dropped": 4,
+        "pairs_dropped": 4 * 66,  # 4 × C(12,2)
+    }
+    # unrequested → None (the cheap default); uncapped builds report None
+    assert build_corpus_dedup_index(corpus)["cap_report"] is None
+    release_caches()
+
+
+def test_lsh_cap_report_quantifies_drops(spark):
+    """No-silent-caps for the self-join path: lsh_cap_report returns exact
+    zero counts when every bucket fits the cap (distinguishing 'cap
+    unused' from 'cap bit'), and the exact mega-bucket accounting when it
+    bites — same numbers the index-build report gives."""
+    from vectordb_from_scratch_spark.operators.dedup import (
+        lsh_cap_report,
+        release_caches,
+    )
+
+    disjoint = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    assert lsh_cap_report(disjoint, num_hashes=8, bands=4, max_bucket_size=5) == {
+        "rows_dropped": 0, "buckets_dropped": 0, "pairs_dropped": 0,
+    }
+    boiler = spark.createDataFrame(
+        [(i, "common license header text repeated verbatim") for i in range(20)],
+        "doc_id long, text string",
+    )
+    # 20 identical docs → 4 band buckets of 20 rows, all over the cap
+    assert lsh_cap_report(boiler, num_hashes=8, bands=4, max_bucket_size=5) == {
+        "rows_dropped": 80, "buckets_dropped": 4, "pairs_dropped": 4 * 190,
+    }
+    with pytest.raises(ValueError, match="positive"):
+        lsh_cap_report(disjoint, max_bucket_size=0)
     release_caches()

@@ -107,6 +107,97 @@ def test_stream_equals_sequential_batch_screen(spark, tmp_path):
     assert got == expect or got == alt
 
 
+def test_empty_microbatch_is_noop_not_crash(spark, tmp_path):
+    """An empty micro-batch must early-return cleanly (ADVICE r7: the
+    finally block once hit UnboundLocalError on this path, crashing the
+    stream) and the next real batch must proceed normally."""
+    src = str(tmp_path / "src_empty")
+    out = str(tmp_path / "out_empty")
+    state = str(tmp_path / "state_empty")
+    ckpt = str(tmp_path / "ckpt_empty")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = neardup_stream_foreach_batch(
+            spark, stream, out, state, ckpt, threshold=0.4
+        ).start()
+        q.awaitTermination(180)
+        assert q.exception() is None
+
+    spark.createDataFrame([], "doc_id long, text string").coalesce(1).write.parquet(src)
+    run_once()
+    assert read_survivors(spark, out).count() == 0
+
+    spark.createDataFrame(
+        [(0, BASE), (1, BASE)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    assert {r.doc_id for r in read_survivors(spark, out).collect()} == {0}
+
+
+def test_compacted_state_screens_like_delta_state(spark, tmp_path):
+    """compact_neardup_state folds the per-batch delta partitions into
+    bucketed base tables between stream runs; cross-batch exact AND near
+    dups must still be dropped when the prior occurrence lives only in
+    the compacted base (stream ≡ batch preserved across compactions)."""
+    from vectordb_from_scratch_spark.streaming.neardup_stream import (
+        compact_neardup_state,
+    )
+
+    src = str(tmp_path / "src_compact")
+    out = str(tmp_path / "out_compact")
+    state = str(tmp_path / "state_compact")
+    ckpt = str(tmp_path / "ckpt_compact")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = neardup_stream_foreach_batch(
+            spark, stream, out, state, ckpt, threshold=0.4
+        ).start()
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    run_once()
+
+    info = compact_neardup_state(spark, state, n_buckets=8)
+    assert info["gen"] == 1 and info["n_buckets"] == 8
+    assert info["fps_rows"] == 2                 # both batch-1 docs survived
+    assert info["bands_rows"] == 8               # 2 docs × 4 bands
+    import os
+
+    assert not os.path.exists(state + "/fps")    # delta folded away
+    assert os.path.exists(state + "/fps_base_g1")
+
+    spark.createDataFrame(
+        [(20, BASE + " appended tail words"),    # near dup of 0 — base only
+         (21, BASE),                             # exact dup of 0 — base only
+         (22, "sierra tango uniform victor whiskey xray yankee zulu")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = {r.doc_id for r in read_survivors(spark, out).collect()}
+    assert got == {0, 1, 22}
+
+    # second compaction folds (gen-1 base ∪ batch-2 delta) into gen 2;
+    # idempotent rerun keeps the same row counts
+    info2 = compact_neardup_state(spark, state, n_buckets=8)
+    assert info2["gen"] == 2 and info2["fps_rows"] == 3
+    info3 = compact_neardup_state(spark, state, n_buckets=8)
+    assert info3["fps_rows"] == info2["fps_rows"]
+    assert info3["bands_rows"] == info2["bands_rows"]
+
+    spark.createDataFrame(
+        [(30, "sierra tango uniform victor whiskey xray yankee zulu"),  # exact of 22
+         (31, BASE + " appended tail words")],                          # near of 0
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = {r.doc_id for r in read_survivors(spark, out).collect()}
+    assert got == {0, 1, 22}
+
+
 def test_replay_is_idempotent(spark, tmp_path):
     """Re-running the stream from a FRESH checkpoint over the same source
     must overwrite, not duplicate: batch_id-keyed dynamic partition

@@ -48,6 +48,13 @@ EXCHANGE_BUDGETS = {
     # plan moves DELIVERY-sized rows (the corpus sides are all
     # broadcast-probed) — 18 textual exchanges, none corpus-sized
     "dedup_incremental": 20,
+    # warm twin of dedup_incremental: the SAME three-verdict union shape,
+    # served from the persisted index tables instead of an in-plan corpus
+    # build — the union branches reprint the cached delivery subplans the
+    # same way and every exchange again moves delivery-sized rows (the
+    # index sides are broadcast-probed parquet reads), so the cold twin's
+    # justification applies verbatim (VERDICT r7 #1)
+    "dedup_incremental_warm": 20,
     # det-IVF build + shortlist re-rank; the centroid/assignment subtrees
     # are persisted (execute once) but the plan STRING prints the cached
     # build under each InMemoryRelation consumer, inflating the textual
@@ -116,28 +123,20 @@ def _bnlj_unbroadcast(df) -> bool:
     return walk(df._jdf.queryExecution().executedPlan())
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+def audit_registry(spark, sf_dir: str, names=None) -> tuple[dict[str, list[str]], int]:
+    """Run the flag logic over registry queries; returns (flagged, n_built).
 
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("audit_plans")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
+    Importable so the pytest suite enforces the same gate the CLI does
+    (VERDICT r7 #1: a red audit must fail `pytest tests/`, not wait for
+    someone to remember to run the tool)."""
     from vectordb_from_scratch_spark.operators import dedup
     from vectordb_from_scratch_spark.plans.registry import QUERIES
 
     flagged: dict[str, list[str]] = {}
     checked = 0
     for name, spec in QUERIES.items():
+        if names is not None and name not in names:
+            continue
         try:
             df = spec.spark(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -166,6 +165,28 @@ def main() -> int:
         if flags:
             flagged[name] = flags
             print(f"FLAG {name}: {', '.join(flags)}")
+    return flagged, checked
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("audit_plans")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from vectordb_from_scratch_spark.plans.registry import QUERIES
+
+    flagged, checked = audit_registry(spark, sf_dir)
 
     print(
         json.dumps(

@@ -11,6 +11,10 @@ family-vocabulary docs, ~20% exact dups of an EARLIER batch's docs,
 screen always has real cross-history work to do.
 
 Usage: python tools/neardup_stream_bench.py [batches=10] [batch_rows=50000]
+           [compact_every=0] [n_buckets=64]
+compact_every=M > 0 folds the delta state into the bucketed base tables
+(compact_neardup_state) after every M batches — the warehouse-scale
+layout; compaction wall time is reported separately from per-batch time.
 Prints one JSON line with per-batch seconds + survivor counts.
 """
 
@@ -30,11 +34,14 @@ WORK = "/tmp/neardup_stream_bench"
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 64
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from vectordb_from_scratch_spark.streaming.neardup_stream import (
+        compact_neardup_state,
         neardup_stream_foreach_batch,
         read_survivors,
     )
@@ -86,6 +93,7 @@ def main() -> int:
         )
 
     timings = []
+    compact_secs = []
     for i in range(k):
         batch_df(i).coalesce(1).write.mode("append").parquet(src)
         stream = spark.readStream.schema("doc_id long, text string").parquet(src)
@@ -95,13 +103,21 @@ def main() -> int:
         ).start()
         q.awaitTermination(600)
         timings.append(round(time.monotonic() - t0, 2))
+        if compact_every and (i + 1) % compact_every == 0 and i < k - 1:
+            t1 = time.monotonic()
+            info = compact_neardup_state(spark, state, n_buckets=n_buckets)
+            compact_secs.append(round(time.monotonic() - t1, 2))
+            print(json.dumps({"compacted_after_batch": i, **info}))
 
     n_surv = read_survivors(spark, out).count()
     print(json.dumps({
         "cell": "neardup_stream_history",
         "batches": k,
         "batch_rows": b,
+        "compact_every": compact_every,
+        "n_buckets": n_buckets if compact_every else None,
         "per_batch_sec": timings,
+        "compact_sec": compact_secs,
         "first_vs_last": round(timings[-1] / timings[1], 2) if k > 2 else None,
         "n_survivors": n_surv,
     }))

@@ -79,7 +79,8 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string, frame_bytes long"
 # Decompression-bomb guard: a corrupt or adversarial header that declares
 # more samples (width × height × channels) than this is out of profile —
 # decode returns None instead of attempting a multi-GB allocation on the
-# executor. 2^26 ≈ 67M samples ≈ a 8192×8192 RGB frame, far above any
+# executor. 2^26 ≈ 67M samples ≈ an 8192×8192 GRAYSCALE frame (or about
+# 4730×4730 RGB — 8192×8192×3 ≈ 201M is rejected), far above any
 # test/training-media profile this module claims.
 MAX_SAMPLES = 1 << 26
 

@@ -986,10 +986,16 @@ def url_domains(
             F.regexp_extract_all(text_col, F.lit(URL_PATTERN), F.lit(0))
         ).alias("url"),
     )
+    host = F.lower(F.regexp_extract("url", _DOMAIN_PATTERN, 1))
     return (
         urls.select(
             F.col(id_col),
-            F.lower(F.regexp_extract("url", _DOMAIN_PATTERN, 1)).alias("domain"),
+            # regexp_extract returns '' when the host can't be isolated
+            # ('https://#frag', 'https://:8080/x'); bucket those under an
+            # explicit label instead of a silent ''-domain row (ADVICE r7)
+            F.when(host == "", F.lit("(unparsed)")).otherwise(host).alias(
+                "domain"
+            ),
         )
         .groupBy("domain")
         .agg(

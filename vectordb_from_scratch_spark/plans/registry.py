@@ -7816,11 +7816,12 @@ def _q_dedup_paragraph(spark, sf_dir):
       SELECT doc_id, unnest(regexp_extract_all(t, '(?i)https?://[^\s]+')) AS url
       FROM aug
     )
-    SELECT lower(regexp_extract(url,
-               '(?i)^https?://(?:[^/@\s]*@)?([^/:\s?#]+)', 1)) AS domain,
+    SELECT CASE WHEN h = '' THEN '(unparsed)' ELSE h END AS domain,
            count(*) AS n_urls,
            count(DISTINCT doc_id) AS n_docs
-    FROM urls GROUP BY 1
+    FROM (SELECT doc_id, lower(regexp_extract(url,
+               '(?i)^https?://(?:[^/@\s]*@)?([^/:\s?#]+)', 1)) AS h
+          FROM urls) GROUP BY 1
     """,
     doc="Per-domain URL provenance audit (the C4/RefinedWeb source table) "
     "over text deterministically augmented with 2-3 URLs per doc across "

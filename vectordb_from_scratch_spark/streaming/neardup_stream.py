@@ -6,12 +6,16 @@ twin of `operators/dedup.incremental_delivery_report`, extending
 
 Drop rule (deterministic, documented): a document is dropped when its
 fingerprint matches prior state or an earlier id in its batch (exact),
-or when its verified Jaccard against ANY earlier-seen document — prior
-batch or earlier id in its own batch, kept or dropped — reaches the
-threshold. "Near-dup of anything seen" is the production screen shape;
-it avoids per-doc sequential dependence inside a batch (a transitive
-keep-set would serialize the batch) while staying a pure function of
-(batch order, id order).
+or when its verified Jaccard reaches the threshold against an
+earlier-seen document, where "earlier-seen" means: within its own
+batch, any earlier id (kept OR dropped — both are banded in `bb`);
+across batches, prior SURVIVORS only (the fp/band state and the
+survivors sink store survivors, so a doc whose only near-neighbor was
+itself near-dropped in an earlier batch survives). This matches the
+batch twin `incremental_delivery_report` (stream ≡ batch asserted in
+test_streaming_neardup) and avoids per-doc sequential dependence
+inside a batch (a transitive keep-set would serialize the batch) while
+staying a pure function of (batch order, id order).
 
 State layout (the 100-TB shape, same bucketing discipline as
 dedup_stream):
@@ -25,9 +29,29 @@ dedup_stream):
   (`out_dir`) on id — the state stays digest-sized and the text-sized
   work is bounded by candidates, not history.
 
+Compacted base (the warehouse-scale form, `compact_neardup_state`):
+the per-batch delta partitions above accumulate H×256 directories over
+H batches — file listing and per-partition open overhead, not data,
+dominated the measured r7 probe growth. A maintenance compaction
+(run while the stream is stopped) folds all delta partitions into
+generation-versioned base tables `<state>/fps_base_g{g}` /
+`<state>/bands_base_g{g}`, hash-bucketed into a FIXED number of
+`bkt = pmod(xxhash64(key), n_buckets)` partitions (key = fp /
+band_key), one sorted file per bucket. Per-batch probes then read
+(base pruned to the batch's bkt set) ∪ (post-compaction delta pruned
+by pfx) — a fixed file count regardless of history depth. The
+generation dance makes compaction crash-safe: new base is written to a
+fresh g+1 directory, the manifest flips afterward, and old base +
+folded deltas are deleted last, so every crash window leaves a
+readable (possibly overlapping) probe set — overlap is harmless, the
+probes feed anti-joins and distinct'd candidate sets.
+
 Exactly-once: all three sinks (survivors, fps, bands) are dynamic
 partition overwrites keyed by batch_id; a replayed batch excludes its
-own state partitions from the probes and overwrites its own output.
+own state partitions from the probes (the base tables keep batch_id
+for the same exclusion) and overwrites its own output. A replayed
+batch whose rows were already compacted re-writes them as delta;
+the next compaction's distinct() folds the duplicates.
 """
 
 from __future__ import annotations
@@ -40,9 +64,112 @@ from ..functions import text as X
 from ..operators.dedup import _banded_keys, _cap_buckets, _jaccard_verify_kernel
 from .dedup_stream import _dir_exists
 
-__all__ = ["neardup_stream_foreach_batch", "read_survivors"]
+__all__ = [
+    "compact_neardup_state",
+    "neardup_stream_foreach_batch",
+    "read_survivors",
+]
 
 _PFX_LEN = 2
+
+
+def _read_manifest(spark: SparkSession, state_dir: str) -> tuple[int, int] | None:
+    """(n_buckets, generation) of the compacted base, or None if the state
+    has never been compacted. A corrupt manifest raises — the batch fails
+    loudly and retries off the checkpoint, never silently probes less."""
+    mdir = state_dir + "/compaction"
+    if not _dir_exists(spark, mdir):
+        return None
+    row = spark.read.json(mdir).first()
+    return int(row["n_buckets"]), int(row["gen"])
+
+
+def _base_dirs(state_dir: str, gen: int) -> tuple[str, str]:
+    return (
+        f"{state_dir}/fps_base_g{gen}",
+        f"{state_dir}/bands_base_g{gen}",
+    )
+
+
+def compact_neardup_state(
+    spark: SparkSession, state_dir: str, n_buckets: int = 64
+) -> dict:
+    """Fold the per-batch (batch_id, pfx) delta partitions into fixed
+    hash-bucketed base tables — the maintenance job that keeps per-batch
+    probe cost flat as history deepens (see module docstring for the
+    layout and the crash-safety argument). Run while the stream is
+    STOPPED (between availableNow triggers, or on a pause of a
+    continuous stream); the generation protocol keeps every crash window
+    readable, but a concurrently running batch could write delta
+    partitions after the fold reads them and lose them to the delete.
+
+    Returns {'gen', 'n_buckets', 'fps_rows', 'bands_rows'} of the new
+    base. Re-running is idempotent (distinct fold); changing n_buckets
+    re-buckets the whole base on the next run."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    manifest = _read_manifest(spark, state_dir)
+    old_gen = manifest[1] if manifest else 0
+    gen = old_gen + 1
+    old_bases = _base_dirs(state_dir, old_gen) if manifest else (None, None)
+    new_bases = _base_dirs(state_dir, gen)
+    deltas = (state_dir + "/fps", state_dir + "/bands")
+    keys = ("fp", "band_key")
+    counts = []
+    wrote_any = False
+    for delta_dir, old_base, new_base, key in zip(
+        deltas, old_bases, new_bases, keys
+    ):
+        parts = []
+        if _dir_exists(spark, delta_dir):
+            parts.append(spark.read.parquet(delta_dir).drop("pfx"))
+        if old_base is not None and _dir_exists(spark, old_base):
+            parts.append(spark.read.parquet(old_base).drop("bkt"))
+        if not parts:
+            counts.append(0)
+            continue
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
+        folded = (
+            df.distinct()  # replayed-batch delta rows may repeat base rows
+            .withColumn(
+                "bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+            )
+            # one sorted file per bucket: repartition ON the bucket column
+            # then sort within, so parquet row-group min/max stats on the
+            # key survive for any future key-range pruning
+            .repartition(n_buckets, F.col("bkt"))
+            .sortWithinPartitions("bkt", key)
+        )
+        # overwrite: a prior compaction that crashed between base write
+        # and manifest flip leaves a half-written g+1 dir; the manifest
+        # still points at g, so clobbering g+1 is safe (never an input)
+        folded.write.mode("overwrite").partitionBy("bkt").parquet(new_base)
+        counts.append(spark.read.parquet(new_base).count())
+        wrote_any = True
+    if not wrote_any:
+        return {"gen": old_gen, "n_buckets": n_buckets, "fps_rows": 0, "bands_rows": 0}
+    # flip the manifest ONLY after both bases are fully written; readers
+    # that race a crash here still see (old base ∪ delta) — complete
+    spark.createDataFrame(
+        [(n_buckets, gen)], "n_buckets int, gen int"
+    ).coalesce(1).write.mode("overwrite").json(state_dir + "/compaction")
+    # delete the folded inputs LAST — a crash before this point only
+    # leaves overlap (harmless for anti-join / distinct'd probes)
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for path in [d for d in deltas] + [b for b in old_bases if b is not None]:
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+    return {
+        "gen": gen,
+        "n_buckets": n_buckets,
+        "fps_rows": counts[0],
+        "bands_rows": counts[1],
+    }
 
 
 def _shingles(df: DataFrame, out_id: str, sh_name: str, shingle_n: int,
@@ -79,9 +206,24 @@ def neardup_stream_foreach_batch(
     members still hit the exact screen."""
     fps_dir = state_dir + "/fps"
     bands_dir = state_dir + "/bands"
+    # manifest cached per stream instance: compaction requires the stream
+    # to be stopped, so within one run the generation cannot move
+    manifest_cache: list = []
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
+        if not manifest_cache:
+            manifest_cache.append(_read_manifest(s, state_dir))
+        manifest = manifest_cache[0]
+        nb = manifest[0] if manifest else None
+        fps_base, bands_base = (
+            _base_dirs(state_dir, manifest[1]) if manifest else (None, None)
+        )
+        # bound BEFORE the try: the finally references all three, and an
+        # empty batch (early return) or a failure before their persist
+        # (the prefix collect, _dir_exists, the exact-probe build) must
+        # hit the finally with None, not UnboundLocalError (ADVICE r7)
+        exact_survivors = bb = survivors = None
         fp = batch.withColumn("__fp", X.fingerprint(text_col))
         w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
         firsts = (
@@ -92,15 +234,41 @@ def neardup_stream_foreach_batch(
         )
         firsts.persist()
         try:
-            prefixes = [r[0] for r in firsts.select("__pfx").distinct().collect()]
+            pre_cols = [F.col("__pfx")]
+            if nb:
+                pre_cols.append(
+                    F.pmod(F.xxhash64("__fp"), F.lit(nb)).alias("__bkt")
+                )
+            pre = firsts.select(*pre_cols).distinct().collect()
+            prefixes = sorted({r["__pfx"] for r in pre})
+            fp_bkts = sorted({r["__bkt"] for r in pre}) if nb else []
             if not prefixes:
                 return
-            # -- exact screen vs prior state (prefix-pruned) ------------
+            # -- exact screen vs prior state: post-compaction delta
+            #    (prefix-pruned) ∪ compacted base (bucket-pruned) -------
+            probe_parts = []
             if _dir_exists(s, fps_dir):
-                probe = s.read.parquet(fps_dir).filter(
-                    F.col("pfx").isin(prefixes)
-                    & (F.col("batch_id") != F.lit(batch_id))
+                probe_parts.append(
+                    s.read.parquet(fps_dir)
+                    .filter(
+                        F.col("pfx").isin(prefixes)
+                        & (F.col("batch_id") != F.lit(batch_id))
+                    )
+                    .select("fp")
                 )
+            if fps_base is not None and _dir_exists(s, fps_base):
+                probe_parts.append(
+                    s.read.parquet(fps_base)
+                    .filter(
+                        F.col("bkt").isin(fp_bkts)
+                        & (F.col("batch_id") != F.lit(batch_id))
+                    )
+                    .select("fp")
+                )
+            if probe_parts:
+                probe = probe_parts[0]
+                for extra in probe_parts[1:]:
+                    probe = probe.union(extra)
                 exact_survivors = firsts.join(
                     probe.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
                 )
@@ -111,7 +279,6 @@ def neardup_stream_foreach_batch(
             # build, verify kernel) must not leak cached partitions
             # across its retries
             exact_survivors.persist()
-            bb = survivors = None
 
             # -- near screen: candidates from (batch bands) ⋈ (state
             #    bands ∪ earlier-id batch bands), verify on candidates --
@@ -120,21 +287,41 @@ def neardup_stream_foreach_batch(
                 num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
                 text_col=text_col, id_col=id_col,
             ).persist()
-            band_pfxs = [
-                r[0]
-                for r in bb.select(
-                    F.substring("band_key", 1, _PFX_LEN).alias("p")
-                ).distinct().collect()
-            ]
-            cand_parts = []
-            if _dir_exists(s, bands_dir) and band_pfxs:
-                state_bands = s.read.parquet(bands_dir).filter(
-                    F.col("pfx").isin(band_pfxs)
-                    & (F.col("batch_id") != F.lit(batch_id))
+            bkey_cols = [F.substring("band_key", 1, _PFX_LEN).alias("p")]
+            if nb:
+                bkey_cols.append(
+                    F.pmod(F.xxhash64("band_key"), F.lit(nb)).alias("__bkt")
                 )
+            bkeys = bb.select(*bkey_cols).distinct().collect()
+            band_pfxs = sorted({r["p"] for r in bkeys})
+            band_bkts = sorted({r["__bkt"] for r in bkeys}) if nb else []
+            state_parts = []
+            if _dir_exists(s, bands_dir) and band_pfxs:
+                state_parts.append(
+                    s.read.parquet(bands_dir)
+                    .filter(
+                        F.col("pfx").isin(band_pfxs)
+                        & (F.col("batch_id") != F.lit(batch_id))
+                    )
+                    .select("corpus_id", "band_idx", "band_key")
+                )
+            if bands_base is not None and _dir_exists(s, bands_base) and band_bkts:
+                state_parts.append(
+                    s.read.parquet(bands_base)
+                    .filter(
+                        F.col("bkt").isin(band_bkts)
+                        & (F.col("batch_id") != F.lit(batch_id))
+                    )
+                    .select("corpus_id", "band_idx", "band_key")
+                )
+            cand_parts = []
+            if state_parts:
+                state_bands = state_parts[0]
+                for extra in state_parts[1:]:
+                    state_bands = state_bands.union(extra)
                 if max_bucket_size is not None:
-                    # cap on the PRUNED probe (bounded by the batch's
-                    # prefix fan-out, never full history)
+                    # cap on the PRUNED probe union (bounded by the
+                    # batch's prefix/bucket fan-out, never full history)
                     state_bands = _cap_buckets(state_bands, max_bucket_size)
                 cand_parts.append(
                     F.broadcast(bb.withColumnRenamed(id_col, "new_id"))
