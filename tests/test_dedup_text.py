@@ -587,6 +587,51 @@ def test_incremental_delivery_bucket_cap(spark):
     release_caches()
 
 
+def test_persisted_corpus_index_roundtrip(spark, tmp_path):
+    """save/load_corpus_dedup_index: the disk-served warm screen must give
+    the exact verdicts of the inline and session-cached paths, reject
+    mismatched params, and round-trip the no-cap sentinel."""
+    from vectordb_from_scratch_spark.operators.dedup import (
+        incremental_delivery_report,
+        load_corpus_dedup_index,
+        release_caches,
+        save_corpus_dedup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha{i % 4} beta{i % 4} gamma{i % 4} delta{i % 4} "
+             f"epsilon{i % 4} zeta{i % 4}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    delivery = spark.createDataFrame(
+        [(100, "alpha0 beta0 gamma0 delta0 epsilon0 zeta0"),            # exact
+         (101, "alpha1 beta1 gamma1 delta1 epsilon1 zeta1 tail words"), # near
+         (102, "november kilo lima mike oscar papa quebec romeo")],     # fresh
+        "doc_id long, text string",
+    )
+    inline = sorted(
+        (r.delivery_id, r.verdict, r.match_id)
+        for r in incremental_delivery_report(corpus, delivery, threshold=0.4).collect()
+    )
+    path = str(tmp_path / "idx")
+    manifest = save_corpus_dedup_index(corpus, path, n_files=4)
+    assert manifest["max_bucket_size"] is None
+    idx = load_corpus_dedup_index(spark, path)
+    assert idx["params"] == (8, 4, 3, None)
+    served = sorted(
+        (r.delivery_id, r.verdict, r.match_id)
+        for r in incremental_delivery_report(
+            None, delivery, threshold=0.4, corpus_index=idx
+        ).collect()
+    )
+    assert served == inline
+    import pytest as _p
+
+    with _p.raises(ValueError, match="different"):
+        incremental_delivery_report(None, delivery, bands=2, corpus_index=idx)
+    release_caches()
+
+
 def test_lsh_cap_report_quantifies_drops(spark):
     """No-silent-caps for the self-join path: lsh_cap_report returns exact
     zero counts when every bucket fits the cap (distinguishing 'cap

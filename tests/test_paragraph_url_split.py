@@ -150,6 +150,14 @@ def test_paragraph_dedup_matches_sequential_reference(spark, corpus):
         for r in paragraph_dedup(docs).collect()
     }
     assert got == _reference(corpus)
+    # the hot-fingerprint hybrid (r8) must be value-identical for ANY
+    # threshold — threshold 0 routes every duplicated fingerprint
+    # through the broadcast-keeper path, maximizing divergence surface
+    hybrid = {
+        r.doc_id: (r.n_paras, r.n_kept, r.clean_text)
+        for r in paragraph_dedup(docs, hot_threshold=0).collect()
+    }
+    assert hybrid == got
 
 
 def test_cluster_safe_split_never_straddles_near_dup_pairs(spark):

@@ -1044,6 +1044,7 @@ def paragraph_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = "\n\n",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Paragraph-level exact dedup (the Dolma / C4 boilerplate-removal
     pass, public pattern): split each document on `sep`, drop every
@@ -1083,10 +1084,51 @@ def paragraph_dedup(
     # rows and the join back doubles the shuffled volume, costing more
     # than the hot partition's sort (SCALE.md r7). The min-agg form is
     # the right rewrite only for a corpus whose duplicates dominate.
+    #
+    # `hot_threshold` is the hybrid between those two measured points
+    # (r8): a digest-only pre-aggregate finds MEGA-fingerprints (count >
+    # threshold) together with their first occurrence — that slice is
+    # tiny by construction (≤ n_paras / threshold rows), so it
+    # BROADCASTS, where the full min-agg rewrite shuffled a keeper row
+    # per distinct paragraph. Hot rows take their keep flag from the
+    # broadcast keeper and get salted across the window's partitions
+    # (their window rank is ignored), so no task ever sorts a
+    # mega-group; everything else keeps the measured-winning window
+    # plan. Costs one extra digest-sized exchange — None (default)
+    # skips it and is the right setting for non-adversarial corpora.
     from pyspark.sql import Window
 
-    w = Window.partitionBy("fp").orderBy(F.col(id_col), F.col("pos"))
-    ranked = paras.withColumn("keep", F.row_number().over(w) == 1)
+    if hot_threshold is not None:
+        hot = F.broadcast(
+            paras.groupBy("fp")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__k"),
+            )
+            .filter(F.col("__n") > hot_threshold)
+            .select("fp", "__k")
+        )
+        flagged = paras.join(hot, "fp", "left")
+        n_salt = int(
+            documents.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        salt = F.when(
+            F.col("__k").isNotNull(), F.pmod(F.col("pos"), F.lit(n_salt))
+        ).otherwise(F.lit(0))
+        w = Window.partitionBy(F.col("fp"), salt).orderBy(
+            F.col(id_col), F.col("pos")
+        )
+        ranked = flagged.withColumn(
+            "keep",
+            F.when(
+                F.col("__k").isNotNull(),
+                (F.col(id_col) == F.col("__k")[id_col])
+                & (F.col("pos") == F.col("__k")["pos"]),
+            ).otherwise(F.row_number().over(w) == 1),
+        ).drop("__k")
+    else:
+        w = Window.partitionBy("fp").orderBy(F.col(id_col), F.col("pos"))
+        ranked = paras.withColumn("keep", F.row_number().over(w) == 1)
     return ranked.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_paras"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
@@ -1154,6 +1196,90 @@ def build_corpus_dedup_index(
         "shingles": _track(sh),
         "params": (num_hashes, bands, shingle_n, max_bucket_size),
         "cap_report": cap_report,
+    }
+
+
+def save_corpus_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+    n_files: int | None = None,
+) -> dict:
+    """The DURABLE form of build_corpus_dedup_index: write the corpus's
+    fingerprint/band/shingle tables to parquet under `path` (plus a
+    params manifest), so the warm incremental screen outlives the
+    session and never re-derives the corpus — at 100M+ docs the session
+    cache spills anyway (200.7 s build at 10M, SCALE.md r7), while
+    parquet serves column-pruned scans with real size stats.
+
+    Layout: `{path}/fingerprints` clustered+sorted by fp,
+    `{path}/bands` by band_key, `{path}/shingles` by corpus_id, each in
+    `n_files` files (default: session shuffle partitions) so the probe
+    file count is fixed; `{path}/manifest` records the LSH params that
+    load_corpus_dedup_index re-checks against the report's.
+
+    Returns the manifest dict (params + n_files)."""
+    spark = corpus.sparkSession
+    if n_files is None:
+        n_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    built = build_corpus_dedup_index(
+        corpus, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col, max_bucket_size=max_bucket_size,
+    )
+    for sub, key in (
+        ("fingerprints", "fp"), ("bands", "band_key"), ("shingles", "corpus_id")
+    ):
+        (
+            built[sub]
+            # cluster and sort by the probe key: fixed file count, and
+            # parquet row-group min/max stats on the key stay usable
+            .repartition(n_files, F.col(key))
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .parquet(f"{path}/{sub}")
+        )
+    manifest = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "max_bucket_size": max_bucket_size,
+        "n_files": n_files,
+    }
+    # -1 sentinel for "no cap": Spark's JSON writer omits null fields,
+    # which would drop the column from the read-back schema entirely
+    spark.createDataFrame(
+        [(num_hashes, bands, shingle_n,
+          -1 if max_bucket_size is None else max_bucket_size, n_files)],
+        "num_hashes int, bands int, shingle_n int, max_bucket_size int, n_files int",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/manifest")
+    # the build's session caches served the three writes; drop them so a
+    # long-lived session doesn't pin corpus-sized tables it now has on disk
+    for sub in ("fingerprints", "bands", "shingles"):
+        built[sub].unpersist()
+    return manifest
+
+
+def load_corpus_dedup_index(spark, path: str) -> dict:
+    """Open a save_corpus_dedup_index directory as a corpus_index dict for
+    incremental_delivery_report — lazy parquet scans (NOT session-cached:
+    the disk layout IS the serving form; Catalyst sees real file sizes,
+    and the delivery side is explicitly broadcast by the report)."""
+    row = spark.read.json(f"{path}/manifest").first()
+    mbs = int(row["max_bucket_size"])
+    return {
+        "fingerprints": spark.read.parquet(f"{path}/fingerprints"),
+        "bands": spark.read.parquet(f"{path}/bands"),
+        "shingles": spark.read.parquet(f"{path}/shingles"),
+        "params": (
+            int(row["num_hashes"]), int(row["bands"]), int(row["shingle_n"]),
+            mbs if mbs >= 0 else None,
+        ),
+        "cap_report": None,
     }
 
 
