@@ -101,6 +101,21 @@ BENCH_QUERIES = [
     "pipeline_split_cluster_safe",
 ]
 
+# In-plan-build diagnostics (VERDICT r7 #8): these queries rebuild their
+# index/codebook/graph inside the timed plan because the oracle contract
+# requires a self-contained query — in production that build amortizes
+# over a persisted index (the *_indexed/_sq8_index serve paths). Their
+# 3-9 s timings are dominated by job-count overhead, so they are (a)
+# always sampled 3× (min-of-3 tightens the tail the shared box fattens)
+# and (b) reported under their own subtotal so the headline subtotal
+# tracks regressions in the serve/operator paths without build noise.
+DIAG_QUERIES = {
+    "ann_ivf_pq_knn",     # det-IVF + PQ codebook build in-plan
+    "ann_ivf_sq8_knn",    # det-IVF build in-plan
+    "dedup_semantic",     # det-IVF blocking build in-plan
+    "graph_triangles",    # similarity-graph construction + wedge join
+}
+
 
 def main() -> None:
     from pyspark.sql import SparkSession
@@ -159,7 +174,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         try:
             runs = [run_once(name), run_once(name)]
-            if abs(runs[0] - runs[1]) > 0.2 * min(runs):
+            if name in DIAG_QUERIES or abs(runs[0] - runs[1]) > 0.2 * min(runs):
                 runs.append(run_once(name))
             samples[name] = [round(t, 3) for t in runs]
             timings[name] = round(min(runs), 3)
@@ -188,12 +203,25 @@ def main() -> None:
             json.dump(samples_doc, fh)
     except OSError:
         pass  # samples sidecar is best-effort; the headline line is the contract
+    headline_sec = round(
+        sum(t for n, t in timings.items()
+            if isinstance(t, float) and n not in DIAG_QUERIES), 3
+    )
+    diagnostics_sec = round(
+        sum(t for n, t in timings.items()
+            if isinstance(t, float) and n in DIAG_QUERIES), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
+                # value stays the all-query total for cross-round
+                # continuity; the subtotals split serve/operator cost
+                # from in-plan-build diagnostics (see DIAG_QUERIES)
                 "value": round(sum(numeric), 3),
                 "unit": "sec",
+                "headline_sec": headline_sec,
+                "diagnostics_sec": diagnostics_sec,
                 "queries": timings,
                 "sf": sf_val,
                 "n_ok": len(numeric),

@@ -688,6 +688,125 @@ def main() -> int:
                                         rerank=rerank,
                                         raw=ua.select("id", "vec")))
 
+    # ANN serving TWO decades up (VERDICT r7 #5): 100M DISTINCT vectors,
+    # clustered geometry — 10k deterministic cluster centers + per-id
+    # noise, the realistic middle between the uniform floor (recall10mu)
+    # and the replicated ceiling (recall10m). n_lists grows ∝ n
+    # (64@10M → 640@100M) so per-probe scanned rows stay constant
+    # (n_probe/n_lists × n = 1.25M at P8 in both decades) — the
+    # linearity claim measured, not asserted. Storage: ONE assigned
+    # table (float32 vecs, partitioned by list_id, ~26 GB; cast to
+    # double in-plan at read) — no separate base copy, the disk budget
+    # at 100M. Resumable via RECALL100M_DIR.
+    if want("recall100m"):
+        from vectordb_from_scratch_spark.operators import pq as pqm100
+
+        cdir = os.environ.get("RECALL100M_DIR", "/tmp/recall100m")
+        # RECALL100M_N/_LISTS: scale-down knobs for smoke-testing the cell
+        # wiring before paying the 100M run (values land in cell names)
+        n_c = int(os.environ.get("RECALL100M_N", "100000000"))
+        lists_c = int(os.environ.get("RECALL100M_LISTS", "640"))
+        dim_c, n_clusters = 64, max(100, n_c // 10_000)
+        center = lambda cc, j: (  # noqa: E731
+            F.pmod(F.xxhash64(cc * dim_c + j, F.lit(4099)), F.lit(1_000_003))
+            / 1_000_003.0 - 0.5
+        )
+        noise = lambda ii, j: (  # noqa: E731
+            F.pmod(F.xxhash64(ii * dim_c + j, F.lit(7177)), F.lit(1_000_003))
+            / 1_000_003.0 - 0.5
+        )
+        cvec_expr = F.transform(
+            F.sequence(F.lit(0), F.lit(dim_c - 1)),
+            lambda j: (
+                center(F.col("id") % n_clusters, j) + noise(F.col("id"), j) * 0.08
+            ).cast("float"),
+        )
+        if not os.path.isdir(cdir + "/assigned"):
+            t0 = time.monotonic()
+            cb_src = spark.range(n_c).select(
+                F.col("id").alias("vec_id"), cvec_expr.alias("embedding")
+            )
+            ccent = ann.build_ivf_det(
+                cb_src, n_lists=lists_c, iters=2, train_mod=1000
+            )
+            ccent.write.mode("overwrite").parquet(cdir + "/cent")
+            ccent_p = spark.read.parquet(cdir + "/cent")
+            cv = cb_src.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("vec"),
+            )
+            (
+                ann.assign_ivf_det(cv, ccent_p)
+                .withColumn("vec", F.col("vec").cast("array<float>"))
+                .write.mode("overwrite")
+                .partitionBy("list_id")
+                .parquet(cdir + "/assigned")
+            )
+            print(json.dumps({"cell": "recall100m_build_assign_write",
+                              "sec": round(time.monotonic() - t0, 3)}), flush=True)
+        ca_raw = spark.read.parquet(cdir + "/assigned")
+        ca = ca_raw.withColumn("vec", F.col("vec").cast("array<double>"))
+        cc = spark.read.parquet(cdir + "/cent")
+        cprobes = ca_raw.filter(F.col("id") < N_PROBES).select(
+            F.col("id").alias("query_id"),
+            F.col("vec").cast("array<double>").alias("query_embedding"),
+        ).localCheckpoint()
+        if not os.path.isdir(cdir + "/gt"):
+            t0 = time.monotonic()
+            knn.knn(
+                ca_raw.select(F.col("id").alias("vec_id"),
+                              F.col("vec").alias("embedding")),
+                cprobes, k=K, strategy="numpy",
+            ).select("query_id", "id").write.mode("overwrite").parquet(cdir + "/gt")
+            print(json.dumps({"cell": "recall100m_groundtruth",
+                              "sec": round(time.monotonic() - t0, 3)}), flush=True)
+        cgt = spark.read.parquet(cdir + "/gt").localCheckpoint()
+        n_cgt = cgt.count()
+
+        def crecall(df) -> float:
+            hits = df.select("query_id", "id").join(cgt, ["query_id", "id"]).count()
+            return round(hits / n_cgt, 4)
+
+        def ccell(name, mk):
+            # one timed serve (latency: min over `runs`) + one recall pass
+            if not want(name):
+                return
+            results[name + "_sec"] = _time(lambda: sink(mk()), runs)
+            results[name + "_recall"] = crecall(mk())
+            print(json.dumps({
+                "cell": name, "sec": results[name + "_sec"],
+                "recall_at_%d" % K: results[name + "_recall"],
+                "per_probe_sec": round(results[name + "_sec"] / N_PROBES, 4),
+            }), flush=True)
+
+        for n_probe in (2, 4, 8, 16):
+            ccell("recall100m_raw_L%d_P%d" % (lists_c, n_probe),
+                  lambda n_probe=n_probe: ann.ann_knn_ivf(
+                      ca, cc, cprobes, k=K, n_probe=n_probe,
+                      id_col="id", vec_col="vec"))
+        mc, ksc, dsc = 16, 32, 4
+        if not os.path.isdir(cdir + "/cb"):
+            pqm100.pq_codebook(
+                ca.filter(F.col("id") % 1000 == 0).select(
+                    F.col("id").alias("vec_id"), F.col("vec").alias("embedding")),
+                m=mc, ks=ksc, dim=dim_c, iters=1,
+            ).write.mode("overwrite").parquet(cdir + "/cb")
+        ccb = spark.read.parquet(cdir + "/cb")
+        if not os.path.isdir(cdir + "/ivfpq"):
+            t0 = time.monotonic()
+            pqm100.ivf_pq_index(
+                ca, ccb, mc, dsc, id_col="id", vec_col="vec"
+            ).write.mode("overwrite").partitionBy("list_id").parquet(cdir + "/ivfpq")
+            print(json.dumps({"cell": "recall100m_pq_encode_write",
+                              "sec": round(time.monotonic() - t0, 3)}), flush=True)
+        cpq = spark.read.parquet(cdir + "/ivfpq")
+        for rerank in (K, 3 * K, 10 * K):
+            ccell("recall100m_ivfpq_L%d_P8_rerank%d" % (lists_c, rerank),
+                  lambda rerank=rerank: pqm100.ann_knn_ivf_pq(
+                      cpq, cc, ccb, cprobes, k=K, n_probe=8,
+                      ks=ksc, d_sub=dsc, rerank=rerank,
+                      raw=ca.select("id", "vec")))
+
     # Distributed exact ranking at 100M rows (VERDICT r5 #8): the r5
     # scale fix measured directly at a decade past its biggest indirect
     # measurement. score = (id * 2654435761) mod N is a modular

@@ -1086,27 +1086,43 @@ def paragraph_dedup(
     # the right rewrite only for a corpus whose duplicates dominate.
     #
     # `hot_threshold` is the hybrid between those two measured points
-    # (r8): a digest-only pre-aggregate finds MEGA-fingerprints (count >
-    # threshold) together with their first occurrence — that slice is
-    # tiny by construction (≤ n_paras / threshold rows), so it
-    # BROADCASTS, where the full min-agg rewrite shuffled a keeper row
-    # per distinct paragraph. Hot rows take their keep flag from the
-    # broadcast keeper and get salted across the window's partitions
-    # (their window rank is ignored), so no task ever sorts a
-    # mega-group; everything else keeps the measured-winning window
-    # plan. Costs one extra digest-sized exchange — None (default)
-    # skips it and is the right setting for non-adversarial corpora.
+    # (r8): find MEGA-fingerprints (count > threshold), compute their
+    # first occurrence in a tiny broadcastable table (where the losing
+    # full min-agg rewrite shuffled a keeper row per distinct
+    # paragraph), and take hot rows' keep flags from that broadcast
+    # while salting them across the window's partitions (their window
+    # rank is ignored) — no task ever sorts a mega-group; everything
+    # else keeps the measured-winning window plan.
+    #
+    # Hot DETECTION samples 1-in-`mod` paragraphs deterministically
+    # (xxhash64 of (id, pos)) rather than counting every fingerprint: a
+    # full pre-agg over mostly-unique fps shuffles ~|paras| digest rows
+    # (measured 1.6× overhead at 10M — the A/B where the first exact
+    # hybrid LOST), while a mega-group at threshold T appears ≥ ~T/mod
+    # times in the sample. mod scales so a just-hot group is expected
+    # ≥40 sampled rows (detection is ~sure); a borderline miss just
+    # stays on the window path and a borderline false-hot routes through
+    # the broadcast keeper — both EXACT either way, because keepers are
+    # always min-aggregated over the group's FULL row set. None
+    # (default) skips detection entirely — right for non-adversarial
+    # corpora.
     from pyspark.sql import Window
 
     if hot_threshold is not None:
+        mod = max(1, min(256, hot_threshold // 40))
+        sampled = paras.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.col("pos")), F.lit(mod)) == 0
+        )
+        hot_fps = F.broadcast(
+            sampled.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__sn"))
+            .filter(F.col("__sn") > hot_threshold / mod)
+            .select("fp")
+        )
         hot = F.broadcast(
-            paras.groupBy("fp")
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__k"),
-            )
-            .filter(F.col("__n") > hot_threshold)
-            .select("fp", "__k")
+            paras.join(hot_fps, "fp", "left_semi")
+            .groupBy("fp")
+            .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__k"))
         )
         flagged = paras.join(hot, "fp", "left")
         n_salt = int(

@@ -8091,6 +8091,49 @@ def _q_dedup_incremental_warm(spark, sf_dir):
         d, delivery, threshold=0.5, corpus_index=idx
     )
 
+
+@_register(
+    "dedup_incremental_persisted",
+    QUERIES["dedup_incremental"].oracle,
+    doc="The DISK-served twin of dedup_incremental_warm: the same "
+    "delivery classified through save/load_corpus_dedup_index parquet "
+    "tables (key-clustered, params manifest) — the index layout that "
+    "outlives the session and serves a standing 100M+ corpus without "
+    "cache spill (SCALE.md r8); values identical to the cold path by "
+    "construction, same DuckDB oracle",
+)
+def _q_dedup_incremental_persisted(spark, sf_dir):
+    import hashlib as _hl
+
+    d = _t(spark, sf_dir, "documents")
+    delivery = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" with freshly appended trailing marker words"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("entirely fresh delivery payload item "),
+                F.col("doc_id").cast("string"),
+                F.lit(" carrying novel vocabulary"),
+            )
+        )
+        .alias("text"),
+    )
+    # deterministic per-sf scratch dir, overwritten each call — the save
+    # is the eager once-per-corpus cost; the returned plan reads parquet
+    path = "/tmp/vfs_spark_incidx_" + _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    dedup.save_corpus_dedup_index(d, path)
+    idx = dedup.load_corpus_dedup_index(spark, path)
+    return dedup.incremental_delivery_report(
+        None, delivery, threshold=0.5, corpus_index=idx
+    )
+
 # ---------------------------------------------------------------------------
 # Enumeration order: never-driver-sampled queries first.
 #
