@@ -806,6 +806,37 @@ def main() -> int:
                       cpq, cc, ccb, cprobes, k=K, n_probe=8,
                       ks=ksc, d_sub=dsc, rerank=rerank,
                       raw=ca.select("id", "vec")))
+        # RESIDUAL IVF-PQ (the true FAISS layout): on clustered geometry
+        # the non-residual codes collapse — every member of a cluster
+        # quantizes to its center's codes, ADC ties, and rerank recall ≈
+        # rerank / cluster_size (measured 0.19 @ rerank=100 in the 200k
+        # wiring smoke). Residual codes quantize the ±noise AROUND the
+        # coarse centroid, restoring within-list discrimination.
+        if not os.path.isdir(cdir + "/cb_res"):
+            pqm100.pq_codebook(
+                pqm100.ivf_residuals(
+                    ca.filter(F.col("id") % 1000 == 0), cc,
+                    id_col="id", vec_col="vec",
+                ).select(F.col("id").alias("vec_id"),
+                         F.col("rvec").alias("embedding")),
+                m=mc, ks=ksc, dim=dim_c, iters=1,
+            ).write.mode("overwrite").parquet(cdir + "/cb_res")
+        ccb_res = spark.read.parquet(cdir + "/cb_res")
+        if not os.path.isdir(cdir + "/ivfpq_res"):
+            t0 = time.monotonic()
+            pqm100.ivf_pq_residual_index(
+                ca, cc, ccb_res, mc, dsc, id_col="id", vec_col="vec"
+            ).write.mode("overwrite").partitionBy("list_id").parquet(
+                cdir + "/ivfpq_res")
+            print(json.dumps({"cell": "recall100m_pq_res_encode_write",
+                              "sec": round(time.monotonic() - t0, 3)}), flush=True)
+        cpq_res = spark.read.parquet(cdir + "/ivfpq_res")
+        for rerank in (K, 3 * K, 10 * K):
+            ccell("recall100m_ivfpq_res_L%d_P8_rerank%d" % (lists_c, rerank),
+                  lambda rerank=rerank: pqm100.ann_knn_ivf_pq_residual(
+                      cpq_res, cc, ccb_res, cprobes, k=K, n_probe=8,
+                      ks=ksc, d_sub=dsc, rerank=rerank,
+                      raw=ca.select("id", "vec")))
 
     # Distributed exact ranking at 100M rows (VERDICT r5 #8): the r5
     # scale fix measured directly at a decade past its biggest indirect
