@@ -1094,15 +1094,29 @@ def paragraph_dedup(
     # rank is ignored) — no task ever sorts a mega-group; everything
     # else keeps the measured-winning window plan.
     #
-    # Hot DETECTION samples 1-in-`mod` paragraphs deterministically
-    # (xxhash64 of (id, pos)) rather than counting every fingerprint: a
-    # full pre-agg over mostly-unique fps shuffles ~|paras| digest rows
-    # (measured 1.6× overhead at 10M — the A/B where the first exact
-    # hybrid LOST), while a mega-group at threshold T appears ≥ ~T/mod
-    # times in the sample. mod scales so a just-hot group is expected
-    # ≥40 sampled rows (detection is ~sure); a borderline miss just
-    # stays on the window path and a borderline false-hot routes through
-    # the broadcast keeper — both EXACT either way, because keepers are
+    # A/B VERDICT (r8, same universal-footer corpus as r7): the hybrid
+    # LOSES at both decades — 28.4 s vs 16.2 s at 10M, 804.7 s vs
+    # 414.4 s at 100M — because the keeper min-agg is a second full
+    # tokenize/explode pass over the corpus plus a broadcast join onto
+    # every paragraph row, while the window's one hot task (100M rows)
+    # overlaps the other 63 partitions' work instead of blocking it.
+    # hot_threshold therefore stays None by default and exists as a
+    # ROBUSTNESS knob, not a speed knob: the window path has a hard
+    # single-task ceiling (one task must sort the hottest group — at
+    # ~1B+ members its sort spill outgrows a task's disk/memory), and
+    # the hybrid removes that ceiling at a measured ~1.9× cost.
+    #
+    # Hot DETECTION samples 1-in-`mod` DOCUMENTS deterministically
+    # (xxhash64 of the doc id — the filter lands BEFORE the split/md5
+    # scan, so the detection pass reads and tokenizes only 1/mod of the
+    # corpus) rather than counting every fingerprint: a full pre-agg
+    # over mostly-unique fps shuffles ~|paras| digest rows (measured
+    # 1.6× overhead at 10M — the A/B where the first exact hybrid
+    # LOST), while a mega-group at threshold T appears ≥ ~T/mod times
+    # in the sample. mod scales so a just-hot group is expected ≥40
+    # sampled rows (detection is ~sure); a borderline miss just stays
+    # on the window path and a borderline false-hot routes through the
+    # broadcast keeper — both EXACT either way, because keepers are
     # always min-aggregated over the group's FULL row set. None
     # (default) skips detection entirely — right for non-adversarial
     # corpora.
@@ -1110,8 +1124,12 @@ def paragraph_dedup(
 
     if hot_threshold is not None:
         mod = max(1, min(256, hot_threshold // 40))
-        sampled = paras.filter(
-            F.pmod(F.xxhash64(F.col(id_col), F.col("pos")), F.lit(mod)) == 0
+        sampled = (
+            documents.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+            )
+            .select(F.explode(F.split(F.col(text_col), sep_re)).alias("para"))
+            .select(F.md5(F.trim(F.col("para"))).alias("fp"))
         )
         hot_fps = F.broadcast(
             sampled.groupBy("fp")
