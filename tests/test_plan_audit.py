@@ -25,7 +25,18 @@ sys.path.insert(
 def test_registry_plan_audit_is_green(spark):
     from audit_plans import audit_registry
 
+    from vectordb_from_scratch_spark.operators import cache, dedup
     from vectordb_from_scratch_spark.plans.registry import QUERIES
+
+    # Hermetic gate: the suite shares one session, and leftover persisted
+    # subtrees from earlier tests change how union branches PRINT (an
+    # already-cached delivery subplan prints as InMemoryTableScan, a
+    # fresh one reprints its exchanges) — the audit must see the same
+    # fresh-session plans the CLI sees, not whichever tests ran first.
+    dedup.release_caches()
+    cache.sweep_persistent_rdds(spark, all_rdds=True)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     flagged, checked = audit_registry(spark, "/root/testdata/sf0.001")
     assert checked == len(QUERIES), (

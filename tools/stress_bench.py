@@ -726,8 +726,14 @@ def main() -> int:
             cb_src = spark.range(n_c).select(
                 F.col("id").alias("vec_id"), cvec_expr.alias("embedding")
             )
+            # kernel build paths throughout: the fold plans are the
+            # oracle spec at sf scale, but at 100M×640 the assign fold
+            # alone is 64B window rows (tools would wait days and fill
+            # the disk with shuffle) — assign_ivf_kernel/pq_encode_kernel
+            # are the measured-equal BLAS twins (test_kernel_build.py)
             ccent = ann.build_ivf_det(
-                cb_src, n_lists=lists_c, iters=2, train_mod=1000
+                cb_src, n_lists=lists_c, iters=2, train_mod=1000,
+                assign_strategy="kernel",
             )
             ccent.write.mode("overwrite").parquet(cdir + "/cent")
             ccent_p = spark.read.parquet(cdir + "/cent")
@@ -736,8 +742,13 @@ def main() -> int:
                 F.col("embedding").cast("array<double>").alias("vec"),
             )
             (
-                ann.assign_ivf_det(cv, ccent_p)
+                ann.assign_ivf_kernel(cv, ccent_p)
                 .withColumn("vec", F.col("vec").cast("array<float>"))
+                # hash-cluster on list_id before the partitioned write:
+                # 640 files (one per list) instead of tasks×lists small
+                # files; the float32 cast rides BEFORE the shuffle so it
+                # moves ~27GB, not 51GB
+                .repartition(F.col("list_id"))
                 .write.mode("overwrite")
                 .partitionBy("list_id")
                 .parquet(cdir + "/assigned")
@@ -779,12 +790,17 @@ def main() -> int:
                 "per_probe_sec": round(results[name + "_sec"] / N_PROBES, 4),
             }), flush=True)
 
-        for n_probe in (2, 4, 8, 16):
+        for n_probe in (2, 4, 8):
             ccell("recall100m_raw_L%d_P%d" % (lists_c, n_probe),
                   lambda n_probe=n_probe: ann.ann_knn_ivf(
                       ca, cc, cprobes, k=K, n_probe=n_probe,
                       id_col="id", vec_col="vec"))
-        mc, ksc, dsc = 16, 32, 4
+        # ks=256 (the FAISS default): the 200k smoke at ks=32 showed
+        # quantization cells coarser than the 0.08-scale within-cluster
+        # noise that separates true neighbors — codes tied across
+        # cluster-mates and rerank recall degenerated to rerank/cluster_n.
+        # 256 cells per 4-dim subspace put the cell size under the noise.
+        mc, ksc, dsc = 16, 256, 4
         if not os.path.isdir(cdir + "/cb"):
             pqm100.pq_codebook(
                 ca.filter(F.col("id") % 1000 == 0).select(
@@ -795,12 +811,12 @@ def main() -> int:
         if not os.path.isdir(cdir + "/ivfpq"):
             t0 = time.monotonic()
             pqm100.ivf_pq_index(
-                ca, ccb, mc, dsc, id_col="id", vec_col="vec"
+                ca, ccb, mc, dsc, id_col="id", vec_col="vec", encode="kernel"
             ).write.mode("overwrite").partitionBy("list_id").parquet(cdir + "/ivfpq")
             print(json.dumps({"cell": "recall100m_pq_encode_write",
                               "sec": round(time.monotonic() - t0, 3)}), flush=True)
         cpq = spark.read.parquet(cdir + "/ivfpq")
-        for rerank in (K, 3 * K, 10 * K):
+        for rerank in (K, 10 * K, 100 * K):
             ccell("recall100m_ivfpq_L%d_P8_rerank%d" % (lists_c, rerank),
                   lambda rerank=rerank: pqm100.ann_knn_ivf_pq(
                       cpq, cc, ccb, cprobes, k=K, n_probe=8,
@@ -825,13 +841,14 @@ def main() -> int:
         if not os.path.isdir(cdir + "/ivfpq_res"):
             t0 = time.monotonic()
             pqm100.ivf_pq_residual_index(
-                ca, cc, ccb_res, mc, dsc, id_col="id", vec_col="vec"
+                ca, cc, ccb_res, mc, dsc, id_col="id", vec_col="vec",
+                encode="kernel",
             ).write.mode("overwrite").partitionBy("list_id").parquet(
                 cdir + "/ivfpq_res")
             print(json.dumps({"cell": "recall100m_pq_res_encode_write",
                               "sec": round(time.monotonic() - t0, 3)}), flush=True)
         cpq_res = spark.read.parquet(cdir + "/ivfpq_res")
-        for rerank in (K, 3 * K, 10 * K):
+        for rerank in (K, 10 * K, 100 * K):
             ccell("recall100m_ivfpq_res_L%d_P8_rerank%d" % (lists_c, rerank),
                   lambda rerank=rerank: pqm100.ann_knn_ivf_pq_residual(
                       cpq_res, cc, ccb_res, cprobes, k=K, n_probe=8,

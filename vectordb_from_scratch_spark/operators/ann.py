@@ -51,6 +51,7 @@ __all__ = [
     "build_ivf",
     "build_ivf_det",
     "assign_ivf_det",
+    "assign_ivf_kernel",
     "ann_knn_ivf",
     "ivf_sq8_index",
     "ann_knn_ivf_sq8",
@@ -483,6 +484,65 @@ def assign_ivf_det(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def assign_ivf_kernel(
+    vectors: DataFrame, centroids: DataFrame, *, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """Arrow-batched BLAS twin of assign_ivf_det — the index-BUILD scale
+    path. The fold-exact plan materializes rows × n_lists pairs through a
+    per-id window sort: the right shape for the oracle-twinned builds
+    (bit-identical to DuckDB at sf0.01/0.1), but at 100M rows × 640 lists
+    that is 64 BILLION intermediate rows carrying full vectors into a
+    window shuffle — a multi-TB sort that no disk survives. This kernel
+    broadcasts the (n_lists × dim) centroid matrix in the task closure
+    and turns the assignment into one argmin(−2·X·Cᵀ + ‖c‖²) GEMM per
+    Arrow batch: no join, no shuffle, one narrow pass over the vectors.
+
+    Tie-break matches the fold's (distance asc, list_id asc): np.argmin
+    returns the FIRST minimum and centroid rows are ordered list_id asc.
+    float64 GEMM can flip an assignment vs the fold only on last-ulp
+    boundary ties, so the oracle-twinned registry builds keep the fold;
+    production builds and the SCALE.md 100M cells use this. `centroids`
+    is collected eagerly (n_lists rows — tiny, but it IS an action).
+
+    ``passthrough``: extra `vectors` columns copied to the output
+    unchanged (saves the id-join when the caller needs them alongside
+    list_id)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        centroids.select("list_id", "cvec").collect(), key=lambda r: r["list_id"]
+    )
+    list_ids = np.asarray([r["list_id"] for r in rows], dtype=np.int32)
+    C = np.asarray([list(r["cvec"]) for r in rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    Cn2T = -2.0 * C.T  # (dim, n_lists), staged once per task
+
+    extra = list(passthrough)
+    v = vectors.select(
+        F.col("id").cast("long").alias("id"), vm.as_double("vec").alias("vec"), *extra
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray([list(x) for x in pdf["vec"]], dtype=np.float64)
+            idx = np.argmin(X @ Cn2T + c2[None, :], axis=1)
+            out = {"id": pdf["id"].to_numpy(), "vec": pdf["vec"].values,
+                   "list_id": list_ids[idx]}
+            for c in extra:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
+
+    extra_schema = "".join(
+        f", {c} {vectors.schema[c].dataType.simpleString()}" for c in extra
+    )
+    return v.mapInPandas(
+        run, schema=f"id long, vec array<double>, list_id int{extra_schema}"
+    )
+
+
 def _det_centroids(assigned: DataFrame, prev: DataFrame, block: int) -> DataFrame:
     """Recompute centroids as per-dimension means with a FIXED two-level
     reduction tree keyed on id ranges: within an id-block, values fold in
@@ -563,6 +623,7 @@ def build_ivf_det(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_mod: int = 1,
+    assign_strategy: str = "fold",
 ) -> DataFrame:
     """Deterministic IVF coarse quantizer: Lloyd's k-means with md5-seeded
     init and a fixed-tree mean (see _det_centroids), yielding centroids
@@ -595,7 +656,14 @@ def build_ivf_det(
     unaffected). Deterministic and engine-portable, so a sampled build
     is still exactly reproducible — but the sampled centroids differ
     from full-data centroids, so the oracle-twinned registry queries
-    keep train_mod=1 as the spec."""
+    keep train_mod=1 as the spec.
+
+    ``assign_strategy``: "fold" (default) runs the Lloyd assignments
+    through assign_ivf_det's bit-exact expression plan — the oracle
+    spec. "kernel" routes them through assign_ivf_kernel (BLAS argmin,
+    one narrow pass): the scale path for big training sets, at the cost
+    of eager per-iteration centroid collection (n_lists rows/round) and
+    last-ulp tie divergence from the fold — not oracle-twinnable."""
     from pyspark.sql import Window
 
     v = vectors.select(
@@ -620,8 +688,9 @@ def build_ivf_det(
         (F.row_number().over(w) - 1).cast("int").alias("list_id"),
         F.col("vec").alias("cvec"),
     )
+    assign = assign_ivf_det if assign_strategy == "fold" else assign_ivf_kernel
     for _ in range(iters):
-        cent = _det_centroids(assign_ivf_det(train, cent), cent, block)
+        cent = _det_centroids(assign(train, cent), cent, block)
     return cent
 
 

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from ..functions import vectormath as vm
 
 __all__ = [
-    "pq_codebook", "pq_encode", "pq_adc_topk", "subvectors",
+    "pq_codebook", "pq_encode", "pq_encode_kernel", "pq_adc_topk", "subvectors",
     "ivf_pq_index", "ann_knn_ivf_pq",
     "ivf_residuals", "ivf_pq_residual_index", "ann_knn_ivf_pq_residual",
 ]
@@ -195,6 +195,87 @@ def pq_encode(
             F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
         ).alias("codes")
     )
+
+
+def pq_encode_kernel(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    d_sub: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Arrow-batched BLAS twin of pq_encode — the index-BUILD scale path.
+    The fold plan explodes rows×m subvectors and shuffles them TWICE
+    (the struct-min agg, then the per-id codes regroup): at 100M rows ×
+    m=16 that is two ~1.6B-row shuffles of vector payloads. This kernel
+    collects the codebook (m·ks rows — tiny) into the task closure and
+    encodes each Arrow batch with m batched argmin GEMMs over the
+    (ks × d_sub) sub-codebooks: no explode, no shuffle, one narrow pass.
+
+    Tie-break matches the fold's (distance asc, code asc): np.argmin
+    returns the first minimum and codes are ordered ascending. Same
+    last-ulp caveat as ann.assign_ivf_kernel — the oracle-twinned
+    registry builds keep the fold.
+
+    ``centroids``: optional (list_id, cvec) coarse centroids. When given,
+    the input must carry a `list_id` column and the kernel encodes the
+    RESIDUAL vec − centroid[list_id] (the fused ivf_residuals ∘
+    pq_encode pass — the residual subtraction costs one gather instead
+    of a join). ``passthrough`` columns copy through unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    cb_rows = codebook.select("sub", "code", "cvec").collect()
+    cb = np.zeros((m, max(r["code"] for r in cb_rows) + 1, d_sub), dtype=np.float64)
+    for r in cb_rows:
+        cb[r["sub"], r["code"], :] = list(r["cvec"])
+    cb2 = (cb * cb).sum(axis=2)  # (m, ks)
+    cent_mat = None
+    if centroids is not None:
+        crows = sorted(centroids.select("list_id", "cvec").collect(),
+                       key=lambda r: r["list_id"])
+        # list_ids are dense 0..n-1 by construction (build_ivf_det row
+        # numbers); index the matrix directly by list_id
+        cent_mat = np.asarray([list(r["cvec"]) for r in crows], dtype=np.float64)
+
+    extra = list(passthrough)
+    need = [F.col(id_col).cast("long").alias("id"), vm.as_double(vec_col).alias("vec")]
+    if cent_mat is not None:
+        need.append(F.col("list_id").cast("int").alias("list_id"))
+        if "list_id" in extra:
+            extra.remove("list_id")
+    v = vectors.select(*need, *extra)
+    emit_list = cent_mat is not None
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray([list(x) for x in pdf["vec"]], dtype=np.float64)
+            if cent_mat is not None:
+                X = X - cent_mat[pdf["list_id"].to_numpy()]
+            S = X.reshape(len(X), m, d_sub)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                codes[:, s] = np.argmin(
+                    S[:, s, :] @ (-2.0 * cb[s].T) + cb2[s][None, :], axis=1
+                )
+            out = {"id": pdf["id"].to_numpy(), "codes": list(codes)}
+            if cent_mat is not None:
+                out["list_id"] = pdf["list_id"].to_numpy()
+            for c in extra:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
+
+    extra_schema = "".join(
+        f", {c} {vectors.schema[c].dataType.simpleString()}" for c in extra
+    )
+    lid = ", list_id int" if emit_list else ""
+    return v.mapInPandas(run, schema=f"id long, codes array<int>{lid}{extra_schema}")
 
 
 def _numpy_adc_scan_kernel(lut_rows: list, m: int, ks: int, emit_top: int):
@@ -430,6 +511,7 @@ def ivf_pq_index(
     *,
     id_col: str = "id",
     vec_col: str = "vec",
+    encode: str = "fold",
 ) -> DataFrame:
     """IVF × PQ — the full FAISS-style coarse-then-fine layout: each row
     keeps (id, list_id, codes). Written partitioned by list_id, a probe
@@ -438,7 +520,16 @@ def ivf_pq_index(
     Non-residual variant: codes quantize the RAW vector, not the
     residual vs the coarse centroid (residual PQ needs a per-(query,
     list) LUT; the shared-LUT form keeps ADC one broadcast — the
-    accuracy gap is re-ranked away downstream)."""
+    accuracy gap is re-ranked away downstream).
+
+    ``encode``: "fold" (default) = the oracle-exact expression encode;
+    "kernel" = pq_encode_kernel's one-pass BLAS encode carrying list_id
+    through (no id-join) — the scale path for 100M+ builds."""
+    if encode == "kernel":
+        return pq_encode_kernel(
+            assigned, codebook, m, d_sub,
+            id_col=id_col, vec_col=vec_col, passthrough=("list_id",),
+        ).select("id", "codes", F.col("list_id").cast("int").alias("list_id"))
     codes = pq_encode(assigned, codebook, m, d_sub, id_col=id_col, vec_col=vec_col)
     lists = assigned.select(F.col(id_col).cast("long").alias("id"), "list_id")
     return codes.join(lists, on="id")
@@ -604,13 +695,24 @@ def ivf_pq_residual_index(
     *,
     id_col: str = "id",
     vec_col: str = "vec",
+    encode: str = "fold",
 ) -> DataFrame:
     """TRUE FAISS IVF-PQ layout (Jégou et al. TPAMI 2011, §IV): codes
     quantize the RESIDUAL vs the assigned coarse centroid, not the raw
     vector — ivf_pq_index's documented accuracy gap closed. `codebook`
     must be trained on ivf_residuals (pq_codebook over rvec). Same
     (id, codes, list_id) schema as the non-residual index; only the
-    meaning of the codes differs."""
+    meaning of the codes differs.
+
+    ``encode``: "fold" (default) = oracle-exact expression encode over
+    the joined residuals; "kernel" = pq_encode_kernel's FUSED
+    residual-subtract + encode pass (centroid gather in the closure —
+    no join, no shuffle) — the 100M+ build path."""
+    if encode == "kernel":
+        return pq_encode_kernel(
+            assigned, codebook, m, d_sub,
+            id_col=id_col, vec_col=vec_col, centroids=centroids,
+        ).select("id", "codes", "list_id")
     res = ivf_residuals(assigned, centroids, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(res, codebook, m, d_sub, id_col="id", vec_col="rvec")
     return codes.join(res.select("id", "list_id"), "id")
