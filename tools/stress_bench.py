@@ -706,7 +706,14 @@ def main() -> int:
         # wiring before paying the 100M run (values land in cell names)
         n_c = int(os.environ.get("RECALL100M_N", "100000000"))
         lists_c = int(os.environ.get("RECALL100M_LISTS", "640"))
-        dim_c, n_clusters = 64, max(100, n_c // 10_000)
+        # ~100-member clusters, CONSTANT as n grows: cluster size is a
+        # property of the corpus (near-dup families, template variants),
+        # not of scale. The earlier n//10_000 draw grew clusters to 10k
+        # members at 100M, where every true 10-NN sits at sub-noise
+        # distance inside a 10k-way ADC tie and ANY code-based recall
+        # degenerates to rerank/cluster_size — a generator artifact, not
+        # an engine property.
+        dim_c, n_clusters = 64, max(100, n_c // 100)
         center = lambda cc, j: (  # noqa: E731
             F.pmod(F.xxhash64(cc * dim_c + j, F.lit(4099)), F.lit(1_000_003))
             / 1_000_003.0 - 0.5
@@ -801,59 +808,68 @@ def main() -> int:
         # cluster-mates and rerank recall degenerated to rerank/cluster_n.
         # 256 cells per 4-dim subspace put the cell size under the noise.
         mc, ksc, dsc = 16, 256, 4
-        if not os.path.isdir(cdir + "/cb"):
-            pqm100.pq_codebook(
-                ca.filter(F.col("id") % 1000 == 0).select(
-                    F.col("id").alias("vec_id"), F.col("vec").alias("embedding")),
-                m=mc, ks=ksc, dim=dim_c, iters=1,
-            ).write.mode("overwrite").parquet(cdir + "/cb")
-        ccb = spark.read.parquet(cdir + "/cb")
-        if not os.path.isdir(cdir + "/ivfpq"):
-            t0 = time.monotonic()
-            pqm100.ivf_pq_index(
-                ca, ccb, mc, dsc, id_col="id", vec_col="vec", encode="kernel"
-            ).write.mode("overwrite").partitionBy("list_id").parquet(cdir + "/ivfpq")
-            print(json.dumps({"cell": "recall100m_pq_encode_write",
-                              "sec": round(time.monotonic() - t0, 3)}), flush=True)
-        cpq = spark.read.parquet(cdir + "/ivfpq")
-        for rerank in (K, 10 * K, 100 * K):
-            ccell("recall100m_ivfpq_L%d_P8_rerank%d" % (lists_c, rerank),
-                  lambda rerank=rerank: pqm100.ann_knn_ivf_pq(
-                      cpq, cc, ccb, cprobes, k=K, n_probe=8,
-                      ks=ksc, d_sub=dsc, rerank=rerank,
-                      raw=ca.select("id", "vec")))
+        # the non-residual block pays a full-corpus encode; gate its
+        # setup on its own cells (plus RECALL100M_NONRES=0 as the CLI
+        # escape hatch — `only` substrings match against cell names, so
+        # a filter can't exclude one block while passing the outer gate)
+        # so runs of the residual layout (the layout of record) skip the
+        # ~15-min build they don't use
+        if want("recall100m_ivfpq_L") and os.environ.get(
+                "RECALL100M_NONRES", "1") == "1":
+            if not os.path.isdir(cdir + "/cb"):
+                pqm100.pq_codebook(
+                    ca.filter(F.col("id") % 1000 == 0).select(
+                        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")),
+                    m=mc, ks=ksc, dim=dim_c, iters=1,
+                ).write.mode("overwrite").parquet(cdir + "/cb")
+            ccb = spark.read.parquet(cdir + "/cb")
+            if not os.path.isdir(cdir + "/ivfpq"):
+                t0 = time.monotonic()
+                pqm100.ivf_pq_index(
+                    ca, ccb, mc, dsc, id_col="id", vec_col="vec", encode="kernel"
+                ).write.mode("overwrite").partitionBy("list_id").parquet(cdir + "/ivfpq")
+                print(json.dumps({"cell": "recall100m_pq_encode_write",
+                                  "sec": round(time.monotonic() - t0, 3)}), flush=True)
+            cpq = spark.read.parquet(cdir + "/ivfpq")
+            for rerank in (K, 10 * K, 100 * K):
+                ccell("recall100m_ivfpq_L%d_P8_rerank%d" % (lists_c, rerank),
+                      lambda rerank=rerank: pqm100.ann_knn_ivf_pq(
+                          cpq, cc, ccb, cprobes, k=K, n_probe=8,
+                          ks=ksc, d_sub=dsc, rerank=rerank,
+                          raw=ca.select("id", "vec")))
         # RESIDUAL IVF-PQ (the true FAISS layout): on clustered geometry
         # the non-residual codes collapse — every member of a cluster
         # quantizes to its center's codes, ADC ties, and rerank recall ≈
         # rerank / cluster_size (measured 0.19 @ rerank=100 in the 200k
         # wiring smoke). Residual codes quantize the ±noise AROUND the
         # coarse centroid, restoring within-list discrimination.
-        if not os.path.isdir(cdir + "/cb_res"):
-            pqm100.pq_codebook(
-                pqm100.ivf_residuals(
-                    ca.filter(F.col("id") % 1000 == 0), cc,
-                    id_col="id", vec_col="vec",
-                ).select(F.col("id").alias("vec_id"),
-                         F.col("rvec").alias("embedding")),
-                m=mc, ks=ksc, dim=dim_c, iters=1,
-            ).write.mode("overwrite").parquet(cdir + "/cb_res")
-        ccb_res = spark.read.parquet(cdir + "/cb_res")
-        if not os.path.isdir(cdir + "/ivfpq_res"):
-            t0 = time.monotonic()
-            pqm100.ivf_pq_residual_index(
-                ca, cc, ccb_res, mc, dsc, id_col="id", vec_col="vec",
-                encode="kernel",
-            ).write.mode("overwrite").partitionBy("list_id").parquet(
-                cdir + "/ivfpq_res")
-            print(json.dumps({"cell": "recall100m_pq_res_encode_write",
-                              "sec": round(time.monotonic() - t0, 3)}), flush=True)
-        cpq_res = spark.read.parquet(cdir + "/ivfpq_res")
-        for rerank in (K, 10 * K, 100 * K):
-            ccell("recall100m_ivfpq_res_L%d_P8_rerank%d" % (lists_c, rerank),
-                  lambda rerank=rerank: pqm100.ann_knn_ivf_pq_residual(
-                      cpq_res, cc, ccb_res, cprobes, k=K, n_probe=8,
-                      ks=ksc, d_sub=dsc, rerank=rerank,
-                      raw=ca.select("id", "vec")))
+        if want("recall100m_ivfpq_res"):
+            if not os.path.isdir(cdir + "/cb_res"):
+                pqm100.pq_codebook(
+                    pqm100.ivf_residuals(
+                        ca.filter(F.col("id") % 1000 == 0), cc,
+                        id_col="id", vec_col="vec",
+                    ).select(F.col("id").alias("vec_id"),
+                             F.col("rvec").alias("embedding")),
+                    m=mc, ks=ksc, dim=dim_c, iters=1,
+                ).write.mode("overwrite").parquet(cdir + "/cb_res")
+            ccb_res = spark.read.parquet(cdir + "/cb_res")
+            if not os.path.isdir(cdir + "/ivfpq_res"):
+                t0 = time.monotonic()
+                pqm100.ivf_pq_residual_index(
+                    ca, cc, ccb_res, mc, dsc, id_col="id", vec_col="vec",
+                    encode="kernel",
+                ).write.mode("overwrite").partitionBy("list_id").parquet(
+                    cdir + "/ivfpq_res")
+                print(json.dumps({"cell": "recall100m_pq_res_encode_write",
+                                  "sec": round(time.monotonic() - t0, 3)}), flush=True)
+            cpq_res = spark.read.parquet(cdir + "/ivfpq_res")
+            for rerank in (K, 10 * K, 100 * K):
+                ccell("recall100m_ivfpq_res_L%d_P8_rerank%d" % (lists_c, rerank),
+                      lambda rerank=rerank: pqm100.ann_knn_ivf_pq_residual(
+                          cpq_res, cc, ccb_res, cprobes, k=K, n_probe=8,
+                          ks=ksc, d_sub=dsc, rerank=rerank,
+                          raw=ca.select("id", "vec")))
 
     # Distributed exact ranking at 100M rows (VERDICT r5 #8): the r5
     # scale fix measured directly at a decade past its biggest indirect

@@ -527,7 +527,7 @@ def assign_ivf_kernel(
         for pdf in batches:
             if pdf.empty:
                 continue
-            X = np.asarray([list(x) for x in pdf["vec"]], dtype=np.float64)
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64, copy=False)
             idx = np.argmin(X @ Cn2T + c2[None, :], axis=1)
             out = {"id": pdf["id"].to_numpy(), "vec": pdf["vec"].values,
                    "list_id": list_ids[idx]}

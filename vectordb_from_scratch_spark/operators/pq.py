@@ -255,7 +255,7 @@ def pq_encode_kernel(
         for pdf in batches:
             if pdf.empty:
                 continue
-            X = np.asarray([list(x) for x in pdf["vec"]], dtype=np.float64)
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64, copy=False)
             if cent_mat is not None:
                 X = X - cent_mat[pdf["list_id"].to_numpy()]
             S = X.reshape(len(X), m, d_sub)
