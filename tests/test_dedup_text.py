@@ -661,3 +661,126 @@ def test_lsh_cap_report_quantifies_drops(spark):
     with pytest.raises(ValueError, match="positive"):
         lsh_cap_report(disjoint, max_bucket_size=0)
     release_caches()
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs (round 8): prefix-filtered asymmetric set-containment
+# ---------------------------------------------------------------------------
+
+
+def test_containment_asymmetric_quote(spark):
+    """A short doc quoted verbatim inside a long one: containment 1.0 in
+    the short→long direction, below threshold the other way — the case
+    symmetric Jaccard structurally misses."""
+    quote = "the five boxing wizards jump quickly tonight"
+    long_doc = (
+        "intro paragraph with many unrelated words here "
+        + quote
+        + " and a long tail of additional unrelated commentary "
+        "covering spark shuffles partitions codegen broadcast joins"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "entirely disjoint third document text")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}  # short ⊂ long only; Jaccard here is ~0.2
+
+
+def test_containment_prefix_filter_lossless(spark):
+    """The prefix filter must drop nothing: compare against the brute-force
+    all-pairs containment on a corpus with heavy shingle sharing."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(24):
+        words = base.split()
+        # rotate + vary suffix so docs share most but not all shingles
+        rot = words[i % 5 :] + words[: i % 5]
+        rows.append((i, " ".join(rot) + f" tail{i % 7} tail{i % 3}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fast = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.4).collect()
+    }
+
+    sh = docs.select(
+        "doc_id", F.array_distinct(X.word_shingles("text", 3)).alias("s")
+    ).filter(F.size("s") > 0)
+    brute = (
+        sh.alias("a")
+        .crossJoin(sh.alias("b"))
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.s", "b.s")).cast("double")
+                / F.size("a.s").cast("double")
+            ).alias("c"),
+        )
+        .filter(F.col("c") >= 0.4)
+        .collect()
+    )
+    want = {(r.id_a, r.id_b): round(r.c, 6) for r in brute}
+    assert fast == want
+    assert len(want) > 0  # the corpus actually exercises the join
+
+
+def test_containment_edge_cases(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny"), (3, "")],
+        "doc_id long, text string",
+    )
+    # no doc has a 3-word shingle → no pairs, no crash
+    assert dedup.containment_pairs(docs, threshold=0.5).collect() == []
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.containment_pairs(docs, threshold=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.containment_pairs(docs, threshold=1.5)
+
+
+# ---------------------------------------------------------------------------
+# collocations_pmi (round 8): PMI phrase mining
+# ---------------------------------------------------------------------------
+
+
+def test_collocations_pmi_known_values(spark):
+    """Hand-computed PMI on a fixed corpus: 'san francisco' always adjacent
+    → highest PMI; filler words co-occur with everything → low PMI."""
+    import math
+
+    rows = [
+        (1, "san francisco is a city and san francisco is foggy"),
+        (2, "the city of san francisco sits on a bay"),
+        (3, "a b a b a b a b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.collocations_pmi(docs, min_count=3, top=5).collect()
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    by_pair = {(r.w1, r.w2): r for r in out}
+    assert ("san", "francisco") in by_pair
+    sf = by_pair[("san", "francisco")]
+    # corpus: tokens 10 + 9 + 8 = 27; bigrams 9 + 8 + 7 = 24
+    # c(san francisco)=3, c(san)=3, c(francisco)=3
+    want = math.log((3 / 24) / ((3 / 27) * (3 / 27)))
+    assert sf.pair_count == 3
+    assert abs(sf.pmi - round(want, 6)) < 1e-9
+    with pytest.raises(ValueError, match="min_count"):
+        textops.collocations_pmi(docs, min_count=0)
+
+
+def test_collocations_pmi_ranking_deterministic(spark):
+    """Ties in PMI break on (w1, w2); rank is contiguous from 1."""
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "p q p q p q")],
+        "doc_id long, text string",
+    )
+    out = textops.collocations_pmi(docs, min_count=2, top=10).collect()
+    pairs = [(r.w1, r.w2) for r in out]
+    # (p,q) and (x,y) have identical structure → identical PMI → lexical order
+    assert pairs.index(("p", "q")) < pairs.index(("x", "y"))
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))

@@ -45,6 +45,7 @@ __all__ = [
     "semantic_dedup",
     "connected_components",
     "shared_ngram_stats",
+    "containment_pairs",
     "substring_overlap_pairs",
     "paragraph_dedup",
     "incremental_delivery_report",
@@ -919,6 +920,99 @@ def shared_ngram_stats(
                 6,
             ).alias("shared_frac"),
         )
+    )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric set-containment join: (id_a, id_b, containment) for every
+    ordered pair with containment = |S(a) ∩ S(b)| / |S(a)| ≥ threshold,
+    a ≠ b, where S(x) is x's distinct word-shingle set. Containment is the
+    quote/boilerplate/subset detector symmetric Jaccard structurally
+    misses: a short doc quoted verbatim inside a long one has Jaccard
+    ≈ |short|/|long| (arbitrarily small) but containment 1.0 — the
+    standard screen for "this training doc is a fragment of that one".
+    Not in the reference (no text surface, SURVEY §2.6).
+
+    Algorithm — prefix-filtered set-similarity join (the containment form
+    of AllPairs / PPJoin, Bayardo et al. WWW'07; Chaudhuri et al.
+    ICDE'06): order each doc's shingles globally by (document frequency,
+    shingle) — rarest first — and probe with only its first
+    floor((1-threshold)·|S(a)|)+1 shingles. LOSSLESS: if all p =
+    floor((1-t)|a|)+1 prefix shingles miss S(b), then |a ∩ b| ≤ |a| - p
+    < t·|a|, so the pair can't reach the threshold. The oracle is
+    therefore the brute-force all-pairs join — a value-exact match proves
+    the filter drops nothing.
+
+    Scale: the inverted-index side carries (shingle_digest, id) — 40-byte
+    rows, one per distinct doc-shingle. The probe side is prefix-sized:
+    at t = 0.5 half of each doc's shingles, at t = 0.9 a tenth. Candidate
+    fan-out per probe shingle equals its document frequency, and the
+    rarest-first ordering makes prefix shingles the LOW-df ones by
+    construction — the frequency-ordered prefix is the published fix for
+    the stopword-shingle blowup a random prefix would hit. Verification
+    joins shingle ARRAYS for candidate pairs only (array_intersect,
+    JVM-side); no all-pairs join exists anywhere in the plan. Docs with
+    zero shingles (< shingle_words tokens) can't be scored and are
+    excluded on both sides, matching the oracle.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    from pyspark.sql import Window
+
+    sh = _track(
+        spread(documents)
+        .select(
+            F.col(id_col),
+            F.array_distinct(X.word_shingles(text_col, shingle_words)).alias("s"),
+        )
+        .filter(F.size("s") > 0)
+    )
+    # (id, digest) — only 32-byte digests shuffle, never shingle text
+    ex = sh.select(
+        F.col(id_col), F.explode(F.transform("s", lambda x: F.md5(x))).alias("g")
+    )
+    docfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # rarest-first rank of each doc's shingles; prefix keeps rank ≤
+    # floor((1-t)·|S|)+1. Per-doc window — partitions are doc-sized.
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("g").asc())
+    probe = (
+        ex.join(docfreq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sh.select(F.col(id_col), F.size("s").alias("n")), id_col)
+        .filter(
+            F.col("rn")
+            <= F.floor((F.lit(1.0) - F.lit(threshold)) * F.col("n")) + F.lit(1)
+        )
+        .select(F.col(id_col).alias("id_a"), "g")
+    )
+    cands = (
+        probe.join(ex.select(F.col(id_col).alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = (
+        cands.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a")), "id_a"
+        )
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("s_a", "s_b")).cast("double")
+                / F.size("s_a").cast("double")
+            ).alias("__c"),
+        )
+    )
+    return scored.filter(F.col("__c") >= F.lit(threshold)).select(
+        "id_a", "id_b", F.round("__c", 6).alias("containment")
     )
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "vocabulary",
     "repetition_metrics",
     "bigram_logprob",
+    "collocations_pmi",
     "ppl_buckets",
     "bpe_merges",
     "bpe_encode",
@@ -730,6 +731,85 @@ def bigram_logprob(
     return lp.groupBy(id_col).agg(
         F.round(fold / F.count(F.lit(1)), 6).alias("bigram_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+def collocations_pmi(
+    documents: DataFrame,
+    min_count: int = 5,
+    top: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation / multiword-expression extraction by pointwise mutual
+    information over adjacent token bigrams — the phrase-mining pass of a
+    corpus-prep pipeline (Church & Hanks 1990; word2vec's phrase step
+    uses the same score): PMI(w1,w2) = ln( p(w1 w2) / (p(w1)·p(w2)) )
+    with p from corpus MLE counts. High-PMI bigrams ("san francisco",
+    "machine learning") are candidate vocabulary merges and quality
+    signals; not in the reference (no text surface, SURVEY §2.6).
+
+    Returns the `top` bigrams with pair_count ≥ min_count ranked by
+    (pmi desc, w1, w2): (w1, w2, pair_count, pmi, rank).
+
+    Scale: two vocabulary-sized aggregations (bigram counts, unigram
+    counts) from one corpus scan each; totals are 1-row aggregates
+    broadcast via crossJoin; the two count joins are vocabulary-keyed.
+    Top-k is orderBy+limit — Catalyst's TakeOrderedAndProject computes
+    per-partition heaps, never a global sort; the rank window runs on
+    the ≤`top`-row result. Determinism: both engines evaluate the same
+    IEEE expression tree on exact integer counts, and the (pmi, w1, w2)
+    tie-break pins the boundary.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    toks = documents.select(X.tokens(text_col).alias("__w"))
+    uni = toks.select(F.explode("__w").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    big = (
+        toks.filter(F.size("__w") >= 2)
+        .select(F.explode(X.shingles_from_tokens(F.col("__w"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    n_bi = big.agg(F.sum("pair_count").cast("double").alias("__nb"))
+    n_uni = uni.agg(F.sum("c").cast("double").alias("__nu"))
+    # tokens are whitespace-split, so the shingle join char can't occur
+    # inside one — the split below is unambiguous
+    parts = F.split("bg", " ")
+    scored = (
+        big.filter(F.col("pair_count") >= min_count)
+        .select(
+            parts[0].alias("w1"), parts[1].alias("w2"), "pair_count"
+        )
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("__ca")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("__cb")), "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.log(
+                (F.col("pair_count").cast("double") / F.col("__nb"))
+                / (
+                    (F.col("__ca").cast("double") / F.col("__nu"))
+                    * (F.col("__cb").cast("double") / F.col("__nu"))
+                )
+            ).alias("__pmi"),
+        )
+    )
+    topk = scored.orderBy(F.col("__pmi").desc(), "w1", "w2").limit(top)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("__pmi").desc(), "w1", "w2")
+    return topk.select(
+        "w1",
+        "w2",
+        "pair_count",
+        F.round("__pmi", 6).alias("pmi"),
+        F.row_number().over(w).cast("integer").alias("rank"),
     )
 
 

@@ -1468,6 +1468,33 @@ def _q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.15, ngram=5)
 
 
+@_register(
+    "dedup_containment",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct({_sql_shingles('toks')}) AS s FROM t),
+    nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    g AS (SELECT doc_id, unnest(s) AS gram FROM nz),
+    sz AS (SELECT doc_id, len(s) AS n FROM nz),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c::DOUBLE / sa.n::DOUBLE, 6) AS containment
+    FROM inter JOIN sz sa ON sa.doc_id = inter.id_a
+    WHERE c::DOUBLE / sa.n::DOUBLE >= 0.7
+    """,
+    doc="Asymmetric shingle-set containment join (prefix-filtered AllPairs/"
+    "PPJoin form, rarest-first ordering): the quote/boilerplate/subset "
+    "detector symmetric Jaccard misses. The filter is lossless, so the "
+    "brute-force oracle match PROVES it drops nothing.",
+)
+def _q_containment(spark, sf_dir):
+    return dedup.containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.7)
+
+
 _SQL_HASH16 = (
     "(instr('0123456789abcdef', substr(md5({tok}), 1, 1)) - 1) * 4096"
     " + (instr('0123456789abcdef', substr(md5({tok}), 2, 1)) - 1) * 256"
@@ -3507,6 +3534,43 @@ def _q_text_bpe_encode(spark, sf_dir):
 def _q_bigram_logprob(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return textops.bigram_logprob(d)
+
+
+@_register(
+    "text_collocations_pmi",
+    f"""
+    WITH t AS (SELECT {_TOK} AS w FROM documents),
+    b AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS pair_count FROM b GROUP BY 1, 2),
+    uc AS (SELECT unnest(w) AS tok FROM t),
+    ucc AS (SELECT tok, count(*) AS c FROM uc GROUP BY 1),
+    tot AS (SELECT (SELECT sum(pair_count) FROM bc)::DOUBLE AS nb,
+                   (SELECT sum(c) FROM ucc)::DOUBLE AS nu),
+    scored AS (
+      SELECT w1, w2, pair_count,
+             ln((pair_count::DOUBLE / nb)
+                / ((a.c::DOUBLE / nu) * (b2.c::DOUBLE / nu))) AS p
+      FROM bc CROSS JOIN tot
+      JOIN ucc a ON a.tok = w1
+      JOIN ucc b2 ON b2.tok = w2
+      WHERE pair_count >= 5
+    )
+    SELECT w1, w2, pair_count, round(p, 6) AS pmi, rank::INTEGER AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY p DESC, w1, w2) AS rank
+          FROM scored)
+    WHERE rank <= 20
+    """,
+    doc="Collocation mining by PMI over adjacent token bigrams (Church & "
+    "Hanks 1990): the phrase-extraction pass of corpus prep. Two "
+    "vocabulary-sized aggs + TakeOrderedAndProject top-k; value-exact",
+)
+def _q_collocations_pmi(spark, sf_dir):
+    return textops.collocations_pmi(
+        _t(spark, sf_dir, "documents"), min_count=5, top=20
+    )
 
 
 _PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
