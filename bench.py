@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     "pipeline_split_leakage_free",
     "dedup_incremental",
     "pipeline_split_cluster_safe",
+    # round 8: asymmetric containment join (quote/subset screen) and PMI
+    # collocation mining
+    "dedup_containment",
+    "text_collocations_pmi",
 ]
 
 # In-plan-build diagnostics (VERDICT r7 #8): these queries rebuild their

@@ -135,6 +135,12 @@ def main() -> int:
             "exact": bool(row["u"] == 2 * n and row["d"] == 2 * min(n, 50_000)),
         }))
 
+    if want("containment"):
+        containment_cell(n=n, runs=runs)
+
+    if want("exactdedup"):
+        exact_dedup_cell(n=n, runs=runs)
+
     if want("incremental"):
         incremental_cells(n_corpus=n, n_delivery=max(1000, n // 100), runs=runs)
 
@@ -186,6 +192,124 @@ def _family_tables(spark, n_corpus: int, n_delivery: int):
         .alias("text"),
     )
     return corpus, delivery
+
+
+def exact_dedup_cell(n: int, runs: int) -> None:
+    """Doc-level exact dedup decade series (round 8: the 1B-row cell).
+    N docs in K = N/10 ten-member families of identical normalized text
+    (case/whitespace variants within a family, so the normalizer does
+    real work). ONE digest shuffle with map-side partial aggregation —
+    the raw text never leaves the row; only (md5 hex, id) pairs move.
+    Analytic exactness: exactly K groups, every n_dups = 10,
+    sum(n_dups) = N, keep_id = min id of each family (asserted via
+    sum(keep_id) = sum over families of the family's first id)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.dedup import exact_dedup
+
+    spark = SparkSession.getActiveSession()
+    assert n % 10 == 0, "exact-dedup cell needs N divisible by 10"
+    k = n // 10
+    fam = (F.col("id") % k).cast("string")
+    body = F.concat(
+        F.lit("family document text payload "), fam,
+        F.lit(" carrying shared words alpha beta gamma delta "), fam,
+    )
+    # ids 0..k-1 get canonical case; later members add case + whitespace
+    # noise the normalizer must fold before hashing
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < k, body)
+        .when((F.col("id") % 3) == 0, F.upper(body))
+        .otherwise(F.concat(F.lit("  "), body, F.lit("   "))).alias("text"),
+    )
+    out = exact_dedup(docs)
+    t = _time(lambda: out.agg(F.count(F.lit(1))).collect(), runs)
+    row = out.agg(
+        F.count(F.lit(1)).alias("groups"),
+        F.sum("n_dups").alias("total"),
+        F.min("n_dups").alias("dmin"),
+        F.max("n_dups").alias("dmax"),
+        F.sum("keep_id").alias("keep_sum"),
+    ).collect()[0]
+    # family f's ids are {f, f+k, ..., f+9k} → min is f; sum of mins = k(k-1)/2
+    print(json.dumps({
+        "cell": "exact_dedup",
+        "n_docs": n,
+        "n_families": k,
+        "sec": t,
+        "groups": int(row["groups"]),
+        "exact": bool(
+            row["groups"] == k
+            and row["total"] == n
+            and row["dmin"] == 10
+            and row["dmax"] == 10
+            and row["keep_sum"] == k * (k - 1) // 2
+        ),
+    }))
+
+
+def containment_cell(n: int, runs: int) -> None:
+    """Round-8 cell for containment_pairs (prefix-filtered set-containment
+    join): N/2 'short' docs, each quoted VERBATIM inside its 'long' twin
+    (short text + 20-unique-token tail), and — the adversarial df-skew
+    shape — a universal 7-token boilerplate footer in EVERY doc, so the
+    hottest shingles have df = N. The rarest-first prefix ordering must
+    route every probe through the df≤2 doc-unique shingles and never
+    touch the universal ones; a naive (unordered) prefix would enumerate
+    ~N²/prefix² candidate pairs through the universal buckets.
+
+    Analytic exactness at threshold 0.9: the ONLY qualifying ordered
+    pairs are (short_i → long_i) at containment exactly 1.0 —
+    cross-doc sharing is the 5 universal shingles out of ≥13 (0.38),
+    and long→short is 13/33 (0.39). Expect exactly N/2 rows, min =
+    max = 1.0."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.dedup import containment_pairs
+
+    spark = SparkSession.getActiveSession()
+    assert n % 2 == 0, "containment cell needs an even N"
+    half = n // 2
+    sid = F.col("id").cast("string")
+    uniq = F.concat_ws(
+        " ",
+        *[F.concat(F.lit(w), sid) for w in
+          ("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")],
+    )
+    universal = F.lit("subscribe to our universal newsletter footer today")
+    tail = F.concat_ws(
+        " ", *[F.concat(F.lit(f"tail{j}_"), sid) for j in range(20)]
+    )
+    short = F.concat_ws(" ", uniq, universal)
+    docs = spark.range(half).select(
+        F.col("id").alias("doc_id"), short.alias("text")
+    ).unionAll(
+        spark.range(half).select(
+            (F.col("id") + half).alias("doc_id"),
+            F.concat_ws(" ", short, tail).alias("text"),
+        )
+    )
+    out = containment_pairs(docs, threshold=0.9)
+    t = _time(lambda: out.agg(F.count(F.lit(1))).collect(), runs)
+    row = out.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.min("containment").alias("cmin"),
+        F.max("containment").alias("cmax"),
+    ).collect()[0]
+    print(json.dumps({
+        "cell": "containment_pairs",
+        "n_docs": n,
+        "universal_footer_df": n,
+        "sec": t,
+        "pairs": int(row["pairs"]),
+        "expected_pairs": half,
+        "exact": bool(
+            row["pairs"] == half and row["cmin"] == 1.0 and row["cmax"] == 1.0
+        ),
+    }))
 
 
 def persisted_cell(n_corpus: int, n_delivery: int, runs: int) -> None:
