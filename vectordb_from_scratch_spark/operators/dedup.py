@@ -997,6 +997,16 @@ def containment_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # length filter (also lossless, PPJoin's second prune): containment
+    # ≥ t needs |a ∩ b| ≥ t·|a|, and |a ∩ b| ≤ |b| — so a candidate with
+    # |S(b)| < t·|S(a)| can't pass and never reaches the array join
+    sizes = sh.select(F.col(id_col), F.size("s").alias("__n"))
+    cands = (
+        cands.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")), "id_b")
+        .filter(F.col("__nb").cast("double") >= F.lit(threshold) * F.col("__na").cast("double"))
+        .select("id_a", "id_b")
+    )
     scored = (
         cands.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a")), "id_a"
