@@ -373,3 +373,27 @@ def test_incremental_report_broadcasts_delivery_side(documents):
     plan = _plan(incremental_delivery_report(documents, delivery))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # fp, bands, shingle joins
+
+
+def test_containment_pairs_plan_properties(documents):
+    """The containment join must shuffle digests (never shingle text or
+    full arrays) through the inverted-index stages, contain no cartesian
+    product, and prune candidates with the window's partial group-limit
+    before the per-doc rank exchange."""
+    plan = _plan(dedup.containment_pairs(documents, threshold=0.7))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the docfreq aggregation is partial (map-side combine on the digest)
+    assert "partial_count" in plan
+
+
+def test_collocations_pmi_totals_broadcast(documents):
+    """The two 1-row totals must reach the scored rows via broadcast —
+    a shuffled join here would repartition the vocabulary per total."""
+    from vectordb_from_scratch_spark.operators.textops import collocations_pmi
+
+    plan = _plan(collocations_pmi(documents, min_count=2, top=10))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+    # top-k is a heap (TakeOrderedAndProject), never a global sort
+    assert "TakeOrderedAndProject" in plan
