@@ -784,3 +784,39 @@ def test_collocations_pmi_ranking_deterministic(spark):
     # (p,q) and (x,y) have identical structure → identical PMI → lexical order
     assert pairs.index(("p", "q")) < pairs.index(("x", "y"))
     assert [r.rank for r in out] == list(range(1, len(out) + 1))
+
+
+# ---------------------------------------------------------------------------
+# char_entropy (round 8): compressibility quality screen
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, ""), (4, "abab"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textops.char_entropy(docs).collect()}
+    assert (got[1].n_chars, got[1].n_distinct) == (4, 1)
+    assert got[1].entropy == 0.0 and got[1].top_char_share == 1.0
+    assert got[2].entropy == round(math.log(2), 6)  # two equiprobable chars
+    assert got[2].top_char_share == 0.5
+    assert (got[3].n_chars, got[3].entropy, got[3].top_char_share) == (0, 0.0, 0.0)
+    assert got[4].entropy == round(math.log(2), 6)  # p(a)=p(b)=0.5
+    assert (got[5].n_chars, got[5].entropy) == (0, 0.0)  # null text → empty
+
+
+def test_char_entropy_flags_degenerate_docs(spark):
+    """A padding-dump doc scores far lower entropy than prose of the same
+    length — the screen the operator exists for."""
+    prose = "the quick brown fox jumps over the lazy dog repeatedly today"
+    junk = "x" * len(prose)
+    docs = spark.createDataFrame(
+        [(1, prose), (2, junk)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in textops.char_entropy(docs).collect()}
+    assert got[2].entropy == 0.0
+    assert got[1].entropy > 2.0
+    assert got[2].top_char_share == 1.0

@@ -30,6 +30,7 @@ __all__ = [
     "vocabulary",
     "repetition_metrics",
     "bigram_logprob",
+    "char_entropy",
     "collocations_pmi",
     "ppl_buckets",
     "bpe_merges",
@@ -731,6 +732,65 @@ def bigram_logprob(
     return lp.groupBy(id_col).agg(
         F.round(fold / F.count(F.lit(1)), 6).alias("bigram_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+def char_entropy(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level Shannon entropy per document — the compressibility
+    quality signal (RefinedWeb/MassiveText-family pipelines drop docs
+    whose character distribution is degenerate: binary junk, repeated
+    padding, gibberish key-dumps). Returns (id, n_chars, n_distinct,
+    entropy, top_char_share): H = -Σ pᵢ·ln(pᵢ) over the doc's character
+    distribution, plus the max single-character share (the Gopher-style
+    "one symbol dominates" screen).
+
+    Determinism (cross-engine): the entropy terms fold in CHARACTER-
+    SORTED order — Python's left-fold sum over sorted(counter) is the
+    same IEEE sequence as the oracle's list_reduce over list_sort — and
+    the final `+ 0.0` normalizes -0.0 (single-repeated-char docs) to
+    +0.0 identically in both engines. Exact-count divisions, libm ln.
+
+    Scale: Arrow-batched mapInPandas kernel — per-row O(len) counting,
+    narrow, SHUFFLE-FREE (the explode+groupBy alternative would shuffle
+    n_docs × doc_len single-character rows). Same kernel-vs-expression
+    contract as the minhash/winnowing kernels: the oracle SQL is the
+    executable spec, the kernel must match it value-exactly."""
+    import math
+    from collections import Counter
+
+    def run(batches):
+        import pandas as pd
+
+        def one(text):
+            if not text:
+                return (0, 0, 0.0, 0.0)
+            cnt = Counter(text)
+            n = len(text)
+            ent = -sum(
+                (k / n) * math.log(k / n) for _, k in sorted(cnt.items())
+            ) + 0.0
+            return (n, len(cnt), round(ent, 6), round(max(cnt.values()) / n, 6))
+
+        for pdf in batches:
+            stats = pdf[text_col].map(one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_chars": [s[0] for s in stats],
+                    "n_distinct": [s[1] for s in stats],
+                    "entropy": [s[2] for s in stats],
+                    "top_char_share": [s[3] for s in stats],
+                }
+            )
+
+    return documents.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, n_chars long, n_distinct long, "
+            "entropy double, top_char_share double"
+        ),
     )
 
 

@@ -3537,6 +3537,49 @@ def _q_bigram_logprob(spark, sf_dir):
 
 
 @_register(
+    "text_char_entropy",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(range(1, len(text) + 1), i -> text[i:i]) AS cs
+      FROM documents
+    ),
+    e AS (SELECT doc_id, unnest(cs) AS ch FROM c),
+    cnt AS (SELECT doc_id, ch, count(*) AS k FROM e GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, sum(k)::BIGINT AS n, count(*)::BIGINT AS nd,
+             max(k) AS kmax,
+             list(struct_pack(ch := ch, k := k)) AS lst
+      FROM cnt GROUP BY doc_id
+    ),
+    h AS (
+      SELECT doc_id, n, nd, kmax,
+             -list_reduce(
+                list_transform(
+                  list_sort(lst),
+                  s -> (s.k::DOUBLE / n::DOUBLE) * ln(s.k::DOUBLE / n::DOUBLE)
+                ),
+                (a, b) -> a + b
+              ) + 0.0 AS ent
+      FROM agg
+    )
+    SELECT d.doc_id,
+           coalesce(h.n, 0) AS n_chars,
+           coalesce(h.nd, 0) AS n_distinct,
+           round(coalesce(h.ent, 0.0), 6) AS entropy,
+           round(coalesce(h.kmax::DOUBLE / h.n::DOUBLE, 0.0), 6) AS top_char_share
+    FROM documents d LEFT JOIN h USING (doc_id)
+    """,
+    doc="Character-level Shannon entropy + top-char share per doc — the "
+    "compressibility/gibberish quality screen (RefinedWeb-family). "
+    "Shuffle-free Arrow kernel; entropy terms fold in char-sorted order "
+    "so the double is engine-portable; value-exact",
+)
+def _q_char_entropy(spark, sf_dir):
+    return textops.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "text_collocations_pmi",
     f"""
     WITH t AS (SELECT {_TOK} AS w FROM documents),
