@@ -754,3 +754,55 @@ def test_stats_kernels_survive_adversarial_payloads(spark):
     )
     rows = mm.jpeg_pixel_stats(df).collect()
     assert {r.doc_id for r in rows} == {1}  # bad payloads skipped, job alive
+
+
+# ---------------------------------------------------------------------------
+# resize_nearest + bmp_resize_stats (round 8): the normalize-to-grid stage
+# ---------------------------------------------------------------------------
+
+
+def test_resize_nearest_identity_and_mapping():
+    import numpy as np
+
+    src = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    # identity: same grid back, byte-for-byte
+    assert mm.resize_nearest(src.tobytes(), 4, 2, 3, 4, 2) == src.tobytes()
+    # 2x upscale: floor mapping replicates each source pixel into a 2x2 block
+    up = np.frombuffer(
+        mm.resize_nearest(src.tobytes(), 4, 2, 3, 8, 4), dtype=np.uint8
+    ).reshape(4, 8, 3)
+    for y in range(4):
+        for x in range(8):
+            assert (up[y, x] == src[y // 2, x // 2]).all()
+    # downscale 4->2 wide: picks src columns floor(0*4/2)=0, floor(1*4/2)=2
+    down = np.frombuffer(
+        mm.resize_nearest(src.tobytes(), 4, 2, 3, 2, 2), dtype=np.uint8
+    ).reshape(2, 2, 3)
+    assert (down[:, 0] == src[:, 0]).all() and (down[:, 1] == src[:, 2]).all()
+    with pytest.raises(ValueError, match="positive"):
+        mm.resize_nearest(src.tobytes(), 4, 2, 3, 0, 2)
+
+
+def test_bmp_resize_stats_exact_and_robust(spark):
+    """Resize stats match a hand-computed gather, and a malformed payload
+    drops its row without killing the task."""
+    import numpy as np
+
+    rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    good = mm.encode_bmp(rgb.tobytes(), 4, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"BM garbage"))],
+        "doc_id long, payload binary",
+    )
+    rows = mm.bmp_resize_stats(df, out_w=2, out_h=2).collect()
+    assert {r.doc_id for r in rows} == {1}
+    ry = (np.arange(2) * 3) // 2
+    rx = (np.arange(2) * 4) // 2
+    want = rgb[ry][:, rx]
+    by_ch = {r.channel: r for r in rows}
+    for ch in range(3):
+        plane = want[:, :, ch].astype(int)
+        r = by_ch[ch]
+        assert (r.width, r.height, r.n_pixels) == (2, 2, 4)
+        assert r.px_sum == plane.sum()
+        assert (r.px_min, r.px_max) == (plane.min(), plane.max())

@@ -63,6 +63,8 @@ __all__ = [
     "encode_bmp",
     "decode_bmp_pixels",
     "bmp_pixel_stats",
+    "resize_nearest",
+    "bmp_resize_stats",
     "encode_avi_mjpeg",
     "decode_avi_frames",
     "avi_frame_stats",
@@ -1395,6 +1397,79 @@ def bmp_pixel_stats(
                     s, n = int(plane.sum()), int(plane.size)
                     rows.append(
                         (int(doc_id), ch, dec["width"], dec["height"],
+                         s, int(plane.min()), int(plane.max()), n,
+                         round(s / n, 6))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "channel", "width", "height",
+                         "px_sum", "px_min", "px_max", "n_pixels", "px_mean"],
+            )
+
+    return payloads.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
+
+
+def resize_nearest(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    out_w: int,
+    out_h: int,
+) -> bytes:
+    """Nearest-neighbor resize of a raw interleaved raster — the resize
+    verb of a training-data image pipeline (batch-normalize every image
+    to the model's input grid before feature extraction). Floor mapping:
+    out pixel (y, x) reads src (y·H_in // H_out, x·W_in // W_out) — the
+    convention chosen because it is exactly reproducible in SQL integer
+    arithmetic, so the oracle can recompute every sampled pixel (a
+    center-sampling (x+0.5) convention would be equally valid; the
+    mapping is documented, deterministic, and tested, which is what
+    matters for pipeline reproducibility). Handles up- and down-scaling;
+    pure index gather, so like BMP decode it is lossless over the pixels
+    it keeps."""
+    import numpy as np
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize target must be positive")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    ry = (np.arange(out_h, dtype=np.int64) * height) // out_h
+    rx = (np.arange(out_w, dtype=np.int64) * width) // out_w
+    return arr[ry][:, rx].tobytes()
+
+
+def bmp_resize_stats(
+    payloads: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-channel pixel statistics AFTER nearest-neighbor resize to a
+    fixed (out_w, out_h) grid — decode → resize → aggregate, the
+    normalize-to-model-input stage. Same Arrow-batched shape and
+    malformed-payload contract (row dropped, never task death) as
+    bmp_pixel_stats; `width`/`height` in the output are the RESIZED
+    dims, so every row reports the same grid regardless of source
+    size."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = _decode_or_none(decode_bmp_pixels, payload)
+                if dec is None:
+                    continue
+                res = resize_nearest(
+                    dec["pixels"], dec["width"], dec["height"], 3, out_w, out_h
+                )
+                arr = np.frombuffer(res, dtype=np.uint8).reshape(out_h, out_w, 3)
+                for ch in range(3):
+                    plane = arr[:, :, ch].astype(np.int64)
+                    s, n = int(plane.sum()), int(plane.size)
+                    rows.append(
+                        (int(doc_id), ch, out_w, out_h,
                          s, int(plane.min()), int(plane.max()), n,
                          round(s / n, 6))
                     )

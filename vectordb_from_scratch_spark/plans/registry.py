@@ -7709,6 +7709,60 @@ def _q_multimodal_bmp_pixels(spark, sf_dir):
 
 
 @_register(
+    "multimodal_resize_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id, 3 + doc_id % 8 AS w, 2 + (doc_id * 5) % 6 AS h
+      FROM documents WHERE doc_id % 19 = 0
+    ),
+    px AS (
+      SELECT d.doc_id, ch.channel,
+             (d.doc_id * 13 + ((yy.y * d.h) // 6) * 7
+              + ((xx.x * d.w) // 8) * 3 + ch.channel * 101) % 256 AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, 5)) AS y) yy,
+           LATERAL (SELECT unnest(generate_series(0, 7)) AS x) xx,
+           LATERAL (SELECT unnest([0, 1, 2]) AS channel) ch
+    )
+    SELECT doc_id, CAST(channel AS INTEGER) AS channel,
+           8 AS width, 6 AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INTEGER) AS px_min,
+           CAST(max(v) AS INTEGER) AS px_max, count(*)::BIGINT AS n_pixels,
+           round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+    FROM px GROUP BY doc_id, channel
+    """,
+    doc="Image RESIZE to a fixed model-input grid (nearest-neighbor, "
+    "floor mapping) after real BMP decode — the normalize stage between "
+    "decode and feature extraction. Source sizes 3-10 × 2-7 resized to "
+    "8×6 exercise up- AND down-scaling; the oracle recomputes every "
+    "sampled source pixel in SQL integer arithmetic "
+    "(operators/multimodal.py:resize_nearest). Value-exact",
+)
+def _q_multimodal_resize(spark, sf_dir):
+    from ..operators.multimodal import bmp_resize_stats, encode_bmp
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 3 + i % 8, 2 + (i * 5) % 6
+                rgb = bytes(
+                    (i * 13 + y * 7 + x * 3 + ch * 101) % 256
+                    for y in range(h) for x in range(w) for ch in range(3)
+                )
+                payloads.append(encode_bmp(rgb, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return bmp_resize_stats(payloads, out_w=8, out_h=6)
+
+
+@_register(
     "pipeline_drift_chisq",
     """
     WITH base AS (
