@@ -806,3 +806,34 @@ def test_bmp_resize_stats_exact_and_robust(spark):
         assert (r.width, r.height, r.n_pixels) == (2, 2, 4)
         assert r.px_sum == plane.sum()
         assert (r.px_min, r.px_max) == (plane.min(), plane.max())
+
+
+def test_wav_zcr_known_values(spark):
+    """Hand-checkable crossings: alternating-sign PCM crosses every
+    transition (zcr 1.0); a constant-positive tone never crosses; a
+    truncated payload drops its row."""
+    alt = [(-1000 if f % 2 else 1000) for f in range(10)]
+    flat = [500] * 10
+    good_alt = mm.encode_wav(alt, 8000, 1, bits=16)
+    good_flat = mm.encode_wav(flat, 8000, 1, bits=16)
+    df = spark.createDataFrame(
+        [(1, bytearray(good_alt)), (2, bytearray(good_flat)),
+         (3, bytearray(good_alt[:10]))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in mm.wav_zcr_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_crossings == 9 and got[1].zcr == 1.0
+    assert got[2].n_crossings == 0 and got[2].zcr == 0.0
+
+
+def test_wav_zcr_zero_is_nonnegative_bucket(spark):
+    """The crossing predicate buckets 0 with positives: +5,0,-5 crosses
+    once (at 0 → -5), not twice."""
+    pcm = [5, 0, -5, -5]
+    df = spark.createDataFrame(
+        [(1, bytearray(mm.encode_wav(pcm, 8000, 1, bits=16)))],
+        "doc_id long, payload binary",
+    )
+    r = mm.wav_zcr_stats(df).collect()[0]
+    assert r.n_crossings == 1

@@ -51,6 +51,7 @@ __all__ = [
     "parse_wav_header",
     "decode_wav_samples",
     "wav_audio_stats",
+    "wav_zcr_stats",
     "encode_jpeg",
     "encode_jpeg_gray",
     "decode_jpeg_pixels",
@@ -1769,6 +1770,52 @@ def wav_audio_stats(
             )
 
     return payloads.mapInPandas(stats, schema=AUDIO_STATS_SCHEMA)
+
+
+def wav_zcr_stats(
+    payloads: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel zero-crossing rate from REAL WAV decode — the classic
+    lightweight audio feature (voiced/unvoiced and tone-vs-noise
+    discrimination; a silence/noise screen for audio training data,
+    complementing wav_audio_stats' amplitude profile). A crossing at
+    frame f is defined by the INTEGER predicate
+    (v_f >= 0) != (v_{f-1} >= 0) — sign buckets, no float epsilon — so
+    the oracle reproduces every crossing with a lag() comparison;
+    zcr = crossings / (n_frames - 1). Payloads with < 2 frames produce
+    no rows (no transition exists). Same Arrow-batched, shuffle-free,
+    malformed-payload-drops-row contract as the other decoders."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = _decode_or_none(decode_wav_samples, payload)
+                if dec is None or dec["n_frames"] < 2:
+                    continue
+                arr = dec["samples"].astype("int64")
+                for ch in range(dec["channels"]):
+                    nonneg = arr[:, ch] >= 0
+                    crossings = int((nonneg[1:] != nonneg[:-1]).sum())
+                    n = len(nonneg)
+                    rows.append(
+                        (int(doc_id), ch, n, crossings,
+                         round(crossings / (n - 1), 6))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "channel", "n_frames", "n_crossings", "zcr"],
+            )
+
+    return payloads.mapInPandas(
+        stats,
+        schema=(
+            f"{id_col} long, channel int, n_frames long, "
+            "n_crossings long, zcr double"
+        ),
+    )
 
 
 def fake_decode(payload: bytes) -> dict:

@@ -7453,6 +7453,69 @@ def _q_multimodal_wav_stats(spark, sf_dir):
 
 
 @_register(
+    "multimodal_wav_zcr",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS nch,
+             50 + doc_id % 37 AS nframes
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    amp AS (
+      SELECT d.doc_id, ch.chan, ff.f,
+             ((d.doc_id * 131 + ff.f * 17 + ch.chan * 59) % 65536) - 32768 AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.nch - 1)) AS chan) ch,
+           LATERAL (SELECT unnest(generate_series(0, d.nframes - 1)) AS f) ff
+    ),
+    lagged AS (
+      SELECT doc_id, chan, v,
+             lag(v) OVER (PARTITION BY doc_id, chan ORDER BY f) AS pv
+      FROM amp
+    )
+    SELECT doc_id, CAST(chan AS INTEGER) AS channel,
+           count(*)::BIGINT AS n_frames,
+           CAST(sum(CASE WHEN pv IS NOT NULL
+                         AND (v >= 0) != (pv >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_crossings,
+           round(sum(CASE WHEN pv IS NOT NULL
+                          AND (v >= 0) != (pv >= 0) THEN 1 ELSE 0 END)::DOUBLE
+                 / (count(*) - 1), 6) AS zcr
+    FROM lagged GROUP BY doc_id, chan
+    """,
+    doc="Zero-crossing rate from REAL WAV decode — the classic "
+    "voiced/unvoiced + tone-vs-noise audio feature as a silence/noise "
+    "screen; crossing = integer sign-bucket change, so the oracle "
+    "reproduces it with lag(); same synthesized mono+stereo PCM corpus "
+    "as multimodal_wav_stats (operators/multimodal.py:wav_zcr_stats). "
+    "Value-exact",
+)
+def _q_multimodal_wav_zcr(spark, sf_dir):
+    from ..operators.multimodal import encode_wav, wav_zcr_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nch, nframes = 1 + i % 2, 50 + i % 37
+                rate = [8000, 16000, 44100][i % 3]
+                samples = [
+                    ((i * 131 + f * 17 + ch * 59) % 65536) - 32768
+                    for f in range(nframes) for ch in range(nch)
+                ]
+                payloads.append(encode_wav(samples, rate, nch, bits=16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return wav_zcr_stats(payloads)
+
+
+@_register(
     "multimodal_jpeg_pixel_stats",
     """
     WITH docs AS (
