@@ -820,3 +820,25 @@ def test_char_entropy_flags_degenerate_docs(spark):
     assert got[2].entropy == 0.0
     assert got[1].entropy > 2.0
     assert got[2].top_char_share == 1.0
+
+
+def test_fragment_report_drops_excerpt_keeps_superset(spark):
+    """The quote is a fragment of the article; the article is not a
+    fragment of anything; equal-size exact copies keep the smaller id."""
+    quote = "the five boxing wizards jump quickly tonight again"
+    article = (
+        "opening words of a longer article " + quote +
+        " closing words with more unique commentary about engines"
+    )
+    docs = spark.createDataFrame(
+        [(1, article), (2, quote), (3, quote), (4, "unrelated standalone text body")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup.fragment_report(docs, threshold=0.9).collect()}
+    assert not got[1].is_fragment                           # superset survives
+    # doc 2: contained in the article (larger); its equal-size copy 3 has
+    # a LARGER id so it is not a container of 2 — 1 container
+    assert got[2].is_fragment and got[2].n_containers == 1
+    # doc 3: article + the equal-size smaller-id copy 2 — 2 containers
+    assert got[3].is_fragment and got[3].n_containers == 2
+    assert not got[4].is_fragment

@@ -46,6 +46,7 @@ __all__ = [
     "connected_components",
     "shared_ngram_stats",
     "containment_pairs",
+    "fragment_report",
     "substring_overlap_pairs",
     "paragraph_dedup",
     "incremental_delivery_report",
@@ -1023,6 +1024,69 @@ def containment_pairs(
     )
     return scored.filter(F.col("__c") >= F.lit(threshold)).select(
         "id_a", "id_b", F.round("__c", 6).alias("containment")
+    )
+
+
+def fragment_report(
+    documents: DataFrame,
+    threshold: float = 0.9,
+    shingle_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fragment screen — the cleanup containment_pairs exists for: a doc
+    is a FRAGMENT when some strictly-larger doc contains ≥ threshold of
+    its shingle set (a quote, an excerpt, a chopped crawl of the same
+    page); training pipelines drop the fragment and keep the superset.
+    Ties (equal shingle-set sizes, e.g. exact near-copies) break on id —
+    the smaller id survives — so the verdict is deterministic and never
+    drops BOTH sides of a mutual-containment pair... unless a strictly
+    larger container exists, in which case dropping is correct.
+
+    Returns one row per input doc: (id, n_containers, is_fragment) where
+    n_containers counts docs b with containment(a→b) ≥ threshold and
+    (|S(b)|, -b) > (|S(a)|, -a) lexicographically. Docs with no shingles
+    surface with n_containers = 0 (they can't be scored, same contract
+    as containment_pairs).
+
+    Scale: containment_pairs' prefix-filtered join bounds the pair set;
+    this adds one size join and an id-keyed count — nothing quadratic.
+    """
+    pairs = containment_pairs(
+        documents, threshold=threshold, shingle_words=shingle_words,
+        text_col=text_col, id_col=id_col,
+    )
+    sizes = documents.select(
+        F.col(id_col),
+        F.size(F.array_distinct(X.word_shingles(text_col, shingle_words))).alias(
+            "__n"
+        ),
+    )
+    qualifying = (
+        pairs.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .filter(
+            (F.col("__nb") > F.col("__na"))
+            | ((F.col("__nb") == F.col("__na")) & (F.col("id_b") < F.col("id_a")))
+        )
+    )
+    counts = qualifying.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("n_containers")
+    )
+    return (
+        documents.select(F.col(id_col))
+        .join(counts.withColumnRenamed("id_a", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_containers", F.lit(0).cast("long")).alias("n_containers"),
+            (F.coalesce("n_containers", F.lit(0)) > 0).alias("is_fragment"),
+        )
     )
 
 

@@ -1495,6 +1495,41 @@ def _q_containment(spark, sf_dir):
     return dedup.containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.7)
 
 
+@_register(
+    "dedup_fragments",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct({_sql_shingles('toks')}) AS s FROM t),
+    nz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+    g AS (SELECT doc_id, unnest(s) AS gram FROM nz),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT i.id_a
+      FROM inter i
+      JOIN nz sa ON sa.doc_id = i.id_a
+      JOIN nz sb ON sb.doc_id = i.id_b
+      WHERE i.c::DOUBLE / sa.n::DOUBLE >= 0.9
+        AND (sb.n > sa.n OR (sb.n = sa.n AND i.id_b < i.id_a))
+    ),
+    cnt AS (SELECT id_a, count(*) AS n_containers FROM q GROUP BY id_a)
+    SELECT d.doc_id,
+           coalesce(c.n_containers, 0) AS n_containers,
+           coalesce(c.n_containers, 0) > 0 AS is_fragment
+    FROM documents d LEFT JOIN cnt c ON c.id_a = d.doc_id
+    """,
+    doc="Fragment screen over the containment join: a doc is a fragment "
+    "when a strictly-larger doc (size-then-id tie-break) contains ≥0.9 "
+    "of its shingles — drop the excerpt, keep the superset. Brute-force "
+    "oracle; value-exact.",
+)
+def _q_fragments(spark, sf_dir):
+    return dedup.fragment_report(_t(spark, sf_dir, "documents"), threshold=0.9)
+
+
 _SQL_HASH16 = (
     "(instr('0123456789abcdef', substr(md5({tok}), 1, 1)) - 1) * 4096"
     " + (instr('0123456789abcdef', substr(md5({tok}), 2, 1)) - 1) * 256"
