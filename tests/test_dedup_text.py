@@ -842,3 +842,31 @@ def test_fragment_report_drops_excerpt_keeps_superset(spark):
     # doc 3: article + the equal-size smaller-id copy 2 — 2 containers
     assert got[3].is_fragment and got[3].n_containers == 2
     assert not got[4].is_fragment
+
+
+def test_containment_threshold_boundary_not_lost(spark):
+    """Adversarial boundary: containment EXACTLY at threshold 0.8 with
+    the missing shingles being doc a's RAREST (df=1) — under the tight
+    float prefix length floor((1-t)*n)+1 the prefix is exactly the
+    missing grams ((1-0.8)*10 rounds to 1.9999… → floor 1) and the pair
+    is silently lost; the +2 prefix keeps it. Verified against the
+    brute-force join."""
+    # doc 1: 12 tokens -> 10 distinct 3-shingles; tokens u1 u2 u3 unique
+    # to doc 1 make its first two shingles df=1 (the rarest)
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    a = "u1 u2 " + shared              # shingles: (u1 u2 alpha), (u2 alpha beta), + 8 shared
+    b = "prefixword " + shared + " suffixword"  # contains the 8 shared shingles of a
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    sh = docs.select(
+        "doc_id", F.array_distinct(X.word_shingles("text", 3)).alias("s")
+    )
+    rows = {r.doc_id: r.s for r in sh.collect()}
+    inter = len(set(rows[1]) & set(rows[2]))
+    assert (len(rows[1]), inter) == (10, 8)  # containment(1→2) = 0.8 exactly
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert got[(1, 2)] == 0.8

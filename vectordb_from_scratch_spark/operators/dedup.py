@@ -982,13 +982,21 @@ def containment_pairs(
     # rarest-first rank of each doc's shingles; prefix keeps rank ≤
     # floor((1-t)·|S|)+1. Per-doc window — partitions are doc-sized.
     w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("g").asc())
+    # prefix length must satisfy p > (1-t)·n for the losslessness proof.
+    # floor((1-t)·n)+1 is the tight value in exact arithmetic, but the
+    # DOUBLE product can round BELOW the true value when (1-t)·n is
+    # integral (t=0.8, n=10 → 1.9999…96 → floor 1), silently breaking the
+    # proof exactly at the threshold boundary. +2 instead of +1 absorbs
+    # the one-ulp floor risk (float absolute error << 1 for any real n)
+    # at the cost of one extra probe shingle per doc — still lossless,
+    # never lossy.
     probe = (
         ex.join(docfreq, "g")
         .withColumn("rn", F.row_number().over(w))
         .join(sh.select(F.col(id_col), F.size("s").alias("n")), id_col)
         .filter(
             F.col("rn")
-            <= F.floor((F.lit(1.0) - F.lit(threshold)) * F.col("n")) + F.lit(1)
+            <= F.floor((F.lit(1.0) - F.lit(threshold)) * F.col("n")) + F.lit(2)
         )
         .select(F.col(id_col).alias("id_a"), "g")
     )
@@ -1000,12 +1008,21 @@ def containment_pairs(
     )
     # length filter (also lossless, PPJoin's second prune): containment
     # ≥ t needs |a ∩ b| ≥ t·|a|, and |a ∩ b| ≤ |b| — so a candidate with
-    # |S(b)| < t·|S(a)| can't pass and never reaches the array join
+    # |S(b)|/|S(a)| < t can't pass. Expressed as the SAME double
+    # division-vs-threshold comparison the verifier uses (nb/na ≥ t):
+    # double division is monotone in the numerator, so nb ≥ inter ⇒
+    # nb/na ≥ inter/na, and any pair the verifier would pass survives
+    # the prune BY CONSTRUCTION — unlike `nb ≥ t·na`, whose product can
+    # round above the exact value and drop a boundary pair (t=0.8,
+    # na=10, nb=8: t·na → 8.000…02 > 8).
     sizes = sh.select(F.col(id_col), F.size("s").alias("__n"))
     cands = (
         cands.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")), "id_b")
-        .filter(F.col("__nb").cast("double") >= F.lit(threshold) * F.col("__na").cast("double"))
+        .filter(
+            F.col("__nb").cast("double") / F.col("__na").cast("double")
+            >= F.lit(threshold)
+        )
         .select("id_a", "id_b")
     )
     scored = (
