@@ -141,6 +141,12 @@ def main() -> int:
     if want("exactdedup"):
         exact_dedup_cell(n=n, runs=runs)
 
+    if want("entropy"):
+        entropy_cell(n=n, runs=runs)
+
+    if want("pmi"):
+        pmi_cell(n=n, runs=runs)
+
     if want("incremental"):
         incremental_cells(n_corpus=n, n_delivery=max(1000, n // 100), runs=runs)
 
@@ -246,6 +252,106 @@ def exact_dedup_cell(n: int, runs: int) -> None:
             and row["dmin"] == 10
             and row["dmax"] == 10
             and row["keep_sum"] == k * (k - 1) // 2
+        ),
+    }))
+
+
+def entropy_cell(n: int, runs: int) -> None:
+    """char_entropy decade cell: N docs cycling through 16 fixed template
+    strings (family = id % 16), so every output value is computable by
+    running the SAME fold math in driver Python — min/max/count of each
+    stat must match the 16 expected tuples exactly. Measures the Arrow
+    kernel's narrow-scan throughput (no shuffle in the plan)."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.textops import char_entropy
+
+    spark = SparkSession.getActiveSession()
+    templates = [
+        f"template {'x' * (1 + k % 5)} body words number {k} "
+        f"{'padding' * (k % 3)} tail segment {k * 17}"
+        for k in range(16)
+    ]
+
+    def expect(text):
+        cnt = Counter(text)
+        m = len(text)
+        ent = -sum((k / m) * math.log(k / m) for _, k in sorted(cnt.items())) + 0.0
+        return round(ent, 6)
+
+    exp_ents = sorted(expect(t) for t in templates)
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in templates]),
+            (F.col("id") % 16 + 1).cast("int"),
+        ).alias("text"),
+    )
+    out = char_entropy(docs)
+    t = _time(lambda: out.agg(F.count(F.lit(1))).collect(), runs)
+    got = (
+        out.groupBy("entropy").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("entropy").collect()
+    )
+    got_ents = sorted(r["entropy"] for r in got)
+    total = sum(r["c"] for r in got)
+    print(json.dumps({
+        "cell": "char_entropy",
+        "n_docs": n,
+        "sec": t,
+        "distinct_entropies": len(got),
+        "exact": bool(
+            total == n
+            and len(got_ents) == len(set(exp_ents))
+            and all(abs(a - b) < 1e-12 for a, b in zip(got_ents, sorted(set(exp_ents))))
+        ),
+    }))
+
+
+def pmi_cell(n: int, runs: int) -> None:
+    """collocations_pmi decade cell: N docs of a fixed 6-token template, so
+    unigram/bigram counts are N·(per-template counts) and every PMI value
+    has a closed form the cell asserts. Measures the two vocabulary-sized
+    aggregations + broadcast-totals join at corpus scale."""
+    import math
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.textops import collocations_pmi
+
+    spark = SparkSession.getActiveSession()
+    # per doc: tokens [a, b, a, b, c, d] → 6 tokens, 5 bigrams:
+    # (a,b)x2, (b,a)x1, (b,c)x1, (c,d)x1
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("a b a b c d").alias("text")
+    )
+    out = collocations_pmi(docs, min_count=5, top=10)
+    t = _time(lambda: out.agg(F.count(F.lit(1))).collect(), runs)
+    rows = {(r["w1"], r["w2"]): r for r in out.collect()}
+    nu, nb = 6.0 * n, 5.0 * n
+
+    def pmi(cab, ca, cb):
+        return round(math.log((cab / nb) / ((ca / nu) * (cb / nu))), 6)
+
+    want = {
+        ("a", "b"): pmi(2 * n, 2 * n, 2 * n),
+        ("b", "a"): pmi(1 * n, 2 * n, 2 * n),
+        ("b", "c"): pmi(1 * n, 2 * n, 1 * n),
+        ("c", "d"): pmi(1 * n, 1 * n, 1 * n),
+    }
+    print(json.dumps({
+        "cell": "collocations_pmi",
+        "n_docs": n,
+        "n_tokens": 6 * n,
+        "sec": t,
+        "exact": bool(
+            set(rows) == set(want)
+            and all(rows[k]["pmi"] == want[k] for k in want)
         ),
     }))
 
