@@ -878,7 +878,7 @@ def main() -> int:
     # score + 1 — exactness asserted over ALL 100M rows, no reference
     # window needed. The single-partition window variant is the shape it
     # replaces.
-    if any(want("rank%dm" % m) for m in (10, 100)):
+    if any(want(t) for t in ("rank10m", "rank100m", "rank1b")):
         import threading
 
         from pyspark.sql import Window as _W
@@ -901,7 +901,15 @@ def main() -> int:
                 t.cancel()
                 sc.setLocalProperty("spark.jobGroup.id", None)
 
-        for n_rank, tagm in ((10_000_000, "rank10m"), (100_000_000, "rank100m")):
+        # 1B (round 8): gcd(2654435761, 10^9) = 1 still (odd, ≡1 mod 5),
+        # so the analytic-rank assertion holds at the third decade; the
+        # single-partition window is expected to DNF at its 540 s cap —
+        # recording the DNF IS the measurement.
+        for n_rank, tagm in (
+            (10_000_000, "rank10m"),
+            (100_000_000, "rank100m"),
+            (1_000_000_000, "rank1b"),
+        ):
             if not want(tagm):
                 continue
             perm = (
