@@ -94,6 +94,8 @@ def test_dedup_empty_corpus(spark):
     assert dedup.exact_dedup(docs).count() == 0
     assert dedup.lsh_candidate_pairs(docs).count() == 0
     assert dedup.simhash_fingerprints(docs).count() == 0
+    assert dedup.containment_pairs(docs, threshold=0.7).count() == 0
+    assert dedup.fragment_report(docs).count() == 0
 
 
 def test_textops_empty_corpus(spark):
@@ -105,6 +107,8 @@ def test_textops_empty_corpus(spark):
     assert textops.bigram_logprob(docs).count() == 0
     assert textops.ppl_buckets(docs).count() == 0
     assert textops.pack_sequences(docs).count() == 0
+    assert textops.char_entropy(docs).count() == 0
+    assert textops.collocations_pmi(docs, min_count=1).count() == 0
 
 
 def test_graph_empty_edges(spark):
