@@ -912,17 +912,44 @@ def main() -> int:
         ):
             if not want(tagm):
                 continue
-            perm = (
-                spark.range(n_rank)
-                .select("id", F.pmod(F.col("id") * F.lit(2654435761),
-                                     F.lit(n_rank)).alias("score"))
-                .localCheckpoint()  # isolate generation from the ranking cost
-            )
+            big = n_rank > 100_000_000
+            perm = spark.range(n_rank).select(
+                "id", F.pmod(F.col("id") * F.lit(2654435761),
+                             F.lit(n_rank)).alias("score"))
+            if not big:
+                # isolate generation from the ranking cost
+                perm = perm.localCheckpoint()
+            if big:
+                # 1B disk budget (round 8, learned the hard way — the
+                # two-pass 10M/100M protocol ran this box out of disk at
+                # 1B: checkpoint ~25 GB + two retained ranking shuffles
+                # ~35 GB each > the ~80 GB free): ONE pass that both
+                # materializes every rank and folds the analytic
+                # comparison into the same job; generation stays in-plan
+                # (cheap expressions), and the single-partition window
+                # DNF is already established at 100M (129.8 s and 5×;
+                # its 1B sort spill alone would re-exhaust the disk).
+                def one_pass(perm=perm):
+                    bad = (
+                        rank_ops.with_global_rank(
+                            perm, [F.col("score").asc()], "r",
+                            num_partitions=256)
+                        .filter(F.col("r") != F.col("score") + 1)
+                        .count()
+                    )
+                    assert bad == 0, f"{bad} rank mismatches at {tagm}"
+                    results[tagm + "_exact_mismatches"] = bad
+                cell(tagm + "_distributed_with_exactness", one_pass)
+                print(json.dumps({
+                    "cell": tagm + "_exact_mismatches",
+                    "n": results.get(tagm + "_exact_mismatches"),
+                }), flush=True)
+                continue
             cell(tagm + "_distributed",
                  lambda perm=perm: sink(rank_ops.with_global_rank(
                      perm, [F.col("score").asc()], "r", num_partitions=64)))
             # score = (id * 2654435761) mod n is a modular permutation
-            # (gcd = 1 with 10^7/10^8), so the TRUE rank is score + 1 —
+            # (gcd = 1 with 10^7/10^8/10^9), so the TRUE rank is score+1 —
             # exactness asserted over every row, no reference window needed
             bad = (
                 rank_ops.with_global_rank(perm, [F.col("score").asc()], "r",
