@@ -179,7 +179,14 @@ def dsir_logweights(
         F.col("__is_t"),
         F.explode(shingles_from_tokens(tokens(text_col), 2)).alias("g"),
     )
-    doc_bucket = (
+    from .cache import track as _track
+
+    # persisted: BOTH the per-bucket distribution agg and the final
+    # weight join consume this table, and Spark plans are trees — without
+    # the cache the expensive stage (bigram explode + per-gram md5 over
+    # the whole corpus) runs twice. doc_bucket itself is small: ≤
+    # n_buckets rows per doc, ids + three ints.
+    doc_bucket = _track(
         grams.select(
             id_col, "__is_t", md5_bucket(F.col("g"), n_buckets, salt=salt).alias("bucket")
         )
