@@ -1196,6 +1196,10 @@ def substring_overlap_pairs(
             .select("gh")
         )
         grams = grams.join(keep, "gh")
+    # persisted: the self-join consumes grams on BOTH sides, and Spark
+    # plans are trees — unpersisted, the posexplode + per-gram md5 runs
+    # twice over the corpus. Digest-sized rows (doc, pos, 32-byte hex).
+    grams = _track(grams)
     a = grams.alias("a")
     b = grams.alias("b")
     dots = (
