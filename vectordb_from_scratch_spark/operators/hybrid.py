@@ -64,6 +64,15 @@ def lexical_topk(
     idf = F.log(
         (F.col("__n") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)).cast("double")
     )
+    # NOT persisted — A/B'd (r8): caching inv+norms LOST at sf0.1 (rrf
+    # 3.43 vs 2.75 s, weighted 3.28 vs 2.30): the index re-derives from
+    # a 2-agg tree cheap enough that materializing ~1M rows through the
+    # block manager costs more than the recompute, and the persist
+    # barrier stops Catalyst pruning each consumer's branch (the probe
+    # projection otherwise pushes its semi-join into the tf agg).
+    # Contrast dsir/substring_overlap, where the shared stage carries a
+    # per-gram md5 and the persist WON — the rule is "persist when the
+    # shared subtree is hash-heavy, not when it's pure aggregation".
     inv = (
         tf.join(F.broadcast(df_tbl), "term")
         .crossJoin(F.broadcast(nd))
