@@ -141,6 +141,9 @@ def main() -> int:
     if want("exactdedup"):
         exact_dedup_cell(n=n, runs=runs)
 
+    if want("decontam"):
+        decontam_cell(n=n, runs=runs)
+
     if want("entropy"):
         entropy_cell(n=n, runs=runs)
 
@@ -252,6 +255,58 @@ def exact_dedup_cell(n: int, runs: int) -> None:
             and row["dmin"] == 10
             and row["dmax"] == 10
             and row["keep_sum"] == k * (k - 1) // 2
+        ),
+    }))
+
+
+def decontam_cell(n: int, runs: int) -> None:
+    """decontamination_report decade cell — the "no corpus shuffle at all"
+    claim measured: the eval side's distinct 4-gram digests broadcast and
+    the N-doc train side is one map-side semi-join scan. Corpus: every
+    doc carries 5 doc-unique tokens (its 4-grams collide with nothing);
+    docs with id%10==0 append one fixed 4-token phrase whose single
+    internal 4-gram is the only cross-doc gram. With the operator's
+    id%97 eval split, the contaminated train set is exactly
+    {i : i%10==0, i%97!=0} with n_shared_grams=1 and n_eval_docs =
+    |{i%970==0}| — all asserted."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.dedup import decontamination_report
+
+    spark = SparkSession.getActiveSession()
+    sid = F.col("id").cast("string")
+    uniq = F.concat_ws(
+        " ", *[F.concat(F.lit(f"w{j}tok"), sid) for j in range(5)]
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10 == 0,
+            F.concat(uniq, F.lit(" common contaminated phrase here")),
+        ).otherwise(uniq).alias("text"),
+    )
+    out = decontamination_report(docs, n=4, eval_mod=97)
+    t = _time(lambda: out.agg(F.count(F.lit(1))).collect(), runs)
+    row = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.min("n_shared_grams").alias("gmin"),
+        F.max("n_shared_grams").alias("gmax"),
+        F.min("n_eval_docs").alias("emin"),
+        F.max("n_eval_docs").alias("emax"),
+    ).collect()[0]
+    expected_rows = sum(1 for i in range(0, n, 10) if i % 97 != 0)
+    expected_eval = len(range(0, n, 970))
+    print(json.dumps({
+        "cell": "decontaminate",
+        "n_train_docs": n - (n + 96) // 97,
+        "n_eval_docs": (n + 96) // 97,
+        "sec": t,
+        "contaminated": int(row["rows"]),
+        "exact": bool(
+            row["rows"] == expected_rows
+            and row["gmin"] == row["gmax"] == 1
+            and row["emin"] == row["emax"] == expected_eval
         ),
     }))
 
