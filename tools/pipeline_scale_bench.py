@@ -262,13 +262,20 @@ def exact_dedup_cell(n: int, runs: int) -> None:
 def decontam_cell(n: int, runs: int) -> None:
     """decontamination_report decade cell — the "no corpus shuffle at all"
     claim measured: the eval side's distinct 4-gram digests broadcast and
-    the N-doc train side is one map-side semi-join scan. Corpus: every
+    the N-doc train side is one map-side hash-join scan. Corpus: every
     doc carries 5 doc-unique tokens (its 4-grams collide with nothing);
-    docs with id%10==0 append one fixed 4-token phrase whose single
-    internal 4-gram is the only cross-doc gram. With the operator's
-    id%97 eval split, the contaminated train set is exactly
-    {i : i%10==0, i%97!=0} with n_shared_grams=1 and n_eval_docs =
-    |{i%970==0}| — all asserted."""
+    docs with id%10==0 append one 4-token phrase KEYED BY BLOCK
+    (g = id//970), so each planted gram is shared by ~97 train docs and
+    exactly ONE eval doc (id = 970g is always id%97==0). Contaminated
+    train set is exactly {i : i%10==0, i%97!=0}, n_shared_grams = 1,
+    n_eval_docs = 1 — all asserted.
+
+    Corpus-design lesson (found the hard way at 100M): the first attempt
+    used one UNIVERSAL phrase, making a single gram hot on both sides —
+    the per-eval-doc attribution join fans out df_eval(g) × df_train(g)
+    rows per gram, and 103k eval docs × 10M train docs built a ~10^12-row
+    join. The hazard is documented on the operator; real benchmarks are
+    the small-df shape this cell now models."""
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -279,11 +286,12 @@ def decontam_cell(n: int, runs: int) -> None:
     uniq = F.concat_ws(
         " ", *[F.concat(F.lit(f"w{j}tok"), sid) for j in range(5)]
     )
+    blk = (F.col("id") / 970).cast("long").cast("string")
     docs = spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.when(
             F.col("id") % 10 == 0,
-            F.concat(uniq, F.lit(" common contaminated phrase here")),
+            F.concat(uniq, F.lit(" common contaminated phrase b"), blk),
         ).otherwise(uniq).alias("text"),
     )
     out = decontamination_report(docs, n=4, eval_mod=97)
@@ -296,7 +304,7 @@ def decontam_cell(n: int, runs: int) -> None:
         F.max("n_eval_docs").alias("emax"),
     ).collect()[0]
     expected_rows = sum(1 for i in range(0, n, 10) if i % 97 != 0)
-    expected_eval = len(range(0, n, 970))
+    expected_eval = 1  # each block's phrase lives in exactly one eval doc
     print(json.dumps({
         "cell": "decontaminate",
         "n_train_docs": n - (n + 96) // 97,

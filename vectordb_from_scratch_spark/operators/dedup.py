@@ -1127,6 +1127,16 @@ def decontamination_report(
     its distinct gram digests BROADCAST, so the 100-TB train side is a
     single map-side hash-join scan: no shuffle of the corpus at all. The
     rollup aggregates only the hit rows, keyed by doc id.
+
+    Hot-gram hazard (measured, r8): because the join keeps (eval_id,
+    gram) rows for the exact n_eval_docs attribution, a gram hot on BOTH
+    sides fans out df_eval(g) × df_train(g) rows — one gram shared by
+    103k eval docs and 10M train docs built a ~10^12-row join in the
+    100M-doc scale cell before its corpus was fixed. Real benchmarks are
+    small-df, but an adversarial eval set (boilerplate inside the
+    benchmark) wants a df_eval cap or stopword-gram filter before the
+    join; flagging a doc as contaminated (without per-eval-doc counts)
+    needs only the distinct-gram broadcast and never fans out.
     """
     ev = documents.filter((F.col(id_col) % eval_mod) == 0)
     tr = documents.filter((F.col(id_col) % eval_mod) != 0)
