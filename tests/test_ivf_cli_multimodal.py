@@ -105,3 +105,24 @@ def test_multimodal_frame_sampling_one_to_many(documents):
 def test_decode_stub_is_explicit():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_stub(b"\xff\xd8\xff")
+
+
+def test_cli_fragments_verb(spark, tmp_path, capsys):
+    """`fragments` drops the quoted excerpt and keeps the superset +
+    unrelated docs, writing a parquet the next stage can read."""
+    quote = "the five boxing wizards jump quickly tonight again"
+    article = (
+        "opening words of a longer article " + quote +
+        " closing words with more unique commentary about engines"
+    )
+    src = str(tmp_path / "frag_src")
+    dest = str(tmp_path / "frag_out")
+    spark.createDataFrame(
+        [(1, article), (2, quote), (3, "unrelated standalone body of text")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    assert cli_run(["fragments", src, dest, "--threshold", "0.9"], spark) == 0
+    out = capsys.readouterr().out
+    assert "kept 2 of 3 rows (1 fragments dropped)" in out
+    kept = {r.doc_id for r in spark.read.parquet(dest).collect()}
+    assert kept == {1, 3}

@@ -93,7 +93,7 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
     ap.add_argument(
         "--data-dir",
         help="store directory (parquet snapshot); required for the store "
-        "commands, unused by the corpus commands (ingest-jsonl, dedup)",
+        "commands, unused by the corpus commands (ingest-jsonl, dedup, fragments)",
     )
     ap.add_argument("--metric", default="euclidean", choices=["euclidean", "cosine", "dot"])
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -136,6 +136,18 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
     p_dd.add_argument("--id-col", default="doc_id")
     p_dd.add_argument("--text-col", default="text")
 
+    p_fr = sub.add_parser(
+        "fragments",
+        help="drop fragment docs: shingle set >= --threshold contained in "
+        "a strictly-larger doc (keep the superset; equal copies keep the "
+        "smaller id)",
+    )
+    p_fr.add_argument("src")
+    p_fr.add_argument("dest")
+    p_fr.add_argument("--threshold", type=float, default=0.9)
+    p_fr.add_argument("--id-col", default="doc_id")
+    p_fr.add_argument("--text-col", default="text")
+
     p_serve = sub.add_parser(
         "serve", help="HTTP API server (reference src/main.rs serve command)"
     )
@@ -150,7 +162,7 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
     )
 
     args = ap.parse_args(argv)
-    if args.cmd not in ("ingest-jsonl", "dedup") and not args.data_dir:
+    if args.cmd not in ("ingest-jsonl", "dedup", "fragments") and not args.data_dir:
         ap.error(f"--data-dir is required for the {args.cmd!r} command")
     own_session = spark is None
     spark = spark or _session()
@@ -176,6 +188,23 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
             out.write.mode("overwrite").parquet(args.dest)
             n_out = spark.read.parquet(args.dest).count()
             print(f"kept {n_out} of {n_in} rows ({n_in - n_out} duplicates dropped)")
+            return 0
+        if args.cmd == "fragments":
+            from pyspark.sql import functions as F
+
+            from .operators.dedup import fragment_report
+
+            docs = spark.read.parquet(args.src)
+            n_in = docs.count()
+            keep_ids = fragment_report(
+                docs, threshold=args.threshold,
+                text_col=args.text_col, id_col=args.id_col,
+            ).filter(~F.col("is_fragment")).select(args.id_col)
+            out = docs.join(keep_ids, args.id_col, "left_semi")
+            out.write.mode("overwrite").parquet(args.dest)
+            n_out = spark.read.parquet(args.dest).count()
+            print(f"kept {n_out} of {n_in} rows "
+                  f"({n_in - n_out} fragments dropped)")
             return 0
         if args.cmd == "serve":
             from .server import serve
