@@ -870,3 +870,21 @@ def test_containment_threshold_boundary_not_lost(spark):
         for r in dedup.containment_pairs(docs, threshold=0.8).collect()
     }
     assert got[(1, 2)] == 0.8
+
+
+def test_novelty_stats_first_occurrence_semantics(spark):
+    """Doc 1 owns every gram it shares with its later copy; the copy's
+    novelty is 0; a disjoint doc is fully novel; sum of n_novel equals
+    the corpus's distinct gram count."""
+    a = "alpha beta gamma delta epsilon zeta"          # 3 distinct 4-grams
+    c = "one two three four five six seven"            # 4 distinct 4-grams
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, c), (4, "too short")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup.novelty_stats(docs, n=4).collect()}
+    assert (got[1].n_grams, got[1].n_novel, got[1].novelty_frac) == (3, 3, 1.0)
+    assert (got[2].n_grams, got[2].n_novel, got[2].novelty_frac) == (3, 0, 0.0)
+    assert (got[3].n_grams, got[3].n_novel) == (4, 4)
+    assert (got[4].n_grams, got[4].novelty_frac) == (0, 0.0)
+    assert sum(r.n_novel for r in got.values()) == 7  # each gram owned once

@@ -45,6 +45,7 @@ __all__ = [
     "semantic_dedup",
     "connected_components",
     "shared_ngram_stats",
+    "novelty_stats",
     "containment_pairs",
     "fragment_report",
     "substring_overlap_pairs",
@@ -920,6 +921,60 @@ def shared_ngram_stats(
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("shared_frac"),
+        )
+    )
+
+
+def novelty_stats(
+    documents: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: how many of a doc's distinct word
+    n-grams appear here FIRST (no doc with a smaller id contains them) —
+    the order-sensitive complement of shared_ngram_stats' symmetric
+    overlap. Σ n_novel over the corpus counts each distinct gram exactly
+    once, so novelty is the per-doc share of the corpus's deduplicated
+    gram mass — the "what does this doc actually add" curation signal
+    (the deduplicated-token accounting of Lee et al., ACL 2022, turned
+    into a per-doc score for ordering/pruning ingestion).
+
+    Returns (id, n_grams, n_novel, novelty_frac) for every input doc;
+    docs with no n-gram surface n_grams = 0, novelty_frac = 0.0.
+
+    Scale: one digest shuffle to find each gram's first-occurrence doc
+    (min-agg with map-side combine — unlike exact-dedup's interleaved
+    families, gram owners concentrate, so partial agg bites), one join
+    of (gram, first_doc) back to the doc's gram list, one id-keyed
+    rollup. Only 32-byte digests move; never quadratic.
+    """
+    grams = _distinct_gram_hashes(documents, n, text_col, id_col)
+    first = grams.groupBy("gram_hash").agg(F.min(id_col).alias("__first"))
+    per_doc = (
+        grams.join(first, "gram_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("__first") == F.col(id_col), F.lit(1))).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        documents.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("novelty_frac"),
         )
     )
 

@@ -3162,6 +3162,35 @@ _SH4 = _sql_shingles("w", 4)
 
 
 @_register(
+    "text_ngram_novelty",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct({_SH4})) AS gram FROM t),
+    f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+    pd AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM g JOIN f USING (gram) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+           coalesce(pd.n_novel, 0)::BIGINT AS n_novel,
+           round(CASE WHEN coalesce(pd.n_grams, 0) > 0
+                 THEN pd.n_novel::DOUBLE / pd.n_grams::DOUBLE
+                 ELSE 0.0 END, 6) AS novelty_frac
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+    doc="Per-doc n-gram novelty: fraction of a doc's distinct 4-grams "
+    "whose FIRST corpus occurrence (min doc id) is this doc — the "
+    "per-doc share of deduplicated gram mass (what the doc actually "
+    "adds), the order-sensitive complement of text_shared_ngrams. One "
+    "digest min-agg + one join-back; value-exact",
+)
+def _q_ngram_novelty(spark, sf_dir):
+    return dedup.novelty_stats(_t(spark, sf_dir, "documents"), n=4)
+
+
+@_register(
     "text_repetition_stats",
     f"""
     WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
