@@ -144,6 +144,9 @@ def main() -> int:
     if want("decontam"):
         decontam_cell(n=n, runs=runs)
 
+    if want("novelty"):
+        novelty_cell(n=n, runs=runs)
+
     if want("entropy"):
         entropy_cell(n=n, runs=runs)
 
@@ -256,6 +259,48 @@ def exact_dedup_cell(n: int, runs: int) -> None:
             and row["dmax"] == 10
             and row["keep_sum"] == k * (k - 1) // 2
         ),
+    }))
+
+
+def novelty_cell(n: int, runs: int) -> None:
+    """novelty_stats decade cell, on the exact-dedup family corpus shape
+    (N docs, N/10 ten-member families; 13-token family text = 10 distinct
+    4-grams: 5 family-keyed + 5 corpus-universal). Closed-form ownership:
+    doc 0 owns all 10 of its grams (incl. the universal five), docs
+    1..k-1 own their 5 family grams, later family members own nothing —
+    asserted as the exact histogram {10: 1, 5: k-1, 0: n-k}."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.dedup import novelty_stats
+
+    spark = SparkSession.getActiveSession()
+    assert n % 10 == 0
+    k = n // 10
+    fam = (F.col("id") % k).cast("string")
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("family document text payload "), fam,
+            F.lit(" carrying shared words alpha beta gamma delta "), fam,
+        ).alias("text"),
+    )
+    out = novelty_stats(docs, n=4)
+    # time the n_novel histogram, not a bare count — a count-only sink
+    # lets Catalyst prune the novelty columns out of the rollup
+    t = _time(
+        lambda: out.groupBy("n_novel").agg(F.count(F.lit(1))).collect(), runs
+    )
+    hist = {
+        int(r["n_novel"]): int(r["c"])
+        for r in out.groupBy("n_novel").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    print(json.dumps({
+        "cell": "ngram_novelty",
+        "n_docs": n,
+        "n_gram_rows": 10 * n,
+        "sec": t,
+        "exact": bool(hist == {10: 1, 5: k - 1, 0: n - k}),
     }))
 
 
