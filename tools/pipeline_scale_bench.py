@@ -681,4 +681,20 @@ def incremental_cells(n_corpus: int, n_delivery: int, runs: int) -> None:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    # Sentinel protocol (VERDICT r8 #2): the r8 novelty 100M run died at
+    # 94% disk but its exit code was read THROUGH `| tail`, which masked
+    # the failure as 0. Exit codes piped through anything are unreliable;
+    # the harness now emits an explicit final JSON line on BOTH paths, so
+    # any log missing {"harness": "complete"} is a dead run, whatever the
+    # pipeline claimed. (Invokers should also prefer `> file` + reading
+    # the file over piping stdout.)
+    try:
+        rc = main()
+    except BaseException as e:  # noqa: BLE001 — include KeyboardInterrupt/SystemExit
+        print(json.dumps({
+            "harness": "FAILED",
+            "err": f"{type(e).__name__}: {e}",
+        }), flush=True)
+        raise
+    print(json.dumps({"harness": "complete"}), flush=True)
+    raise SystemExit(rc)

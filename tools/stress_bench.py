@@ -940,10 +940,20 @@ def main() -> int:
                     assert bad == 0, f"{bad} rank mismatches at {tagm}"
                     results[tagm + "_exact_mismatches"] = bad
                 cell(tagm + "_distributed_with_exactness", one_pass)
-                print(json.dumps({
-                    "cell": tagm + "_exact_mismatches",
-                    "n": results.get(tagm + "_exact_mismatches"),
-                }), flush=True)
+                # (ADVICE r8) the mismatch key only exists when one_pass's
+                # assert succeeded; if cell() recorded an ERR, say FAILED
+                # explicitly instead of emitting {"n": null} that reads as
+                # a missing-but-ok measurement.
+                mk = tagm + "_exact_mismatches"
+                if mk in results:
+                    print(json.dumps({"cell": mk, "n": results[mk]}),
+                          flush=True)
+                else:
+                    print(json.dumps({
+                        "cell": mk,
+                        "status": "FAILED",
+                        "err": results.get(tagm + "_distributed_with_exactness"),
+                    }), flush=True)
                 continue
             cell(tagm + "_distributed",
                  lambda perm=perm: sink(rank_ops.with_global_rank(

@@ -1806,7 +1806,7 @@ def wav_zcr_stats(
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "channel", "n_frames", "n_crossings", "zcr"],
+                columns=[id_col, "channel", "n_frames", "n_crossings", "zcr"],
             )
 
     return payloads.mapInPandas(

@@ -3276,6 +3276,71 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
+# planted hot gram: every doc (train AND eval) gets this footer, so the
+# footer's pure 4-grams have eval-side df = |eval slice| — exactly the
+# boilerplate-inside-the-benchmark corpus that built the ~10^12-row join
+# in the r8 100M scale cell. The capped/flag-only queries below must stay
+# value-exact WITH the plant in place.
+_HOT_FOOTER = "planted universal boilerplate footer phrase"
+_TOK_HOT = _SQL_TOKENS.format(t=f"text || ' {_HOT_FOOTER}'")
+
+
+@_register(
+    "pipeline_decontaminate_capped",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK_HOT} AS w FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct({_SH4})) AS gram FROM t),
+    ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0),
+    evk AS (
+      SELECT ev.eval_id, ev.gram FROM ev
+      JOIN (SELECT gram FROM ev GROUP BY gram HAVING count(*) <= 2) k
+      USING (gram)
+    ),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared_grams,
+           count(DISTINCT evk.eval_id) AS n_eval_docs
+    FROM tr JOIN evk USING (gram) GROUP BY tr.doc_id
+    """,
+    doc="Decontamination under the hot-gram guard (VERDICT r8 #1): a "
+    "universal boilerplate footer is PLANTED into every doc — the "
+    "adversarial corpus whose eval-hot grams fanned the r8 100M cell to "
+    "~10^12 join rows — and max_eval_df=2 drops grams hot in the eval "
+    "slice before the broadcast join, keeping attribution exact on the "
+    "genuine (low-df) collisions",
+)
+def _q_decontaminate_capped(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit(_HOT_FOOTER))
+    )
+    return dedup.decontamination_report(d, n=4, eval_mod=97, max_eval_df=2)
+
+
+@_register(
+    "pipeline_decontaminate_flagonly",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK_HOT} AS w FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct({_SH4})) AS gram FROM t),
+    ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0),
+    evg AS (SELECT gram FROM ev GROUP BY gram HAVING count(*) <= 2),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, count(*) AS n_shared_grams
+    FROM tr JOIN evg USING (gram) GROUP BY tr.doc_id
+    """,
+    doc="Flag-only decontamination over the same planted-hot-gram corpus: "
+    "attribution=False joins the train side against the DISTINCT eval "
+    "gram set (no eval_id), so each train (doc, gram) row matches at most "
+    "once and NO fan-out exists at any df — the 100-TB screen shape; "
+    "composed with max_eval_df=2 so both guards are oracle-pinned",
+)
+def _q_decontaminate_flagonly(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit(_HOT_FOOTER))
+    )
+    return dedup.decontamination_report(
+        d, n=4, eval_mod=97, max_eval_df=2, attribution=False
+    )
+
+
 @_register(
     "pipeline_corpus_prep_v2",
     f"""
@@ -8088,7 +8153,7 @@ def _q_dedup_paragraph(spark, sf_dir):
 
 @_register(
     "text_url_domains",
-    """
+    r"""
     WITH aug AS (
       SELECT doc_id,
              text || ' see https://www.' || source || '.example.org/doc/'
