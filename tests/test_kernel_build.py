@@ -113,6 +113,71 @@ def test_ivf_pq_residual_index_kernel_matches_fold(embeddings):
     assert kern == fold
 
 
+def _residual_setup(embeddings, m=8, d_sub=8):
+    v = _prep(embeddings)
+    cent = ann.build_ivf_det(embeddings, n_lists=8, iters=1)
+    assigned = ann.assign_ivf_det(v, cent)
+    cb = pq.pq_codebook(
+        pq.ivf_residuals(assigned, cent).select(
+            F.col("id").alias("vec_id"), F.col("rvec").alias("embedding")
+        ),
+        m=m, ks=16, dim=64, iters=1,
+    )
+    idx = pq.ivf_pq_residual_index(assigned, cent, cb, m, d_sub,
+                                   id_col="id", vec_col="vec")
+    probes = v.limit(5).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("query_embedding")
+    )
+    return v, cent, cb, idx, probes
+
+
+def test_residual_adc_serve_kernel_matches_expr_reranked(embeddings):
+    """The mapInArrow ADC serve kernel (VERDICT r8 #3) ≡ the expression
+    fold, pinned through the exact re-rank: identical (query, id,
+    distance, rank) rows. With rerank ≥ k the final distances are exact
+    euclidean on both paths, so equality is exact, not approximate."""
+    m, d_sub = 8, 8
+    v, cent, cb, idx, probes = _residual_setup(embeddings, m, d_sub)
+    kw = dict(k=5, n_probe=3, ks=16, d_sub=d_sub, rerank=20,
+              raw=v.select("id", "vec"))
+    expr = _rows(
+        pq.ann_knn_ivf_pq_residual(idx, cent, cb, probes,
+                                   strategy="expr", **kw),
+        "query_id", "id", "distance", "rank",
+    )
+    kern = _rows(
+        pq.ann_knn_ivf_pq_residual(idx, cent, cb, probes,
+                                   strategy="kernel", **kw),
+        "query_id", "id", "distance", "rank",
+    )
+    assert kern == expr
+
+
+def test_residual_adc_serve_kernel_matches_expr_adist(embeddings):
+    """Without re-rank the serve distance is the ADC sum itself: the
+    kernel's numpy row-sum may drift from the fold in the last ulp, so
+    the pin is id-set equality + distance agreement to 1e-9 (the test
+    vectors carry no sub-ulp adist ties)."""
+    m, d_sub = 8, 8
+    v, cent, cb, idx, probes = _residual_setup(embeddings, m, d_sub)
+    kw = dict(k=5, n_probe=3, ks=16, d_sub=d_sub)
+    expr = {
+        (r["query_id"], r["id"]): r["distance"]
+        for r in pq.ann_knn_ivf_pq_residual(
+            idx, cent, cb, probes, strategy="expr", **kw
+        ).collect()
+    }
+    kern = {
+        (r["query_id"], r["id"]): r["distance"]
+        for r in pq.ann_knn_ivf_pq_residual(
+            idx, cent, cb, probes, strategy="kernel", **kw
+        ).collect()
+    }
+    assert set(kern) == set(expr)
+    for key, d in kern.items():
+        assert abs(d - expr[key]) < 1e-9
+
+
 def test_kernel_plans_have_no_join_or_window(embeddings):
     """The kernels' whole point: one narrow mapInPandas pass — no
     broadcast product, no window sort, no shuffle in the physical plan."""

@@ -225,3 +225,124 @@ def test_replay_is_idempotent(spark, tmp_path):
     run("ck2")  # fresh checkpoint => every batch replays
     second = sorted(r.doc_id for r in read_survivors(spark, out).collect())
     assert first == second == [0, 1]
+
+
+THIRD = "quartz marble granite basalt slate obsidian pumice shale"
+
+
+def test_compaction_fence_blocks_interleaved_batch(spark, tmp_path):
+    """VERDICT r8 #6: a micro-batch arriving while compaction holds the
+    intent lease must FAIL (fail-stop), not write deltas the fold could
+    lose — and must succeed, with nothing lost, once the lease clears."""
+    from vectordb_from_scratch_spark.streaming.neardup_stream import (
+        compact_neardup_state,
+    )
+
+    src = str(tmp_path / "src_fence")
+    out = str(tmp_path / "out_fence")
+    state = str(tmp_path / "state_fence")
+    ckpt = str(tmp_path / "ckpt_fence")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = neardup_stream_foreach_batch(
+            spark, stream, out, state, ckpt, threshold=0.4
+        ).start()
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    run_once()
+
+    # simulate an in-flight compaction: plant the intent lease by hand
+    spark.createDataFrame([(0,)], "intent_ts long").coalesce(1).write.mode(
+        "overwrite"
+    ).json(state + "/compaction_intent")
+    spark.createDataFrame(
+        [(10, THIRD)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    import pytest as _pytest
+
+    with _pytest.raises(StreamingQueryException, match="compaction in progress"):
+        run_once()
+
+    # lease clears when compaction completes — here by running it for real
+    compact_neardup_state(spark, state, n_buckets=8)
+    import os
+
+    assert not os.path.exists(state + "/compaction_intent")
+    run_once()  # checkpoint replays the fenced batch
+    got = {r.doc_id for r in read_survivors(spark, out).collect()}
+    assert got == {0, 1, 10}
+
+
+def test_compaction_snapshot_spares_interleaved_delta(spark, tmp_path, monkeypatch):
+    """VERDICT r8 #6, the no-lost-deltas half: a delta partition that
+    lands AFTER the compaction fold's snapshot (simulated by shrinking
+    the snapshot) must survive the delete, keep screening dups while it
+    sits in the delta, and be folded by the next compaction."""
+    import os
+
+    from vectordb_from_scratch_spark.streaming import neardup_stream as ns
+
+    src = str(tmp_path / "src_snap")
+    out = str(tmp_path / "out_snap")
+    state = str(tmp_path / "state_snap")
+    ckpt = str(tmp_path / "ckpt_snap")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = ns.neardup_stream_foreach_batch(
+            spark, stream, out, state, ckpt, threshold=0.4
+        ).start()
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(10, THIRD)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # two micro-batches -> two delta batch_id partitions
+    assert {r.doc_id for r in read_survivors(spark, out).collect()} == {0, 1, 10}
+
+    real = ns._list_batch_ids
+    straggler = {}
+
+    def shrunk(s, d):
+        ids = real(s, d)
+        straggler[d] = ids[-1:]
+        return ids[:-1]  # the newest delta "landed after the snapshot"
+
+    monkeypatch.setattr(ns, "_list_batch_ids", shrunk)
+    info1 = ns.compact_neardup_state(spark, state, n_buckets=8)
+    monkeypatch.setattr(ns, "_list_batch_ids", real)
+
+    # the straggler partition survived the delete, on BOTH delta dirs
+    for d in (state + "/fps", state + "/bands"):
+        for bid in straggler[d]:
+            assert os.path.exists(f"{d}/batch_id={bid}"), "delta lost!"
+    # base + surviving delta together hold every fingerprint
+    n_delta = spark.read.parquet(state + "/fps").count()
+    assert info1["fps_rows"] + n_delta == 3
+    assert n_delta > 0
+
+    # dups of docs whose state sits base-side AND straggler-side are both
+    # still dropped — no fingerprint went missing
+    spark.createDataFrame(
+        [(20, BASE), (21, THIRD), (22, "umber sienna ochre viridian cobalt azure cerulean teal")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = {r.doc_id for r in read_survivors(spark, out).collect()}
+    assert got == {0, 1, 10, 22}
+
+    # the next full-snapshot compaction folds the straggler in
+    info2 = ns.compact_neardup_state(spark, state, n_buckets=8)
+    assert info2["fps_rows"] == 4
+    assert not os.path.exists(state + "/fps")

@@ -359,6 +359,71 @@ def _numpy_adc_candidates_kernel(lut_map: dict, m: int, ks: int, emit_top: int):
     return scan
 
 
+def _arrow_adc_routed_kernel(
+    pair_keys, lut_slab, mult: int, m: int, ks: int, emit_top: int
+):
+    """mapInArrow kernel for per-(query, probed-list)-LUT ADC — the
+    residual IVF-PQ serve path (VERDICT r8 #3). The LUT volume is
+    n_queries × n_probe × m × ks doubles (a few MB at realistic probe
+    widths), so the whole slab rides in the closure as one
+    (G, m, ks) float64 array; `pair_keys` is the SORTED composite key
+    query_id·mult + list_id for each slab row.
+
+    Per Arrow batch, the entire scan is vectorized numpy:
+      1. codes arrive as a pyarrow ListArray — `.flatten()` exposes the
+         contiguous values buffer, reshaped (n, m) with ZERO per-row
+         Python (the np.stack-over-object-arrays cost that made the r5
+         pandas kernel LOSE to the interpreted fold is gone);
+      2. slab row per candidate via searchsorted on the composite key
+         (one binary search per row, vectorized);
+      3. d2 = slab[g, subs, C].sum(axis=1) — one fancy gather + row sum;
+      4. per-query top-`emit_top` partial under the global (adist, id)
+         tie-break (lossless for the final shortlist), so only
+         queries × emit_top rows per batch cross back into the JVM.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    subs = np.arange(m)[None, :]
+
+    def scan(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            qids_a = batch.column("query_id")
+            ids_a = batch.column("id")
+            qids = qids_a.to_numpy(zero_copy_only=False).astype(np.int64)
+            lids = (
+                batch.column("list_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            ids = ids_a.to_numpy(zero_copy_only=False)
+            flat = batch.column("codes").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            C = flat.reshape(n, m).astype(np.int64, copy=False)
+            g = np.searchsorted(pair_keys, qids * mult + lids)
+            d2 = lut_slab[g[:, None], subs, C].sum(axis=1)
+            order = np.lexsort((ids, d2, qids))
+            qs = qids[order]
+            starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+            counts = np.diff(np.r_[starts, n])
+            pos = np.arange(n) - np.repeat(starts, counts)
+            keep = order[pos < emit_top]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[keep], type=qids_a.type),
+                    pa.array(ids[keep], type=ids_a.type),
+                    pa.array(np.sqrt(d2[keep]), type=pa.float64()),
+                ],
+                names=["query_id", "id", "adist"],
+            )
+
+    return scan
+
+
 def _resolve_adc_strategy(strategy: str, candidates: DataFrame) -> str:
     from . import knn as knn_mod
 
@@ -735,6 +800,7 @@ def ann_knn_ivf_pq_residual(
     predicate: Column | None = None,
     attrs: DataFrame | None = None,
     attrs_id_col: str = "vec_id",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Residual IVF-PQ search: the LUT is PER (query, probed list) —
     each probed list's residual query r_q = q − c_list gets its own
@@ -745,7 +811,21 @@ def ann_knn_ivf_pq_residual(
     join it on (query_id, list_id), everything else matches
     ann_knn_ivf_pq (shortlist window, optional exact re-rank, optional
     metadata-filter semi-join). Deterministic end-to-end — value-exact
-    oracle-twinnable (plans/registry.py ann_ivf_pq_res_knn)."""
+    oracle-twinnable (plans/registry.py ann_ivf_pq_res_knn).
+
+    strategy: "expr" = the in-plan element_at fold (bitwise-exact vs
+    the DuckDB oracle — the sf0.01 correctness spec); "kernel" = the
+    mapInArrow LUT-scan kernel (_arrow_adc_routed_kernel): the whole
+    per-(query,list) LUT slab rides in the closure and each batch is
+    one numpy gather + row-sum — the 100M+ serve path (VERDICT r8 #3;
+    the r5 pandas kernel lost to the fold on Arrow-export overhead,
+    the ListArray.flatten path does not — measured at the 10M decade,
+    SCALE.md r9). adist may drift in the last ulp vs the fold, so pair
+    it with rerank (exact euclidean final ranking) when exact ordering
+    matters. "auto" = kernel above knn.AUTO_NUMPY_THRESHOLD index rows,
+    matching every other kernel flip; requires integral query ids and
+    list ids (composite-key routing), which every index built here has.
+    """
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         vm.as_double(query_vec_col).alias("__qvec"),
@@ -783,6 +863,52 @@ def ann_knn_ivf_pq_residual(
             ).alias("__lut"),
         )
     )
+    qualifying = None
+    if predicate is not None:
+        if attrs is None:
+            raise ValueError("filtered search needs BOTH predicate and attrs")
+        qualifying = attrs.filter(predicate).select(F.col(attrs_id_col).alias("id"))
+    if strategy == "auto":
+        from . import knn as knn_mod
+
+        strategy = (
+            "kernel"
+            if knn_mod.estimated_rows(index) >= knn_mod.AUTO_NUMPY_THRESHOLD
+            else "expr"
+        )
+    elif strategy not in ("expr", "kernel"):
+        raise ValueError(f"strategy must be auto|expr|kernel, got {strategy!r}")
+    if strategy == "kernel":
+        import numpy as np
+
+        rows = lut.select("query_id", "list_id", "__lut").collect()
+        if not rows:  # no queries / empty routing — expr path returns empty
+            strategy = "expr"
+    if strategy == "kernel":
+        m_ = len(rows[0]["__lut"]) // ks
+        mult = max(r["list_id"] for r in rows) + 1
+        keys = np.array(
+            [int(r["query_id"]) * mult + int(r["list_id"]) for r in rows],
+            dtype=np.int64,
+        )
+        order = np.argsort(keys)
+        keys = keys[order]
+        slab = np.array(
+            [list(rows[int(i)]["__lut"]) for i in order], dtype=np.float64
+        ).reshape(len(rows), m_, ks)
+        src = index.join(
+            F.broadcast(routed.select("query_id", "list_id")), on="list_id"
+        )
+        if qualifying is not None:
+            src = src.join(qualifying, "id", "left_semi")
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        id_t = index.schema["id"].dataType.simpleString()
+        emit_top = rerank if (rerank and raw is not None) else k
+        cands = src.select("query_id", "list_id", "id", "codes").mapInArrow(
+            _arrow_adc_routed_kernel(keys, slab, mult, m_, ks, emit_top),
+            schema=f"query_id {qid_t}, id {id_t}, adist double",
+        )
+        return _adc_finish(cands, q, raw, k, rerank)
     adist = F.sqrt(
         F.aggregate(
             F.transform(
@@ -799,10 +925,7 @@ def ann_knn_ivf_pq_residual(
         index.join(F.broadcast(lut), on="list_id")
         .select("query_id", "__qvec", "id", adist.alias("adist"))
     )
-    if predicate is not None:
-        if attrs is None:
-            raise ValueError("filtered search needs BOTH predicate and attrs")
-        qualifying = attrs.filter(predicate).select(F.col(attrs_id_col).alias("id"))
+    if qualifying is not None:
         cands = cands.join(qualifying, "id", "left_semi")
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("id").asc())
     if not rerank or raw is None:

@@ -56,6 +56,8 @@ the next compaction's distinct() folds the duplicates.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -71,6 +73,17 @@ __all__ = [
 ]
 
 _PFX_LEN = 2
+
+
+def _pfx(col: str):
+    """Partition-prefix value: 'x' + the first _PFX_LEN hex chars. The
+    letter guard is load-bearing: pfx is a PARTITION column, and Spark's
+    partition-value type inference is per-directory-listing — a delta
+    whose surviving partitions happen to all look numeric ('42', '07')
+    would flip pfx to BIGINT and the next probe's isin('3c') would die
+    on the cast (surfaced by the r9 snapshot-fence test; latent before —
+    any single-batch delta with all-numeric prefixes could hit it)."""
+    return F.concat(F.lit("x"), F.substring(col, 1, _PFX_LEN))
 
 
 def _read_manifest(spark: SparkSession, state_dir: str) -> tuple[int, int] | None:
@@ -91,6 +104,33 @@ def _base_dirs(state_dir: str, gen: int) -> tuple[str, str]:
     )
 
 
+def _intent_dir(state_dir: str) -> str:
+    return state_dir + "/compaction_intent"
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    ), jpath
+
+
+def _list_batch_ids(spark: SparkSession, delta_dir: str) -> list[int]:
+    """batch_id partition values physically present under a delta dir —
+    the compaction fold's SNAPSHOT: only these partitions are read and
+    only these are deleted, so a delta a concurrent batch lands mid-fold
+    (a new batch_id directory) survives untouched."""
+    fs, jpath = _fs_for(spark, delta_dir)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
 def compact_neardup_state(
     spark: SparkSession, state_dir: str, n_buckets: int = 64
 ) -> dict:
@@ -99,15 +139,38 @@ def compact_neardup_state(
     probe cost flat as history deepens (see module docstring for the
     layout and the crash-safety argument). Run while the stream is
     STOPPED (between availableNow triggers, or on a pause of a
-    continuous stream); the generation protocol keeps every crash window
-    readable, but a concurrently running batch could write delta
-    partitions after the fold reads them and lose them to the delete.
+    continuous stream); that rule is now ENFORCED, not just documented
+    (VERDICT r8 #6), by a two-level fence:
+
+    - INTENT LEASE: an intent marker is written BEFORE any delta is
+      read and cleared after the delete; `neardup_stream_foreach_batch`
+      checks it at batch start AND again immediately before its state
+      writes, failing the micro-batch loudly (fail-stop — the stream
+      retries off its checkpoint after compaction finishes). A stale
+      intent from a crashed compaction blocks the stream the same way —
+      safe by construction; re-running compaction completes and clears
+      it (the intent write is an overwrite, never a second-writer
+      check).
+    - BATCH-ID SNAPSHOT: the fold reads only the batch_id partitions
+      physically present when it starts, and the delete removes ONLY
+      those partition directories — a delta written by a batch that
+      slipped past the intent check survives both the fold and the
+      delete, and is simply picked up by the next compaction. The one
+      residual window is a REPLAYED batch overwriting a snapshot
+      batch_id partition between its own fence check and write
+      completion — closable only with a distributed lock, out of scope
+      for this filesystem protocol; the fence check directly before the
+      writes makes it practically unhittable.
 
     Returns {'gen', 'n_buckets', 'fps_rows', 'bands_rows'} of the new
     base. Re-running is idempotent (distinct fold); changing n_buckets
     re-buckets the whole base on the next run."""
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
+    # intent FIRST — every delta row read below is covered by the lease
+    spark.createDataFrame(
+        [(int(time.time()),)], "intent_ts long"
+    ).coalesce(1).write.mode("overwrite").json(_intent_dir(state_dir))
     manifest = _read_manifest(spark, state_dir)
     old_gen = manifest[1] if manifest else 0
     gen = old_gen + 1
@@ -115,14 +178,19 @@ def compact_neardup_state(
     new_bases = _base_dirs(state_dir, gen)
     deltas = (state_dir + "/fps", state_dir + "/bands")
     keys = ("fp", "band_key")
+    snapshots = [_list_batch_ids(spark, d) for d in deltas]
     counts = []
     wrote_any = False
-    for delta_dir, old_base, new_base, key in zip(
-        deltas, old_bases, new_bases, keys
+    for delta_dir, snapshot, old_base, new_base, key in zip(
+        deltas, snapshots, old_bases, new_bases, keys
     ):
         parts = []
-        if _dir_exists(spark, delta_dir):
-            parts.append(spark.read.parquet(delta_dir).drop("pfx"))
+        if snapshot:
+            parts.append(
+                spark.read.parquet(delta_dir)
+                .filter(F.col("batch_id").isin(snapshot))
+                .drop("pfx")
+            )
         if old_base is not None and _dir_exists(spark, old_base):
             parts.append(spark.read.parquet(old_base).drop("bkt"))
         if not parts:
@@ -149,6 +217,9 @@ def compact_neardup_state(
         counts.append(spark.read.parquet(new_base).count())
         wrote_any = True
     if not wrote_any:
+        fs, jpath = _fs_for(spark, _intent_dir(state_dir))
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
         return {"gen": old_gen, "n_buckets": n_buckets, "fps_rows": 0, "bands_rows": 0}
     # flip the manifest ONLY after both bases are fully written; readers
     # that race a crash here still see (old base ∪ delta) — complete
@@ -156,14 +227,45 @@ def compact_neardup_state(
         [(n_buckets, gen)], "n_buckets int, gen int"
     ).coalesce(1).write.mode("overwrite").json(state_dir + "/compaction")
     # delete the folded inputs LAST — a crash before this point only
-    # leaves overlap (harmless for anti-join / distinct'd probes)
-    jvm = spark._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    for path in [d for d in deltas] + [b for b in old_bases if b is not None]:
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(hconf)
+    # leaves overlap (harmless for anti-join / distinct'd probes).
+    # Deltas are removed PER SNAPSHOTTED batch_id partition, never as a
+    # whole directory: partitions a concurrent batch added after the
+    # snapshot were not folded, so they must survive the delete.
+    doomed = [
+        f"{delta_dir}/batch_id={bid}"
+        for delta_dir, snapshot in zip(deltas, snapshots)
+        for bid in snapshot
+    ] + [b for b in old_bases if b is not None]
+    for path in doomed:
+        fs, jpath = _fs_for(spark, path)
         if fs.exists(jpath):
             fs.delete(jpath, True)
+    # a delta dir with no batch_id partitions left would fail schema
+    # inference on the next read — remove it, but ONLY via an empty-dir
+    # (non-recursive) delete so a partition a concurrent batch created
+    # after the snapshot can never be swept up
+    for delta_dir in deltas:
+        fs, jdir = _fs_for(spark, delta_dir)
+        if not fs.exists(jdir):
+            continue
+        entries = list(fs.listStatus(jdir))
+        if any(
+            st.isDirectory()
+            and st.getPath().getName().startswith("batch_id=")
+            for st in entries
+        ):
+            continue  # post-snapshot delta present — keep the dir intact
+        for st in entries:
+            if not st.isDirectory():  # _SUCCESS and friends
+                fs.delete(st.getPath(), False)
+        try:
+            fs.delete(jdir, False)  # only succeeds if (still) empty
+        except Exception:  # noqa: BLE001 — a concurrent batch landed; keep it
+            pass
+    # lease released last — the state is consistent from here on
+    fs, jpath = _fs_for(spark, _intent_dir(state_dir))
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
     return {
         "gen": gen,
         "n_buckets": n_buckets,
@@ -210,8 +312,22 @@ def neardup_stream_foreach_batch(
     # to be stopped, so within one run the generation cannot move
     manifest_cache: list = []
 
+    def _check_fence(s: SparkSession) -> None:
+        # compaction intent lease (VERDICT r8 #6): fail the micro-batch
+        # loudly rather than write deltas a concurrent fold could lose.
+        # The stream retries off its checkpoint once compaction is done.
+        if _dir_exists(s, _intent_dir(state_dir)):
+            raise RuntimeError(
+                f"compaction in progress for {state_dir} (intent marker "
+                "present) — the near-dup stream must not write state "
+                "while compact_neardup_state runs; retry after it "
+                "finishes (a stale marker from a crashed compaction is "
+                "cleared by re-running compaction)"
+            )
+
     def merge(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
+        _check_fence(s)
         if not manifest_cache:
             manifest_cache.append(_read_manifest(s, state_dir))
         manifest = manifest_cache[0]
@@ -230,7 +346,7 @@ def neardup_stream_foreach_batch(
             fp.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-            .withColumn("__pfx", F.substring("__fp", 1, _PFX_LEN))
+            .withColumn("__pfx", _pfx("__fp"))
         )
         firsts.persist()
         try:
@@ -287,7 +403,7 @@ def neardup_stream_foreach_batch(
                 num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
                 text_col=text_col, id_col=id_col,
             ).persist()
-            bkey_cols = [F.substring("band_key", 1, _PFX_LEN).alias("p")]
+            bkey_cols = [_pfx("band_key").alias("p")]
             if nb:
                 bkey_cols.append(
                     F.pmod(F.xxhash64("band_key"), F.lit(nb)).alias("__bkt")
@@ -393,6 +509,10 @@ def neardup_stream_foreach_batch(
             near_dropped = verified.select(F.col("id_a").alias(id_col)).distinct()
             survivors = exact_survivors.join(near_dropped, id_col, "left_anti")
             survivors.persist()
+            # re-check the lease immediately before the state writes: a
+            # compaction that began mid-batch must not race the delta
+            # appends below (the batch fails here and replays instead)
+            _check_fence(s)
             (
                 survivors.drop("__fp", "__pfx")
                 .withColumn("batch_id", F.lit(batch_id))
@@ -421,7 +541,7 @@ def neardup_stream_foreach_batch(
                     "band_idx",
                     "band_key",
                     F.lit(batch_id).alias("batch_id"),
-                    F.substring("band_key", 1, _PFX_LEN).alias("pfx"),
+                    _pfx("band_key").alias("pfx"),
                 )
                 .repartition(F.col("pfx"))
                 .write.mode("overwrite")
