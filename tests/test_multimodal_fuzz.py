@@ -116,3 +116,36 @@ def test_decoder_never_raises(name, decoder, factory):
         mut = arr.copy()
         mut[i : i + 16] = rng.integers(0, 256, size=min(16, len(arr) - i), dtype=np.uint8)
         _check(decoder, mut.tobytes())
+
+
+def test_media_resize_stats_dispatch_and_malformed(spark):
+    """media_resize_stats (VERDICT r8 #7): magic-byte dispatch routes a
+    MIXED corpus to the right decoder per row; garbage, truncated, and
+    bit-flipped payloads drop their row — never the task; output width/
+    height are always the target grid."""
+    rng = np.random.default_rng(11)
+    valid = {"png": _png(), "gif": _gif(), "bmp": _bmp()}
+    rows = [(0, valid["png"]), (1, valid["gif"]), (2, valid["bmp"])]
+    # jpeg goes through the same dispatcher (lossy, so not in the
+    # oracle query — but the plumbing must route it)
+    rows.append((3, _jpeg_color()))
+    # malformed family: garbage, magic-only, truncation, bit flip
+    rows.append((10, rng.integers(0, 256, size=128, dtype=np.uint8).tobytes()))
+    rows.append((11, valid["png"][:8]))
+    rows.append((12, valid["gif"][: len(valid["gif"]) // 2]))
+    flip = bytearray(valid["bmp"])
+    flip[20] ^= 0xFF  # corrupt the header geometry
+    rows.append((13, bytes(flip)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = mm.media_resize_stats(df, out_w=4, out_h=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fmt"])
+        assert (r["width"], r["height"], r["n_pixels"]) == (4, 3, 12)
+    assert by_doc[0] == {"png"} and by_doc[1] == {"gif"} and by_doc[2] == {"bmp"}
+    assert by_doc.get(3, set()) <= {"jpeg"}
+    for bad in (10, 11, 12):
+        assert bad not in by_doc
+    # the bit-flipped BMP either decodes (harmless flip) or drops —
+    # but must never surface under another format
+    assert by_doc.get(13, set()) <= {"bmp"}

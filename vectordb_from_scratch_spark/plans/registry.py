@@ -7955,6 +7955,101 @@ def _q_multimodal_resize(spark, sf_dir):
 
 
 @_register(
+    "multimodal_media_resize",
+    """
+    WITH docs AS (
+      SELECT doc_id, 3 + doc_id % 8 AS w, 2 + (doc_id * 5) % 6 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif'
+                  ELSE 'png' END AS fmt
+      FROM documents WHERE doc_id % 23 = 0
+    ),
+    px AS (
+      SELECT d.doc_id, d.fmt, ch.channel,
+             CASE d.fmt
+               WHEN 'bmp' THEN
+                 (d.doc_id * 13 + ((yy.y * d.h) // 6) * 7
+                  + ((xx.x * d.w) // 8) * 3 + ch.channel * 101) % 256
+               WHEN 'gif' THEN
+                 (CASE ch.channel WHEN 0 THEN 17 WHEN 1 THEN 31
+                       ELSE 53 END
+                  * ((d.doc_id + 5 * ((yy.y * d.h) // 6)
+                      + 7 * ((xx.x * d.w) // 8)) % 8)
+                  + (ch.channel + 1) * d.doc_id) % 256
+               ELSE
+                 (d.doc_id * 11 + ((yy.y * d.h) // 6) * 5
+                  + ((xx.x * d.w) // 8) * 2 + ch.channel * 97) % 256
+             END AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, 5)) AS y) yy,
+           LATERAL (SELECT unnest(generate_series(0, 7)) AS x) xx,
+           LATERAL (SELECT unnest([0, 1, 2]) AS channel) ch
+    )
+    SELECT doc_id, fmt, CAST(channel AS INTEGER) AS channel,
+           8 AS width, 6 AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INTEGER) AS px_min,
+           CAST(max(v) AS INTEGER) AS px_max, count(*)::BIGINT AS n_pixels,
+           round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+    FROM px GROUP BY doc_id, fmt, channel
+    """,
+    doc="Format-DISPATCHING resize stage (VERDICT r8 #7): a mixed corpus "
+    "of real BMP / GIF / PNG payloads (rotated by doc_id % 3, each "
+    "synthesized by this repo's own spec-valid encoders) is sniffed by "
+    "magic bytes, routed to the matching stdlib pixel decoder, "
+    "nearest-neighbor-resized to the 8×6 model grid, and reduced to "
+    "per-channel integer stats with the detected format surfaced "
+    "(operators/multimodal.py:media_resize_stats). All three formats "
+    "are lossless end-to-end (BMP raw, GIF LZW, PNG deflate+unfilter), "
+    "so the oracle recomputes every sampled pixel closed-form per "
+    "format. Value-exact",
+)
+def _q_multimodal_media_resize(spark, sf_dir):
+    from ..operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        media_resize_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 3 + i % 8, 2 + (i * 5) % 6
+                if i % 3 == 0:
+                    rgb = bytes(
+                        (i * 13 + y * 7 + x * 3 + ch * 101) % 256
+                        for y in range(h) for x in range(w) for ch in range(3)
+                    )
+                    payloads.append(encode_bmp(rgb, w, h))
+                elif i % 3 == 1:
+                    pal = [
+                        ((17 * k + i) % 256, (31 * k + 2 * i) % 256,
+                         (53 * k + 3 * i) % 256)
+                        for k in range(8)
+                    ]
+                    idx = bytes(
+                        (i + 5 * y + 7 * x) % 8
+                        for y in range(h) for x in range(w)
+                    )
+                    payloads.append(encode_gif(idx, w, h, pal))
+                else:
+                    rgb = bytes(
+                        (i * 11 + y * 5 + x * 2 + ch * 97) % 256
+                        for y in range(h) for x in range(w) for ch in range(3)
+                    )
+                    payloads.append(encode_png(rgb, w, h, 3))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return media_resize_stats(payloads, out_w=8, out_h=6)
+
+
+@_register(
     "pipeline_drift_chisq",
     """
     WITH base AS (
