@@ -103,6 +103,11 @@ BENCH_QUERIES = [
     # collocation mining
     "dedup_containment",
     "text_collocations_pmi",
+    # round 9: guarded decontamination in its no-fan-out flag-only shape
+    # (planted-hot-gram corpus + max_eval_df cap) and the format-
+    # dispatching media resize stage
+    "pipeline_decontaminate_flagonly",
+    "multimodal_media_resize",
 ]
 
 # In-plan-build diagnostics (VERDICT r7 #8): these queries rebuild their

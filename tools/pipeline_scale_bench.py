@@ -144,6 +144,9 @@ def main() -> int:
     if want("decontam"):
         decontam_cell(n=n, runs=runs)
 
+    if want("decontam_adversarial"):
+        decontam_adversarial_cell(n=n, runs=runs)
+
     if want("novelty"):
         novelty_cell(n=n, runs=runs)
 
@@ -364,6 +367,88 @@ def decontam_cell(n: int, runs: int) -> None:
     }))
 
 
+def decontam_adversarial_cell(n: int, runs: int) -> None:
+    """The EXACT corpus shape that built the ~10^12-row attribution join
+    in the r8 100M cell — a universal phrase planted on EVERY doc, so its
+    pure 4-grams are hot on both sides — now run WITH the hot-gram guard
+    (VERDICT r8 #1): max_eval_df=2 drops the universal grams before the
+    broadcast join; genuine block-keyed contamination (eval df = 1, the
+    decontam_cell corpus) rides along and must survive the cap exactly.
+
+    Closed form: contaminated train docs = {i : i%10==0, i%97!=0}, each
+    sharing exactly 4 grams with exactly 1 eval doc (the block phrase
+    plus the 3 block→universal boundary grams — boundary grams carry the
+    block token, so they are block-keyed, not universal); pure universal
+    grams number exactly 2 and the cap report must account for both at
+    df = |eval slice|. The flag-only mode (attribution=False, no fan-out
+    at ANY df) is timed on the same corpus with the same expected flags.
+    """
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.dedup import (
+        decontamination_cap_report,
+        decontamination_report,
+    )
+
+    spark = SparkSession.getActiveSession()
+    sid = F.col("id").cast("string")
+    uniq = F.concat_ws(
+        " ", *[F.concat(F.lit(f"w{j}tok"), sid) for j in range(5)]
+    )
+    blk = (F.col("id") / 970).cast("long").cast("string")
+    universal = F.lit(" universal planted boilerplate phrase here")
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(
+                F.col("id") % 10 == 0,
+                F.concat(uniq, F.lit(" common contaminated phrase b"), blk),
+            ).otherwise(uniq),
+            universal,
+        ).alias("text"),
+    )
+    n_eval = (n + 96) // 97
+    rep = decontamination_cap_report(
+        docs, n=4, eval_mod=97, max_eval_df=2
+    )
+    cap_exact = (
+        rep["grams_dropped"] == 2
+        and rep["eval_rows_dropped"] == 2 * n_eval
+        and rep["max_eval_df_seen"] == n_eval
+    )
+    print(json.dumps({"cell": "decontam_adversarial_cap_report",
+                      **rep, "exact": bool(cap_exact)}), flush=True)
+    expected_rows = sum(1 for i in range(0, n, 10) if i % 97 != 0)
+    for mode, kw in (("attr", {}), ("flagonly", {"attribution": False})):
+        out = decontamination_report(
+            docs, n=4, eval_mod=97, max_eval_df=2, **kw
+        )
+        t = _time(lambda out=out: out.agg(F.count(F.lit(1))).collect(), runs)
+        aggs = [
+            F.count(F.lit(1)).alias("rows"),
+            F.min("n_shared_grams").alias("gmin"),
+            F.max("n_shared_grams").alias("gmax"),
+        ]
+        if mode == "attr":
+            aggs += [F.min("n_eval_docs").alias("emin"),
+                     F.max("n_eval_docs").alias("emax")]
+        row = out.agg(*aggs).collect()[0]
+        exact = (
+            row["rows"] == expected_rows
+            and row["gmin"] == row["gmax"] == 4
+            and (mode != "attr" or row["emin"] == row["emax"] == 1)
+        )
+        print(json.dumps({
+            "cell": f"decontam_adversarial_{mode}",
+            "n_train_docs": n - n_eval,
+            "n_eval_docs": n_eval,
+            "sec": t,
+            "contaminated": int(row["rows"]),
+            "exact": bool(exact),
+        }), flush=True)
+
+
 def entropy_cell(n: int, runs: int) -> None:
     """char_entropy decade cell: N docs cycling through 16 fixed template
     strings (family = id % 16), so every output value is computable by
@@ -506,24 +591,30 @@ def containment_cell(n: int, runs: int) -> None:
             F.concat_ws(" ", short, tail).alias("text"),
         )
     )
-    out = containment_pairs(docs, threshold=0.9)
-    t = _time(lambda: out.agg(F.count(F.lit(1))).collect(), runs)
-    row = out.agg(
-        F.count(F.lit(1)).alias("pairs"),
-        F.min("containment").alias("cmin"),
-        F.max("containment").alias("cmax"),
-    ).collect()[0]
-    print(json.dumps({
-        "cell": "containment_pairs",
-        "n_docs": n,
-        "universal_footer_df": n,
-        "sec": t,
-        "pairs": int(row["pairs"]),
-        "expected_pairs": half,
-        "exact": bool(
-            row["pairs"] == half and row["cmin"] == 1.0 and row["cmax"] == 1.0
-        ),
-    }))
+    # A/B both prefix materializations (VERDICT r8 #4): "window" is the
+    # r8 shape whose 10M cell spilled ~64 GB through the per-doc rank
+    # window; "agg" replaces it with a hash aggregate (collect+sort+slice
+    # per doc) and deletes the size join. Identical output asserted on
+    # both.
+    for strat in ("agg", "window"):
+        out = containment_pairs(docs, threshold=0.9, prefix_strategy=strat)
+        t = _time(lambda out=out: out.agg(F.count(F.lit(1))).collect(), runs)
+        row = out.agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.min("containment").alias("cmin"),
+            F.max("containment").alias("cmax"),
+        ).collect()[0]
+        print(json.dumps({
+            "cell": "containment_pairs_" + strat,
+            "n_docs": n,
+            "universal_footer_df": n,
+            "sec": t,
+            "pairs": int(row["pairs"]),
+            "expected_pairs": half,
+            "exact": bool(
+                row["pairs"] == half and row["cmin"] == 1.0 and row["cmax"] == 1.0
+            ),
+        }), flush=True)
 
 
 def persisted_cell(n_corpus: int, n_delivery: int, runs: int) -> None:

@@ -53,6 +53,7 @@ __all__ = [
     "incremental_delivery_report",
     "build_corpus_dedup_index",
     "decontamination_report",
+    "decontamination_cap_report",
     "release_caches",
 ]
 
@@ -999,6 +1000,7 @@ def containment_pairs(
     shingle_words: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prefix_strategy: str = "agg",
 ) -> DataFrame:
     """Asymmetric set-containment join: (id_a, id_b, containment) for every
     ordered pair with containment = |S(a) ∩ S(b)| / |S(a)| ≥ threshold,
@@ -1032,7 +1034,8 @@ def containment_pairs(
     excluded on both sides, matching the oracle.
     """
     pairs, _sizes = _containment_core(
-        documents, threshold, shingle_words, text_col, id_col
+        documents, threshold, shingle_words, text_col, id_col,
+        prefix_strategy=prefix_strategy,
     )
     return pairs
 
@@ -1043,13 +1046,29 @@ def _containment_core(
     shingle_words: int,
     text_col: str,
     id_col: str,
+    prefix_strategy: str = "agg",
 ) -> tuple:
     """Shared body of containment_pairs/fragment_report: returns
     (pairs, sizes) where sizes = (id, __n distinct-shingle count) comes
     from the SAME persisted shingle table the join probes — so
     fragment_report never re-runs tokenize + shingling over the corpus
     (the single most expensive stage at scale) just to learn sizes.
-    (ADVICE r8)"""
+    (ADVICE r8)
+
+    prefix_strategy selects how each doc's rarest-first probe prefix is
+    materialized (identical output either way — the A/B of VERDICT r8
+    #4, measured at the 10M/64GB-spill decade in SCALE.md r9):
+    - "agg" (default): per-doc array_sort(collect_list(struct(df, g)))
+      + slice — a hash aggregate instead of a sort-based window, and the
+      prefix length comes from size() of the collected array, deleting
+      the separate per-doc size join the window shape needed.
+    - "window": the r8 shape — row_number over a (df, g)-ordered per-doc
+      window on the full inverted index, plus a size join for the
+      prefix-length filter."""
+    if prefix_strategy not in ("agg", "window"):
+        raise ValueError(
+            f"prefix_strategy must be agg|window, got {prefix_strategy!r}"
+        )
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     from pyspark.sql import Window
@@ -1078,16 +1097,36 @@ def _containment_core(
     # the one-ulp floor risk (float absolute error << 1 for any real n)
     # at the cost of one extra probe shingle per doc — still lossless,
     # never lossy.
-    probe = (
-        ex.join(docfreq, "g")
-        .withColumn("rn", F.row_number().over(w))
-        .join(sh.select(F.col(id_col), F.size("s").alias("n")), id_col)
-        .filter(
-            F.col("rn")
-            <= F.floor((F.lit(1.0) - F.lit(threshold)) * F.col("n")) + F.lit(2)
+    if prefix_strategy == "agg":
+        # window-free prefix: collect each doc's (df, g) structs into one
+        # array (doc-sized — bounded by the doc's distinct shingles),
+        # lexicographic array_sort = the same rarest-first (df, g) order,
+        # slice to the prefix length. n = size of the collected array,
+        # so no separate size join. Hash aggregate, no per-partition sort.
+        plen = (
+            F.floor((F.lit(1.0) - F.lit(threshold)) * F.size("sg")) + F.lit(2)
+        ).cast("int")
+        probe = (
+            ex.join(docfreq, "g")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("sg"))
+            .select(
+                F.col(id_col).alias("id_a"),
+                F.explode(F.slice("sg", 1, plen)).alias("__p"),
+            )
+            .select("id_a", F.col("__p.g").alias("g"))
         )
-        .select(F.col(id_col).alias("id_a"), "g")
-    )
+    else:
+        probe = (
+            ex.join(docfreq, "g")
+            .withColumn("rn", F.row_number().over(w))
+            .join(sh.select(F.col(id_col), F.size("s").alias("n")), id_col)
+            .filter(
+                F.col("rn")
+                <= F.floor((F.lit(1.0) - F.lit(threshold)) * F.col("n")) + F.lit(2)
+            )
+            .select(F.col(id_col).alias("id_a"), "g")
+        )
     cands = (
         probe.join(ex.select(F.col(id_col).alias("id_b"), "g"), "g")
         .filter(F.col("id_a") != F.col("id_b"))
