@@ -567,7 +567,10 @@ def containment_cell(n: int, runs: int) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from vectordb_from_scratch_spark.operators.dedup import containment_pairs
+    from vectordb_from_scratch_spark.operators.dedup import (
+        containment_pairs,
+        release_caches,
+    )
 
     spark = SparkSession.getActiveSession()
     assert n % 2 == 0, "containment cell needs an even N"
@@ -597,6 +600,12 @@ def containment_cell(n: int, runs: int) -> None:
     # per doc) and deletes the size join. Identical output asserted on
     # both.
     for strat in ("agg", "window"):
+        # drop the persisted shingle table between strategies: Spark's
+        # cache manager matches by logical subtree, so without this the
+        # second leg silently reuses the first leg's build and the A/B
+        # times two different amounts of work (measured: 111 s vs 434 s
+        # for the SAME window plan, warm vs cold — r9)
+        release_caches()
         out = containment_pairs(docs, threshold=0.9, prefix_strategy=strat)
         t = _time(lambda out=out: out.agg(F.count(F.lit(1))).collect(), runs)
         row = out.agg(

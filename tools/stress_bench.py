@@ -870,6 +870,16 @@ def main() -> int:
                           cpq_res, cc, ccb_res, cprobes, k=K, n_probe=8,
                           ks=ksc, d_sub=dsc, rerank=rerank,
                           raw=ca.select("id", "vec")))
+            # same-session expr twin at the rerank-of-record (r8's 2.47
+            # s/probe cell) — auto resolves to the Arrow kernel above the
+            # size threshold, so the pair is the serve-kernel A/B
+            # (VERDICT r8 #3) under identical box conditions
+            ccell("recall100m_ivfpq_res_L%d_P8_rerank%d_expr"
+                  % (lists_c, 10 * K),
+                  lambda: pqm100.ann_knn_ivf_pq_residual(
+                      cpq_res, cc, ccb_res, cprobes, k=K, n_probe=8,
+                      ks=ksc, d_sub=dsc, rerank=10 * K,
+                      raw=ca.select("id", "vec"), strategy="expr"))
 
     # Distributed exact ranking at 100M rows (VERDICT r5 #8): the r5
     # scale fix measured directly at a decade past its biggest indirect
