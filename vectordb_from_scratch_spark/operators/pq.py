@@ -885,7 +885,16 @@ def ann_knn_ivf_pq_residual(
         if not rows:  # no queries / empty routing — expr path returns empty
             strategy = "expr"
     if strategy == "kernel":
-        m_ = len(rows[0]["__lut"]) // ks
+        lut_len = len(rows[0]["__lut"])
+        if lut_len % ks:
+            raise ValueError(
+                f"LUT length {lut_len} is not a multiple of ks={ks}: the "
+                "codebook trained fewer than ks codes per subspace "
+                "(training sample smaller than ks?) — the expression path "
+                "would mis-index the same LUT silently; fix the codebook "
+                "or pass the actual ks"
+            )
+        m_ = lut_len // ks
         mult = max(r["list_id"] for r in rows) + 1
         keys = np.array(
             [int(r["query_id"]) * mult + int(r["list_id"]) for r in rows],
