@@ -360,7 +360,8 @@ def _numpy_adc_candidates_kernel(lut_map: dict, m: int, ks: int, emit_top: int):
 
 
 def _arrow_adc_routed_kernel(
-    pair_keys, lut_slab, mult: int, m: int, ks: int, emit_top: int
+    pair_keys, lut_slab, mult: int, m: int, ks: int, emit_top: int,
+    row_map=None,
 ):
     """mapInArrow kernel for per-(query, probed-list)-LUT ADC — the
     residual IVF-PQ serve path (VERDICT r8 #3). The LUT volume is
@@ -380,6 +381,11 @@ def _arrow_adc_routed_kernel(
       4. per-query top-`emit_top` partial under the global (adist, id)
          tie-break (lossless for the final shortlist), so only
          queries × emit_top rows per batch cross back into the JVM.
+
+    `row_map` (optional) maps a pair_keys position to its lut_slab row —
+    the non-residual path shares ONE LUT per query across all its probed
+    lists, so the slab holds one row per QUERY and row_map carries the
+    pair→query indirection instead of duplicating LUTs per list.
     """
     import numpy as np
     import pyarrow as pa
@@ -405,6 +411,8 @@ def _arrow_adc_routed_kernel(
             )
             C = flat.reshape(n, m).astype(np.int64, copy=False)
             g = np.searchsorted(pair_keys, qids * mult + lids)
+            if row_map is not None:
+                g = row_map[g]
             d2 = lut_slab[g[:, None], subs, C].sum(axis=1)
             order = np.lexsort((ids, d2, qids))
             qs = qids[order]
@@ -626,18 +634,20 @@ def ann_knn_ivf_pq(
     candidate sets are bit-deterministic, so the whole compose is
     value-exact oracle-twinnable (plans/registry.py ann_ivf_pq_knn).
 
-    strategy: "expr" is the oracle-exact in-plan fold; "numpy" scores
-    the probed-list candidate rows in an Arrow-batched gather kernel
-    (grouped per query inside each batch, per-batch top-shortlist
-    partials only leave the executor). "auto" resolves to EXPR here —
-    unlike flat ADC (where the kernel measured 3.5× faster at 1M), the
-    routed probe's candidates are already row-cut and carry their codes
-    through the Python boundary, and the Arrow export costs more than
-    the interpreted lambda it replaces (measured warm: expr 9.4 s vs
-    kernel 11.7 s at 1M; expr 54.9 s vs kernel 84.5 s at 10M, SCALE.md
-    round-5). The residual variant (ann_knn_ivf_pq_residual) stays
-    expression-only — its LUT is per-(query, list), too large a closure
-    to ship to every task.
+    strategy: "expr" is the oracle-exact in-plan fold; "numpy" is the
+    legacy pandas gather kernel (grouped per query inside each batch) —
+    it LOST to the fold in round 5 (expr 9.4 s vs kernel 11.7 s at 1M;
+    54.9 vs 84.5 s at 10M) because np.stack over Arrow-materialized
+    object arrays dominated, and is kept only as the measured-loss
+    record; "arrow" is the mapInArrow LUT-slab kernel (r9) — codes via
+    ListArray.flatten, one slab row per QUERY with a pair→query row_map
+    (no LUT duplication per probed list), one numpy gather + row-sum
+    per batch. "auto" resolves to ARROW above knn.AUTO_NUMPY_THRESHOLD
+    index rows and expr below (the sf-scale oracle spec), superseding
+    the round-5 always-expr choice — the cost that made the pandas
+    kernel lose is gone (same-session A/B in SCALE.md r9). adist may
+    drift in the last ulp vs the fold on the arrow path; pair with
+    rerank when exact ADC ordering matters.
 
     ``predicate`` over ``attrs`` composes the metadata filter exactly as
     on the SQ8/IVF/SRP paths (reference search_with_filter over any
@@ -685,9 +695,61 @@ def ann_knn_ivf_pq(
             raise ValueError("filtered search needs BOTH predicate and attrs")
         qualifying = attrs.filter(predicate).select(F.col(attrs_id_col).alias("id"))
     if strategy == "auto":
-        strategy = "expr"  # measured faster at 1M and 10M — see docstring
-    elif strategy not in ("expr", "numpy"):
-        raise ValueError(f"strategy must be auto|expr|numpy, got {strategy!r}")
+        from . import knn as knn_mod
+
+        strategy = (
+            "arrow"
+            if knn_mod.estimated_rows(index) >= knn_mod.AUTO_NUMPY_THRESHOLD
+            else "expr"
+        )
+    elif strategy not in ("expr", "numpy", "arrow"):
+        raise ValueError(
+            f"strategy must be auto|expr|numpy|arrow, got {strategy!r}"
+        )
+    if strategy == "arrow":
+        import numpy as np
+
+        qrows = lut.select("query_id", "__lut").collect()
+        if not qrows:
+            strategy = "expr"  # no queries — expr returns empty
+    if strategy == "arrow":
+        lut_len = len(qrows[0]["__lut"])
+        if lut_len % ks:
+            raise ValueError(
+                f"LUT length {lut_len} is not a multiple of ks={ks}: the "
+                "codebook trained fewer than ks codes per subspace"
+            )
+        m_ = lut_len // ks
+        slab = np.array(
+            [list(r["__lut"]) for r in qrows], dtype=np.float64
+        ).reshape(len(qrows), m_, ks)
+        qrow_of = {r["query_id"]: i for i, r in enumerate(qrows)}
+        pair_rows = routed.select("query_id", "list_id").collect()
+        mult = max(r["list_id"] for r in pair_rows) + 1
+        keys = np.array(
+            [int(r["query_id"]) * mult + int(r["list_id"]) for r in pair_rows],
+            dtype=np.int64,
+        )
+        row_map = np.array(
+            [qrow_of[r["query_id"]] for r in pair_rows], dtype=np.int64
+        )
+        order = np.argsort(keys)
+        keys, row_map = keys[order], row_map[order]
+        src = index.join(
+            F.broadcast(routed.select("query_id", "list_id")), on="list_id"
+        )
+        if qualifying is not None:
+            src = src.join(qualifying, "id", "left_semi")
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        id_t = index.schema["id"].dataType.simpleString()
+        emit_top = rerank if (rerank and raw is not None) else k
+        cands = src.select("query_id", "list_id", "id", "codes").mapInArrow(
+            _arrow_adc_routed_kernel(
+                keys, slab, mult, m_, ks, emit_top, row_map=row_map
+            ),
+            schema=f"query_id {qid_t}, id {id_t}, adist double",
+        )
+        return _adc_finish(cands, q, raw, k, rerank)
     lut_rows = (
         lut.select("query_id", "__lut").collect() if strategy == "numpy" else []
     )
