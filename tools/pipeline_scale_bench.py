@@ -150,6 +150,9 @@ def main() -> int:
     if want("novelty"):
         novelty_cell(n=n, runs=runs)
 
+    if want("media"):
+        media_cell(n=n, runs=runs)
+
     if want("entropy"):
         entropy_cell(n=n, runs=runs)
 
@@ -447,6 +450,79 @@ def decontam_adversarial_cell(n: int, runs: int) -> None:
             "contaminated": int(row["rows"]),
             "exact": bool(exact),
         }), flush=True)
+
+
+def media_cell(n: int, runs: int) -> None:
+    """Multimodal decade cell (r9): N spec-valid BMP payloads synthesized
+    in-plan (numpy raster per doc, this repo's own encoder), pushed
+    through the format-DISPATCHING resize stage (magic sniff → real BMP
+    decode → nearest-neighbor resize to 4×3 → per-channel integer
+    stats). Exactness is the closed form of the grand pixel sum: source
+    sizes cycle with period 24 in doc id and values with period 256
+    (gcd(13, 256) = 1), so the per-doc channel sums repeat with period
+    lcm(24, 256) = 1536 — the expected total is one 1536-step Python
+    loop plus a multiply, asserted against the measured Σ px_sum.
+    Arrow-batched narrow map end-to-end: no shuffle anywhere in the
+    stats plan; throughput is the decode+resize kernel itself."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.multimodal import (
+        encode_bmp,
+        media_resize_stats,
+        resize_nearest,
+    )
+
+    spark = SparkSession.getActiveSession()
+    out_w, out_h = 4, 3
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["id"]:
+                i = int(doc_id)
+                w, h = 3 + i % 8, 2 + (i * 5) % 6
+                yy, xx, cc = np.ogrid[0:h, 0:w, 0:3]
+                arr = ((i * 13 + yy * 7 + xx * 3 + cc * 101) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(encode_bmp(arr.tobytes(), w, h))
+            yield pd.DataFrame({"doc_id": pdf["id"], "payload": payloads})
+
+    payloads = spark.range(n).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+    out = media_resize_stats(payloads, out_w=out_w, out_h=out_h)
+    t = _time(lambda: out.agg(F.sum("px_sum")).collect(), runs)
+    row = out.agg(
+        F.sum("px_sum").alias("s"), F.count(F.lit(1)).alias("rows")
+    ).collect()[0]
+
+    # closed-form expected grand sum via the period-1536 residue loop,
+    # computed through the SAME resize mapping (floor) the operator uses
+    import numpy as np
+
+    period = 1536
+    per_residue = []
+    for i in range(period):
+        w, h = 3 + i % 8, 2 + (i * 5) % 6
+        yy, xx, cc = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((i * 13 + yy * 7 + xx * 3 + cc * 101) % 256).astype(np.uint8)
+        res = resize_nearest(arr.tobytes(), w, h, 3, out_w, out_h)
+        per_residue.append(int(np.frombuffer(res, np.uint8).astype(np.int64).sum()))
+    expected = (n // period) * sum(per_residue) + sum(per_residue[: n % period])
+    print(json.dumps({
+        "cell": "media_resize_bmp",
+        "n_payloads": n,
+        "out_grid": f"{out_w}x{out_h}",
+        "sec": t,
+        "sum_px": int(row["s"]),
+        "rows": int(row["rows"]),
+        "exact": bool(row["s"] == expected and row["rows"] == 3 * n),
+    }), flush=True)
 
 
 def entropy_cell(n: int, runs: int) -> None:
