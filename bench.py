@@ -104,10 +104,11 @@ BENCH_QUERIES = [
     "dedup_containment",
     "text_collocations_pmi",
     # round 9: guarded decontamination in its no-fan-out flag-only shape
-    # (planted-hot-gram corpus + max_eval_df cap) and the format-
-    # dispatching media resize stage
+    # (planted-hot-gram corpus + max_eval_df cap), the format-dispatching
+    # media resize stage, and the restructured single-shuffle novelty
     "pipeline_decontaminate_flagonly",
     "multimodal_media_resize",
+    "text_ngram_novelty",
 ]
 
 # In-plan-build diagnostics (VERDICT r7 #8): these queries rebuild their
