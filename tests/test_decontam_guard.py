@@ -85,3 +85,27 @@ def test_flag_only_agrees_with_attributed_mode(spark, planted):
         "doc_id", "n_shared_grams").collect()}
     b = {(r["doc_id"], r["n_shared_grams"]) for r in flags.collect()}
     assert a == b
+
+
+def test_prep_v2_composes_flag_only_screen(spark, planted):
+    """The composed pipeline's decontamination is the FLAG-ONLY shape
+    (VERDICT r9 #3): no eval_id survives into the screen's plan, so no
+    eval-df × train-df fan-out exists at any gram heat — and the screen
+    still flags every train doc of the planted hot-footer corpus (they
+    genuinely share the footer grams with eval)."""
+    from vectordb_from_scratch_spark.plans.registry import QUERIES
+
+    df = QUERIES["pipeline_corpus_prep_v2"].spark(spark, SF_SMOKE)
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "eval_id" not in plan, "composed screen must be flag-only"
+        # semantics on the hot corpus: the same composition over the
+        # planted-footer table flags ALL train docs (flag-only mode is a
+        # guard against fan-out, never a silent cap on what gets flagged)
+        n_train = planted.filter(F.col("doc_id") % EVAL_MOD != 0).count()
+        flagged = dedup.decontamination_report(
+            planted, n=4, eval_mod=EVAL_MOD, attribution=False
+        )
+        assert flagged.count() == n_train
+    finally:
+        dedup.release_caches()

@@ -879,7 +879,7 @@ def test_novelty_stats_first_occurrence_semantics(spark):
     a = "alpha beta gamma delta epsilon zeta"          # 3 distinct 4-grams
     c = "one two three four five six seven"            # 4 distinct 4-grams
     docs = spark.createDataFrame(
-        [(1, a), (2, a), (3, c), (4, "too short")],
+        [(1, a), (2, a), (3, c), (4, "too short"), (5, None)],
         "doc_id long, text string",
     )
     got = {r.doc_id: r for r in dedup.novelty_stats(docs, n=4).collect()}
@@ -887,4 +887,8 @@ def test_novelty_stats_first_occurrence_semantics(spark):
     assert (got[2].n_grams, got[2].n_novel, got[2].novelty_frac) == (3, 0, 0.0)
     assert (got[3].n_grams, got[3].n_novel) == (4, 4)
     assert (got[4].n_grams, got[4].novelty_frac) == (0, 0.0)
+    # NULL text → NULL shingle array: the size coalesce must surface 0,
+    # not NULL (the r9 single-shuffle shape lost the old join's implicit
+    # coalesce; ADVICE r9)
+    assert (got[5].n_grams, got[5].n_novel, got[5].novelty_frac) == (0, 0, 0.0)
     assert sum(r.n_novel for r in got.values()) == 7  # each gram owned once

@@ -129,6 +129,10 @@ def test_media_resize_stats_dispatch_and_malformed(spark):
     # jpeg goes through the same dispatcher (lossy, so not in the
     # oracle query — but the plumbing must route it)
     rows.append((3, _jpeg_color()))
+    # video goes through the same dispatcher (VERDICT r9 #4): RIFF+AVI
+    # magic → per-frame decode → resize → stats POOLED across frames
+    avi = _avi()  # 2 grayscale 8×8 frames
+    rows.append((4, avi))
     # malformed family: garbage, magic-only, truncation, bit flip
     rows.append((10, rng.integers(0, 256, size=128, dtype=np.uint8).tobytes()))
     rows.append((11, valid["png"][:8]))
@@ -136,16 +140,56 @@ def test_media_resize_stats_dispatch_and_malformed(spark):
     flip = bytearray(valid["bmp"])
     flip[20] ^= 0xFF  # corrupt the header geometry
     rows.append((13, bytes(flip)))
+    rows.append((14, avi[:16]))        # truncated RIFF-AVI header
+    rows.append((15, _wav()))          # RIFF but WAVE, not AVI — no pixels
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = mm.media_resize_stats(df, out_w=4, out_h=3).collect()
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], set()).add(r["fmt"])
-        assert (r["width"], r["height"], r["n_pixels"]) == (4, 3, 12)
+        assert (r["width"], r["height"]) == (4, 3)
+        # images: one grid of pixels; video: grid × n_frames (pooled)
+        assert r["n_pixels"] == (24 if r["fmt"] == "avi" else 12)
     assert by_doc[0] == {"png"} and by_doc[1] == {"gif"} and by_doc[2] == {"bmp"}
     assert by_doc.get(3, set()) <= {"jpeg"}
-    for bad in (10, 11, 12):
+    assert by_doc[4] == {"avi"}
+    for bad in (10, 11, 12, 14, 15):
         assert bad not in by_doc
     # the bit-flipped BMP either decodes (harmless flip) or drops —
     # but must never surface under another format
     assert by_doc.get(13, set()) <= {"bmp"}
+
+
+# every Arrow-batched stats stage; each factory returns a payload its
+# stage decodes. (stage builder, factory, id-bearing output columns)
+_ID_COL_STAGES = [
+    ("png_pixel_stats", lambda df: mm.png_pixel_stats(df, id_col="img_id"), _png),
+    ("jpeg_pixel_stats", lambda df: mm.jpeg_pixel_stats(df, id_col="img_id"), _jpeg_gray),
+    ("gif_pixel_stats", lambda df: mm.gif_pixel_stats(df, id_col="img_id"), _gif),
+    ("bmp_pixel_stats", lambda df: mm.bmp_pixel_stats(df, id_col="img_id"), _bmp),
+    ("bmp_resize_stats",
+     lambda df: mm.bmp_resize_stats(df, out_w=2, out_h=2, id_col="img_id"), _bmp),
+    ("media_resize_stats",
+     lambda df: mm.media_resize_stats(df, out_w=2, out_h=2, id_col="img_id"), _png),
+    ("avi_frame_stats", lambda df: mm.avi_frame_stats(df, id_col="img_id"), _avi),
+    ("wav_audio_stats", lambda df: mm.wav_audio_stats(df, id_col="img_id"), _wav),
+    ("wav_zcr_stats", lambda df: mm.wav_zcr_stats(df, id_col="img_id"), _wav),
+]
+
+
+@pytest.mark.parametrize("name,stage,factory", _ID_COL_STAGES,
+                         ids=[s[0] for s in _ID_COL_STAGES])
+def test_stats_stages_honor_renamed_id_col(spark, name, stage, factory):
+    """Every mapInPandas stats stage must carry a NON-default id column
+    name end-to-end (VERDICT r9 #5): the Arrow assignment is name-based,
+    so a stage that hardcodes 'doc_id' against a caller's renamed id
+    would either mislabel or fail. The output id column must be named
+    id_col and hold the input ids."""
+    df = spark.createDataFrame(
+        [(77, factory()), (78, factory())], "img_id long, payload binary"
+    )
+    out = stage(df)
+    assert "img_id" in out.columns and "doc_id" not in out.columns
+    rows = out.collect()
+    assert rows, f"{name}: no output rows for a valid payload"
+    assert {r["img_id"] for r in rows} == {77, 78}

@@ -291,3 +291,62 @@ def test_adc_kernel_filtered_prefilter_semantics(emb, cb, codes, probes):
     assert {(r["query_id"], r["id"]) for r in a} == {
         (r["query_id"], r["id"]) for r in b
     }
+
+
+def test_ivf_pq_arrow_empty_routing_demotes_to_expr(spark, emb, cb, probes):
+    """strategy='arrow' with EMPTY routing (no centers) must return the
+    (empty) expr result, not die on max() over an empty pair set
+    (ADVICE r9): the composite-key build needs at least one routed
+    (query, list) pair, so the guard demotes to the expression path."""
+    v = emb.select(F.col("vec_id").cast("long").alias("id"),
+                   vm.as_double("embedding").alias("vec"))
+    cent = ann.build_ivf_det(emb, n_lists=4, iters=1)
+    assigned = ann.assign_ivf_det(v, cent)
+    idx = pq.ivf_pq_index(assigned, cb, M, D_SUB, id_col="id", vec_col="vec")
+    out = pq.ann_knn_ivf_pq(
+        idx, cent.limit(0), cb, probes, strategy="arrow",
+        k=5, n_probe=2, ks=KS, d_sub=D_SUB,
+    )
+    assert out.count() == 0
+    # empty PROBES under forced arrow demotes the same way
+    out2 = pq.ann_knn_ivf_pq(
+        idx, cent, cb, probes.limit(0), strategy="arrow",
+        k=5, n_probe=2, ks=KS, d_sub=D_SUB,
+    )
+    assert out2.count() == 0
+
+
+def test_adc_kernel_key_miss_fails_loudly():
+    """A candidate whose (query_id, list_id) composite key is ABSENT
+    from the routed key set must raise, not gather a neighboring LUT
+    row and mis-score silently (ADVICE r9)."""
+    import numpy as np
+    import pyarrow as pa
+
+    m_, ks_ = 2, 4
+    mult = 10
+    # slab rows for pairs (q=0,l=1) and (q=1,l=2) → keys [1, 12]
+    pair_keys = np.array([1, 12], dtype=np.int64)
+    slab = np.arange(2 * m_ * ks_, dtype=np.float64).reshape(2, m_, ks_)
+    kernel = pq._arrow_adc_routed_kernel(pair_keys, slab, mult, m_, ks_, 5)
+
+    def batch(qid, lid):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([qid], type=pa.int64()),
+                pa.array([lid], type=pa.int64()),
+                pa.array([100], type=pa.int64()),
+                pa.array([[0] * m_], type=pa.list_(pa.int8())),
+            ],
+            names=["query_id", "list_id", "id", "codes"],
+        )
+
+    # routed pair → scores fine
+    good = list(kernel(iter([batch(1, 2)])))
+    assert len(good) == 1 and good[0].num_rows == 1
+    # unrouted pair (q=0, l=2 → key 2, between the two routed keys)
+    with pytest.raises(ValueError, match="absent from"):
+        list(kernel(iter([batch(0, 2)])))
+    # key beyond the last routed key (boundary clamp, not IndexError)
+    with pytest.raises(ValueError, match="absent from"):
+        list(kernel(iter([batch(5, 5)])))

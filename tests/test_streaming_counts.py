@@ -65,12 +65,124 @@ def test_compaction_preserves_totals_and_shrinks_state(spark, tmp_path):
     src, _ = _mkdata(spark, tmp_path)
     state = _run(spark, src, tmp_path, "compact")
     before = {r.key: r.cnt for r in read_counts(spark, state).collect()}
-    n_parts_before = len(glob.glob(state + "/batch_id=*"))
+    n_parts_before = len(glob.glob(state + "/data/batch_id=*"))
     assert n_parts_before >= 2  # one partial per micro-batch
-    compact_counts(spark, state)
+    info = compact_counts(spark, state)
+    assert len(info["folded"]) == n_parts_before
     after = {r.key: r.cnt for r in read_counts(spark, state).collect()}
     assert after == before
-    assert glob.glob(state + "/batch_id=*") == [state + "/batch_id=-1"]
+    assert glob.glob(state + "/data/batch_id=*") == [state + "/data/batch_id=-1"]
+    # idempotent re-run: nothing new to fold, totals unchanged
+    info2 = compact_counts(spark, state)
+    assert info2["folded"] == []
+    assert {r.key: r.cnt for r in read_counts(spark, state).collect()} == before
+
+
+def test_counts_compaction_fence_blocks_interleaved_batch(spark, tmp_path):
+    """A micro-batch arriving while the compaction intent lease is held
+    must FAIL loudly (never write a partial the fold could lose), and
+    the stream recovers cleanly once the lease clears — mirroring
+    test_streaming_neardup's fence tests (VERDICT r9 #6)."""
+    import pytest
+
+    src, _ = _mkdata(spark, tmp_path)
+    state = str(tmp_path / "state_fence")
+    ckpt = str(tmp_path / "ckpt_fence")
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, event_type string"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = counts_stream_foreach_batch(spark, stream, state, ckpt).start()
+        assert q.awaitTermination(120)
+
+    # plant a (stale) intent lease, as if a compaction were mid-fold
+    spark.createDataFrame([(1,)], "intent_ts long").coalesce(1).write.mode(
+        "overwrite"
+    ).json(state + "/compaction_intent")
+    stream = spark.readStream.schema(
+        "event_id long, event_type string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = counts_stream_foreach_batch(spark, stream, state, ckpt).start()
+    with pytest.raises(Exception, match="compaction in progress"):
+        q.awaitTermination(120)
+    # clearing the lease (what a re-run compaction does last) unblocks;
+    # the stream replays off its checkpoint and lands every partial
+    import shutil
+
+    shutil.rmtree(state + "/compaction_intent")
+    run()
+    got = {r.key: r.cnt for r in read_counts(spark, state).collect()}
+    assert got == {"view": 8, "click": 3, "purchase": 1}
+
+
+def test_counts_snapshot_spares_interleaved_partial(spark, tmp_path):
+    """A partial landed AFTER the compaction snapshot (a batch that
+    slipped past the intent check) must survive the fold's delete and
+    keep counting — the batch-id snapshot discipline."""
+    import pyspark.sql.functions as SF
+
+    src, _ = _mkdata(spark, tmp_path)
+    state = _run(spark, src, tmp_path, "snapshot")
+    before = {r.key: r.cnt for r in read_counts(spark, state).collect()}
+    # simulate the interleaved batch: land a partial for batch 99 by
+    # hand between snapshot and delete — equivalently, after compaction
+    # ran its snapshot this partial was not in it
+    compact_counts(spark, state)
+    spark.createDataFrame([("view", 5)], "key string, cnt long").withColumn(
+        "batch_id", SF.lit(99)
+    ).coalesce(1).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(state + "/data")
+    got = {r.key: r.cnt for r in read_counts(spark, state).collect()}
+    assert got["view"] == before["view"] + 5
+    # the NEXT compaction folds it in and preserves the total
+    info = compact_counts(spark, state)
+    assert info["folded"] == [99]
+    got2 = {r.key: r.cnt for r in read_counts(spark, state).collect()}
+    assert got2["view"] == before["view"] + 5
+
+
+def test_folded_batch_replay_does_not_double_count(spark, tmp_path):
+    """The crash-dangling window: a batch's partial was written, its
+    checkpoint commit was lost, compaction folded the partial into the
+    baseline — the REPLAY of that batch must skip its write (the counts
+    are already in the baseline), never double-count."""
+    import shutil
+
+    src, _ = _mkdata(spark, tmp_path)
+    state = _run(spark, src, tmp_path, "replaymanifest")
+    before = {r.key: r.cnt for r in read_counts(spark, state).collect()}
+    compact_counts(spark, state)  # folds batches 0 and 1 into baseline
+    # lose the checkpoint → the stream replays EVERY batch with its
+    # original ids; all are in the folded manifest, so every write skips
+    shutil.rmtree(str(tmp_path / "ckpt_replaymanifest"))
+    stream = spark.readStream.schema(
+        "event_id long, event_type string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = counts_stream_foreach_batch(
+        spark, stream, state, str(tmp_path / "ckpt_replaymanifest")
+    ).start()
+    assert q.awaitTermination(120)
+    after = {r.key: r.cnt for r in read_counts(spark, state).collect()}
+    assert after == before  # no double counting
+
+
+def test_old_layout_state_fails_loudly(spark, tmp_path):
+    """A pre-fence state (partials at the state root) must raise, not
+    read as empty — silent zeroing of every count is the failure mode
+    the layout guard exists for."""
+    import pyspark.sql.functions as SF
+    import pytest
+
+    state = str(tmp_path / "state_oldlayout")
+    spark.createDataFrame([("view", 3)], "key string, cnt long").withColumn(
+        "batch_id", SF.lit(0)
+    ).coalesce(1).write.partitionBy("batch_id").parquet(state)
+    with pytest.raises(Exception, match="pre-fence layout"):
+        read_counts(spark, state).collect()
+    with pytest.raises(Exception, match="pre-fence layout"):
+        compact_counts(spark, state)
 
 
 def test_empty_state_reads_empty(spark, tmp_path):

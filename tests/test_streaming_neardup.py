@@ -5,6 +5,8 @@ sequentially over the same batches (stream ≡ batch)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from vectordb_from_scratch_spark.streaming.neardup_stream import (
@@ -346,3 +348,84 @@ def test_compaction_snapshot_spares_interleaved_delta(spark, tmp_path, monkeypat
     info2 = ns.compact_neardup_state(spark, state, n_buckets=8)
     assert info2["fps_rows"] == 4
     assert not os.path.exists(state + "/fps")
+
+
+def test_old_format_state_fails_loudly_and_compaction_migrates(spark, tmp_path):
+    """State written before the r9 'x'-guarded pfx partition values has
+    bare-hex pfx partitions the current prefix-pruned probes would
+    SILENTLY miss — re-admitting previously-seen duplicates (ADVICE r9).
+    The format marker must make that fail loudly; running
+    compact_neardup_state once migrates (the fold reads whole batch_id
+    partitions regardless of pfx form, the base carries no pfx) and the
+    screen then drops dups of PRE-upgrade docs again."""
+    import os
+    import shutil
+
+    from vectordb_from_scratch_spark.streaming.neardup_stream import (
+        compact_neardup_state,
+    )
+
+    src = str(tmp_path / "src_mig")
+    out = str(tmp_path / "out_mig")
+    state = str(tmp_path / "state_mig")
+
+    def run(ck):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = neardup_stream_foreach_batch(
+            spark, stream, out, state, str(tmp_path / ck), threshold=0.4
+        ).start()
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    run("ck_mig1")
+    assert os.path.exists(state + "/format")
+
+    # downgrade the state to the pre-r9 layout: strip the marker and
+    # rewrite every pfx partition value without the letter guard
+    shutil.rmtree(state + "/format")
+    for sub in ("fps", "bands"):
+        df = spark.read.parquet(f"{state}/{sub}")
+        old = df.withColumn("pfx", F.expr("substring(pfx, 2)"))
+        tmp_out = str(tmp_path / f"mig_old_{sub}")
+        old.write.partitionBy("batch_id", "pfx").parquet(tmp_out)
+        shutil.rmtree(f"{state}/{sub}")
+        shutil.move(tmp_out, f"{state}/{sub}")
+
+    # a new batch against marker-less delta state must fail loudly,
+    # never silently re-admit
+    spark.createDataFrame(
+        [(10, BASE)], "doc_id long, text string"  # exact dup of pre-upgrade 0
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="predates the state-format marker"):
+        run("ck_mig2")
+
+    # migration: one compaction folds the bare-pfx deltas into the
+    # (format-independent) bucketed base and stamps the marker
+    info = compact_neardup_state(spark, state, n_buckets=8)
+    assert info["fps_rows"] == 2 and os.path.exists(state + "/format")
+
+    run("ck_mig3")  # fresh checkpoint replays the dup batch cleanly
+    got = {r.doc_id for r in read_survivors(spark, out).collect()}
+    assert got == {0, 1}  # the pre-upgrade doc's dup was dropped
+
+
+def test_future_format_state_fails_loudly(spark, tmp_path):
+    """A marker with a DIFFERENT version than this code expects must
+    fail the stream, not probe state it cannot interpret."""
+    src = str(tmp_path / "src_fut")
+    state = str(tmp_path / "state_fut")
+    spark.createDataFrame(
+        [(0, BASE)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame([(99,)], "pfx_format int").coalesce(1).write.json(
+        state + "/format"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = neardup_stream_foreach_batch(
+        spark, stream, str(tmp_path / "out_fut"), state,
+        str(tmp_path / "ck_fut"), threshold=0.4,
+    ).start()
+    with pytest.raises(Exception, match="pfx_format=99"):
+        q.awaitTermination(180)

@@ -90,3 +90,87 @@ def test_scd2_stream_replay_is_noop(spark, tmp_path):
     before = _dim_rows(spark, dim)
     _run(spark, src, dim, str(tmp_path / "ckpt2"))  # full replay
     assert _dim_rows(spark, dim) == before
+
+
+def test_scd2_merge_lease_blocks_second_writer(spark, tmp_path):
+    """A foreign merge-intent marker (another stream's checkpoint mid-
+    merge on the same dimension) must fail the batch loudly BEFORE any
+    rename — the lost-update race where the second swap silently
+    discards the first's merge (VERDICT r9 #6)."""
+    import json
+
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    _mk(spark, BATCH1).write.parquet(src)
+    with open(dim + ".merge_intent", "w") as f:
+        json.dump({"checkpoint": "/somewhere/else", "batch_id": 0}, f)
+    stream = spark.readStream.schema(TS_SCHEMA).parquet(src)
+    q = scd2_stream_foreach_batch(
+        stream, dim, str(tmp_path / "ckpt"),
+        keys=["k"], tracked=["seg", "bal"], order_col="ts",
+    ).start()
+    with pytest.raises(Exception, match="holds the lease"):
+        q.awaitTermination(120)
+    # operator clears the foreign marker → the stream replays cleanly
+    import os
+
+    os.remove(dim + ".merge_intent")
+    _run(spark, src, dim, str(tmp_path / "ckpt"))
+    assert len(_dim_rows(spark, dim)) == 2
+    assert not os.path.exists(dim + ".merge_intent")  # released after swap
+
+
+def test_scd2_own_stale_lease_self_heals_on_replay(spark, tmp_path):
+    """A lease left by THIS stream's crashed attempt at the SAME batch
+    must not brick the replay: the merge recognizes its own marker and
+    proceeds."""
+    import json
+    import os
+
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    _mk(spark, BATCH1).write.parquet(src)
+    # the crashed attempt: batch 0 of this very checkpoint took the
+    # lease and died before the swap
+    with open(dim + ".merge_intent", "w") as f:
+        json.dump({"checkpoint": ckpt, "batch_id": 0}, f)
+    _run(spark, src, dim, ckpt)
+    assert len(_dim_rows(spark, dim)) == 2
+    assert not os.path.exists(dim + ".merge_intent")
+
+
+def test_scd2_mid_swap_crash_recovers_not_bootstraps(spark, tmp_path):
+    """The swap's crash windows must RESTORE a generation, never silently
+    bootstrap an empty dimension (the old bare-except behavior):
+    1) target renamed away, complete tmp present → finish the swap;
+    2) target renamed away, no complete tmp → restore the old gen."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    _mk(spark, BATCH1).write.parquet(src)
+    _run(spark, src, dim, str(tmp_path / "ck1"))
+    v1 = _dim_rows(spark, dim)
+
+    # window 1: target→old done, tmp complete, tmp→target not yet
+    os.rename(dim, dim + ".old-aaaa0001")
+    shutil.copytree(dim + ".old-aaaa0001", dim + ".tmp-bbbb0002")
+    _mk(spark, BATCH2).write.mode("append").parquet(src)
+    _run(spark, src, dim, str(tmp_path / "ck2"))  # fresh ckpt: replays all
+    got = _dim_rows(spark, dim)
+    # both batches land on the recovered v1 state: same as the clean run
+    assert (1, "A", 15.0, "1996-06-01", "None") in got
+    assert (1, "A", 12.0, "1995-01-01", "1996-06-01") in got
+
+    # window 2: target renamed away, tmp INCOMPLETE (no _SUCCESS)
+    shutil.rmtree(src)
+    shutil.rmtree(str(tmp_path / "ck3"), ignore_errors=True)
+    os.rename(dim, dim + ".old-cccc0003")
+    os.makedirs(dim + ".tmp-dddd0004")  # junk partial, no _SUCCESS
+    _mk(spark, BATCH1).write.parquet(src)
+    _run(spark, src, dim, str(tmp_path / "ck3"))
+    # the old generation was restored before merging — key 3 from the
+    # earlier runs is still present (an empty bootstrap would lose it)
+    assert any(r[0] == 3 for r in _dim_rows(spark, dim))

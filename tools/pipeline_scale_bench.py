@@ -32,9 +32,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# metrics delta of the most recent _time() call's FIRST run — a
+# deterministic plan moves identical bytes every run, so one capture
+# suffices while wall clock keeps best-of-N (VERDICT r9 #1: bytes, not
+# wall clock, adjudicate plan A/Bs at the spill decade on this box)
+LAST_EXEC: dict | None = None
+
+
 def _time(fn, runs: int) -> float:
-    best = float("inf")
-    for _ in range(runs):
+    global LAST_EXEC
+    from pyspark.sql import SparkSession
+
+    import execmetrics as xm
+
+    spark = SparkSession.getActiveSession()
+    before = xm.snapshot(spark)
+    t0 = time.monotonic()
+    fn()
+    best = time.monotonic() - t0
+    LAST_EXEC = xm.fmt(xm.delta(before, xm.snapshot(spark)))
+    for _ in range(runs - 1):
         t0 = time.monotonic()
         fn()
         best = min(best, time.monotonic() - t0)
@@ -62,7 +79,14 @@ def main() -> int:
         )
         .appName("pipeline_scale_bench")
         .config("spark.sql.shuffle.partitions", "64")
-        .config("spark.ui.enabled", "false")
+        # UI on for the status REST endpoint (execmetrics); retention
+        # sized so no measured stage is evicted before the AFTER
+        # snapshot. Task retention stays tiny — stage-level sums are
+        # aggregated independently of per-task rows.
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedStages", "100000")
+        .config("spark.ui.retainedJobs", "100000")
+        .config("spark.ui.retainedTasks", "100")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "48g")
         .getOrCreate()
@@ -105,6 +129,7 @@ def main() -> int:
             "hot_group_members": n,
             **kwargs,
             "sec": t,
+            "exec": LAST_EXEC,
             "sum_n_kept": int(kept),
             "expected": expected,
             "exact": bool(kept == expected),
@@ -132,6 +157,7 @@ def main() -> int:
             "n_urls": int(row["u"]),
             "n_domains": int(row["d"]),
             "sec": t2,
+            "exec": LAST_EXEC,
             "exact": bool(row["u"] == 2 * n and row["d"] == 2 * min(n, 50_000)),
         }))
 
@@ -257,6 +283,7 @@ def exact_dedup_cell(n: int, runs: int) -> None:
         "n_docs": n,
         "n_families": k,
         "sec": t,
+        "exec": LAST_EXEC,
         "groups": int(row["groups"]),
         "exact": bool(
             row["groups"] == k
@@ -306,6 +333,7 @@ def novelty_cell(n: int, runs: int) -> None:
         "n_docs": n,
         "n_gram_rows": 10 * n,
         "sec": t,
+        "exec": LAST_EXEC,
         "exact": bool(hist == {10: 1, 5: k - 1, 0: n - k}),
     }))
 
@@ -361,6 +389,7 @@ def decontam_cell(n: int, runs: int) -> None:
         "n_train_docs": n - (n + 96) // 97,
         "n_eval_docs": (n + 96) // 97,
         "sec": t,
+        "exec": LAST_EXEC,
         "contaminated": int(row["rows"]),
         "exact": bool(
             row["rows"] == expected_rows
@@ -447,6 +476,7 @@ def decontam_adversarial_cell(n: int, runs: int) -> None:
             "n_train_docs": n - n_eval,
             "n_eval_docs": n_eval,
             "sec": t,
+            "exec": LAST_EXEC,
             "contaminated": int(row["rows"]),
             "exact": bool(exact),
         }), flush=True)
@@ -519,6 +549,7 @@ def media_cell(n: int, runs: int) -> None:
         "n_payloads": n,
         "out_grid": f"{out_w}x{out_h}",
         "sec": t,
+        "exec": LAST_EXEC,
         "sum_px": int(row["s"]),
         "rows": int(row["rows"]),
         "exact": bool(row["s"] == expected and row["rows"] == 3 * n),
@@ -572,6 +603,7 @@ def entropy_cell(n: int, runs: int) -> None:
         "cell": "char_entropy",
         "n_docs": n,
         "sec": t,
+        "exec": LAST_EXEC,
         "distinct_entropies": len(got),
         "exact": bool(
             total == n
@@ -618,6 +650,7 @@ def pmi_cell(n: int, runs: int) -> None:
         "n_docs": n,
         "n_tokens": 6 * n,
         "sec": t,
+        "exec": LAST_EXEC,
         "exact": bool(
             set(rows) == set(want)
             and all(rows[k]["pmi"] == want[k] for k in want)
@@ -694,6 +727,7 @@ def containment_cell(n: int, runs: int) -> None:
             "n_docs": n,
             "universal_footer_df": n,
             "sec": t,
+            "exec": LAST_EXEC,
             "pairs": int(row["pairs"]),
             "expected_pairs": half,
             "exact": bool(
@@ -759,6 +793,7 @@ def persisted_cell(n_corpus: int, n_delivery: int, runs: int) -> None:
         "index_save_sec": save_sec,
         "index_bytes_on_disk": du,
         "warm_sec": warm,
+        "warm_exec": LAST_EXEC,
         "counts": warm_counts,
         "exact_verdicts_analytic": bool(
             warm_counts.get("exact", 0) == n_exact_expected
@@ -850,6 +885,7 @@ def incremental_cells(n_corpus: int, n_delivery: int, runs: int) -> None:
         "cell": "dedup_incremental",
         "n_corpus": n_corpus, "n_delivery": n_delivery,
         "cold_sec": cold, "index_build_sec": build, "warm_sec": warm,
+        "warm_exec": LAST_EXEC,
         "counts": warm_counts,
         "consistent": bool(cold_counts == warm_counts),
     }))

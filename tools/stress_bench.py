@@ -28,9 +28,25 @@ N_PROBES = 100
 K = 10
 
 
+# metrics delta of the most recent _time() call's FIRST run (VERDICT r9
+# #1): bytes moved by a deterministic plan are run-order-independent, so
+# they adjudicate plan A/Bs where wall clock on this box cannot.
+LAST_EXEC: dict | None = None
+
+
 def _time(fn, runs: int) -> float:
-    best = float("inf")
-    for _ in range(runs):
+    global LAST_EXEC
+    from pyspark.sql import SparkSession
+
+    import execmetrics as xm
+
+    spark = SparkSession.getActiveSession()
+    before = xm.snapshot(spark)
+    t0 = time.monotonic()
+    fn()
+    best = time.monotonic() - t0
+    LAST_EXEC = xm.fmt(xm.delta(before, xm.snapshot(spark)))
+    for _ in range(runs - 1):
         t0 = time.monotonic()
         fn()
         best = min(best, time.monotonic() - t0)
@@ -54,7 +70,11 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("stress_bench")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false")
+        # UI on for the execmetrics REST snapshots (see tools/execmetrics)
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedStages", "100000")
+        .config("spark.ui.retainedJobs", "100000")
+        .config("spark.ui.retainedTasks", "100")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
@@ -79,11 +99,15 @@ def main() -> int:
     def cell(name, fn):
         if not want(name):
             return
+        m = None
         try:
             results[name] = _time(fn, runs)
+            m = LAST_EXEC  # only a completed first run has valid metrics
         except Exception as e:  # record the failure, keep later cells alive
             results[name] = f"ERR:{type(e).__name__}"
-        print(json.dumps({"cell": name, "sec": results[name]}), flush=True)
+        print(json.dumps(
+            {"cell": name, "sec": results[name], "exec": m}
+        ), flush=True)
 
     saved = knn.AUTO_NUMPY_THRESHOLD
     try:
@@ -793,6 +817,7 @@ def main() -> int:
             results[name + "_recall"] = crecall(mk())
             print(json.dumps({
                 "cell": name, "sec": results[name + "_sec"],
+                "exec": LAST_EXEC,
                 "recall_at_%d" % K: results[name + "_recall"],
                 "per_probe_sec": round(results[name + "_sec"] / N_PROBES, 4),
             }), flush=True)

@@ -965,8 +965,15 @@ def novelty_stats(
         F.col(id_col),
         F.array_distinct(X.word_shingles(text_col, n)).alias("__s"),
     )
-    # narrow, shuffle-free: every doc appears here, zero-gram docs included
-    sizes = base.select(F.col(id_col), F.size("__s").alias("n_grams"))
+    # narrow, shuffle-free: every doc appears here, zero-gram docs included.
+    # NULL text → NULL shingle array → F.size returns NULL (Spark 3+
+    # semantics); coalesce to 0 so the documented "docs with no n-gram
+    # surface n_grams = 0" contract holds (the r8 shape got this for free
+    # from its left join back to documents; ADVICE r9)
+    sizes = base.select(
+        F.col(id_col),
+        F.coalesce(F.size("__s"), F.lit(0)).alias("n_grams"),
+    )
     grams = base.select(
         F.col(id_col), F.explode("__s").alias("__gram")
     ).select(F.col(id_col), F.md5("__gram").alias("gram_hash"))

@@ -410,7 +410,24 @@ def _arrow_adc_routed_kernel(
                 zero_copy_only=False
             )
             C = flat.reshape(n, m).astype(np.int64, copy=False)
-            g = np.searchsorted(pair_keys, qids * mult + lids)
+            comp = qids * mult + lids
+            g = np.searchsorted(pair_keys, comp)
+            # fail loudly on a key miss: a (query, list) pair absent from
+            # the collected routing (or an int64 overflow in the composite
+            # key for hash-derived query ids) would otherwise gather a
+            # NEIGHBORING query's LUT row and mis-score silently; the
+            # clamp makes the compare itself safe at the array boundary
+            # (one vectorized compare per batch — cheap) (ADVICE r9)
+            g = np.minimum(g, pair_keys.size - 1)
+            if not np.array_equal(pair_keys[g], comp):
+                missing = comp[pair_keys[g] != comp]
+                raise ValueError(
+                    "ADC kernel: (query_id, list_id) pair(s) absent from "
+                    f"the routed key set (first composite key: "
+                    f"{int(missing[0])}) — routing out of sync with the "
+                    "candidate scan, or composite-key overflow for very "
+                    "large query ids"
+                )
             if row_map is not None:
                 g = row_map[g]
             d2 = lut_slab[g[:, None], subs, C].sum(axis=1)
@@ -710,8 +727,12 @@ def ann_knn_ivf_pq(
         import numpy as np
 
         qrows = lut.select("query_id", "__lut").collect()
-        if not qrows:
-            strategy = "expr"  # no queries — expr returns empty
+        pair_rows = routed.select("query_id", "list_id").collect()
+        # empty queries OR empty routing (e.g. no centers): the kernel's
+        # composite-key build (max over pair_rows) would raise on an empty
+        # sequence — expr returns the same (empty) result (ADVICE r9)
+        if not qrows or not pair_rows:
+            strategy = "expr"
     if strategy == "arrow":
         lut_len = len(qrows[0]["__lut"])
         if lut_len % ks:
@@ -724,7 +745,6 @@ def ann_knn_ivf_pq(
             [list(r["__lut"]) for r in qrows], dtype=np.float64
         ).reshape(len(qrows), m_, ks)
         qrow_of = {r["query_id"]: i for i, r in enumerate(qrows)}
-        pair_rows = routed.select("query_id", "list_id").collect()
         mult = max(r["list_id"] for r in pair_rows) + 1
         keys = np.array(
             [int(r["query_id"]) * mult + int(r["list_id"]) for r in pair_rows],

@@ -3385,7 +3385,15 @@ def _q_decontaminate_flagonly(spark, sf_dir):
 )
 def _q_pipeline_corpus_prep_v2(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    contam = dedup.decontamination_report(d, n=4, eval_mod=97).select("doc_id")
+    # flag-only decontamination is the composed default (VERDICT r9 #3):
+    # the pipeline consumes only the flagged ids, and attribution=False
+    # removes the eval-df × train-df fan-out hazard at ANY gram heat —
+    # the 100-TB screen shape. Attribution stays a forensic follow-up on
+    # the flagged subset (pipeline_decontaminate). The oracle twin is
+    # unchanged: its contam CTE already joins the DISTINCT gram set.
+    contam = dedup.decontamination_report(
+        d, n=4, eval_mod=97, attribution=False
+    ).select("doc_id")
     # Persist the post-decontamination corpus: three downstream stages
     # consume it (repetition metrics, dedup representative, final
     # projection) and Spark plans are trees, not DAGs — without the cache
@@ -8171,6 +8179,78 @@ def _q_multimodal_video_frames(spark, sf_dir):
 
     payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
     return avi_frame_stats(payloads)
+
+
+@_register(
+    "multimodal_video_resize",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             2 + doc_id % 3 AS nf,
+             8 * (1 + doc_id % 2) AS w,
+             8 * (1 + (doc_id * 3) % 2) AS h
+      FROM documents WHERE doc_id % 19 = 0
+    ),
+    px AS (
+      SELECT d.doc_id,
+             (d.doc_id * 23 + ff.f * 41
+              + (((yy.y * d.h) // 6) // 8) * 13
+              + (((xx.x * d.w) // 8) // 8) * 17) % 256 AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS f) ff,
+           LATERAL (SELECT unnest(generate_series(0, 5)) AS y) yy,
+           LATERAL (SELECT unnest(generate_series(0, 7)) AS x) xx
+    )
+    SELECT doc_id, 'avi' AS fmt, 0 AS channel,
+           8 AS width, 6 AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS INTEGER) AS px_min,
+           CAST(max(v) AS INTEGER) AS px_max,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+    FROM px GROUP BY doc_id
+    """,
+    doc="Video through the mixed-media normalize stage (VERDICT r9 #4): "
+    "spec-valid AVI-MJPEG payloads (2-4 grayscale flat-8x8-block "
+    "baseline-JPEG frames, bit-exact decode) are sniffed by the RIFF/"
+    "'AVI ' magic, every frame decoded through the full JPEG pipeline, "
+    "nearest-neighbor-resized to the 8x6 model grid, and pooled into "
+    "ONE per-(payload, channel) stats row across all frames "
+    "(n_pixels = 8*6*n_frames — the stacked-frames tensor shape) "
+    "(operators/multimodal.py:media_resize_stats, video branch). The "
+    "floor-mapping resize ((dst*src)//dst_dim) is recomputed closed-"
+    "form in SQL integer arithmetic, so the oracle is value-exact.",
+)
+def _q_multimodal_video_resize(spark, sf_dir):
+    from ..operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+        media_resize_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nf = 2 + i % 3
+                w, h = 8 * (1 + i % 2), 8 * (1 + (i * 3) % 2)
+                frames = []
+                for f in range(nf):
+                    px = bytes(
+                        (i * 23 + f * 41 + (y // 8) * 13 + (x // 8) * 17) % 256
+                        for y in range(h) for x in range(w)
+                    )
+                    frames.append(encode_jpeg_gray(px, w, h))
+                payloads.append(encode_avi_mjpeg(frames, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return media_resize_stats(payloads, out_w=8, out_h=6)
 
 
 

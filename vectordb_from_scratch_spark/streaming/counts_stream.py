@@ -19,9 +19,33 @@ folds all partials into a single baseline partition (batch_id = -1)
 the same way the WAL checkpoint folds the insert log
 (sources/persistence.py) — after compaction the read scans
 |distinct keys| + |keys since compaction| rows.
+
+Crash/interleave safety (VERDICT r9 #6, the fence neardup_stream got
+in r9 applied here):
+- INTENT LEASE: compact_counts writes `<state>/compaction_intent`
+  before reading any partial and clears it last; the merge checks it
+  at batch start AND immediately before its write, failing the
+  micro-batch loudly (the stream retries off its checkpoint after
+  compaction finishes).
+- BATCH-ID SNAPSHOT: the fold reads only the batch partitions
+  physically present when it starts and deletes ONLY those — a partial
+  landed by a batch that slipped past the intent check survives both
+  the fold and the delete.
+- FOLDED-ID MANIFEST: `<state>/compaction` records every batch_id ever
+  folded into the baseline. A REPLAYED batch whose id is in that set
+  (the crash-dangling window: partial written, checkpoint commit lost,
+  compaction ran before the replay) skips its write — its counts
+  already live in the baseline, and re-writing the partition would
+  double-count exactly once. This is the counts analog of
+  neardup_stream keeping batch_id in the compacted base for replay
+  exclusion. (Re-ingesting a compacted state from a FRESH checkpoint
+  remains out of scope, as for every stream here: batch numbering
+  restarts and no sink bookkeeping can realign it — reset the state.)
 """
 
 from __future__ import annotations
+
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -40,6 +64,64 @@ __all__ = [
 _BASELINE_BATCH = -1
 
 
+def _intent_dir(state_dir: str) -> str:
+    return state_dir + "/compaction_intent"
+
+
+def _manifest_dir(state_dir: str) -> str:
+    return state_dir + "/compaction"
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    ), jpath
+
+
+def _check_layout(spark: SparkSession, state_dir: str) -> None:
+    """Pre-fence states (r9 and earlier) wrote partials directly under
+    state_dir; the fenced layout nests them under <state>/data so the
+    intent/manifest markers can live alongside without breaking
+    partition discovery. Reading an old state as if empty would
+    silently zero every count — fail loudly instead (migration: move
+    the batch_id=* directories under <state>/data)."""
+    fs, jpath = _fs_for(spark, state_dir)
+    if not fs.exists(jpath):
+        return
+    for st in fs.listStatus(jpath):
+        if st.isDirectory() and st.getPath().getName().startswith("batch_id="):
+            raise RuntimeError(
+                f"counts state at {state_dir} uses the pre-fence layout "
+                "(batch_id=* partitions at the state root): move them "
+                f"under {state_dir}/data and retry — reading on would "
+                "silently treat every existing count as zero"
+            )
+
+
+def _folded_ids(spark: SparkSession, state_dir: str) -> set[int]:
+    mdir = _manifest_dir(state_dir)
+    if not _dir_exists(spark, mdir):
+        return set()
+    return {int(r["batch_id"]) for r in spark.read.json(mdir).collect()}
+
+
+def _list_batch_ids(spark: SparkSession, data_dir: str) -> list[int]:
+    """batch_id partition values (>= 0) physically present — the fold's
+    snapshot: only these are read and only these are deleted."""
+    fs, jpath = _fs_for(spark, data_dir)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            bid = int(name.split("=", 1)[1])
+            if bid >= 0:
+                out.append(bid)
+    return sorted(out)
+
+
 def counts_stream_foreach_batch(
     spark: SparkSession,
     stream: DataFrame,
@@ -50,18 +132,46 @@ def counts_stream_foreach_batch(
     """Wire a stream into a running per-key count state. Returns the
     unstarted writeStream (availableNow trigger), same contract as
     dedup_stream_foreach_batch."""
+    data_dir = state_dir + "/data"
+    folded_cache: list = []  # per stream instance, like neardup's manifest
+
+    def _check_fence(s: SparkSession) -> None:
+        if _dir_exists(s, _intent_dir(state_dir)):
+            raise RuntimeError(
+                f"compaction in progress for {state_dir} (intent marker "
+                "present) — the counts stream must not write partials "
+                "while compact_counts runs; retry after it finishes (a "
+                "stale marker from a crashed compaction is cleared by "
+                "re-running compaction)"
+            )
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        (
+        s = batch.sparkSession
+        _check_fence(s)
+        if not folded_cache:
+            _check_layout(s, state_dir)  # once per stream instance
+            folded_cache.append(_folded_ids(s, state_dir))
+        if batch_id in folded_cache[0]:
+            # crash-dangling replay AFTER compaction: this batch's partial
+            # was folded into the baseline and its partition deleted —
+            # re-writing it would double-count exactly once. Its data is
+            # durably in the baseline; the replay is a no-op.
+            return
+        partial = (
             batch.groupBy(F.col(key_col).alias("key"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .withColumn("batch_id", F.lit(batch_id))
             # one small file per batch: partials are key-cardinality rows
             .coalesce(1)
-            .write.mode("overwrite")
+        )
+        # re-check the lease immediately before the write: a compaction
+        # that began mid-batch must not race the partial landing below
+        _check_fence(s)
+        (
+            partial.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(state_dir)
+            .parquet(data_dir)
         )
 
     return (
@@ -75,11 +185,14 @@ def read_counts(
     spark: SparkSession, state_dir: str, key_type: str = "string"
 ) -> DataFrame:
     """Current total count per key (empty-safe): sum of all batch
-    partials. ``key_type`` shapes the empty result before any batch."""
-    if not _dir_exists(spark, state_dir):
+    partials (and the compaction baseline). ``key_type`` shapes the
+    empty result before any batch."""
+    data_dir = state_dir + "/data"
+    if not _dir_exists(spark, data_dir):
+        _check_layout(spark, state_dir)  # old-layout state ≠ empty state
         return spark.createDataFrame([], f"key {key_type}, cnt long")
     return (
-        spark.read.parquet(state_dir)
+        spark.read.parquet(data_dir)
         .groupBy("key")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -98,27 +211,64 @@ def read_top_hitters(
     )
 
 
-def compact_counts(spark: SparkSession, state_dir: str) -> None:
-    """Fold every batch partial into the baseline partition and drop the
-    per-batch history. Run only after a CLEAN stream completion (an
-    availableNow run that drained): a crash-dangling partial whose batch
-    never committed to the checkpoint would be folded into the baseline
-    here and then re-written on replay — double-counting that one batch.
-    The read side (spark.read of the directory we are about to
-    overwrite) is materialized via localCheckpoint before the write —
-    never overwrite a path a lazy plan still scans."""
+def compact_counts(spark: SparkSession, state_dir: str) -> dict:
+    """Fold the SNAPSHOTTED batch partials into the baseline partition
+    and drop exactly those partitions. Run while the stream is stopped;
+    that rule is ENFORCED by the intent lease (a concurrent micro-batch
+    fails loudly), and a batch that slips past the check is protected by
+    the snapshot (its partition is neither folded nor deleted — the next
+    compaction picks it up). The folded batch ids are recorded in the
+    manifest so a crash-dangling replay of a folded batch skips its
+    write instead of double-counting (module docstring).
+
+    Returns {'folded': [batch ids folded this run], 'baseline_keys': n}.
+    The read side is materialized via localCheckpoint before the
+    overwrite — never overwrite a path a lazy plan still scans."""
+    data_dir = state_dir + "/data"
+    _check_layout(spark, state_dir)
+    # intent FIRST — every partial read below is covered by the lease
+    spark.createDataFrame(
+        [(int(time.time()),)], "intent_ts long"
+    ).coalesce(1).write.mode("overwrite").json(_intent_dir(state_dir))
+    snapshot = _list_batch_ids(spark, data_dir)
+    if not snapshot:
+        fs, jpath = _fs_for(spark, _intent_dir(state_dir))
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        return {"folded": [], "baseline_keys": 0}
+    keep_ids = snapshot + [_BASELINE_BATCH]
     totals = (
-        spark.read.parquet(state_dir)
+        spark.read.parquet(data_dir)
+        .filter(F.col("batch_id").isin(keep_ids))
         .groupBy("key")
         .agg(F.sum("cnt").alias("cnt"))
         .withColumn("batch_id", F.lit(_BASELINE_BATCH))
         .coalesce(1)
-        # static overwrite replaces ALL partitions with the baseline
         .transform(cache.checkpoint)
     )
+    n_keys = totals.count()
+    # dynamic overwrite replaces ONLY the baseline partition — a batch
+    # partition created after the snapshot survives
     (
         totals.write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
-        .parquet(state_dir)
+        .parquet(data_dir)
     )
+    # manifest BEFORE the delete: a crash between them leaves the folded
+    # partition AND the manifest row — the replay-skip stays correct and
+    # the next compaction's distinct-by-aggregation... partials are
+    # additive, so a folded-but-undeleted partition WOULD double-count on
+    # the next fold. Guard: the next fold excludes manifested ids.
+    folded = sorted(_folded_ids(spark, state_dir) | set(snapshot))
+    spark.createDataFrame(
+        [(b,) for b in folded], "batch_id long"
+    ).coalesce(1).write.mode("overwrite").json(_manifest_dir(state_dir))
+    for bid in snapshot:
+        fs, jpath = _fs_for(spark, f"{data_dir}/batch_id={bid}")
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+    fs, jpath = _fs_for(spark, _intent_dir(state_dir))
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    return {"folded": snapshot, "baseline_keys": int(n_keys)}

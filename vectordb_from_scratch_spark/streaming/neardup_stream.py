@@ -74,6 +74,15 @@ __all__ = [
 
 _PFX_LEN = 2
 
+# On-disk state format version. v2 = the 'x'-guarded pfx partition values
+# introduced in r9 (see _pfx). v1 state (bare hex pfx, pre-r9) is NOT
+# probe-compatible: the isin([...]) filters would silently miss every
+# old-format delta row and re-admit previously-seen duplicates (ADVICE
+# r9). The marker makes the mismatch fail loudly; migration = run
+# compact_neardup_state once (the fold reads whole batch_id partitions
+# regardless of pfx value, and the compacted base carries no pfx).
+_PFX_FORMAT = 2
+
 
 def _pfx(col: str):
     """Partition-prefix value: 'x' + the first _PFX_LEN hex chars. The
@@ -106,6 +115,51 @@ def _base_dirs(state_dir: str, gen: int) -> tuple[str, str]:
 
 def _intent_dir(state_dir: str) -> str:
     return state_dir + "/compaction_intent"
+
+
+def _format_dir(state_dir: str) -> str:
+    return state_dir + "/format"
+
+
+def _stamp_format(spark: SparkSession, state_dir: str) -> None:
+    spark.createDataFrame(
+        [(_PFX_FORMAT,)], "pfx_format int"
+    ).coalesce(1).write.mode("overwrite").json(_format_dir(state_dir))
+
+
+def _check_or_stamp_format(spark: SparkSession, state_dir: str) -> None:
+    """Enforce the state-format version before any probe/write. Marker
+    present: must match _PFX_FORMAT. Marker absent with existing delta
+    state: pre-marker state whose pfx values the current probes cannot
+    be trusted to see — fail loudly and direct the operator to
+    compact_neardup_state (which folds ANY pfx format and stamps the
+    marker). Marker absent with no delta state: fresh (or fully
+    compacted pre-marker) state — stamp and proceed, the compacted base
+    is bkt-partitioned and format-independent."""
+    fdir = _format_dir(state_dir)
+    if _dir_exists(spark, fdir):
+        ver = int(spark.read.json(fdir).first()["pfx_format"])
+        if ver != _PFX_FORMAT:
+            raise RuntimeError(
+                f"near-dup state at {state_dir} has pfx_format={ver}, this "
+                f"code expects {_PFX_FORMAT}: run compact_neardup_state "
+                "once to fold the old-format deltas into the (format-"
+                "independent) bucketed base, then restart the stream"
+            )
+        return
+    if any(
+        _dir_exists(spark, state_dir + suffix) for suffix in ("/fps", "/bands")
+    ):
+        raise RuntimeError(
+            f"near-dup state at {state_dir} predates the state-format "
+            "marker: its pfx partition values may use the old bare-hex "
+            "form, which the current prefix-pruned probes would silently "
+            "miss (re-admitting previously-seen duplicates). Run "
+            "compact_neardup_state once to migrate (the fold reads whole "
+            "batch_id partitions regardless of pfx format and stamps the "
+            "marker), then restart the stream."
+        )
+    _stamp_format(spark, state_dir)
 
 
 def _fs_for(spark: SparkSession, path: str):
@@ -217,6 +271,7 @@ def compact_neardup_state(
         counts.append(spark.read.parquet(new_base).count())
         wrote_any = True
     if not wrote_any:
+        _stamp_format(spark, state_dir)  # empty state is trivially current
         fs, jpath = _fs_for(spark, _intent_dir(state_dir))
         if fs.exists(jpath):
             fs.delete(jpath, True)
@@ -262,6 +317,10 @@ def compact_neardup_state(
             fs.delete(jdir, False)  # only succeeds if (still) empty
         except Exception:  # noqa: BLE001 — a concurrent batch landed; keep it
             pass
+    # the fold consumed every snapshotted delta partition regardless of
+    # its pfx format and the base carries no pfx — the state is current:
+    # stamp (this IS the v1→v2 migration path, see _check_or_stamp_format)
+    _stamp_format(spark, state_dir)
     # lease released last — the state is consistent from here on
     fs, jpath = _fs_for(spark, _intent_dir(state_dir))
     if fs.exists(jpath):
@@ -329,6 +388,9 @@ def neardup_stream_foreach_batch(
         s = batch.sparkSession
         _check_fence(s)
         if not manifest_cache:
+            # once per stream instance, like the manifest: the format
+            # cannot change while the stream runs (compaction is fenced)
+            _check_or_stamp_format(s, state_dir)
             manifest_cache.append(_read_manifest(s, state_dir))
         manifest = manifest_cache[0]
         nb = manifest[0] if manifest else None

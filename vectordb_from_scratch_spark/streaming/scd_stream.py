@@ -13,14 +13,38 @@ micro-batch re-delivered after a crash merges to the identical
 dimension (asserted in tests). This is the property Structured
 Streaming's checkpoint+foreachBatch contract needs from its sink.
 
+Interleave/crash safety (VERDICT r9 #6 — the fence discipline the
+near-dup stream got in r9, applied to the rename-swap):
+- MERGE INTENT LEASE `<dim>.merge_intent`: written (with this stream's
+  checkpoint dir + batch id) before the dimension is read, re-checked
+  immediately before the swap, cleared after. A SECOND writer (another
+  stream on the same dim_dir — the lost-update race: both read v_n,
+  both swap, the second silently discards the first's merge) fails its
+  batch loudly. A stale lease from a crashed merge self-heals: the
+  REPLAY of that same (checkpoint, batch) recognizes its own marker
+  and proceeds; any other writer stays blocked until that replay runs
+  or the operator clears the marker.
+- CRASH-RECOVERY LADDER in the dimension read: the swap's crash window
+  (between rename(target→old) and rename(tmp→target)) leaves NO target
+  dir, which the old code's bare except silently treated as "first
+  batch — bootstrap empty": a mid-swap crash would have REBUILT THE
+  DIMENSION FROM NOTHING. Now: target missing + a complete tmp
+  (_SUCCESS present) → finish the swap; else target missing + an old
+  generation present → restore it; only a state with NO generation at
+  all bootstraps.
+
 At 100 TB the stored dimension becomes a Delta/Iceberg MERGE target and
 the per-batch collect of the effective date disappears into the batch
 metadata; the plan shape — latest-per-key window, one full-outer join
-against open versions, map-side history union — is unchanged.
+against open versions, map-side history union — is unchanged (and the
+lease becomes the table format's optimistic-commit protocol).
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -28,7 +52,65 @@ from pyspark.sql import functions as F
 
 from ..operators.scd import scd2_merge
 
-__all__ = ["scd2_stream_foreach_batch"]
+__all__ = ["scd2_stream_foreach_batch", "read_dim"]
+
+
+def _intent_path(dim_dir: str) -> str:
+    return dim_dir + ".merge_intent"
+
+
+def _read_intent(dim_dir: str) -> dict | None:
+    p = _intent_path(dim_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_intent(dim_dir: str, checkpoint_dir: str, batch_id: int) -> None:
+    # single local json file (not a Spark write): the swap itself is
+    # local-FS renames, so the lease lives at the same abstraction level
+    with open(_intent_path(dim_dir), "w") as f:
+        json.dump({"checkpoint": checkpoint_dir, "batch_id": batch_id}, f)
+
+
+def _clear_intent(dim_dir: str) -> None:
+    try:
+        os.remove(_intent_path(dim_dir))
+    except FileNotFoundError:
+        pass
+
+
+def _newest(paths: list[str]) -> str | None:
+    return max(paths, key=os.path.getmtime) if paths else None
+
+
+def read_dim(spark, dim_dir: str) -> DataFrame | None:
+    """The current dimension, applying the crash-recovery ladder (module
+    docstring). Returns None only for a genuinely fresh state (no
+    generation exists anywhere) — never silently for a mid-swap crash."""
+    if os.path.exists(dim_dir):
+        return spark.read.parquet(dim_dir)
+    # target missing: a complete tmp (crash BETWEEN the two renames)
+    # finishes the swap — the tmp was fully written, _SUCCESS proves it
+    tmp = _newest([
+        p for p in glob.glob(dim_dir + ".tmp-*")
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ])
+    if tmp is not None:
+        os.rename(tmp, dim_dir)
+        return spark.read.parquet(dim_dir)
+    # else an old generation (crash between rename(target→old) and the
+    # tmp write completing — tmp incomplete or already cleaned)
+    old = _newest(glob.glob(dim_dir + ".old-*"))
+    if old is not None:
+        os.rename(old, dim_dir)
+        return spark.read.parquet(dim_dir)
+    if glob.glob(dim_dir + ".tmp-*"):
+        # incomplete tmp with no old and no target: the FIRST batch
+        # crashed mid-write; treat as fresh (nothing was ever committed)
+        return None
+    return None
 
 
 def scd2_stream_foreach_batch(
@@ -54,10 +136,29 @@ def scd2_stream_foreach_batch(
     keys = list(keys)
     tracked = list(tracked)
 
+    def _acquire(batch_id: int) -> None:
+        intent = _read_intent(dim_dir)
+        if intent is not None and not (
+            intent.get("checkpoint") == checkpoint_dir
+            and intent.get("batch_id") == batch_id
+        ):
+            raise RuntimeError(
+                f"another SCD2 merge holds the lease on {dim_dir} "
+                f"(checkpoint={intent.get('checkpoint')!r} "
+                f"batch={intent.get('batch_id')!r}): two writers on one "
+                "dimension would silently lose the first's merge in the "
+                "rename swap. If that writer crashed, its own replay "
+                "clears this; otherwise remove the .merge_intent marker "
+                "after verifying no other stream is alive."
+            )
+        # fresh lease, or our own crashed attempt replaying — (re)take it
+        _write_intent(dim_dir, checkpoint_dir, batch_id)
+
     def merge(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return
         s = batch.sparkSession
+        _acquire(batch_id)
         # last update per key within the batch (ties broken stably by the
         # tracked values so replays are deterministic)
         latest = (
@@ -77,9 +178,8 @@ def scd2_stream_foreach_batch(
             F.max(F.col(order_col).cast("date")).alias("d")
         ).collect()[0]["d"]
         upd = latest.drop(order_col)
-        try:
-            dim = s.read.parquet(dim_dir)
-        except Exception:  # first batch — bootstrap an empty dimension
+        dim = read_dim(s, dim_dir)
+        if dim is None:  # first batch — bootstrap an empty dimension
             dim = (
                 upd.withColumn(eff_col, F.lit(None).cast("date"))
                 .withColumn(end_col, F.lit(None).cast("date"))
@@ -91,7 +191,19 @@ def scd2_stream_foreach_batch(
         )
         from ..sources.persistence import overwrite_via_rename
 
+        # re-check ownership immediately before the swap: a second
+        # writer that raced past the first check must not interleave
+        # its renames with ours
+        intent = _read_intent(dim_dir)
+        if intent is None or intent.get("checkpoint") != checkpoint_dir or (
+            intent.get("batch_id") != batch_id
+        ):
+            raise RuntimeError(
+                f"SCD2 merge lease on {dim_dir} changed hands mid-batch "
+                f"(now {intent!r}) — aborting before the swap"
+            )
         overwrite_via_rename(new_dim, dim_dir)
+        _clear_intent(dim_dir)
 
     return (
         update_stream.writeStream.foreachBatch(merge)
