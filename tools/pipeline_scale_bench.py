@@ -173,11 +173,17 @@ def main() -> int:
     if want("decontam_adversarial"):
         decontam_adversarial_cell(n=n, runs=runs)
 
+    if want("corpusprep"):
+        corpus_prep_cell(n=n, runs=runs)
+
     if want("novelty"):
         novelty_cell(n=n, runs=runs)
 
     if want("media"):
         media_cell(n=n, runs=runs)
+
+    if want("video"):
+        media_video_cell(n=n, runs=runs)
 
     if want("entropy"):
         entropy_cell(n=n, runs=runs)
@@ -399,6 +405,123 @@ def decontam_cell(n: int, runs: int) -> None:
     }))
 
 
+def corpus_prep_cell(n: int, runs: int) -> None:
+    """COMPOSED pipeline at scale (VERDICT r9 #7): guarded flag-only
+    decontamination → Gopher repetition filter → exact-dedup keeper —
+    the pipeline_corpus_prep_v2 shape with the guards ON, per-STAGE
+    timing + exec bytes, and a closed-form survivor count. Every 100M
+    cell before this measured a single operator; composition multiplies
+    the retained-persist hazard the r9 novelty cell surfaced, so each
+    stage materializes through one persisted intermediate (the
+    single-session form of per-stage storage materialization at 100 TB).
+
+    Corpus (the decontam_adversarial shape + a repetition channel):
+      text(i) = uniq5(i) [+ block phrase if i%10==0] + universal phrase
+                [+ 3 repeats of w0tok{i} if i%7==3]
+    Closed form:
+      - eval slice: i%97==0 (never in train)
+      - decontam (max_eval_df=2, attribution=False): universal grams are
+        eval-hot (df=|eval|) and CAPPED AWAY; block grams hit exactly 1
+        eval doc each → every {i%10==0, i%97!=0} train doc drops; the
+        i%7==3 repeat tail adds only id-unique grams (eval df 0)
+      - repetition: clean docs have 10 distinct single-count tokens
+        (top_token_share 0.1 ≤ 0.12 → keep); i%7==3 docs carry w0tok ×4
+        of 13 tokens (0.3077 > 0.12 → drop); dup_token_frac 3/13 ≤ 0.65
+        never trips alone
+      - exact dedup: uniq5 is id-keyed, every text distinct → no drops
+      survivors = #{i < n : i%97≠0, i%10≠0, i%7≠3}, counted over the
+      lcm(97,10,7)=6790 residue cycle.
+    """
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators import textops
+    from vectordb_from_scratch_spark.operators.dedup import (
+        _track,
+        decontamination_report,
+        exact_dedup,
+        release_caches,
+    )
+
+    spark = SparkSession.getActiveSession()
+    sid = F.col("id").cast("string")
+    uniq = F.concat_ws(
+        " ", *[F.concat(F.lit(f"w{j}tok"), sid) for j in range(5)]
+    )
+    blk = (F.col("id") / 970).cast("long").cast("string")
+    universal = F.lit(" universal planted boilerplate phrase here")
+    rep_tail = F.concat(
+        F.lit(" "),
+        F.concat_ws(
+            " ", *[F.concat(F.lit("w0tok"), sid) for _ in range(3)]
+        ),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(
+                F.col("id") % 10 == 0,
+                F.concat(uniq, F.lit(" common contaminated phrase b"), blk),
+            ).otherwise(uniq),
+            universal,
+            F.when(F.col("id") % 7 == 3, rep_tail).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    # closed-form survivor count over one residue cycle
+    cycle = 6790  # lcm(97, 10, 7)
+    per_cycle = sum(
+        1 for i in range(cycle) if i % 97 and i % 10 and i % 7 != 3
+    )
+    expected = per_cycle * (n // cycle) + sum(
+        1 for i in range(n - n % cycle, n) if i % 97 and i % 10 and i % 7 != 3
+    )
+
+    stages = {}
+
+    # stage 1: guarded flag-only decontamination → persisted train corpus
+    flags = decontamination_report(
+        docs, n=4, eval_mod=97, max_eval_df=2, attribution=False
+    ).select("doc_id")
+    train = _track(
+        docs.filter(F.col("doc_id") % 97 != 0).join(flags, "doc_id", "left_anti")
+    )
+    stages["decontaminate_sec"] = _time(lambda: train.count(), runs)
+    stages["decontaminate_exec"] = LAST_EXEC
+    n_train = train.count()
+
+    # stage 2: repetition filter over the persisted train corpus
+    keep_rep = _track(
+        textops.repetition_metrics(train)
+        .filter(
+            (F.col("top_token_share") <= 0.12)
+            & (F.col("dup_token_frac") <= 0.65)
+        )
+        .select("doc_id")
+    )
+    stages["repetition_sec"] = _time(lambda: keep_rep.count(), runs)
+    stages["repetition_exec"] = LAST_EXEC
+    n_rep = keep_rep.count()
+
+    # stage 3: exact-dedup keeper set + final intersection
+    keep_dup = exact_dedup(train).select(F.col("keep_id").alias("doc_id"))
+    final = keep_rep.join(keep_dup, "doc_id")
+    stages["dedup_final_sec"] = _time(lambda: final.count(), runs)
+    stages["dedup_final_exec"] = LAST_EXEC
+    survivors = final.count()
+
+    print(json.dumps({
+        "cell": "corpus_prep_composed",
+        "n_docs": n,
+        "n_train_post_decontam": int(n_train),
+        "n_post_repetition": int(n_rep),
+        "survivors": int(survivors),
+        "expected": expected,
+        "exact": bool(survivors == expected),
+        **stages,
+    }), flush=True)
+    release_caches()
+
+
 def decontam_adversarial_cell(n: int, runs: int) -> None:
     """The EXACT corpus shape that built the ~10^12-row attribution join
     in the r8 100M cell — a universal phrase planted on EVERY doc, so its
@@ -556,6 +679,98 @@ def media_cell(n: int, runs: int) -> None:
     }), flush=True)
 
 
+def media_video_cell(n: int, runs: int) -> None:
+    """Video through the mixed-media normalize stage at scale (VERDICT
+    r9 #4): N spec-valid AVI-MJPEG payloads (2-4 grayscale flat-8×8-
+    block baseline-JPEG frames each — the bit-exact JPEG profile the
+    registry oracle pins) synthesized in-plan, pushed through
+    media_resize_stats' video branch (RIFF/'AVI ' sniff → per-frame full
+    JPEG decode → nearest resize to 4×3 → stats POOLED across frames).
+    Exactness: frame values depend on (i mod 256, i mod 2, i mod 3), so
+    per-doc pooled sums repeat with period 768; the expected grand sum
+    replays the same floor-mapping resize analytically (the JPEG round
+    trip is exact by construction and pinned by the registry oracle, so
+    using raw values here is not circular for the container/codec
+    plumbing this cell times). Narrow Arrow map, no shuffle: the cost IS
+    the per-frame entropy decode, the heaviest Python kernel in the
+    media family."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+        media_resize_stats,
+        resize_nearest,
+    )
+
+    spark = SparkSession.getActiveSession()
+    out_w, out_h = 4, 3
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["id"]:
+                i = int(doc_id)
+                nf = 2 + i % 3
+                w = h = 8 * (1 + i % 2)
+                frames = []
+                for f in range(nf):
+                    px = bytes(
+                        (i * 23 + f * 41 + (y // 8) * 13 + (x // 8) * 17) % 256
+                        for y in range(h) for x in range(w)
+                    )
+                    frames.append(encode_jpeg_gray(px, w, h))
+                payloads.append(encode_avi_mjpeg(frames, w, h))
+            yield pd.DataFrame({"doc_id": pdf["id"], "payload": payloads})
+
+    payloads = spark.range(n).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+    out = media_resize_stats(payloads, out_w=out_w, out_h=out_h)
+    t = _time(lambda: out.agg(F.sum("px_sum")).collect(), runs)
+    row = out.agg(
+        F.sum("px_sum").alias("s"),
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_pixels").alias("npx"),
+    ).collect()[0]
+
+    import numpy as np
+
+    period = 768  # lcm(256, 2, 3)
+    per_residue, per_frames = [], []
+    for i in range(period):
+        nf = 2 + i % 3
+        w = h = 8 * (1 + i % 2)
+        tot = 0
+        for f in range(nf):
+            yy, xx = np.ogrid[0:h, 0:w]
+            arr = ((i * 23 + f * 41 + (yy // 8) * 13 + (xx // 8) * 17) % 256
+                   ).astype(np.uint8)
+            res = resize_nearest(arr.tobytes(), w, h, 1, out_w, out_h)
+            tot += int(np.frombuffer(res, np.uint8).astype(np.int64).sum())
+        per_residue.append(tot)
+        per_frames.append(nf)
+    expected = (n // period) * sum(per_residue) + sum(per_residue[: n % period])
+    exp_npx = out_w * out_h * (
+        (n // period) * sum(per_frames) + sum(per_frames[: n % period])
+    )
+    print(json.dumps({
+        "cell": "media_resize_video",
+        "n_payloads": n,
+        "out_grid": f"{out_w}x{out_h}",
+        "sec": t,
+        "exec": LAST_EXEC,
+        "sum_px": int(row["s"]),
+        "rows": int(row["rows"]),
+        "exact": bool(
+            row["s"] == expected and row["rows"] == n and row["npx"] == exp_npx
+        ),
+    }), flush=True)
+
+
 def entropy_cell(n: int, runs: int) -> None:
     """char_entropy decade cell: N docs cycling through 16 fixed template
     strings (family = id % 16), so every output value is computable by
@@ -708,7 +923,13 @@ def containment_cell(n: int, runs: int) -> None:
     # window; "agg" replaces it with a hash aggregate (collect+sort+slice
     # per doc) and deletes the size join. Identical output asserted on
     # both.
-    for strat in ("agg", "window"):
+    # CONTAINMENT_STRATS=agg|window runs one leg per process — at the
+    # 10M spill decade a single leg can exceed an invoker's timeout, and
+    # separate processes are also the cleanest cache/page-cache hygiene
+    strats = tuple(
+        os.environ.get("CONTAINMENT_STRATS", "agg,window").split(",")
+    )
+    for strat in strats:
         # drop the persisted shingle table between strategies: Spark's
         # cache manager matches by logical subtree, so without this the
         # second leg silently reuses the first leg's build and the A/B
