@@ -109,6 +109,12 @@ BENCH_QUERIES = [
     "pipeline_decontaminate_flagonly",
     "multimodal_media_resize",
     "text_ngram_novelty",
+    # round 10: video through the mixed-media normalize stage (RIFF
+    # dispatch → per-frame JPEG decode → resize → pooled channel stats)
+    # and progressive-JPEG decode (T.81 Annex G scan accumulator)
+    "multimodal_video_resize",
+    "multimodal_jpeg_progressive_stats",
+    "multimodal_png_interlaced_stats",
 ]
 
 # In-plan-build diagnostics (VERDICT r7 #8): these queries rebuild their

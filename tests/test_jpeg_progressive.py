@@ -1,0 +1,123 @@
+"""Progressive JPEG (T.81 Annex G): spectral selection + successive
+approximation decode, pinned by the strongest oracle available — the
+entropy layer is lossless either way, so a progressive encoding of an
+image must decode to EXACTLY the pixels of its baseline encoding (same
+quantization tables). encode_jpeg_progressive emits correction bits by
+simulating the decoder's zig-zag walk, so every scan-script shape
+(DC/AC first passes, ZRLs, EOB correction tails, multi-level
+refinement) is exercised end-to-end by round-trip equality.
+
+Closes the r9 verdict's top residual gap: progressive payloads
+previously laddered to the PIL stub and lost pixel stats in this
+container; now they decode through the same stats stages as baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vectordb_from_scratch_spark.operators import multimodal as mm
+
+
+def _gray(w, h, seed=42):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8
+    ).tobytes()
+
+
+def _rgb(w, h, seed=43):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    ).tobytes()
+
+
+def _baseline_pixels(px, w, h, ch):
+    return mm.decode_jpeg_pixels(
+        mm.encode_jpeg(px, w, h, channels=ch, sampling=(1, 1))
+    )["pixels"]
+
+
+@pytest.mark.parametrize("w,h,ch", [
+    (24, 17, 1), (8, 8, 1), (9, 7, 1), (19, 13, 3), (32, 24, 3),
+])
+def test_default_script_decodes_like_baseline(w, h, ch):
+    px = _gray(w, h) if ch == 1 else _rgb(w, h)
+    prog = mm.encode_jpeg_progressive(px, w, h, channels=ch)
+    dec = mm.decode_jpeg_pixels(prog)  # delegates to the SOF2 path
+    assert dec is not None and dec["channels"] == ch
+    assert (dec["width"], dec["height"]) == (w, h)
+    assert dec["pixels"] == _baseline_pixels(px, w, h, ch)
+    # and the dedicated entry point agrees
+    dec2 = mm.decode_jpeg_progressive_pixels(prog)
+    assert dec2["pixels"] == dec["pixels"]
+
+
+SCRIPTS = {
+    "spectral_only": [((0,), 0, 0, 0, 0), ((0,), 1, 63, 0, 0)],
+    "many_bands": [((0,), 0, 0, 0, 0), ((0,), 1, 2, 0, 0),
+                   ((0,), 3, 9, 0, 0), ((0,), 10, 63, 0, 0)],
+    "deep_sa": [((0,), 0, 0, 0, 3), ((0,), 0, 0, 3, 2), ((0,), 0, 0, 2, 1),
+                ((0,), 0, 0, 1, 0), ((0,), 1, 63, 0, 3), ((0,), 1, 63, 3, 2),
+                ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0)],
+    "mixed": [((0,), 0, 0, 0, 2), ((0,), 1, 5, 0, 1), ((0,), 6, 63, 0, 0),
+              ((0,), 1, 5, 1, 0), ((0,), 0, 0, 2, 1), ((0,), 0, 0, 1, 0)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCRIPTS))
+def test_scan_script_shapes_round_trip(name):
+    w, h = 21, 15
+    px = _gray(w, h, seed=7)
+    prog = mm.encode_jpeg_progressive(px, w, h, channels=1,
+                                      script=SCRIPTS[name])
+    dec = mm.decode_jpeg_pixels(prog)
+    assert dec is not None
+    assert dec["pixels"] == _baseline_pixels(px, w, h, 1)
+
+
+def test_flat_blocks_bit_exact():
+    """Flat 8×8 blocks quantize exactly (the DC-quant-8 lever every
+    JPEG oracle query uses) — the progressive round trip must be
+    BIT-exact, not just baseline-equal."""
+    w, h = 16, 16
+    px = bytes(((y // 8) * 13 + (x // 8) * 17) % 256
+               for y in range(h) for x in range(w))
+    dec = mm.decode_jpeg_pixels(mm.encode_jpeg_progressive(px, w, h))
+    assert dec["pixels"] == px
+
+
+def test_progressive_feeds_stats_and_media_dispatch(spark):
+    """jpeg_pixel_stats and the media resize dispatch now yield rows
+    for progressive payloads (previously: silently zero rows)."""
+    w, h = 16, 8
+    px = bytes(((y // 8) * 13 + (x // 8) * 17) % 256
+               for y in range(h) for x in range(w))
+    prog = mm.encode_jpeg_progressive(px, w, h)
+    df = spark.createDataFrame([(1, prog)], "doc_id long, payload binary")
+    rows = mm.jpeg_pixel_stats(df).collect()
+    assert len(rows) == 1 and rows[0]["px_sum"] == sum(px)
+    out = mm.media_resize_stats(df, out_w=4, out_h=3).collect()
+    assert len(out) == 1 and out[0]["fmt"] == "jpeg"
+
+
+def test_parse_rejects_and_decoder_never_raises():
+    """Baseline files are NOT claimed by the progressive parser; junk,
+    truncations, and bit flips return None, never raise."""
+    w, h = 16, 16
+    px = _gray(w, h, seed=3)
+    base = mm.encode_jpeg(px, w, h, channels=1)
+    assert mm._jpg_parse_progressive(base) is None
+    assert mm.decode_jpeg_progressive_pixels(base) is None
+    prog = mm.encode_jpeg_progressive(px, w, h)
+    arr = bytearray(prog)
+    for cut in range(0, len(prog), max(1, len(prog) // 50)):
+        out = mm.decode_jpeg_pixels(prog[:cut])
+        assert out is None or isinstance(out, dict)
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        i = int(rng.integers(0, len(arr)))
+        mut = bytearray(arr)
+        mut[i] = int(rng.integers(0, 256))
+        out = mm.decode_jpeg_pixels(bytes(mut))
+        assert out is None or isinstance(out, dict)

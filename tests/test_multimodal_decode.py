@@ -176,6 +176,25 @@ def test_png_pixel_roundtrip_all_filters(w, h, ch):
     assert dec["pixels"] == px
 
 
+@pytest.mark.parametrize("w,h,ch", [
+    (1, 1, 1), (7, 9, 3), (3, 13, 2), (13, 3, 4), (16, 16, 1), (33, 21, 3),
+])
+def test_png_adam7_interlaced_roundtrip(w, h, ch):
+    """Adam7 interlaced PNGs (r10): seven-pass layout, filters applied
+    within each pass, EMPTY passes omitted per spec §8.2 (the 1×1 and
+    narrow shapes hit them); decode must be the identity layout
+    transform — PNG is lossless."""
+    px = bytes((r * 7 + c * 13 + k * 97) % 256
+               for r in range(h) for c in range(w) for k in range(ch))
+    for fc in (True, False):
+        dec = mm.decode_png_pixels(
+            mm.encode_png(px, w, h, ch, filter_cycle=fc, interlace=True)
+        )
+        assert dec is not None
+        assert (dec["width"], dec["height"], dec["channels"]) == (w, h, ch)
+        assert dec["pixels"] == px
+
+
 def test_png_unfilter_paeth_hand_computed():
     """Fixed byte vector decoded against hand-worked Paeth math —
     independent of the encoder, so a consistent-but-wrong predictor

@@ -70,10 +70,25 @@ def _avi():
     return mm.encode_avi_mjpeg(frames, 8, 8)
 
 
+def _png_interlaced():
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    return mm.encode_png(px.tobytes(), 7, 9, 3, interlace=True)
+
+
+def _jpeg_progressive():
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, size=(15, 21), dtype=np.uint8)
+    return mm.encode_jpeg_progressive(px.tobytes(), 21, 15, channels=1)
+
+
 DECODERS = [
     ("png", mm.decode_png_pixels, _png),
+    ("png_interlaced", mm.decode_png_pixels, _png_interlaced),
     ("jpeg_gray", mm.decode_jpeg_pixels, _jpeg_gray),
     ("jpeg_color", mm.decode_jpeg_pixels, _jpeg_color),
+    ("jpeg_progressive", mm.decode_jpeg_progressive_pixels, _jpeg_progressive),
+    ("jpeg_progressive_via_dispatch", mm.decode_jpeg_pixels, _jpeg_progressive),
     ("jpeg_coeffs", mm.decode_jpeg_coefficients, _jpeg_gray),
     ("gif", mm.decode_gif_pixels, _gif),
     ("bmp", mm.decode_bmp_pixels, _bmp),

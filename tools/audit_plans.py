@@ -37,7 +37,13 @@ EXCHANGE_BUDGETS = {
     "text_cosine_pruned": 18,         # + the max_df prune branch
     "hybrid_search_rrf": 24,          # inverted-index lexical side + vector side + fusion
     "hybrid_search_weighted": 24,     # same legs + per-source min-max windows
-    "pipeline_corpus_prep_v2": 18,    # 3-stage composed pipeline
+    # 3-stage composed pipeline; +1 exchange in r10 from the flag-only
+    # decontamination default (VERDICT r9 #3): the screen joins the
+    # DISTINCT eval gram set, and that distinct is one extra
+    # BENCHMARK-sized aggregate on the broadcast side — load-bearing
+    # (without it a gram hot in several eval docs would fan the train
+    # rows out, the exact hazard flag-only mode exists to remove)
+    "pipeline_corpus_prep_v2": 19,
     "ann_recall_curve": 30,           # 5 configs × SRP subplan
     "ann_ivf_det_knn": 35,            # 2 unrolled Lloyd iterations
     "pipeline_cluster_sample": 20,    # det-IVF build + two-level per-cluster draw

@@ -116,6 +116,8 @@ def main() -> int:
             emb.persist().count()  # pin the input; measure the scorer
             p = probes_of(emb)
             for strat in ("window", "numpy"):
+                if strat == "window" and n > 300_000:
+                    continue  # interpreted fold: minutes/leg, verdict clear
                 sec = _time(
                     lambda s=strat: sink(knn.knn(emb, p, k=K, strategy=s)),
                     runs,
@@ -168,21 +170,28 @@ def main() -> int:
             cb.unpersist()
 
     # ---- routed IVF-PQ serve: expr vs arrow LUT-slab kernel ----------
+    # at the SERVE CONFIG OF RECORD (m16/ks256, L64/P8 — the r9 100M
+    # layout): a first pass at toy ks=32/L16 had expr WINNING both
+    # decades (9.1 vs 9.8 s at 1M) while r9's ks=256 A/B had the kernel
+    # 2.8× ahead — the routed crossover is CONFIG-dependent (LUT width
+    # drives the expr element_at cost), so the threshold must be judged
+    # at the config the serve path actually ships with.
     if want("ivfpq"):
         from vectordb_from_scratch_spark.functions import vectormath as vm
 
+        ks_big = 256
         for n in (100_000, 1_000_000):
             emb = synth_emb(n)
             v = emb.select(
                 F.col("vec_id").cast("long").alias("id"),
                 vm.as_double("embedding").alias("vec"),
             )
-            cent = ann.build_ivf_det(emb, n_lists=16, iters=1)
+            cent = ann.build_ivf_det(emb, n_lists=64, iters=1)
             cent.persist().count()
             assigned = ann.assign_ivf_det(v, cent)
             assigned.persist().count()
             sample = emb.filter(F.col("vec_id") % 20 == 0)
-            cb = pqm.pq_codebook(sample, m=m_, ks=ks_, dim=64, iters=1)
+            cb = pqm.pq_codebook(sample, m=m_, ks=ks_big, dim=64, iters=1)
             cb.persist().count()
             idx = pqm.ivf_pq_index(assigned, cb, m_, d_sub_,
                                    id_col="id", vec_col="vec")
@@ -191,12 +200,12 @@ def main() -> int:
             for strat in ("expr", "arrow"):
                 sec = _time(
                     lambda s=strat: sink(pqm.ann_knn_ivf_pq(
-                        idx, cent, cb, p, k=K, n_probe=4,
-                        ks=ks_, d_sub=d_sub_, strategy=s,
+                        idx, cent, cb, p, k=K, n_probe=8,
+                        ks=ks_big, d_sub=d_sub_, strategy=s,
                     )),
                     runs,
                 )
-                emit("ivf_pq_routed", n, strat, sec)
+                emit("ivf_pq_routed_ks256", n, strat, sec)
             for h in (idx, cb, assigned, cent):
                 h.unpersist()
 

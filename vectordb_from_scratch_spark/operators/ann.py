@@ -109,17 +109,20 @@ def srp_bucket_cols(vec: Column | str, dim: int, nbits: int = 8, n_tables: int =
 
 # Above this many vector rows, SRP bucket assignment switches from the
 # fold-expression path to the numpy matmul kernel. This threshold is
-# deliberately LOWER than knn.AUTO_NUMPY_THRESHOLD (50k) because the
-# failure modes differ: the kNN distance kernel differs from the fold in
-# the last ulp on essentially EVERY pair (summation order), while SRP
-# only consumes the SIGN of each projection — kernel and fold disagree
-# only when a projection lands within float-reordering error (~1e-13
+# deliberately LOWER than knn.AUTO_NUMPY_THRESHOLD because the failure
+# modes differ: the kNN distance kernel differs from the fold in the
+# last ulp on essentially EVERY pair (summation order), while SRP only
+# consumes the SIGN of each projection — kernel and fold disagree only
+# when a projection lands within float-reordering error (~1e-13
 # relative) of exactly 0, a measure-zero boundary that real embeddings
 # don't hit (kernel ≡ expression bucket-for-bucket on every test table;
-# asserted in tests/test_ann_recall.py). The oracle-checked scale
-# (sf0.01 = 500 rows) stays below it, keeping the DuckDB-twinned path
-# bitwise-exact by construction; everything bigger gets the matmul
-# (2.11 s → 0.65 s at 2k rows, 4.2 s → 2.0 s at 100k — SCALE.md).
+# asserted in tests/test_ann_recall.py). Re-swept r10
+# (tools/kernel_crossover_bench.py): the kernel wins at every measured
+# size down to 500 rows (0.83 vs 2.17 s; 200k: 3.65 vs 4.73; converges
+# ~1× at 1M where the scan dominates), so 1,000 is not a performance
+# crossover either — it only keeps the oracle-checked scale
+# (sf0.01 = 500 rows) on the DuckDB-twinned bitwise path, at a
+# measured cost of ~1.3 s on sub-1k tables.
 SRP_KERNEL_THRESHOLD = 1_000
 
 

