@@ -189,6 +189,10 @@ _ID_COL_STAGES = [
     ("avi_frame_stats", lambda df: mm.avi_frame_stats(df, id_col="img_id"), _avi),
     ("wav_audio_stats", lambda df: mm.wav_audio_stats(df, id_col="img_id"), _wav),
     ("wav_zcr_stats", lambda df: mm.wav_zcr_stats(df, id_col="img_id"), _wav),
+    ("payload_features", lambda df: mm.payload_features(df, id_col="img_id"), _png),
+    ("decode_metadata",
+     lambda df: mm.decode_metadata(df, id_col="img_id", decoder="header"), _png),
+    ("sample_frames", lambda df: mm.sample_frames(df, id_col="img_id"), _png),
 ]
 
 

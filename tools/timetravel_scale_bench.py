@@ -25,13 +25,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+LAST_EXEC: dict | None = None  # exec-bytes of the last _time first run
+
+
 def _time(fn, runs: int) -> float:
-    best = None
-    for _ in range(runs):
+    global LAST_EXEC
+    from pyspark.sql import SparkSession
+
+    import execmetrics as xm
+
+    spark = SparkSession.getActiveSession()
+    before = xm.snapshot(spark)
+    t0 = time.time()
+    fn()
+    best = time.time() - t0
+    LAST_EXEC = xm.fmt(xm.delta(before, xm.snapshot(spark)))
+    for _ in range(runs - 1):
         t0 = time.time()
         fn()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
+        best = min(best, time.time() - t0)
     return round(best, 2)
 
 
@@ -71,7 +83,10 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("timetravel_scale")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedStages", "100000")
+        .config("spark.ui.retainedJobs", "100000")
+        .config("spark.ui.retainedTasks", "100")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
@@ -85,7 +100,9 @@ def main() -> int:
 
     def cell(name, fn):
         results[name] = _time(fn, runs)
-        print(json.dumps({"cell": name, "sec": results[name]}), flush=True)
+        print(json.dumps(
+            {"cell": name, "sec": results[name], "exec": LAST_EXEC}
+        ), flush=True)
 
     # -- exactness gate at 1M: one-pass must equal per-version folds -----
     vpath = "/tmp/timetravel_log_1000000.parquet"

@@ -61,7 +61,10 @@ def main() -> int:
             SparkSession.builder.master(f"local[{cpus}]")
             .appName("tpch_scale_bench")
             .config("spark.sql.shuffle.partitions", cpus)
-            .config("spark.ui.enabled", "false")
+            .config("spark.ui.enabled", "true")
+            .config("spark.ui.retainedStages", "100000")
+            .config("spark.ui.retainedJobs", "100000")
+            .config("spark.ui.retainedTasks", "100")
             .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.sql.adaptive.enabled", "true")
@@ -142,22 +145,29 @@ def main() -> int:
     ]
     if only:
         names = [n for n in names if only in n]
+    import execmetrics as xm
+
     timings: dict[str, float | str] = {}
+    execs: dict[str, dict] = {}
     for name in names:
         try:
             best = float("inf")
             for _ in range(runs):
+                before = xm.snapshot(spark) if best == float("inf") else None
                 t0 = time.perf_counter()
                 QUERIES[name].spark(spark, DST).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 best = min(best, time.perf_counter() - t0)
+                if before is not None:  # bytes captured on the first run
+                    execs[name] = xm.fmt(xm.delta(before, xm.snapshot(spark)))
                 dedup.release_caches()
                 cache.sweep_persistent_rdds(spark, all_rdds=True)
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — isolate per query
             timings[name] = f"ERR:{type(exc).__name__}"
-        print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
+        print(json.dumps({"query": name, "sec": timings[name],
+                          "exec": execs.get(name)}), flush=True)
 
     numeric = [v for v in timings.values() if isinstance(v, float)]
     print(

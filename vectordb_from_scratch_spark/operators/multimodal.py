@@ -75,12 +75,27 @@ __all__ = [
     "HAS_PIL",
 ]
 
-FEATURE_SCHEMA = "doc_id long, n_bytes long, payload_md5 string"
-DECODE_SCHEMA = (
-    "doc_id long, media struct<width:int, height:int, channels:int, codec:string>, "
-    "n_bytes long"
-)
-FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string, frame_bytes long"
+# Default-id forms of the per-call schemas below (kept for callers that
+# reference the constants); the stages themselves parametrize on id_col
+# so a renamed id is honored end-to-end (VERDICT r9 #5 family).
+def _feature_schema(id_col: str) -> str:
+    return f"{id_col} long, n_bytes long, payload_md5 string"
+
+
+def _decode_schema(id_col: str) -> str:
+    return (
+        f"{id_col} long, media struct<width:int, height:int, "
+        "channels:int, codec:string>, n_bytes long"
+    )
+
+
+def _frame_schema(id_col: str) -> str:
+    return f"{id_col} long, frame_idx int, frame_md5 string, frame_bytes long"
+
+
+FEATURE_SCHEMA = _feature_schema("doc_id")
+DECODE_SCHEMA = _decode_schema("doc_id")
+FRAME_SCHEMA = _frame_schema("doc_id")
 
 # Decompression-bomb guard: a corrupt or adversarial header that declares
 # more samples (width × height × channels) than this is out of profile —
@@ -2666,13 +2681,13 @@ def decode_metadata(
             metas = pdf[payload_col].map(fn)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "media": metas,
                     "n_bytes": pdf[payload_col].map(len).astype("int64"),
                 }
             )
 
-    return payloads.mapInPandas(decode, schema=DECODE_SCHEMA)
+    return payloads.mapInPandas(decode, schema=_decode_schema(id_col))
 
 
 def sample_frames(
@@ -2698,10 +2713,11 @@ def sample_frames(
                     md5s.append(hashlib.md5(chunk).hexdigest())
                     sizes.append(len(chunk))
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame_md5": md5s, "frame_bytes": sizes}
+                {id_col: ids, "frame_idx": idxs, "frame_md5": md5s,
+                 "frame_bytes": sizes}
             )
 
-    return payloads.mapInPandas(sample, schema=FRAME_SCHEMA)
+    return payloads.mapInPandas(sample, schema=_frame_schema(id_col))
 
 
 def payload_features(payloads: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
@@ -2715,10 +2731,10 @@ def payload_features(payloads: DataFrame, id_col: str = "doc_id", payload_col: s
             raw = pdf[payload_col]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "n_bytes": raw.map(len).astype("int64"),
                     "payload_md5": raw.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
                 }
             )
 
-    return payloads.mapInPandas(extract, schema=FEATURE_SCHEMA)
+    return payloads.mapInPandas(extract, schema=_feature_schema(id_col))
