@@ -257,6 +257,20 @@ def test_png_pixel_decode_rejects_unsupported_profiles():
     assert mm.decode_png_pixels(cut) is None
     # non-PNG
     assert mm.decode_png_pixels(b"BM" + b"\x00" * 60) is None
+    # invalid filter byte inside a VALID zlib stream → None, never a
+    # raise (the r10 unfilter-helper refactor briefly moved the
+    # never-raises decorator onto the helper; this pins the contract)
+    def _chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    bad_filter = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x05\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    assert mm.decode_png_pixels(bad_filter) is None
 
 
 def test_png_pixel_stats_sparkside(spark):

@@ -332,3 +332,33 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
           .filter(F.col("user_id") == 1).collect()}
     assert u1 == {1: "2026-01-01 10:00:00", 2: "2026-01-01 10:05:00",
                   3: "2026-01-02 10:10:00"}
+
+
+def test_crash_between_manifest_and_delete_never_double_counts(spark, tmp_path):
+    """The compaction crash window the max-folded manifest guards
+    (r10 review finding): manifest written, folded partition NOT yet
+    deleted. read_counts must exclude the stale partition immediately,
+    and the NEXT compaction must finish the delete WITHOUT folding it
+    into the baseline a second time."""
+    import glob as g
+
+    import pyspark.sql.functions as SF
+
+    src, _ = _mkdata(spark, tmp_path)
+    state = _run(spark, src, tmp_path, "crashwin")
+    before = {r.key: r.cnt for r in read_counts(spark, state).collect()}
+    compact_counts(spark, state)
+    # simulate the crash: RESURRECT a folded partition (its counts are
+    # already in the baseline) while the manifest says max_folded >= 1
+    spark.createDataFrame([("view", 6), ("click", 2)], "key string, cnt long").withColumn(
+        "batch_id", SF.lit(0)
+    ).coalesce(1).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(state + "/data")
+    # served totals stay exact DURING the window
+    assert {r.key: r.cnt for r in read_counts(spark, state).collect()} == before
+    # the next fold deletes the stale partition without re-folding it
+    info = compact_counts(spark, state)
+    assert info["folded"] == []  # nothing new to fold
+    assert g.glob(state + "/data/batch_id=0") == []
+    assert {r.key: r.cnt for r in read_counts(spark, state).collect()} == before

@@ -81,6 +81,29 @@ def measure(spark, fn):
     return result, delta(before, snapshot(spark))
 
 
+def timed_with_metrics(fn, runs: int) -> tuple[float, dict]:
+    """Best-of-`runs` wall seconds + the exec-metrics delta of the
+    FIRST run (a deterministic plan moves identical bytes every run, so
+    one capture suffices; wall clock keeps min-of-N). The shared `_time`
+    body of every scale-bench tool — one place to fix, four tools served
+    (r10 review)."""
+    import time
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    before = snapshot(spark)
+    t0 = time.monotonic()
+    fn()
+    best = time.monotonic() - t0
+    metrics = fmt(delta(before, snapshot(spark)))
+    for _ in range(runs - 1):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3), metrics
+
+
 def fmt(d: dict[str, int]) -> dict:
     """JSON-friendly: bytes fields also rendered as MiB for SCALE.md."""
     out = dict(d)

@@ -35,21 +35,10 @@ K = 10
 
 def _time(fn, runs: int) -> float:
     global LAST_EXEC
-    from pyspark.sql import SparkSession
-
     import execmetrics as xm
 
-    spark = SparkSession.getActiveSession()
-    before = xm.snapshot(spark)
-    t0 = time.monotonic()
-    fn()
-    best = time.monotonic() - t0
-    LAST_EXEC = xm.fmt(xm.delta(before, xm.snapshot(spark)))
-    for _ in range(runs - 1):
-        t0 = time.monotonic()
-        fn()
-        best = min(best, time.monotonic() - t0)
-    return round(best, 3)
+    sec, LAST_EXEC = xm.timed_with_metrics(fn, runs)
+    return sec
 
 
 def main() -> int:

@@ -41,21 +41,10 @@ LAST_EXEC: dict | None = None
 
 def _time(fn, runs: int) -> float:
     global LAST_EXEC
-    from pyspark.sql import SparkSession
-
     import execmetrics as xm
 
-    spark = SparkSession.getActiveSession()
-    before = xm.snapshot(spark)
-    t0 = time.monotonic()
-    fn()
-    best = time.monotonic() - t0
-    LAST_EXEC = xm.fmt(xm.delta(before, xm.snapshot(spark)))
-    for _ in range(runs - 1):
-        t0 = time.monotonic()
-        fn()
-        best = min(best, time.monotonic() - t0)
-    return round(best, 3)
+    sec, LAST_EXEC = xm.timed_with_metrics(fn, runs)
+    return sec
 
 
 def main() -> int:
@@ -477,6 +466,10 @@ def corpus_prep_cell(n: int, runs: int) -> None:
     )
 
     stages = {}
+    # stage timings use ONE run regardless of `runs`: each stage
+    # materializes a _track()-persisted intermediate, so a second run
+    # would time the cache recount, and min-of-runs would report THAT
+    # instead of the stage cost (r10 review)
 
     # stage 1: guarded flag-only decontamination → persisted train corpus
     flags = decontamination_report(
@@ -485,7 +478,7 @@ def corpus_prep_cell(n: int, runs: int) -> None:
     train = _track(
         docs.filter(F.col("doc_id") % 97 != 0).join(flags, "doc_id", "left_anti")
     )
-    stages["decontaminate_sec"] = _time(lambda: train.count(), runs)
+    stages["decontaminate_sec"] = _time(lambda: train.count(), 1)
     stages["decontaminate_exec"] = LAST_EXEC
     n_train = train.count()
 
@@ -498,14 +491,14 @@ def corpus_prep_cell(n: int, runs: int) -> None:
         )
         .select("doc_id")
     )
-    stages["repetition_sec"] = _time(lambda: keep_rep.count(), runs)
+    stages["repetition_sec"] = _time(lambda: keep_rep.count(), 1)
     stages["repetition_exec"] = LAST_EXEC
     n_rep = keep_rep.count()
 
     # stage 3: exact-dedup keeper set + final intersection
     keep_dup = exact_dedup(train).select(F.col("keep_id").alias("doc_id"))
     final = keep_rep.join(keep_dup, "doc_id")
-    stages["dedup_final_sec"] = _time(lambda: final.count(), runs)
+    stages["dedup_final_sec"] = _time(lambda: final.count(), 1)
     stages["dedup_final_exec"] = LAST_EXEC
     survivors = final.count()
 

@@ -30,21 +30,10 @@ LAST_EXEC: dict | None = None  # exec-bytes of the last _time first run
 
 def _time(fn, runs: int) -> float:
     global LAST_EXEC
-    from pyspark.sql import SparkSession
-
     import execmetrics as xm
 
-    spark = SparkSession.getActiveSession()
-    before = xm.snapshot(spark)
-    t0 = time.time()
-    fn()
-    best = time.time() - t0
-    LAST_EXEC = xm.fmt(xm.delta(before, xm.snapshot(spark)))
-    for _ in range(runs - 1):
-        t0 = time.time()
-        fn()
-        best = min(best, time.time() - t0)
-    return round(best, 2)
+    sec, LAST_EXEC = xm.timed_with_metrics(fn, runs)
+    return sec
 
 
 def make_log(spark, path: str, n: int) -> None:

@@ -346,7 +346,6 @@ def encode_png(pixels: bytes, width: int, height: int, channels: int,
     )
 
 
-@_none_on_malformed
 def _png_unfilter_rows(raw, offset: int, n_rows: int, stride: int,
                        bpp: int) -> tuple[bytearray, int]:
     """Reverse the scanline filters for one (sub)image starting at
@@ -380,6 +379,7 @@ def _png_unfilter_rows(raw, offset: int, n_rows: int, stride: int,
     return out, offset
 
 
+@_none_on_malformed
 def decode_png_pixels(payload: bytes) -> dict | None:
     """REAL pixel decode for 8-bit PNGs, non-interlaced AND Adam7
     interlaced (r10): chunk walk → zlib-inflate IDAT → per-scanline

@@ -31,26 +31,36 @@ in r9 applied here):
   physically present when it starts and deletes ONLY those — a partial
   landed by a batch that slipped past the intent check survives both
   the fold and the delete.
-- FOLDED-ID MANIFEST: `<state>/compaction` records every batch_id ever
-  folded into the baseline. A REPLAYED batch whose id is in that set
-  (the crash-dangling window: partial written, checkpoint commit lost,
-  compaction ran before the replay) skips its write — its counts
-  already live in the baseline, and re-writing the partition would
-  double-count exactly once. This is the counts analog of
-  neardup_stream keeping batch_id in the compacted base for replay
-  exclusion. (Re-ingesting a compacted state from a FRESH checkpoint
-  remains out of scope, as for every stream here: batch numbering
-  restarts and no sink bookkeeping can realign it — reset the state.)
+- MAX-FOLDED MANIFEST: `<state>/compaction` records the highest
+  batch_id ever folded into the baseline (batch ids are monotone per
+  checkpoint, so one integer identifies the folded prefix). Three
+  protections hang off it:
+    * a REPLAYED batch with id ≤ max_folded (the crash-dangling window:
+      partial written, checkpoint commit lost, compaction ran before
+      the replay) skips its write — its counts already live in the
+      baseline, and re-writing the partition would double-count;
+    * the NEXT fold excludes any on-disk partition with id ≤ max_folded
+      (a compaction that crashed between its manifest write and its
+      partition delete leaves the folded partition behind — folding it
+      again would double-count it into the baseline permanently) and
+      instead just finishes the interrupted delete;
+    * read_counts excludes those stale partitions the same way, so even
+      DURING that crash window the served totals stay exact.
+  This is the counts analog of neardup_stream keeping batch_id in the
+  compacted base for replay exclusion. (Re-ingesting a compacted state
+  from a FRESH checkpoint remains out of scope, as for every stream
+  here: batch numbering restarts and no sink bookkeeping can realign
+  it — reset the state.)
 """
 
 from __future__ import annotations
 
-import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import cache
+from ._fence import check_intent_fence, clear_intent, fs_for, intent_dir, write_intent
 from .dedup_stream import _dir_exists
 
 __all__ = [
@@ -64,19 +74,8 @@ __all__ = [
 _BASELINE_BATCH = -1
 
 
-def _intent_dir(state_dir: str) -> str:
-    return state_dir + "/compaction_intent"
-
-
 def _manifest_dir(state_dir: str) -> str:
     return state_dir + "/compaction"
-
-
-def _fs_for(spark: SparkSession, path: str):
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(
-        spark.sparkContext._jsc.hadoopConfiguration()
-    ), jpath
 
 
 def _check_layout(spark: SparkSession, state_dir: str) -> None:
@@ -86,7 +85,7 @@ def _check_layout(spark: SparkSession, state_dir: str) -> None:
     partition discovery. Reading an old state as if empty would
     silently zero every count — fail loudly instead (migration: move
     the batch_id=* directories under <state>/data)."""
-    fs, jpath = _fs_for(spark, state_dir)
+    fs, jpath = fs_for(spark, state_dir)
     if not fs.exists(jpath):
         return
     for st in fs.listStatus(jpath):
@@ -99,17 +98,20 @@ def _check_layout(spark: SparkSession, state_dir: str) -> None:
             )
 
 
-def _folded_ids(spark: SparkSession, state_dir: str) -> set[int]:
+def _max_folded(spark: SparkSession, state_dir: str) -> int:
+    """Highest batch_id folded into the baseline so far; -1 = never
+    compacted. Batch ids are monotone within a checkpoint, so the
+    folded set is exactly {0..max_folded} ∩ {ids that ever existed}."""
     mdir = _manifest_dir(state_dir)
     if not _dir_exists(spark, mdir):
-        return set()
-    return {int(r["batch_id"]) for r in spark.read.json(mdir).collect()}
+        return -1
+    return int(spark.read.json(mdir).first()["max_folded"])
 
 
 def _list_batch_ids(spark: SparkSession, data_dir: str) -> list[int]:
     """batch_id partition values (>= 0) physically present — the fold's
     snapshot: only these are read and only these are deleted."""
-    fs, jpath = _fs_for(spark, data_dir)
+    fs, jpath = fs_for(spark, data_dir)
     if not fs.exists(jpath):
         return []
     out = []
@@ -136,24 +138,17 @@ def counts_stream_foreach_batch(
     folded_cache: list = []  # per stream instance, like neardup's manifest
 
     def _check_fence(s: SparkSession) -> None:
-        if _dir_exists(s, _intent_dir(state_dir)):
-            raise RuntimeError(
-                f"compaction in progress for {state_dir} (intent marker "
-                "present) — the counts stream must not write partials "
-                "while compact_counts runs; retry after it finishes (a "
-                "stale marker from a crashed compaction is cleared by "
-                "re-running compaction)"
-            )
+        check_intent_fence(s, state_dir, "counts stream", "compact_counts")
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
         _check_fence(s)
         if not folded_cache:
             _check_layout(s, state_dir)  # once per stream instance
-            folded_cache.append(_folded_ids(s, state_dir))
-        if batch_id in folded_cache[0]:
+            folded_cache.append(_max_folded(s, state_dir))
+        if batch_id <= folded_cache[0]:
             # crash-dangling replay AFTER compaction: this batch's partial
-            # was folded into the baseline and its partition deleted —
+            # was folded into the baseline (and its partition deleted) —
             # re-writing it would double-count exactly once. Its data is
             # durably in the baseline; the replay is a no-op.
             return
@@ -191,11 +186,17 @@ def read_counts(
     if not _dir_exists(spark, data_dir):
         _check_layout(spark, state_dir)  # old-layout state ≠ empty state
         return spark.createDataFrame([], f"key {key_type}, cnt long")
-    return (
-        spark.read.parquet(data_dir)
-        .groupBy("key")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    mf = _max_folded(spark, state_dir)
+    df = spark.read.parquet(data_dir)
+    if mf >= 0:
+        # exclude STALE partitions (folded into the baseline but not yet
+        # deleted — the compaction crash window): counting them alongside
+        # the baseline would double-count exactly those batches
+        df = df.filter(
+            (F.col("batch_id") == _BASELINE_BATCH)
+            | (F.col("batch_id") > mf)
+        )
+    return df.groupBy("key").agg(F.sum("cnt").alias("cnt"))
 
 
 def read_top_hitters(
@@ -227,14 +228,20 @@ def compact_counts(spark: SparkSession, state_dir: str) -> dict:
     data_dir = state_dir + "/data"
     _check_layout(spark, state_dir)
     # intent FIRST — every partial read below is covered by the lease
-    spark.createDataFrame(
-        [(int(time.time()),)], "intent_ts long"
-    ).coalesce(1).write.mode("overwrite").json(_intent_dir(state_dir))
-    snapshot = _list_batch_ids(spark, data_dir)
+    write_intent(spark, state_dir)
+    prev_max = _max_folded(spark, state_dir)
+    present = _list_batch_ids(spark, data_dir)
+    # STALE = folded by a previous compaction that crashed before its
+    # delete: already in the baseline, so it must NOT fold again (that
+    # would double-count it permanently) — just finish the delete
+    stale = [b for b in present if b <= prev_max]
+    snapshot = [b for b in present if b > prev_max]
     if not snapshot:
-        fs, jpath = _fs_for(spark, _intent_dir(state_dir))
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
+        for bid in stale:
+            fs, jpath = fs_for(spark, f"{data_dir}/batch_id={bid}")
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
+        clear_intent(spark, state_dir)
         return {"folded": [], "baseline_keys": 0}
     keep_ids = snapshot + [_BASELINE_BATCH]
     totals = (
@@ -256,19 +263,15 @@ def compact_counts(spark: SparkSession, state_dir: str) -> dict:
         .parquet(data_dir)
     )
     # manifest BEFORE the delete: a crash between them leaves the folded
-    # partition AND the manifest row — the replay-skip stays correct and
-    # the next compaction's distinct-by-aggregation... partials are
-    # additive, so a folded-but-undeleted partition WOULD double-count on
-    # the next fold. Guard: the next fold excludes manifested ids.
-    folded = sorted(_folded_ids(spark, state_dir) | set(snapshot))
+    # partition AND the manifest — the replay-skip stays correct, the
+    # next fold's stale-exclusion (above) skips the leftover partition,
+    # and read_counts' stale filter keeps served totals exact meanwhile
     spark.createDataFrame(
-        [(b,) for b in folded], "batch_id long"
+        [(max(snapshot),)], "max_folded long"
     ).coalesce(1).write.mode("overwrite").json(_manifest_dir(state_dir))
-    for bid in snapshot:
-        fs, jpath = _fs_for(spark, f"{data_dir}/batch_id={bid}")
+    for bid in snapshot + stale:
+        fs, jpath = fs_for(spark, f"{data_dir}/batch_id={bid}")
         if fs.exists(jpath):
             fs.delete(jpath, True)
-    fs, jpath = _fs_for(spark, _intent_dir(state_dir))
-    if fs.exists(jpath):
-        fs.delete(jpath, True)
+    clear_intent(spark, state_dir)
     return {"folded": snapshot, "baseline_keys": int(n_keys)}

@@ -56,7 +56,6 @@ the next compaction's distinct() folds the duplicates.
 
 from __future__ import annotations
 
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,6 +63,7 @@ from pyspark.sql.window import Window
 
 from ..functions import text as X
 from ..operators.dedup import _banded_keys, _cap_buckets, _jaccard_verify_kernel
+from ._fence import check_intent_fence, clear_intent, fs_for, intent_dir, write_intent
 from .dedup_stream import _dir_exists
 
 __all__ = [
@@ -113,10 +113,6 @@ def _base_dirs(state_dir: str, gen: int) -> tuple[str, str]:
     )
 
 
-def _intent_dir(state_dir: str) -> str:
-    return state_dir + "/compaction_intent"
-
-
 def _format_dir(state_dir: str) -> str:
     return state_dir + "/format"
 
@@ -162,19 +158,12 @@ def _check_or_stamp_format(spark: SparkSession, state_dir: str) -> None:
     _stamp_format(spark, state_dir)
 
 
-def _fs_for(spark: SparkSession, path: str):
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(
-        spark.sparkContext._jsc.hadoopConfiguration()
-    ), jpath
-
-
 def _list_batch_ids(spark: SparkSession, delta_dir: str) -> list[int]:
     """batch_id partition values physically present under a delta dir —
     the compaction fold's SNAPSHOT: only these partitions are read and
     only these are deleted, so a delta a concurrent batch lands mid-fold
     (a new batch_id directory) survives untouched."""
-    fs, jpath = _fs_for(spark, delta_dir)
+    fs, jpath = fs_for(spark, delta_dir)
     if not fs.exists(jpath):
         return []
     out = []
@@ -222,9 +211,7 @@ def compact_neardup_state(
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
     # intent FIRST — every delta row read below is covered by the lease
-    spark.createDataFrame(
-        [(int(time.time()),)], "intent_ts long"
-    ).coalesce(1).write.mode("overwrite").json(_intent_dir(state_dir))
+    write_intent(spark, state_dir)
     manifest = _read_manifest(spark, state_dir)
     old_gen = manifest[1] if manifest else 0
     gen = old_gen + 1
@@ -272,9 +259,7 @@ def compact_neardup_state(
         wrote_any = True
     if not wrote_any:
         _stamp_format(spark, state_dir)  # empty state is trivially current
-        fs, jpath = _fs_for(spark, _intent_dir(state_dir))
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
+        clear_intent(spark, state_dir)
         return {"gen": old_gen, "n_buckets": n_buckets, "fps_rows": 0, "bands_rows": 0}
     # flip the manifest ONLY after both bases are fully written; readers
     # that race a crash here still see (old base ∪ delta) — complete
@@ -292,7 +277,7 @@ def compact_neardup_state(
         for bid in snapshot
     ] + [b for b in old_bases if b is not None]
     for path in doomed:
-        fs, jpath = _fs_for(spark, path)
+        fs, jpath = fs_for(spark, path)
         if fs.exists(jpath):
             fs.delete(jpath, True)
     # a delta dir with no batch_id partitions left would fail schema
@@ -300,7 +285,7 @@ def compact_neardup_state(
     # (non-recursive) delete so a partition a concurrent batch created
     # after the snapshot can never be swept up
     for delta_dir in deltas:
-        fs, jdir = _fs_for(spark, delta_dir)
+        fs, jdir = fs_for(spark, delta_dir)
         if not fs.exists(jdir):
             continue
         entries = list(fs.listStatus(jdir))
@@ -322,9 +307,7 @@ def compact_neardup_state(
     # stamp (this IS the v1→v2 migration path, see _check_or_stamp_format)
     _stamp_format(spark, state_dir)
     # lease released last — the state is consistent from here on
-    fs, jpath = _fs_for(spark, _intent_dir(state_dir))
-    if fs.exists(jpath):
-        fs.delete(jpath, True)
+    clear_intent(spark, state_dir)
     return {
         "gen": gen,
         "n_buckets": n_buckets,
@@ -374,15 +357,9 @@ def neardup_stream_foreach_batch(
     def _check_fence(s: SparkSession) -> None:
         # compaction intent lease (VERDICT r8 #6): fail the micro-batch
         # loudly rather than write deltas a concurrent fold could lose.
-        # The stream retries off its checkpoint once compaction is done.
-        if _dir_exists(s, _intent_dir(state_dir)):
-            raise RuntimeError(
-                f"compaction in progress for {state_dir} (intent marker "
-                "present) — the near-dup stream must not write state "
-                "while compact_neardup_state runs; retry after it "
-                "finishes (a stale marker from a crashed compaction is "
-                "cleared by re-running compaction)"
-            )
+        check_intent_fence(
+            s, state_dir, "near-dup stream", "compact_neardup_state"
+        )
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession

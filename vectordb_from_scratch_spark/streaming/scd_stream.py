@@ -67,11 +67,26 @@ def _read_intent(dim_dir: str) -> dict | None:
         return json.load(f)
 
 
-def _write_intent(dim_dir: str, checkpoint_dir: str, batch_id: int) -> None:
-    # single local json file (not a Spark write): the swap itself is
-    # local-FS renames, so the lease lives at the same abstraction level
+def _write_intent(dim_dir: str, checkpoint_dir: str, batch_id: int,
+                  *, exclusive: bool) -> bool:
+    """Write the lease as a single local json file (the swap itself is
+    local-FS renames, so the lease lives at the same abstraction level).
+    With `exclusive` the create is O_CREAT|O_EXCL — ATOMIC, so two
+    writers racing an empty lease cannot both succeed (the read-then-
+    write form would let both believe they hold it; r10 review).
+    Returns False when exclusive creation lost the race."""
+    payload = json.dumps({"checkpoint": checkpoint_dir, "batch_id": batch_id})
+    if exclusive:
+        try:
+            fd = os.open(_intent_path(dim_dir), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        return True
     with open(_intent_path(dim_dir), "w") as f:
-        json.dump({"checkpoint": checkpoint_dir, "batch_id": batch_id}, f)
+        f.write(payload)
+    return True
 
 
 def _clear_intent(dim_dir: str) -> None:
@@ -106,10 +121,9 @@ def read_dim(spark, dim_dir: str) -> DataFrame | None:
     if old is not None:
         os.rename(old, dim_dir)
         return spark.read.parquet(dim_dir)
-    if glob.glob(dim_dir + ".tmp-*"):
-        # incomplete tmp with no old and no target: the FIRST batch
-        # crashed mid-write; treat as fresh (nothing was ever committed)
-        return None
+    # no generation anywhere (an incomplete tmp with no old/target means
+    # the FIRST batch crashed mid-write — nothing was ever committed):
+    # genuinely fresh state
     return None
 
 
@@ -137,8 +151,22 @@ def scd2_stream_foreach_batch(
     tracked = list(tracked)
 
     def _acquire(batch_id: int) -> None:
+        # atomic O_EXCL create first: two writers racing an EMPTY lease
+        # cannot both win (read-then-write would let them; r10 review)
+        if _write_intent(dim_dir, checkpoint_dir, batch_id, exclusive=True):
+            return
         intent = _read_intent(dim_dir)
-        if intent is not None and not (
+        if intent is None:
+            # holder finished (cleared) between our failed create and the
+            # read — take the now-free lease atomically or fail loudly
+            if _write_intent(dim_dir, checkpoint_dir, batch_id, exclusive=True):
+                return
+            raise RuntimeError(
+                f"SCD2 merge lease on {dim_dir} is contended — another "
+                "writer re-acquired it immediately; two concurrent "
+                "streams are driving one dimension"
+            )
+        if not (
             intent.get("checkpoint") == checkpoint_dir
             and intent.get("batch_id") == batch_id
         ):
@@ -151,8 +179,9 @@ def scd2_stream_foreach_batch(
                 "clears this; otherwise remove the .merge_intent marker "
                 "after verifying no other stream is alive."
             )
-        # fresh lease, or our own crashed attempt replaying — (re)take it
-        _write_intent(dim_dir, checkpoint_dir, batch_id)
+        # our own crashed attempt replaying (marker carries this exact
+        # checkpoint+batch) — the lease is already ours; refresh it
+        _write_intent(dim_dir, checkpoint_dir, batch_id, exclusive=False)
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
