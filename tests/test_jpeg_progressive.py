@@ -121,3 +121,24 @@ def test_parse_rejects_and_decoder_never_raises():
         mut[i] = int(rng.integers(0, 256))
         out = mm.decode_jpeg_pixels(bytes(mut))
         assert out is None or isinstance(out, dict)
+
+
+@pytest.mark.parametrize("ri", [1, 2, 5])
+def test_restart_markers_in_every_scan_kind(ri):
+    """DRI + RSTn restarts inside progressive scans (DC first/refine and
+    AC first/refine all byte-align, resync, and reset predictors/EOB
+    runs per interval) — previously a decoder claim with no encoder to
+    exercise it (r10)."""
+    w, h = 24, 17
+    px = _gray(w, h, seed=13)
+    prog = mm.encode_jpeg_progressive(px, w, h, restart_interval=ri)
+    assert b"\xff\xdd" in prog  # DRI present
+    dec = mm.decode_jpeg_pixels(prog)
+    assert dec is not None
+    assert dec["pixels"] == _baseline_pixels(px, w, h, 1)
+    # color, full default script, through the same restart cadence
+    px3 = _rgb(w, h, seed=14)
+    prog3 = mm.encode_jpeg_progressive(px3, w, h, channels=3,
+                                       restart_interval=ri)
+    dec3 = mm.decode_jpeg_pixels(prog3)
+    assert dec3 is not None and dec3["pixels"] == _baseline_pixels(px3, w, h, 3)

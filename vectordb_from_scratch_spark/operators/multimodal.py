@@ -1648,6 +1648,7 @@ def encode_jpeg_progressive(
     height: int,
     channels: int = 1,
     script: list | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """A spec-valid PROGRESSIVE JPEG (SOF2) from row-major 8-bit
     samples: grayscale or 4:4:4 RGB, libjpeg's default scan script
@@ -1655,7 +1656,10 @@ def encode_jpeg_progressive(
     custom `script` of (component indices, Ss, Se, Ah, Al) is given.
     Quantization is identical to encode_jpeg, so progressive and
     baseline encodings of the same image DECODE IDENTICALLY — the
-    round-trip oracle the tests pin. The in-plan synthesis twin of
+    round-trip oracle the tests pin. `restart_interval` > 0 emits DRI +
+    byte-aligned RSTn markers every that many MCUs/blocks in EVERY scan
+    (DC predictors reset per interval), pinning the decoder's
+    progressive restart path. The in-plan synthesis twin of
     decode_jpeg_progressive_pixels."""
     import numpy as np
 
@@ -1708,8 +1712,20 @@ def encode_jpeg_progressive(
     out += seg(0xC2, struct.pack(">BHHB", 8, height, width, channels) + sof_comps)
     out += seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_SYMS))
     out += seg(0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_SYMS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     for comp_ixs, ss, se, ah, al in script:
         w = _BitWriter()
+        rst = [0]  # RSTn modulo counter, per scan
+
+        def _restart(unit: int) -> bool:
+            if restart_interval and unit and unit % restart_interval == 0:
+                w.flush()  # byte-align (1-fill), buffer keeps accumulating
+                w.buf += bytes([0xFF, 0xD0 + rst[0]])
+                rst[0] = (rst[0] + 1) & 7
+                return True
+            return False
+
         if ss == 0:
             blocks_per_comp = {
                 ci: zz_planes[ci].reshape(bh * bw, 64) for ci in comp_ixs
@@ -1717,6 +1733,8 @@ def encode_jpeg_progressive(
             if ah == 0:  # DC first: diffs of the point-transformed DCs
                 preds = {ci: 0 for ci in comp_ixs}
                 for bi in range(bh * bw):  # 4:4:4 → MCU order == raster
+                    if _restart(bi):
+                        preds = {ci: 0 for ci in comp_ixs}
                     for ci in comp_ixs:
                         dc = int(blocks_per_comp[ci][bi, 0]) >> al
                         diff = dc - preds[ci]
@@ -1728,12 +1746,23 @@ def encode_jpeg_progressive(
                             w.write(extra, size)
             else:  # DC refinement: raw bit Al per block
                 for bi in range(bh * bw):
+                    _restart(bi)
                     for ci in comp_ixs:
                         w.write((int(blocks_per_comp[ci][bi, 0]) >> al) & 1, 1)
         else:
             (ci,) = comp_ixs
             zz_blocks = zz_planes[ci].reshape(bh * bw, 64)
-            if ah == 0:
+            if restart_interval:
+                # per-interval emission (the AC emitters are stateless
+                # across blocks because EOB runs never span blocks here)
+                emit = (_jpg_prog_emit_ac_first if ah == 0
+                        else _jpg_prog_emit_ac_refine)
+                for start in range(0, bh * bw, restart_interval):
+                    if start:
+                        _restart(start)
+                    emit(w, zz_blocks[start : start + restart_interval],
+                         ss, se, al, ac_codes)
+            elif ah == 0:
                 _jpg_prog_emit_ac_first(w, zz_blocks, ss, se, al, ac_codes)
             else:
                 _jpg_prog_emit_ac_refine(w, zz_blocks, ss, se, al, ac_codes)
