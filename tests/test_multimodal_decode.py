@@ -195,6 +195,27 @@ def test_png_adam7_interlaced_roundtrip(w, h, ch):
         assert dec["pixels"] == px
 
 
+@pytest.mark.parametrize("w,h,ch,il", [
+    (5, 7, 1, False), (9, 4, 3, False), (3, 3, 4, True), (16, 16, 2, True),
+])
+def test_png_16bit_high_byte_reduction(w, h, ch, il):
+    """16-bit PNGs (r10): filters unapply byte-wise at the 2·ch
+    distance per spec §9, then each big-endian sample reduces to its
+    HIGH byte (v >> 8 — the standard 16→8 presentation, deterministic),
+    composing with Adam7. 16-bit palette stays rejected (spec-invalid)."""
+    import numpy as np
+
+    v16 = np.random.default_rng(31).integers(
+        0, 65536, size=(h, w, ch), dtype=np.uint16
+    )
+    png = mm.encode_png(v16.astype(">u2").tobytes(), w, h, ch,
+                        bit_depth=16, interlace=il)
+    dec = mm.decode_png_pixels(png)
+    assert dec is not None
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, ch)
+    assert dec["pixels"] == (v16 >> 8).astype(np.uint8).tobytes()
+
+
 def test_png_unfilter_paeth_hand_computed():
     """Fixed byte vector decoded against hand-worked Paeth math —
     independent of the encoder, so a consistent-but-wrong predictor
@@ -249,9 +270,10 @@ def test_png_pixel_decode_rejects_unsupported_profiles():
     base = bytes((r + c) % 256 for r in range(4) for c in range(4) for _ in range(3))
     good = mm.encode_png(base, 4, 4, 3)
     assert mm.decode_png_pixels(good) is not None
-    # 16-bit depth
-    png16 = make_png(4, 4, color_type=2, bit_depth=16)
-    assert mm.decode_png_pixels(png16) is None
+    # a 16-bit HEADER over 8-bit-sized scanlines is malformed (stream
+    # length mismatch), not a supported profile — None, never garbage
+    png16_malformed = make_png(4, 4, color_type=2, bit_depth=16)
+    assert mm.decode_png_pixels(png16_malformed) is None
     # truncated IDAT (inflate fails)
     cut = good[: len(good) - 20]
     assert mm.decode_png_pixels(cut) is None

@@ -76,6 +76,12 @@ def _png_interlaced():
     return mm.encode_png(px.tobytes(), 7, 9, 3, interlace=True)
 
 
+def _png16():
+    rng = np.random.default_rng(12)
+    v16 = rng.integers(0, 65536, size=(7, 5, 3), dtype=np.uint16)
+    return mm.encode_png(v16.astype(">u2").tobytes(), 5, 7, 3, bit_depth=16)
+
+
 def _jpeg_progressive():
     rng = np.random.default_rng(8)
     px = rng.integers(0, 256, size=(15, 21), dtype=np.uint8)
@@ -85,6 +91,7 @@ def _jpeg_progressive():
 DECODERS = [
     ("png", mm.decode_png_pixels, _png),
     ("png_interlaced", mm.decode_png_pixels, _png_interlaced),
+    ("png_16bit", mm.decode_png_pixels, _png16),
     ("jpeg_gray", mm.decode_jpeg_pixels, _jpeg_gray),
     ("jpeg_color", mm.decode_jpeg_pixels, _jpeg_color),
     ("jpeg_progressive", mm.decode_jpeg_progressive_pixels, _jpeg_progressive),

@@ -239,11 +239,13 @@ def decode_image(payload: bytes) -> dict:
 # ---------------------------------------------------------------------------
 # Real PNG pixel codec — stdlib only (zlib + struct), no imaging library.
 #
-# Scope (VERDICT r5 #5; Adam7 added r10): 8-bit-per-sample PNGs, all five
-# scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9), color types
-# 0/2/3/4/6 (palette expanded through PLTE), non-interlaced AND Adam7.
-# That covers PNG end-to-end with zero new dependencies; 16-bit
-# and ancillary-color-transform files still fall to the PIL path / stub.
+# Scope (VERDICT r5 #5; Adam7 + 16-bit added r10): 8- and 16-bit PNGs,
+# all five scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9,
+# byte-wise at the channels×bytes-per-sample distance), color types
+# 0/2/3/4/6 (palette expanded through PLTE), non-interlaced AND Adam7;
+# 16-bit samples reduce to their high byte (the standard 16→8
+# presentation). The only residue falling to the PIL path / stub is
+# ancillary color transforms (gAMA/ICC-aware rendering).
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -268,11 +270,12 @@ _PNG_ADAM7 = [
 
 
 def _png_filter_rows(raw: bytearray, pixels, width: int, height: int,
-                     channels: int, filter_cycle: bool) -> None:
+                     bpp: int, filter_cycle: bool) -> None:
     """Filter one (sub)image's scanlines into `raw` — the shared core
     of non-interlaced and per-Adam7-pass encoding (each pass filters
-    against ITS OWN previous scanline, per spec)."""
-    stride = width * channels
+    against ITS OWN previous scanline, per spec). `bpp` is the filter
+    distance in BYTES (channels × bytes-per-sample, spec §9)."""
+    stride = width * bpp
     prev = bytes(stride)
     for r in range(height):
         line = pixels[r * stride : (r + 1) * stride]
@@ -282,9 +285,9 @@ def _png_filter_rows(raw: bytearray, pixels, width: int, height: int,
             raw += line
         else:
             for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
                 up = prev[i]
-                ul = prev[i - channels] if i >= channels else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 if f == 1:
                     pred = left
                 elif f == 2:
@@ -298,17 +301,24 @@ def _png_filter_rows(raw: bytearray, pixels, width: int, height: int,
 
 
 def encode_png(pixels: bytes, width: int, height: int, channels: int,
-               *, filter_cycle: bool = True, interlace: bool = False) -> bytes:
-    """Encode raw 8-bit row-major samples into a fully valid PNG
-    (correct chunk CRCs, single zlib IDAT). `channels` selects the color
-    type (1→gray, 2→gray+alpha, 3→RGB, 4→RGBA). With ``filter_cycle``
-    each scanline uses filter type ``row % 5``, so a round-trip through
-    `decode_png_pixels` exercises every unfilter branch — the encoder
-    exists exactly to give the decoder (and the oracle-twinned registry
-    query) real compressed input to chew on. ``interlace`` writes the
-    Adam7 seven-pass layout (r10), filters applied per pass."""
+               *, filter_cycle: bool = True, interlace: bool = False,
+               bit_depth: int = 8) -> bytes:
+    """Encode raw row-major samples into a fully valid PNG (correct
+    chunk CRCs, single zlib IDAT). `channels` selects the color type
+    (1→gray, 2→gray+alpha, 3→RGB, 4→RGBA); ``bit_depth`` 8 or 16 (16 =
+    big-endian 2-byte samples, `pixels` length w·h·ch·2 — filters
+    operate on bytes at the 2·ch distance per spec §9). With
+    ``filter_cycle`` each scanline uses filter type ``row % 5``, so a
+    round-trip through `decode_png_pixels` exercises every unfilter
+    branch — the encoder exists exactly to give the decoder (and the
+    oracle-twinned registry query) real compressed input to chew on.
+    ``interlace`` writes the Adam7 seven-pass layout (r10), filters
+    applied per pass."""
+    if bit_depth not in (8, 16):
+        raise ValueError("bit_depth must be 8 or 16")
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    stride = width * channels
+    bpp = channels * (bit_depth // 8)  # filter distance in BYTES
+    stride = width * bpp
     if len(pixels) != stride * height:
         raise ValueError(f"need {stride * height} bytes, got {len(pixels)}")
     raw = bytearray()
@@ -323,11 +333,11 @@ def encode_png(pixels: bytes, width: int, height: int, channels: int,
                 y = y0 + r * dy
                 for c in range(pw):
                     x = x0 + c * dx
-                    j = (y * width + x) * channels
-                    sub += pixels[j : j + channels]
-            _png_filter_rows(raw, bytes(sub), pw, ph, channels, filter_cycle)
+                    j = (y * width + x) * bpp
+                    sub += pixels[j : j + bpp]
+            _png_filter_rows(raw, bytes(sub), pw, ph, bpp, filter_cycle)
     else:
-        _png_filter_rows(raw, pixels, width, height, channels, filter_cycle)
+        _png_filter_rows(raw, pixels, width, height, bpp, filter_cycle)
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -336,7 +346,8 @@ def encode_png(pixels: bytes, width: int, height: int, channels: int,
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0,
+        1 if interlace else 0,
     )
     return (
         _PNG_SIG
@@ -381,13 +392,17 @@ def _png_unfilter_rows(raw, offset: int, n_rows: int, stride: int,
 
 @_none_on_malformed
 def decode_png_pixels(payload: bytes) -> dict | None:
-    """REAL pixel decode for 8-bit PNGs, non-interlaced AND Adam7
-    interlaced (r10): chunk walk → zlib-inflate IDAT → per-scanline
-    unfilter (all five filter types; per pass for Adam7) → palette
-    expansion for color type 3. Returns {width, height, channels,
-    pixels} with `pixels` the reconstructed row-major samples (bytes,
-    len == width*height*channels), or None for payloads outside the
-    supported profile (16-bit, truncated, non-PNG).
+    """REAL pixel decode for 8- and 16-bit PNGs, non-interlaced AND
+    Adam7 interlaced (r10): chunk walk → zlib-inflate IDAT →
+    per-scanline unfilter (all five filter types, byte-wise at the
+    channels×bytes-per-sample distance per spec §9; per pass for
+    Adam7) → palette expansion for color type 3. 16-bit samples are
+    reduced to their HIGH byte after unfiltering — the standard 16→8
+    presentation an 8-bit pipeline applies (deterministic: v >> 8),
+    so `pixels` is always 8-bit row-major (len == w·h·channels).
+    Returns {width, height, channels, pixels}, or None for payloads
+    outside the supported profile (truncated, non-PNG, 16-bit
+    palette — which the spec forbids anyway).
 
     Cost is O(pixels) per payload in pure Python — the right shape for
     an Arrow-batched narrow map where parallelism comes from input
@@ -415,11 +430,16 @@ def decode_png_pixels(payload: bytes) -> dict | None:
         return None
     width, height = struct.unpack(">II", ihdr[:8])
     bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
-    if bit_depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
+    if bit_depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
         return None
     if color_type not in _PNG_CHANNELS or width == 0 or height == 0:
         return None
-    bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    if bit_depth == 16 and color_type == 3:
+        return None  # 16-bit palette is spec-invalid (§11.2.2)
+    # bpp = the filter distance in BYTES (channels × bytes per sample)
+    bpp = (1 if color_type == 3 else _PNG_CHANNELS[color_type]) * (
+        bit_depth // 8
+    )
     if width * height * bpp > MAX_SAMPLES:
         return None  # declared size over profile — bomb guard
     stride = width * bpp
@@ -467,6 +487,11 @@ def decode_png_pixels(payload: bytes) -> dict | None:
             out, _ = _png_unfilter_rows(raw, 0, height, stride, bpp)
     except ValueError:
         return None  # invalid filter type
+    if bit_depth == 16:
+        # high byte of each big-endian 16-bit sample — the deterministic
+        # 16→8 reduction (v >> 8); byte layout is sample-interleaved so
+        # the high bytes sit at even offsets
+        out = out[0::2]
     if color_type == 3:
         if plte is None or len(plte) % 3:
             return None

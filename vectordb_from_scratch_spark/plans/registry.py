@@ -7214,6 +7214,69 @@ def _q_multimodal_png_interlaced(spark, sf_dir):
     return png_pixel_stats(payloads)
 
 
+@_register(
+    "multimodal_png_16bit_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             4 + (doc_id * 3) % 11 AS h,
+             CAST([1, 3, 2, 4][1 + (doc_id % 4)] AS INTEGER) AS nch
+      FROM documents WHERE doc_id % 37 = 0
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, ch.chan, rr.r, cc.c,
+             ((d.doc_id * 53 + rr.r * 7 + cc.c * 13 + ch.chan * 97)
+              % 65536) // 256 AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.nch - 1)) AS chan) ch,
+           LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS r) rr,
+           LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS c) cc
+    )
+    SELECT doc_id, CAST(chan AS INTEGER) AS channel,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS INTEGER) AS px_min,
+           CAST(max(v) AS INTEGER) AS px_max, count(*)::BIGINT AS n_pixels,
+           round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+    FROM px GROUP BY doc_id, chan, w, h
+    """,
+    doc="REAL 16-bit PNG decode (r10): fully valid 16-bit big-endian "
+    "PNGs synthesized in-plan (filters cycling through all five types, "
+    "operating byte-wise at the 2*channels distance per spec \u00a79) "
+    "and decoded back through decode_png_pixels, which reduces every "
+    "sample to its HIGH byte after unfiltering \u2014 the standard "
+    "16\u21928 presentation an 8-bit model pipeline applies, "
+    "deterministic (v >> 8) and therefore recomputed closed-form by "
+    "the oracle ((pattern % 65536) // 256). Composes with Adam7 "
+    "(tests); 16-bit palette stays rejected (spec-invalid). With this "
+    "the PNG ladder's only residue is ancillary color transforms. "
+    "Value-exact",
+)
+def _q_multimodal_png_16bit(spark, sf_dir):
+    from ..operators.multimodal import encode_png, png_pixel_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 37 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, ch = 4 + i % 13, 4 + (i * 3) % 11, [1, 3, 2, 4][i % 4]
+                px = b"".join(
+                    int((i * 53 + r * 7 + c * 13 + k * 97) % 65536)
+                    .to_bytes(2, "big")
+                    for r in range(h) for c in range(w) for k in range(ch)
+                )
+                payloads.append(encode_png(px, w, h, ch, bit_depth=16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return png_pixel_stats(payloads)
+
+
 _SCD2_SQL = """
     WITH cur AS (
       SELECT c_custkey, c_mktsegment, c_acctbal,
