@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "multimodal_jpeg_progressive_stats",
     "multimodal_png_interlaced_stats",
     "multimodal_png_16bit_stats",
+    "multimodal_video_rawdib_stats",
 ]
 
 # In-plan-build diagnostics (VERDICT r7 #8): these queries rebuild their

@@ -892,3 +892,55 @@ def test_wav_zcr_zero_is_nonnegative_bucket(spark):
     )
     r = mm.wav_zcr_stats(df).collect()[0]
     assert r.n_crossings == 1
+
+
+def test_avi_rawdib_lossless_roundtrip_and_mixed_codecs():
+    """Uncompressed BI_RGB AVI frames (r10): strf-routed raw-DIB decode
+    is a pure layout transform — arbitrary pixels round-trip losslessly
+    per frame; the MJPEG path is untouched; a payload whose strf
+    declares a codec we don't decode yields None (the ffmpeg ladder)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    w, h, nf = 7, 9, 3
+    frames = [rng.integers(0, 256, size=h * w * 3, dtype=np.uint8).tobytes()
+              for _ in range(nf)]
+    dec = mm.decode_avi_frames(mm.encode_avi_rawdib(frames, w, h))
+    assert dec is not None
+    assert (dec["width"], dec["height"], dec["channels"], dec["n_frames"]) == (w, h, 3, nf)
+    assert dec["frames"] == frames
+    # max_frames sampling still caps work
+    dec1 = mm.decode_avi_frames(mm.encode_avi_rawdib(frames, w, h), max_frames=1)
+    assert dec1["n_frames"] == 1 and dec1["frames"][0] == frames[0]
+    # an H.264-style fourcc with non-JPEG non-raw frames → None
+    avi = bytearray(mm.encode_avi_rawdib(frames, w, h))
+    i = bytes(avi).find(struct.pack("<I", 0), 0)  # not robust; patch strf comp directly
+    # locate strf body: find b"strf" then compression at offset 8+4+16
+    j = bytes(avi).find(b"strf")
+    comp_off = j + 8 + 16
+    avi[comp_off : comp_off + 4] = b"H264"
+    assert mm.decode_avi_frames(bytes(avi)) is None
+
+
+def test_avi_rawdib_feeds_stats_and_resize(spark):
+    """avi_frame_stats and media_resize_stats route raw-DIB video
+    through the same seams as MJPEG (decode_avi_frames is the shared
+    iterator)."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    w, h = 8, 6
+    frames = [rng.integers(0, 256, size=h * w * 3, dtype=np.uint8).tobytes()
+              for _ in range(2)]
+    avi = mm.encode_avi_rawdib(frames, w, h)
+    df = spark.createDataFrame([(1, avi)], "doc_id long, payload binary")
+    rows = mm.avi_frame_stats(df).collect()
+    assert len(rows) == 2 * 3  # 2 frames × 3 channels
+    arr = np.frombuffer(b"".join(frames), dtype=np.uint8).reshape(2, h, w, 3)
+    got = {(r["frame_idx"], r["channel"]): r["px_sum"] for r in rows}
+    for f in range(2):
+        for ch in range(3):
+            assert got[(f, ch)] == int(arr[f, :, :, ch].astype(np.int64).sum())
+    out = mm.media_resize_stats(df, out_w=4, out_h=3).collect()
+    assert {r["fmt"] for r in out} == {"avi"}
+    assert all(r["n_pixels"] == 4 * 3 * 2 for r in out)

@@ -70,6 +70,13 @@ def _avi():
     return mm.encode_avi_mjpeg(frames, 8, 8)
 
 
+def _avi_raw():
+    rng = np.random.default_rng(13)
+    frames = [rng.integers(0, 256, size=6 * 5 * 3, dtype=np.uint8).tobytes()
+              for _ in range(2)]
+    return mm.encode_avi_rawdib(frames, 5, 6)
+
+
 def _png_interlaced():
     rng = np.random.default_rng(9)
     px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
@@ -102,6 +109,7 @@ DECODERS = [
     ("wav_header", mm.parse_wav_header, _wav),
     ("wav", mm.decode_wav_samples, _wav),
     ("avi", mm.decode_avi_frames, _avi),
+    ("avi_rawdib", mm.decode_avi_frames, _avi_raw),
     ("header_meta", mm.parse_image_header, _png),
 ]
 

@@ -70,6 +70,7 @@ __all__ = [
     "resize_nearest",
     "bmp_resize_stats",
     "encode_avi_mjpeg",
+    "encode_avi_rawdib",
     "decode_avi_frames",
     "avi_frame_stats",
     "HAS_PIL",
@@ -2357,6 +2358,42 @@ def media_resize_stats(
 # --------------------------------------------------------------------------
 
 
+def _avi_container(frame_chunks: bytes, width: int, height: int,
+                   n_frames: int, fps: int, fourcc: bytes,
+                   compression) -> bytes:
+    """Shared RIFF-AVI assembly ('RIFF AVI ' → hdrl → movi) for the
+    MJPEG and raw-DIB encoders; `compression` is the strf biCompression
+    field (a fourcc for MJPG, 0 = BI_RGB for uncompressed)."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec, 0, 0, 0x10, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + fourcc + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                       0, n_frames, 0, 0, 0, 0)
+    )
+    comp = compression if isinstance(compression, bytes) else struct.pack(
+        "<I", compression
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, comp,
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", frame_chunks)
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def encode_avi_mjpeg(
     frames: list[bytes], width: int, height: int, fps: int = 10
 ) -> bytes:
@@ -2369,37 +2406,59 @@ def encode_avi_mjpeg(
         pad = b"\x00" if len(body) & 1 else b""
         return tag + struct.pack("<I", len(body)) + body + pad
 
-    def lst(kind: bytes, body: bytes) -> bytes:
-        return chunk(b"LIST", kind + body)
+    return _avi_container(
+        b"".join(chunk(b"00dc", f) for f in frames),
+        width, height, len(frames), fps, b"MJPG", b"MJPG",
+    )
 
-    usec = 1_000_000 // fps
-    avih = struct.pack(
-        "<IIIIIIIIIIIIII",
-        usec, 0, 0, 0x10, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0,
+
+def encode_avi_rawdib(
+    frames_rgb: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """An UNCOMPRESSED AVI (strf biCompression = 0 / BI_RGB, 24-bit):
+    each input frame is top-down row-major RGB; stored per DIB rules as
+    bottom-up BGR rows with 4-byte padding in '00db' chunks — the same
+    pixel layout as BMP, so decode is a pure layout transform and the
+    round trip is LOSSLESS (unlike MJPEG). The non-MJPEG member of the
+    video family (r10): real cameras/capture cards emit exactly this."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    row_bytes = width * 3
+    padded = (row_bytes + 3) & ~3
+    dibs = []
+    for f in frames_rgb:
+        if len(f) != row_bytes * height:
+            raise ValueError(
+                f"need {row_bytes * height} RGB bytes/frame, got {len(f)}"
+            )
+        out = bytearray()
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = f[y * row_bytes : (y + 1) * row_bytes]
+            for x in range(width):  # RGB → BGR
+                out += bytes((row[3 * x + 2], row[3 * x + 1], row[3 * x]))
+            out += b"\x00" * (padded - row_bytes)
+        dibs.append(bytes(out))
+    return _avi_container(
+        b"".join(chunk(b"00db", d) for d in dibs),
+        width, height, len(frames_rgb), fps, b"DIB ", 0,
     )
-    strh = (
-        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
-                                        0, len(frames), 0, 0, 0, 0)
-    )
-    strf = struct.pack(
-        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
-        width * height * 3, 0, 0, 0, 0,
-    )
-    hdrl = lst(b"hdrl", chunk(b"avih", avih)
-               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
-    return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
 @_none_on_malformed
 def decode_avi_frames(payload: bytes, max_frames: int | None = None) -> dict | None:
-    """REAL video frame decode for AVI-MJPEG: RIFF walk to the movi
-    list, then each video frame chunk ('..dc'/'..db') decodes as a
-    baseline JPEG through decode_jpeg_pixels. Returns {width, height,
-    channels, n_frames, frames: [pixel bytes, ...]} (dimensions from the
-    first decodable frame; `max_frames` caps work for sampling) or None
-    when the container is not RIFF-AVI or no frame decodes (non-MJPEG
-    codecs — a production build ladders those to ffmpeg)."""
+    """REAL video frame decode for AVI: RIFF walk to the movi list,
+    then each video frame chunk ('..dc'/'..db') decodes as a baseline/
+    progressive JPEG through decode_jpeg_pixels (MJPEG), or — when the
+    stream's strf header declares BI_RGB 24-bit (r10) — as an
+    uncompressed bottom-up BGR DIB (the BMP pixel layout; lossless pure
+    layout transform). Returns {width, height, channels, n_frames,
+    frames: [pixel bytes, ...]} (dimensions from the first decodable
+    frame; `max_frames` caps work for sampling) or None when the
+    container is not RIFF-AVI or no frame decodes (other codecs —
+    H.264 etc. — ladder to ffmpeg in a production build)."""
     b = bytes(payload)
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
@@ -2413,8 +2472,61 @@ def decode_avi_frames(payload: bytes, max_frames: int | None = None) -> dict | N
             yield tag, pos + 8, body_end
             pos += 8 + clen + (clen & 1)
 
+    riff_end = min(12 + struct.unpack("<I", b[4:8])[0] - 4, len(b))
+
+    # stream format from hdrl → strl → strf (BITMAPINFOHEADER): tells
+    # the raw path its geometry; MJPEG frames are self-describing
+    strf = None
+
+    def find_strf(start: int, end: int, depth: int = 0) -> None:
+        nonlocal strf
+        if depth > 4:
+            return
+        for tag, bs, be in walk(start, end):
+            if tag == b"LIST":
+                find_strf(bs + 4, be, depth + 1)
+            elif tag == b"strf" and strf is None and be - bs >= 20:
+                w_, h_, _, bits, comp = struct.unpack(
+                    "<iiHHI", b[bs + 4 : bs + 20]
+                )
+                strf = {"width": w_, "height": h_, "bits": bits,
+                        "compression": comp}
+            if strf is not None:
+                return
+
+    find_strf(12, riff_end)
+
+    def decode_raw_dib(fb: bytes):
+        """Bottom-up (or top-down when biHeight < 0) 24-bit BGR DIB →
+        top-down RGB — the BMP pixel layout without the file header."""
+        if strf is None or strf["compression"] != 0 or strf["bits"] != 24:
+            return None
+        w_, h_ = strf["width"], abs(strf["height"])
+        if w_ <= 0 or h_ <= 0 or w_ * h_ * 3 > MAX_SAMPLES:
+            return None
+        padded = (w_ * 3 + 3) & ~3
+        if len(fb) < padded * h_:
+            return None
+        bottom_up = strf["height"] > 0
+        out = bytearray(w_ * h_ * 3)
+        for y in range(h_):
+            src_y = (h_ - 1 - y) if bottom_up else y
+            row = fb[src_y * padded : src_y * padded + w_ * 3]
+            for x in range(w_):
+                j = (y * w_ + x) * 3
+                out[j] = row[3 * x + 2]
+                out[j + 1] = row[3 * x + 1]
+                out[j + 2] = row[3 * x]
+        return {"width": w_, "height": h_, "channels": 3,
+                "pixels": bytes(out)}
+
     frames: list[bytes] = []
     meta = None
+
+    def decode_frame(fb: bytes):
+        if fb[:3] == b"\xff\xd8\xff":
+            return _decode_or_none(decode_jpeg_pixels, fb)
+        return _decode_or_none(decode_raw_dib, fb)
 
     def scan_movi(start: int, end: int) -> bool:
         nonlocal meta
@@ -2422,7 +2534,7 @@ def decode_avi_frames(payload: bytes, max_frames: int | None = None) -> dict | N
             if tag == b"LIST" and b[bs : bs + 4] == b"movi":
                 for ftag, fs, fe in walk(bs + 4, be):
                     if ftag[2:4] in (b"dc", b"db"):
-                        dec = _decode_or_none(decode_jpeg_pixels, b[fs:fe])
+                        dec = decode_frame(b[fs:fe])
                         if dec is None:
                             continue  # corrupt frame skips; file survives
                         if meta is None:
@@ -2434,7 +2546,7 @@ def decode_avi_frames(payload: bytes, max_frames: int | None = None) -> dict | N
                 return True
         return False
 
-    scan_movi(12, min(12 + struct.unpack("<I", b[4:8])[0] - 4, len(b)))
+    scan_movi(12, riff_end)
     if meta is None or not frames:
         return None
     return {"width": meta[0], "height": meta[1], "channels": meta[2],

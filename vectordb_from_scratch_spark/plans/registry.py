@@ -8334,8 +8334,9 @@ def _q_drift_chisq(spark, sf_dir):
     "(operators/multimodal.py:decode_avi_frames/avi_frame_stats). "
     "Flat-8x8-block frames reconstruct BIT-exactly (the DC-quant-8 "
     "lever), so per-(frame,channel) stats match the analytic oracle. "
-    "Non-MJPEG codecs yield no frames — a production build ladders "
-    "those to ffmpeg behind the same mapInPandas seam. Value-exact",
+    "Uncompressed BI_RGB video decodes too "
+    "(multimodal_video_rawdib_stats); entropy-coded codecs (H.264...) "
+    "ladder to ffmpeg behind the same mapInPandas seam. Value-exact",
 )
 def _q_multimodal_video_frames(spark, sf_dir):
     from ..operators.multimodal import (
@@ -8363,6 +8364,73 @@ def _q_multimodal_video_frames(spark, sf_dir):
                     )
                     frames.append(encode_jpeg_gray(px, w, h))
                 payloads.append(encode_avi_mjpeg(frames, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return avi_frame_stats(payloads)
+
+
+@_register(
+    "multimodal_video_rawdib_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             3 + doc_id % 5 AS w,
+             2 + (doc_id * 7) % 4 AS h,
+             1 + doc_id % 3 AS nf
+      FROM documents WHERE doc_id % 41 = 0
+    ),
+    px AS (
+      SELECT d.doc_id, ff.f, d.w, d.h, kk.k,
+             (d.doc_id * 29 + ff.f * 37 + yy.y * 11 + xx.x * 5 + kk.k * 71)
+               % 256 AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS f) ff,
+           LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) yy,
+           LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xx,
+           LATERAL (SELECT unnest(generate_series(0, 2)) AS k) kk
+    )
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(k AS INTEGER) AS channel,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS INTEGER) AS px_min,
+           CAST(max(v) AS INTEGER) AS px_max,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+    FROM px GROUP BY doc_id, f, w, h, k
+    """,
+    doc="REAL UNCOMPRESSED video decode (r10): spec-valid BI_RGB AVIs "
+    "(strf biCompression=0, 24-bit '00db' DIB frames — bottom-up BGR "
+    "rows with 4-byte padding, the layout capture cards emit) "
+    "synthesized in-plan with ARBITRARY per-pixel patterns and decoded "
+    "back through decode_avi_frames' strf-routed raw branch "
+    "(operators/multimodal.py:encode_avi_rawdib). Raw DIB is a pure "
+    "layout transform — LOSSLESS, so unlike the MJPEG twin the oracle "
+    "needs no flat-block lever: every pixel of every frame is exact. "
+    "Non-MJPEG/non-raw codecs (H.264...) remain the ffmpeg ladder. "
+    "Value-exact",
+)
+def _q_multimodal_video_rawdib(spark, sf_dir):
+    from ..operators.multimodal import avi_frame_stats, encode_avi_rawdib
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 41 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, nf = 3 + i % 5, 2 + (i * 7) % 4, 1 + i % 3
+                frames = []
+                for f in range(nf):
+                    frames.append(bytes(
+                        (i * 29 + f * 37 + y * 11 + x * 5 + k * 71) % 256
+                        for y in range(h) for x in range(w) for k in range(3)
+                    ))
+                payloads.append(encode_avi_rawdib(frames, w, h))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
