@@ -69,12 +69,17 @@ def test_compaction_preserves_totals_and_shrinks_state(spark, tmp_path):
     assert n_parts_before >= 2  # one partial per micro-batch
     info = compact_counts(spark, state)
     assert len(info["folded"]) == n_parts_before
+    assert info["gen"] == 1
     after = {r.key: r.cnt for r in read_counts(spark, state).collect()}
     assert after == before
-    assert glob.glob(state + "/data/batch_id=*") == [state + "/data/batch_id=-1"]
+    # every folded partition deleted; the baseline lives in its own
+    # committed generation dir, outside data/
+    assert glob.glob(state + "/data/batch_id=*") == []
+    assert glob.glob(state + "/baseline_g*") == [state + "/baseline_g1"]
+    assert glob.glob(state + "/compaction/gen-*.json") != []
     # idempotent re-run: nothing new to fold, totals unchanged
     info2 = compact_counts(spark, state)
-    assert info2["folded"] == []
+    assert info2["folded"] == [] and info2["gen"] == 1
     assert {r.key: r.cnt for r in read_counts(spark, state).collect()} == before
 
 
@@ -332,6 +337,88 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
           .filter(F.col("user_id") == 1).collect()}
     assert u1 == {1: "2026-01-01 10:00:00", 2: "2026-01-01 10:05:00",
                   3: "2026-01-02 10:10:00"}
+
+
+def test_crash_between_baseline_and_commit_never_double_counts(spark, tmp_path):
+    """THE r10 crash window (ADVICE r10, medium): a compaction that
+    crashed after writing its folded baseline but BEFORE the manifest
+    commit. In the r10 layout the half-committed baseline lived at
+    data/batch_id=-1 — already containing the snapshot batches whose
+    partitions (ids > recorded max_folded) were still on disk, so
+    read_counts double-counted during the window and the re-run
+    re-folded them permanently. In the generation layout the orphan
+    baseline_g2 is invisible until its commit file exists: reads stay
+    exact and the re-run rebuilds g2 from the same still-on-disk
+    inputs."""
+    import pyspark.sql.functions as SF
+
+    src, _ = _mkdata(spark, tmp_path)
+    state = _run(spark, src, tmp_path, "crashcommit")
+    compact_counts(spark, state)  # gen 1
+    # new traffic after the first compaction
+    spark.createDataFrame(
+        [("view", 4), ("scroll", 2)], "key string, cnt long"
+    ).withColumn("batch_id", SF.lit(5)).coalesce(1).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "batch_id"
+    ).parquet(state + "/data")
+    want = {r.key: r.cnt for r in read_counts(spark, state).collect()}
+    assert want["view"] == 8 + 4 and want["scroll"] == 2
+    # simulate the crashed second compaction: its folded baseline_g2 is
+    # fully written (baseline g1 + batch 5) but the commit file is NOT
+    read_counts(spark, state).coalesce(1).write.parquet(state + "/baseline_g2")
+    # the orphan changes nothing for readers — no double count
+    assert {r.key: r.cnt for r in read_counts(spark, state).collect()} == want
+    # the re-run folds the SAME inputs (all still on disk), overwrites
+    # the orphan, commits gen 2 — totals exact, batch 5 folded once
+    info = compact_counts(spark, state)
+    assert info["folded"] == [5] and info["gen"] == 2
+    assert {r.key: r.cnt for r in read_counts(spark, state).collect()} == want
+
+
+def test_second_concurrent_compactor_fails_loudly(spark, tmp_path):
+    """The lease is an ATOMIC exclusive create (VERDICT r10 #1): while
+    one compaction holds it, a second compact_counts must raise — the
+    r10 overwrite-form lease let both believe they held it. Takeover of
+    a stale lease (crashed holder) is explicit via force_takeover."""
+    import pytest
+
+    from vectordb_from_scratch_spark.streaming._fence import write_intent
+
+    src, _ = _mkdata(spark, tmp_path)
+    state = _run(spark, src, tmp_path, "twocompact")
+    before = {r.key: r.cnt for r in read_counts(spark, state).collect()}
+    write_intent(spark, state)  # compactor A holds the lease
+    with pytest.raises(Exception, match="lease.*already held"):
+        compact_counts(spark, state)  # compactor B must not proceed
+    with pytest.raises(Exception, match="lease.*already held"):
+        write_intent(spark, state)  # nor re-take it blindly
+    # operator-verified recovery: seize the stale lease and fold
+    info = compact_counts(spark, state, force_takeover=True)
+    assert len(info["folded"]) == 2
+    assert {r.key: r.cnt for r in read_counts(spark, state).collect()} == before
+
+
+def test_r10_baseline_format_fails_loudly(spark, tmp_path):
+    """A pre-r11 state (baseline stored as the data/batch_id=-1
+    partition + Spark-JSON manifest) must raise with migration
+    directions, never be read as if the baseline were a batch partial
+    (double-count) or absent (zero-count)."""
+    import pyspark.sql.functions as SF
+    import pytest
+
+    state = str(tmp_path / "state_r10fmt")
+    spark.createDataFrame([("view", 7)], "key string, cnt long").withColumn(
+        "batch_id", SF.lit(-1)
+    ).coalesce(1).write.partitionBy("batch_id").parquet(state + "/data")
+    spark.createDataFrame([(1,)], "max_folded long").coalesce(1).write.json(
+        state + "/compaction"
+    )
+    with pytest.raises(Exception, match="r10 in-data baseline"):
+        read_counts(spark, state).collect()
+    with pytest.raises(Exception, match="r10 in-data baseline"):
+        compact_counts(spark, state)
 
 
 def test_crash_between_manifest_and_delete_never_double_counts(spark, tmp_path):

@@ -271,8 +271,11 @@ def test_compaction_fence_blocks_interleaved_batch(spark, tmp_path):
     with _pytest.raises(StreamingQueryException, match="compaction in progress"):
         run_once()
 
-    # lease clears when compaction completes — here by running it for real
-    compact_neardup_state(spark, state, n_buckets=8)
+    # the lease is exclusive now (VERDICT r10 #1): a second compactor
+    # must NOT proceed over the planted marker — explicit takeover only
+    with _pytest.raises(Exception, match="lease.*already held"):
+        compact_neardup_state(spark, state, n_buckets=8)
+    compact_neardup_state(spark, state, n_buckets=8, force_takeover=True)
     import os
 
     assert not os.path.exists(state + "/compaction_intent")
@@ -429,3 +432,61 @@ def test_future_format_state_fails_loudly(spark, tmp_path):
     ).start()
     with pytest.raises(Exception, match="pfx_format=99"):
         q.awaitTermination(180)
+
+
+def test_legacy_spark_json_manifest_read_and_superseded(spark, tmp_path):
+    """Pre-r11 states committed their manifest as a delete-then-write
+    Spark-JSON overwrite; _read_manifest must still honor it (the
+    compacted base keeps screening — dropping it would re-admit every
+    dup whose prior occurrence lives only in the base), and the next
+    compaction supersedes it with the atomic gen-file commit."""
+    import glob
+    import os
+
+    from vectordb_from_scratch_spark.streaming.neardup_stream import (
+        compact_neardup_state,
+    )
+
+    src = str(tmp_path / "src_legacy")
+    out = str(tmp_path / "out_legacy")
+    state = str(tmp_path / "state_legacy")
+    ckpt = str(tmp_path / "ckpt_legacy")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = neardup_stream_foreach_batch(
+            spark, stream, out, state, ckpt, threshold=0.4
+        ).start()
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    run_once()
+    compact_neardup_state(spark, state, n_buckets=8)
+    # rewrite the manifest in the legacy format (what an r10 state has
+    # on disk): Spark-JSON part files, no gen-* marker
+    for p in glob.glob(state + "/compaction/gen-*.json"):
+        os.remove(p)
+    spark.createDataFrame(
+        [(8, 1)], "n_buckets int, gen int"
+    ).coalesce(1).write.mode("overwrite").json(state + "/compaction")
+    assert glob.glob(state + "/compaction/gen-*.json") == []
+
+    # a dup whose prior occurrence lives ONLY in the g1 base must still
+    # be dropped — the legacy manifest is honored
+    spark.createDataFrame(
+        [(21, BASE)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = {r.doc_id for r in read_survivors(spark, out).collect()}
+    assert got == {0, 1}
+
+    # the next compaction commits the atomic gen-file and removes the
+    # legacy part files
+    info = compact_neardup_state(spark, state, n_buckets=8)
+    assert info["gen"] == 2
+    assert glob.glob(state + "/compaction/gen-*.json") != []
+    assert glob.glob(state + "/compaction/part-*") == []
+    run_once()
+    assert {r.doc_id for r in read_survivors(spark, out).collect()} == {0, 1}

@@ -174,3 +174,47 @@ def test_scd2_mid_swap_crash_recovers_not_bootstraps(spark, tmp_path):
     # the old generation was restored before merging — key 3 from the
     # earlier runs is still present (an empty bootstrap would lose it)
     assert any(r[0] == 3 for r in _dim_rows(spark, dim))
+
+
+def test_read_dim_external_read_is_pure_and_recover_needs_lease(spark, tmp_path):
+    """ADVICE r10: an EXTERNAL read_dim must never perform recovery
+    renames (an unleased reader racing a live writer inside the
+    two-rename swap window could steal the rename and fail the writer's
+    own swap) — it serves the newest complete generation read-only.
+    recover=True demands the merge lease."""
+    import os
+    import shutil
+
+    import pytest
+
+    from vectordb_from_scratch_spark.streaming.scd_stream import read_dim
+
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    _mk(spark, BATCH1).write.parquet(src)
+    _run(spark, src, dim, str(tmp_path / "ck1"))
+    want = _dim_rows(spark, dim)
+
+    # mid-swap crash state: target renamed away, complete tmp present
+    os.rename(dim, dim + ".old-aaaa0001")
+    shutil.copytree(dim + ".old-aaaa0001", dim + ".tmp-bbbb0002")
+    got = read_dim(spark, dim)  # default: read-only
+    assert got is not None and set(map(tuple, got.collect())) == set(
+        map(tuple, spark.read.parquet(dim + ".tmp-bbbb0002").collect())
+    )
+    # NOTHING was renamed — the writer's swap state is untouched
+    assert not os.path.exists(dim)
+    assert os.path.exists(dim + ".tmp-bbbb0002")
+    assert os.path.exists(dim + ".old-aaaa0001")
+
+    # recovery without the lease is refused loudly
+    with pytest.raises(RuntimeError, match="without the merge lease"):
+        read_dim(spark, dim, recover=True)
+
+    # with the lease held, recover=True finishes the swap
+    with open(dim + ".merge_intent", "w") as f:
+        f.write('{"checkpoint": "op", "batch_id": -1}')
+    read_dim(spark, dim, recover=True)
+    os.remove(dim + ".merge_intent")
+    assert os.path.exists(dim) and not os.path.exists(dim + ".tmp-bbbb0002")
+    assert _dim_rows(spark, dim) == want

@@ -2,21 +2,36 @@
 (neardup_stream, counts_stream): the intent-lease protocol that keeps a
 maintenance compaction and a running stream from interleaving writes.
 
-Protocol (established for neardup in r9, generalized here in r10):
-- compaction writes `<state>/compaction_intent` BEFORE reading any
-  delta/partial and clears it LAST, after its deletes;
+Protocol (established for neardup in r9, generalized in r10, lease made
+atomic in r11):
+- compaction takes the lease by ATOMICALLY creating
+  `<state>/compaction_intent` (Hadoop `FileSystem.createNewFile` —
+  atomic on the local FS and HDFS) BEFORE reading any delta/partial and
+  clears it LAST, after its deletes. Two concurrent compactions on the
+  same state can no longer both believe they hold it (the r10 overwrite
+  form allowed exactly that lost-update race; VERDICT r10 #1) — the
+  second fails loudly;
 - every micro-batch checks the marker at batch start AND immediately
   before its state writes, failing loudly (fail-stop — the stream
   retries off its checkpoint once compaction finishes);
-- a stale marker from a crashed compaction blocks the stream the same
-  way — safe by construction; re-running compaction completes and
-  clears it (the intent write is an overwrite, never a second-writer
-  check: compactions are operator-serialized maintenance).
+- a stale marker from a crashed compaction blocks both the stream and
+  any new compaction the same way — safe by construction. Recovery is
+  explicit now that the lease is exclusive: re-run the compaction with
+  `force_takeover=True` AFTER verifying no compactor is alive (the
+  marker cannot distinguish a crashed holder from a live one).
+
+Also here: the atomic generation-commit used by both compactors. The
+commit record is the FILENAME of an atomically-created empty marker
+(`gen-<g>-<payload>.json`), so there is no content-write window at all —
+a manifest is either fully committed or absent, and readers resolve the
+highest generation present. This replaces the delete-then-write Spark
+JSON overwrite, whose mid-flip crash left NO manifest (readers would
+see "never compacted" and drop the folded base from their scans).
 """
 
 from __future__ import annotations
 
-import time
+import re
 
 from pyspark.sql import SparkSession
 
@@ -36,12 +51,31 @@ def fs_for(spark: SparkSession, path: str):
     ), jpath
 
 
-def write_intent(spark: SparkSession, state_dir: str) -> None:
-    """Take the compaction lease (overwrite semantics — see module
-    docstring for why that is correct for operator-run compactions)."""
-    spark.createDataFrame(
-        [(int(time.time()),)], "intent_ts long"
-    ).coalesce(1).write.mode("overwrite").json(intent_dir(state_dir))
+def write_intent(
+    spark: SparkSession, state_dir: str, *, force: bool = False
+) -> None:
+    """Take the compaction lease by ATOMIC exclusive create. Raises if
+    the lease is already held (a second concurrent compactor, or a stale
+    marker from a crashed one); `force=True` seizes it — only for
+    operator-verified recovery (see module docstring)."""
+    fs, jpath = fs_for(spark, intent_dir(state_dir))
+    parent = jpath.getParent()
+    if not fs.exists(parent):
+        fs.mkdirs(parent)
+    if force and fs.exists(jpath):
+        fs.delete(jpath, True)
+    # createNewFile is atomic (O_CREAT|O_EXCL on local FS; namenode
+    # create on HDFS): exactly one of N racing compactors gets True.
+    # It also returns False when a pre-r11 marker DIRECTORY is present.
+    if not bool(fs.createNewFile(jpath)):
+        raise RuntimeError(
+            f"compaction lease on {state_dir} is already held (intent "
+            "marker present): either another compaction is running on "
+            "this state — two concurrent folds would race each other's "
+            "snapshot/delete — or a crashed one left a stale marker. "
+            "Verify no compactor is alive, then re-run with "
+            "force_takeover=True to seize the lease."
+        )
 
 
 def clear_intent(spark: SparkSession, state_dir: str) -> None:
@@ -60,5 +94,70 @@ def check_intent_fence(
             f"present) — the {stream_name} must not write state while "
             f"{compactor} runs; retry after it finishes (a stale marker "
             "from a crashed compaction is cleared by re-running "
-            "compaction)"
+            "compaction with force_takeover=True)"
         )
+
+
+def commit_generation(
+    spark: SparkSession, manifest_dir: str, gen: int, payload: int
+) -> None:
+    """Atomically commit generation `gen` with one integer `payload`
+    (max_folded for counts, n_buckets for neardup) by creating the empty
+    marker file `gen-<g>-<payload>.json`. The create IS the commit
+    point: before it, readers resolve the previous generation (whose
+    inputs are all still on disk — complete); after it, the new one."""
+    fs, jdir = fs_for(spark, manifest_dir)
+    if not fs.exists(jdir):
+        fs.mkdirs(jdir)
+    _, jfile = fs_for(spark, f"{manifest_dir}/gen-{gen:012d}-{payload}.json")
+    if not bool(fs.createNewFile(jfile)):
+        raise RuntimeError(
+            f"generation {gen} already committed at {manifest_dir} — "
+            "two compactions interleaved despite the lease"
+        )
+
+
+def resolve_generation(
+    spark: SparkSession, manifest_dir: str
+) -> tuple[int, int] | None:
+    """Highest committed (gen, payload) at `manifest_dir`, or None if no
+    gen-file exists. Legacy (pre-r11) Spark-JSON manifests are NOT
+    parsed here — each caller handles its own legacy fallback."""
+    if not _dir_exists(spark, manifest_dir):
+        return None
+    fs, jdir = fs_for(spark, manifest_dir)
+    best: tuple[int, int] | None = None
+    for st in fs.listStatus(jdir):
+        m = re.fullmatch(
+            r"gen-(\d+)-(-?\d+)\.json", st.getPath().getName()
+        )
+        if m:
+            g, payload = int(m.group(1)), int(m.group(2))
+            if best is None or g > best[0]:
+                best = (g, payload)
+    return best
+
+
+def manifest_has_legacy_json(spark: SparkSession, manifest_dir: str) -> bool:
+    """True when the manifest dir holds pre-r11 Spark-JSON part files
+    (the delete-then-write manifest format)."""
+    if not _dir_exists(spark, manifest_dir):
+        return False
+    fs, jdir = fs_for(spark, manifest_dir)
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if not st.isDirectory() and name.startswith("part-"):
+            return True
+    return False
+
+
+def drop_legacy_manifest_json(spark: SparkSession, manifest_dir: str) -> None:
+    """Remove pre-r11 Spark-JSON manifest files (part-*, _SUCCESS, CRCs)
+    AFTER a gen-file commit has superseded them."""
+    if not _dir_exists(spark, manifest_dir):
+        return
+    fs, jdir = fs_for(spark, manifest_dir)
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if not st.isDirectory() and not name.startswith("gen-"):
+            fs.delete(st.getPath(), False)

@@ -63,7 +63,17 @@ from pyspark.sql.window import Window
 
 from ..functions import text as X
 from ..operators.dedup import _banded_keys, _cap_buckets, _jaccard_verify_kernel
-from ._fence import check_intent_fence, clear_intent, fs_for, intent_dir, write_intent
+from ._fence import (
+    check_intent_fence,
+    clear_intent,
+    commit_generation,
+    drop_legacy_manifest_json,
+    fs_for,
+    intent_dir,
+    manifest_has_legacy_json,
+    resolve_generation,
+    write_intent,
+)
 from .dedup_stream import _dir_exists
 
 __all__ = [
@@ -98,9 +108,20 @@ def _pfx(col: str):
 def _read_manifest(spark: SparkSession, state_dir: str) -> tuple[int, int] | None:
     """(n_buckets, generation) of the compacted base, or None if the state
     has never been compacted. A corrupt manifest raises — the batch fails
-    loudly and retries off the checkpoint, never silently probes less."""
+    loudly and retries off the checkpoint, never silently probes less.
+
+    r11 format: the manifest is the NAME of an atomically-created empty
+    marker `gen-<g>-<n_buckets>.json` (_fence.commit_generation) — the
+    pre-r11 delete-then-write Spark-JSON overwrite had a mid-flip crash
+    window that left NO manifest, making readers drop the whole
+    compacted base from their scans. Legacy Spark-JSON manifests are
+    still read (and superseded on the next compaction)."""
     mdir = state_dir + "/compaction"
-    if not _dir_exists(spark, mdir):
+    got = resolve_generation(spark, mdir)
+    if got is not None:
+        gen, n_buckets = got
+        return n_buckets, gen
+    if not manifest_has_legacy_json(spark, mdir):
         return None
     row = spark.read.json(mdir).first()
     return int(row["n_buckets"]), int(row["gen"])
@@ -175,7 +196,8 @@ def _list_batch_ids(spark: SparkSession, delta_dir: str) -> list[int]:
 
 
 def compact_neardup_state(
-    spark: SparkSession, state_dir: str, n_buckets: int = 64
+    spark: SparkSession, state_dir: str, n_buckets: int = 64,
+    *, force_takeover: bool = False,
 ) -> dict:
     """Fold the per-batch (batch_id, pfx) delta partitions into fixed
     hash-bucketed base tables — the maintenance job that keeps per-batch
@@ -185,15 +207,17 @@ def compact_neardup_state(
     continuous stream); that rule is now ENFORCED, not just documented
     (VERDICT r8 #6), by a two-level fence:
 
-    - INTENT LEASE: an intent marker is written BEFORE any delta is
-      read and cleared after the delete; `neardup_stream_foreach_batch`
-      checks it at batch start AND again immediately before its state
-      writes, failing the micro-batch loudly (fail-stop — the stream
-      retries off its checkpoint after compaction finishes). A stale
-      intent from a crashed compaction blocks the stream the same way —
-      safe by construction; re-running compaction completes and clears
-      it (the intent write is an overwrite, never a second-writer
-      check).
+    - INTENT LEASE: an intent marker is ATOMICALLY created (exclusive —
+      a SECOND concurrent compaction fails loudly; the r10 overwrite
+      form let both believe they held it, VERDICT r10 #1) BEFORE any
+      delta is read and cleared after the delete;
+      `neardup_stream_foreach_batch` checks it at batch start AND again
+      immediately before its state writes, failing the micro-batch
+      loudly (fail-stop — the stream retries off its checkpoint after
+      compaction finishes). A stale intent from a crashed compaction
+      blocks the stream and new compactions the same way — safe by
+      construction; re-run with `force_takeover=True` after verifying
+      no compactor is alive.
     - BATCH-ID SNAPSHOT: the fold reads only the batch_id partitions
       physically present when it starts, and the delete removes ONLY
       those partition directories — a delta written by a batch that
@@ -210,8 +234,8 @@ def compact_neardup_state(
     re-buckets the whole base on the next run."""
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
-    # intent FIRST — every delta row read below is covered by the lease
-    write_intent(spark, state_dir)
+    # lease FIRST — every delta row read below is covered by it
+    write_intent(spark, state_dir, force=force_takeover)
     manifest = _read_manifest(spark, state_dir)
     old_gen = manifest[1] if manifest else 0
     gen = old_gen + 1
@@ -261,11 +285,13 @@ def compact_neardup_state(
         _stamp_format(spark, state_dir)  # empty state is trivially current
         clear_intent(spark, state_dir)
         return {"gen": old_gen, "n_buckets": n_buckets, "fps_rows": 0, "bands_rows": 0}
-    # flip the manifest ONLY after both bases are fully written; readers
-    # that race a crash here still see (old base ∪ delta) — complete
-    spark.createDataFrame(
-        [(n_buckets, gen)], "n_buckets int, gen int"
-    ).coalesce(1).write.mode("overwrite").json(state_dir + "/compaction")
+    # commit the manifest ONLY after both bases are fully written —
+    # ONE atomic empty-file create whose name carries (gen, n_buckets);
+    # readers that race a crash before it still see (old base ∪ delta),
+    # complete, and the pre-r11 delete-then-write overwrite's
+    # no-manifest crash window is gone (_fence.commit_generation)
+    commit_generation(spark, state_dir + "/compaction", gen, n_buckets)
+    drop_legacy_manifest_json(spark, state_dir + "/compaction")
     # delete the folded inputs LAST — a crash before this point only
     # leaves overlap (harmless for anti-join / distinct'd probes).
     # Deltas are removed PER SNAPSHOTTED batch_id partition, never as a
@@ -275,7 +301,20 @@ def compact_neardup_state(
         f"{delta_dir}/batch_id={bid}"
         for delta_dir, snapshot in zip(deltas, snapshots)
         for bid in snapshot
-    ] + [b for b in old_bases if b is not None]
+    ]
+    # every base generation below the one just committed — the previous
+    # gen plus any debris a crash between commit and delete left behind
+    fs_root, jroot = fs_for(spark, state_dir)
+    for st in fs_root.listStatus(jroot):
+        name = st.getPath().getName()
+        for prefix in ("fps_base_g", "bands_base_g"):
+            if st.isDirectory() and name.startswith(prefix):
+                try:
+                    g = int(name[len(prefix):])
+                except ValueError:
+                    continue
+                if g < gen:
+                    doomed.append(f"{state_dir}/{name}")
     for path in doomed:
         fs, jpath = fs_for(spark, path)
         if fs.exists(jpath):

@@ -100,10 +100,25 @@ def _newest(paths: list[str]) -> str | None:
     return max(paths, key=os.path.getmtime) if paths else None
 
 
-def read_dim(spark, dim_dir: str) -> DataFrame | None:
+def read_dim(spark, dim_dir: str, *, recover: bool = False) -> DataFrame | None:
     """The current dimension, applying the crash-recovery ladder (module
     docstring). Returns None only for a genuinely fresh state (no
-    generation exists anywhere) — never silently for a mid-swap crash."""
+    generation exists anywhere) — never silently for a mid-swap crash.
+
+    `recover=False` (the default, for external readers) is PURELY
+    read-only: a mid-swap crash state is served from the newest complete
+    tmp / old generation WITHOUT renaming anything. Recovery renames run
+    only with `recover=True`, which requires holding the merge lease —
+    an unleased reader racing a live writer inside the two-rename swap
+    window could otherwise steal the rename and fail the writer's own
+    swap (ADVICE r10). The merge path passes recover=True under its
+    lease; operators can too, after taking the lease."""
+    if recover and _read_intent(dim_dir) is None:
+        raise RuntimeError(
+            f"read_dim(recover=True) on {dim_dir} without the merge "
+            "lease: recovery renames must never race a live writer's "
+            "swap — take the .merge_intent lease first"
+        )
     if os.path.exists(dim_dir):
         return spark.read.parquet(dim_dir)
     # target missing: a complete tmp (crash BETWEEN the two renames)
@@ -113,14 +128,18 @@ def read_dim(spark, dim_dir: str) -> DataFrame | None:
         if os.path.exists(os.path.join(p, "_SUCCESS"))
     ])
     if tmp is not None:
-        os.rename(tmp, dim_dir)
-        return spark.read.parquet(dim_dir)
+        if recover:
+            os.rename(tmp, dim_dir)
+            return spark.read.parquet(dim_dir)
+        return spark.read.parquet(tmp)
     # else an old generation (crash between rename(target→old) and the
     # tmp write completing — tmp incomplete or already cleaned)
     old = _newest(glob.glob(dim_dir + ".old-*"))
     if old is not None:
-        os.rename(old, dim_dir)
-        return spark.read.parquet(dim_dir)
+        if recover:
+            os.rename(old, dim_dir)
+            return spark.read.parquet(dim_dir)
+        return spark.read.parquet(old)
     # no generation anywhere (an incomplete tmp with no old/target means
     # the FIRST batch crashed mid-write — nothing was ever committed):
     # genuinely fresh state
@@ -207,7 +226,9 @@ def scd2_stream_foreach_batch(
             F.max(F.col(order_col).cast("date")).alias("d")
         ).collect()[0]["d"]
         upd = latest.drop(order_col)
-        dim = read_dim(s, dim_dir)
+        # recover=True is safe here: this merge holds the lease, so no
+        # live writer's swap can race the recovery renames
+        dim = read_dim(s, dim_dir, recover=True)
         if dim is None:  # first batch — bootstrap an empty dimension
             dim = (
                 upd.withColumn(eff_col, F.lit(None).cast("date"))
