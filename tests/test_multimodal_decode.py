@@ -944,3 +944,149 @@ def test_avi_rawdib_feeds_stats_and_resize(spark):
     out = mm.media_resize_stats(df, out_w=4, out_h=3).collect()
     assert {r["fmt"] for r in out} == {"avi"}
     assert all(r["n_pixels"] == 4 * 3 * 2 for r in out)
+
+
+def test_png_palette_trns_expands_to_rgba():
+    """Transparent palette (tRNS): per-entry alpha must be carried into
+    an RGBA expansion — the r10 decoder silently dropped it (VERDICT
+    r10 #2). Entries beyond the tRNS length default to opaque 255."""
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    trns = bytes([0, 128])  # red fully transparent, green half; blue opaque
+    png = mm.encode_png_palette(bytes([0, 1, 2, 2]), 2, 2, plte, trns)
+    dec = mm.decode_png_pixels(png)
+    assert dec is not None and dec["channels"] == 4
+    assert dec["pixels"] == bytes(
+        [255, 0, 0, 0, 0, 255, 0, 128, 0, 0, 255, 255, 0, 0, 255, 255]
+    )
+    # without tRNS the same palette still expands to plain RGB
+    dec3 = mm.decode_png_pixels(mm.encode_png_palette(bytes([0, 1, 2, 2]), 2, 2, plte))
+    assert dec3 is not None and dec3["channels"] == 3
+    # tRNS longer than the palette is malformed → None, never garbage
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"tRNS", bytes(4))  # 4 alphas for a 3-entry palette
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    assert mm.decode_png_pixels(bad) is None
+
+
+def test_png_color_key_trns_routes_to_ladder():
+    """Gray/truecolor color-key transparency (tRNS on types 0/2) is out
+    of the native profile: decoding while ignoring the key would drop
+    the transparency silently — must return None (ladder → NULL row)."""
+    import struct as st
+    import zlib as zl
+
+    def chunk(tag, data):
+        return (st.pack(">I", len(data)) + tag + data
+                + st.pack(">I", zl.crc32(tag + data)))
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"tRNS", st.pack(">H", 7))
+        + chunk(b"IDAT", zl.compress(b"\x00\x07"))
+        + chunk(b"IEND", b"")
+    )
+    assert mm.decode_png_pixels(png) is None
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2: any marker may be preceded by a run of 0xFF fill
+    bytes. Both marker walks and the progressive entropy-boundary scan
+    must skip the run, not classify its first byte as a marker start
+    (ADVICE r10 — valid externally-produced files decoded to None)."""
+    w = h = 16
+    px = bytes((7 * x + 13 * y) % 256 for y in range(h) for x in range(w))
+
+    for pay in (mm.encode_jpeg_gray(px, w, h),
+                mm.encode_jpeg_progressive(px, w, h)):
+        want = mm.decode_jpeg_pixels(pay)
+        assert want is not None
+        # fill before EOI (inside the entropy-boundary scan's window)
+        assert pay[-2:] == b"\xff\xd9"
+        filled = pay[:-2] + b"\xff\xff\xff" + pay[-2:]
+        got = mm.decode_jpeg_pixels(filled)
+        assert got is not None and got["pixels"] == want["pixels"]
+        # fill before the first SOS (inside the header marker walk)
+        sos = pay.find(b"\xff\xda")
+        assert sos > 0
+        filled2 = pay[:sos] + b"\xff\xff" + pay[sos:]
+        got2 = mm.decode_jpeg_pixels(filled2)
+        assert got2 is not None and got2["pixels"] == want["pixels"]
+
+
+def test_jpeg_progressive_fill_bytes_between_scans():
+    """Fill bytes between two progressive scans: the boundary scan sees
+    FF FF ... FF DA and must hand the walk the LAST 0xFF of the run."""
+    w = h = 16
+    px = bytes((x * y) % 256 for y in range(h) for x in range(w))
+    pay = mm.encode_jpeg_progressive(px, w, h)
+    want = mm.decode_jpeg_pixels(pay)
+    # insert fill before EVERY subsequent SOS marker (walk backwards so
+    # earlier offsets stay valid)
+    positions = []
+    p = pay.find(b"\xff\xda", 2)
+    while p != -1:
+        positions.append(p)
+        p = pay.find(b"\xff\xda", p + 2)
+    assert len(positions) >= 2  # the default scan script is multi-scan
+    filled = pay
+    for p in reversed(positions[1:]):
+        filled = filled[:p] + b"\xff" + filled[p:]
+    got = mm.decode_jpeg_pixels(filled)
+    assert got is not None and got["pixels"] == want["pixels"]
+
+
+def test_avi_audio_stream_first_still_finds_video_geometry():
+    """A multi-stream AVI whose audio strl precedes the video strl: the
+    strf walk must pair each strf with its preceding strh fccType and
+    only read a 'vids' strf as BITMAPINFOHEADER — the r10 walk took the
+    FIRST strf and parsed WAVEFORMATEX bytes as geometry (ADVICE r10)."""
+    w, h, fps = 4, 2, 10
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<IIIIIIIIIIIIII", 100000, 0, 0, 0x10, 1, 0, 2, 0,
+                       w, h, 0, 0, 0, 0)
+    strh_a = b"auds" + b"\x00" * 4 + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 0, 0, 0, 0, 0)
+    # WAVEFORMATEX + 4 cb bytes = 22 bytes ≥ 20, so the old walk WOULD
+    # have parsed these bytes as BITMAPINFOHEADER geometry
+    strf_a = struct.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 4) + b"\x00" * 4
+    strh_v = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, 1, 0, 0, 0, 0)
+    strf_v = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24,
+                         struct.pack("<I", 0), w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+               + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v)))
+    # one bottom-up BGR DIB frame: rows bottom-to-top, BGR order
+    rgb = [(10 * i, 20 * i % 256, 30 * i % 256) for i in range(w * h)]
+    padded = (w * 3 + 3) & ~3
+    dib = bytearray()
+    for y in reversed(range(h)):
+        for x in range(w):
+            r, g, b_ = rgb[y * w + x]
+            dib += bytes((b_, g, r))
+        dib += b"\x00" * (padded - w * 3)
+    movi = lst(b"movi", chunk(b"01db", bytes(dib)))
+    avi = chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+    dec = mm.decode_avi_frames(avi)
+    assert dec is not None
+    assert (dec["width"], dec["height"], dec["channels"], dec["n_frames"]) == (w, h, 3, 1)
+    want = bytes(v for px_ in rgb for v in px_)
+    assert dec["frames"][0] == want

@@ -358,6 +358,39 @@ def encode_png(pixels: bytes, width: int, height: int, channels: int,
     )
 
 
+def encode_png_palette(indices: bytes, width: int, height: int,
+                       plte: bytes, trns: bytes | None = None,
+                       *, filter_cycle: bool = True) -> bytes:
+    """Encode 8-bit palette indices into a valid color-type-3 PNG:
+    PLTE carries the RGB entries, optional tRNS the per-entry alpha
+    (transparent palette). Fixture twin for the tRNS decode path —
+    `decode_png_pixels` expands these to RGB, or RGBA when tRNS is
+    present (VERDICT r10 #2)."""
+    if len(plte) % 3 or not plte:
+        raise ValueError("plte must be non-empty RGB triples")
+    n_entries = len(plte) // 3
+    if trns is not None and len(trns) > n_entries:
+        raise ValueError("tRNS longer than the palette")
+    if len(indices) != width * height:
+        raise ValueError(f"need {width * height} indices, got {len(indices)}")
+    if indices and max(indices) >= n_entries:
+        raise ValueError("index beyond palette")
+    raw = bytearray()
+    _png_filter_rows(raw, indices, width, height, 1, filter_cycle)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    out = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
 def _png_unfilter_rows(raw, offset: int, n_rows: int, stride: int,
                        bpp: int) -> tuple[bytearray, int]:
     """Reverse the scanline filters for one (sub)image starting at
@@ -397,13 +430,17 @@ def decode_png_pixels(payload: bytes) -> dict | None:
     Adam7 interlaced (r10): chunk walk → zlib-inflate IDAT →
     per-scanline unfilter (all five filter types, byte-wise at the
     channels×bytes-per-sample distance per spec §9; per pass for
-    Adam7) → palette expansion for color type 3. 16-bit samples are
+    Adam7) → palette expansion for color type 3 (RGB, or RGBA when a
+    tRNS chunk carries per-entry alpha — transparent palettes must not
+    silently lose their alpha; VERDICT r10 #2). 16-bit samples are
     reduced to their HIGH byte after unfiltering — the standard 16→8
     presentation an 8-bit pipeline applies (deterministic: v >> 8),
     so `pixels` is always 8-bit row-major (len == w·h·channels).
     Returns {width, height, channels, pixels}, or None for payloads
     outside the supported profile (truncated, non-PNG, 16-bit
-    palette — which the spec forbids anyway).
+    palette — which the spec forbids anyway — or color-key tRNS on
+    gray/truecolor, which routes to the ladder rather than decode with
+    the transparency dropped).
 
     Cost is O(pixels) per payload in pure Python — the right shape for
     an Arrow-batched narrow map where parallelism comes from input
@@ -411,7 +448,7 @@ def decode_png_pixels(payload: bytes) -> dict | None:
     b = bytes(payload)
     if len(b) < 8 or b[:8] != _PNG_SIG:
         return None
-    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    pos, ihdr, plte, trns, idat = 8, None, None, None, bytearray()
     while pos + 8 <= len(b):
         clen = struct.unpack(">I", b[pos : pos + 4])[0]
         tag = b[pos + 4 : pos + 8]
@@ -422,6 +459,8 @@ def decode_png_pixels(payload: bytes) -> dict | None:
             ihdr = body
         elif tag == b"PLTE":
             plte = body
+        elif tag == b"tRNS":
+            trns = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -499,11 +538,32 @@ def decode_png_pixels(payload: bytes) -> dict | None:
         n_entries = len(plte) // 3
         if out and max(out) >= n_entries:
             return None  # index beyond palette
-        expanded = bytearray(width * height * 3)
-        for j, idx in enumerate(out):
-            expanded[3 * j : 3 * j + 3] = plte[3 * idx : 3 * idx + 3]
-        out = expanded
-        channels = 3
+        if trns is not None:
+            # transparent palette: tRNS carries one alpha byte per
+            # leading palette entry (the rest default opaque) — expand
+            # to RGBA; dropping the alpha would be a silent wrong answer
+            # (VERDICT r10 #2)
+            if len(trns) > n_entries:
+                return None
+            alpha = trns + b"\xff" * (n_entries - len(trns))
+            expanded = bytearray(width * height * 4)
+            for j, idx in enumerate(out):
+                expanded[4 * j : 4 * j + 3] = plte[3 * idx : 3 * idx + 3]
+                expanded[4 * j + 3] = alpha[idx]
+            out = expanded
+            channels = 4
+        else:
+            expanded = bytearray(width * height * 3)
+            for j, idx in enumerate(out):
+                expanded[3 * j : 3 * j + 3] = plte[3 * idx : 3 * idx + 3]
+            out = expanded
+            channels = 3
+    elif trns is not None:
+        # color-key transparency on gray/truecolor (types 0/2), or a
+        # spec-invalid tRNS on an alpha-bearing type: out of profile —
+        # decoding while ignoring the key would silently drop the
+        # transparency, so route to the ladder (NULL row) instead
+        return None
     else:
         channels = _PNG_CHANNELS[color_type]
     return {"width": width, "height": height, "channels": channels,
@@ -926,6 +986,12 @@ def _jpg_parse_stream(b: bytes) -> dict | None:
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
+        # skip fill bytes: any marker may be preceded by a run of 0xFF
+        # (T.81 B.1.1.2) — classify the byte after the run
+        while pos + 2 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(b):
+            return None
         marker = b[pos + 1]
         if marker == 0xD9:
             return None  # EOI before SOS
@@ -1205,9 +1271,15 @@ def _jpg_parse_progressive(b: bytes) -> dict | None:
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
+        # skip fill bytes: any marker may be preceded by a run of 0xFF
+        # (T.81 B.1.1.2) — classify the byte after the run
+        while pos + 2 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         if marker == 0xD9:
             break  # EOI
+        if pos + 4 > len(b):
+            return None
         seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
         body = b[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:
@@ -1266,6 +1338,13 @@ def _jpg_parse_progressive(b: bytes) -> dict | None:
             scan_end = len(b)
             j = ep
             while j + 1 < len(b):
+                if b[j] == 0xFF and b[j + 1] == 0xFF:
+                    # fill byte(s) before a marker (T.81 B.1.1.2) — the
+                    # LAST 0xFF of the run starts the marker; treating
+                    # the first as the marker start misparsed valid
+                    # files into a None decode (ADVICE r10)
+                    j += 1
+                    continue
                 if b[j] == 0xFF and b[j + 1] != 0x00 and not (
                     0xD0 <= b[j + 1] <= 0xD7
                 ):
@@ -2482,10 +2561,20 @@ def decode_avi_frames(payload: bytes, max_frames: int | None = None) -> dict | N
         nonlocal strf
         if depth > 4:
             return
+        # an strf's layout depends on the stream TYPE its strl declares:
+        # only one following a 'vids' strh is a BITMAPINFOHEADER — an
+        # audio strl appearing first would otherwise have its
+        # WAVEFORMATEX bytes read as geometry (ADVICE r10)
+        last_strh_type = None
         for tag, bs, be in walk(start, end):
             if tag == b"LIST":
                 find_strf(bs + 4, be, depth + 1)
-            elif tag == b"strf" and strf is None and be - bs >= 20:
+            elif tag == b"strh" and be - bs >= 4:
+                last_strh_type = b[bs : bs + 4]
+            elif (
+                tag == b"strf" and strf is None and be - bs >= 20
+                and last_strh_type == b"vids"
+            ):
                 w_, h_, _, bits, comp = struct.unpack(
                     "<iiHHI", b[bs + 4 : bs + 20]
                 )
