@@ -179,6 +179,35 @@ def main() -> None:
             cache.sweep_persistent_rdds(spark, all_rdds=True)
         return time.perf_counter() - t0
 
+    def run_triangles_split() -> tuple[float, float]:
+        """graph_triangles timed in two attributable phases (VERDICT r10
+        #4): BUILD = materialize the SRP-bucketed similarity edge table
+        (the fixture that dominated the 8 s entry), COUNT = the
+        degree-oriented wedge join over the materialized edges. A
+        regression in either is now visible on its own."""
+        from vectordb_from_scratch_spark.operators import graph
+        from vectordb_from_scratch_spark.plans.registry import (
+            graph_triangle_edges,
+        )
+
+        edges = None
+        try:
+            t0 = time.perf_counter()
+            edges = graph_triangle_edges(spark, SF_DIR).persist()
+            edges.count()
+            t_build = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            graph.triangle_count(edges).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t_count = time.perf_counter() - t1
+            return t_build, t_count
+        finally:
+            if edges is not None:
+                edges.unpersist()
+            dedup.release_caches()
+            cache.sweep_persistent_rdds(spark, all_rdds=True)
+
     # min of repeated runs per query: single-shot timings on a shared box
     # are noisy (GC, co-tenants — observed 10× spikes on a 1.2 s query);
     # the min is the engine's actual cost. Two runs normally; a third
@@ -189,7 +218,24 @@ def main() -> None:
     # round's performance record — record "ERR:<class>" and keep going.
     timings: dict[str, float | str] = {}
     samples: dict[str, list[float]] = {}
+    # per-phase minimums for split-timed entries; the timings[] value
+    # stays the phase SUM so the cross-round per-query series continues
+    splits: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
+        if name == "graph_triangles":
+            try:
+                runs3 = [run_triangles_split() for _ in range(3)]
+                samples[name] = [
+                    [round(b, 3), round(c, 3)] for b, c in runs3
+                ]
+                b = min(r[0] for r in runs3)
+                c = min(r[1] for r in runs3)
+                splits[name] = {"build": round(b, 3), "count": round(c, 3)}
+                timings[name] = round(b + c, 3)
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                timings[name] = f"ERR:{type(exc).__name__}"
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            continue
         try:
             runs = [run_once(name), run_once(name)]
             if name in DIAG_QUERIES or abs(runs[0] - runs[1]) > 0.2 * min(runs):
@@ -211,7 +257,7 @@ def main() -> None:
     # driver's tail-capture buffer and left BENCH_r05.json "parsed": null
     # (VERDICT r5 #3). The headline line stays compact and LAST so any
     # tail-line parser finds a complete JSON object.
-    samples_doc = {"samples": samples, "sf": sf_val}
+    samples_doc = {"samples": samples, "splits": splits, "sf": sf_val}
     print(json.dumps(samples_doc, separators=(",", ":")))
     try:
         with open(
@@ -241,6 +287,7 @@ def main() -> None:
                 "headline_sec": headline_sec,
                 "diagnostics_sec": diagnostics_sec,
                 "queries": timings,
+                "splits": splits,
                 "sf": sf_val,
                 "n_ok": len(numeric),
                 "n_err": len(timings) - len(numeric),

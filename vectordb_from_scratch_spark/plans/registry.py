@@ -6082,6 +6082,19 @@ def _triangles_sql() -> str:
     """
 
 
+def graph_triangle_edges(spark, sf_dir):
+    """The SRP-bucketed cosine similarity edge table the graph queries
+    share — exposed so bench.py can time graph construction and the
+    wedge join SEPARATELY (VERDICT r10: the 8 s graph_triangles bench
+    entry was dominated by this fixture, hiding operator regressions
+    inside fixture noise)."""
+    pairs = dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=_TRI["threshold"], dim=64, nbits=_TRI["nbits"],
+    )
+    return pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+
+
 @_register(
     "graph_triangles",
     _triangles_sql(),
@@ -6096,12 +6109,7 @@ def _triangles_sql() -> str:
 def _q_graph_triangles(spark, sf_dir):
     from ..operators import graph
 
-    pairs = dedup.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"),
-        threshold=_TRI["threshold"], dim=64, nbits=_TRI["nbits"],
-    )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    return graph.triangle_count(edges)
+    return graph.triangle_count(graph_triangle_edges(spark, sf_dir))
 
 
 _QM = textops.QUALITY_MODEL_WEIGHTS
