@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "multimodal_png_interlaced_stats",
     "multimodal_png_16bit_stats",
     "multimodal_video_rawdib_stats",
+    # round 11: audio ladder extension — 24-bit PCM and IMA-ADPCM
+    "multimodal_wav24_stats",
+    "multimodal_wav_adpcm_stats",
 ]
 
 # In-plan-build diagnostics (VERDICT r7 #8): these queries rebuild their

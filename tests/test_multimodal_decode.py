@@ -326,7 +326,7 @@ def test_wav_roundtrip_16bit_stereo():
     payload = mm.encode_wav(samples, 16000, 2, bits=16)
     hdr = mm.parse_wav_header(payload)
     assert hdr == {
-        "sample_rate": 16000, "channels": 2, "bits": 16,
+        "codec": "pcm", "sample_rate": 16000, "channels": 2, "bits": 16,
         "n_frames": frames, "duration_ms": round(frames * 1000 / 16000),
     }
     dec = mm.decode_wav_samples(payload)
@@ -343,6 +343,95 @@ def test_wav_roundtrip_8bit_mono():
     assert hdr["bits"] == 8 and hdr["n_frames"] == 40
     dec = mm.decode_wav_samples(payload)
     assert [int(v) for v in dec["samples"][:, 0]] == vals
+
+
+def test_wav_roundtrip_24bit_stereo():
+    # full 24-bit dynamic range, both extremes included
+    vals = [-(1 << 23), (1 << 23) - 1] + [
+        ((f * 131071 + 7) % (1 << 24)) - (1 << 23) for f in range(58)
+    ]
+    payload = mm.encode_wav(vals, 44100, 2, bits=24)
+    hdr = mm.parse_wav_header(payload)
+    assert hdr["codec"] == "pcm" and hdr["bits"] == 24
+    assert hdr["n_frames"] == 30 and hdr["channels"] == 2
+    dec = mm.decode_wav_samples(payload)
+    assert dec["samples"].shape == (30, 2)
+    assert [int(v) for v in dec["samples"].reshape(-1)] == vals
+
+
+def _ima_ref_decode(pred, idx, nibs):
+    """Independent scalar IMA/DVI decoder (straight from the public
+    spec's pseudo-code) — the known-answer twin of the vectorized
+    numpy state machine in decode_wav_samples."""
+    st, it = mm._IMA_STEP_TABLE, mm._IMA_INDEX_TABLE
+    out = [pred]
+    for n in nibs:
+        step = st[idx]
+        diff = (step >> 3)
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + it[n & 7]))
+        out.append(pred)
+    return out
+
+
+def test_wav_ima_adpcm_matches_scalar_reference():
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    for nch in (1, 2):
+        for nblocks in (1, 3):
+            nwords = 4
+            blocks, expect = [], [[] for _ in range(nch)]
+            for _ in range(nblocks):
+                preds = [int(rng.integers(-32768, 32768)) for _ in range(nch)]
+                idxs = [int(rng.integers(0, 89)) for _ in range(nch)]
+                nibs = [
+                    [int(x) for x in rng.integers(0, 16, nwords * 8)]
+                    for _ in range(nch)
+                ]
+                blocks.append({"pred": preds, "idx": idxs, "nibbles": nibs})
+                for c in range(nch):
+                    expect[c].extend(_ima_ref_decode(preds[c], idxs[c], nibs[c]))
+            payload = mm.encode_wav_ima_adpcm(blocks, 8000, nch)
+            hdr = mm.parse_wav_header(payload)
+            assert hdr["codec"] == "ima_adpcm"
+            assert hdr["samples_per_block"] == 1 + nwords * 8
+            assert hdr["n_frames"] == nblocks * (1 + nwords * 8)
+            dec = mm.decode_wav_samples(payload)
+            assert dec["samples"].shape == (hdr["n_frames"], nch)
+            for c in range(nch):
+                assert dec["samples"][:, c].tolist() == expect[c]
+
+
+def test_wav_ima_adpcm_clamps_saturate():
+    # all-positive max-magnitude nibbles from the top predictor/step
+    # saturate at +32767; all-negative at -32768 — pins both clamps.
+    up = {"pred": [32000], "idx": [88], "nibbles": [[7] * 16]}
+    down = {"pred": [-32000], "idx": [88], "nibbles": [[15] * 16]}
+    for blk, bound in ((up, 32767), (down, -32768)):
+        dec = mm.decode_wav_samples(mm.encode_wav_ima_adpcm([blk], 8000, 1))
+        assert int(dec["samples"][-1, 0]) == bound
+
+
+def test_wav_ima_adpcm_rejects_bad_geometry():
+    good = mm.encode_wav_ima_adpcm(
+        [{"pred": [0], "idx": [0], "nibbles": [[1] * 8]}], 8000, 1
+    )
+    assert mm.parse_wav_header(good)["codec"] == "ima_adpcm"
+    # truncated final block → out of profile
+    assert mm.parse_wav_header(good[:-3]) is None
+    # samples_per_block inconsistent with block_align → None
+    bad = bytearray(good)
+    off = good.index(b"fmt ") + 8 + 18
+    bad[off:off + 2] = struct.pack("<H", 17)  # spb 9 → 17
+    assert mm.parse_wav_header(bytes(bad)) is None
 
 
 def test_wav_rejects_out_of_profile():

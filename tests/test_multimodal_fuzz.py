@@ -59,6 +59,27 @@ def _wav():
     return mm.encode_wav(samples, sample_rate=8000, channels=2, bits=16)
 
 
+def _wav24():
+    rng = np.random.default_rng(23)
+    samples = rng.integers(-(1 << 23), 1 << 23, size=60).tolist()
+    return mm.encode_wav(samples, sample_rate=44100, channels=2, bits=24)
+
+
+def _wav_adpcm():
+    rng = np.random.default_rng(29)
+    blocks = [
+        {
+            "pred": [int(rng.integers(-32768, 32768)) for _ in range(2)],
+            "idx": [int(rng.integers(0, 89)) for _ in range(2)],
+            "nibbles": [
+                [int(x) for x in rng.integers(0, 16, 24)] for _ in range(2)
+            ],
+        }
+        for _ in range(2)
+    ]
+    return mm.encode_wav_ima_adpcm(blocks, 8000, 2)
+
+
 def _avi():
     rng = np.random.default_rng(7)
     frames = [
@@ -108,6 +129,8 @@ DECODERS = [
     ("bmp", mm.decode_bmp_pixels, _bmp),
     ("wav_header", mm.parse_wav_header, _wav),
     ("wav", mm.decode_wav_samples, _wav),
+    ("wav_24bit", mm.decode_wav_samples, _wav24),
+    ("wav_ima_adpcm", mm.decode_wav_samples, _wav_adpcm),
     ("avi", mm.decode_avi_frames, _avi),
     ("avi_rawdib", mm.decode_avi_frames, _avi_raw),
     ("header_meta", mm.parse_image_header, _png),

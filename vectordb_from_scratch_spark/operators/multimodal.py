@@ -48,6 +48,7 @@ __all__ = [
     "decode_png_pixels",
     "png_pixel_stats",
     "encode_wav",
+    "encode_wav_ima_adpcm",
     "parse_wav_header",
     "decode_wav_samples",
     "wav_audio_stats",
@@ -2688,10 +2689,27 @@ def avi_frame_stats(
 # REAL audio decode: RIFF/WAVE PCM needs no codec — the header is a chunk
 # walk and the samples are raw little-endian integers, so unlike JPEG the
 # whole path is stdlib `struct` with nothing approximated. 8-bit (unsigned,
-# offset 128) and 16-bit (signed LE) PCM are the supported profile;
-# compressed codecs (MP3/AAC/float WAV) fall to None like any other
+# offset 128), 16-bit (signed LE), and 24-bit (signed LE, sign-extended)
+# PCM are the supported profile, plus IMA-ADPCM (WAVE format tag 0x0011,
+# the public IMA/DVI 4-bit codec: per-block (predictor, step-index)
+# headers + nibble deltas through the 89-entry step table). Compressed
+# perceptual codecs (MP3/AAC/float WAV) fall to None like any other
 # unsupported payload.
 # --------------------------------------------------------------------------
+
+# IMA/DVI ADPCM tables (public spec: IMA Digital Audio Focus and Technical
+# Working Groups, "Recommended Practices for Enhancing Digital Audio
+# Compatibility", rev 3.00 1992; same tables in the multimedia literature).
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)  # indexed by nibble & 7
 
 
 def encode_wav(
@@ -2701,11 +2719,17 @@ def encode_wav(
     samples (the in-plan synthesis twin of `decode_wav_samples`, same
     role as encode_png). 16-bit: signed values in [-32768, 32767];
     8-bit: signed values in [-128, 127] stored offset-128 unsigned per
-    the WAV spec."""
+    the WAV spec; 24-bit: signed values in [-2^23, 2^23-1] stored as
+    3-byte little-endian two's complement."""
     if bits == 16:
         data = struct.pack(f"<{len(samples)}h", *samples)
     elif bits == 8:
         data = bytes((v + 128) & 0xFF for v in samples)
+    elif bits == 24:
+        out = bytearray()
+        for v in samples:
+            out += (v & 0xFFFFFF).to_bytes(3, "little")
+        data = bytes(out)
     else:
         raise ValueError(f"unsupported bit depth {bits}")
     block_align = channels * (bits // 8)
@@ -2721,12 +2745,62 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_ima_adpcm(
+    blocks: list[dict], sample_rate: int, channels: int
+) -> bytes:
+    """Build a valid IMA-ADPCM WAVE payload (format tag 0x0011) from
+    explicit per-block codec state — the in-plan synthesis twin of the
+    ADPCM branch of `decode_wav_samples`. Each block dict carries
+    ``pred`` (per-channel initial predictor, int16 — emitted as the
+    block's first sample per the spec), ``idx`` (per-channel initial
+    step index, 0..88), and ``nibbles`` (per-channel list of 4-bit
+    codes, length a multiple of 8 so data fills whole 4-byte
+    channel-interleaved words). All blocks must share one geometry.
+    Writing the compressed stream directly — rather than round-tripping
+    through a lossy PCM encoder — is what lets an exact oracle recompute
+    the decoded samples from the same deterministic nibble pattern."""
+    if not blocks:
+        raise ValueError("at least one block required")
+    nnib = len(blocks[0]["nibbles"][0])
+    if nnib % 8 != 0:
+        raise ValueError("nibbles per channel must be a multiple of 8")
+    nwords = nnib // 8  # 4-byte data words per channel per block
+    samples_per_block = 1 + nnib
+    block_align = 4 * channels * (1 + nwords)
+    data = bytearray()
+    for blk in blocks:
+        for ch in range(channels):
+            data += struct.pack(
+                "<hBB", blk["pred"][ch], blk["idx"][ch], 0
+            )
+        for w in range(nwords):
+            for ch in range(channels):  # channel-interleaved 4-byte words
+                nibs = blk["nibbles"][ch][w * 8 : w * 8 + 8]
+                for k in range(4):
+                    data.append((nibs[2 * k] & 0xF) | ((nibs[2 * k + 1] & 0xF) << 4))
+    n_frames = len(blocks) * samples_per_block
+    byte_rate = (sample_rate * block_align + samples_per_block - 1) // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, channels, sample_rate, byte_rate,
+        block_align, 4, 2, samples_per_block,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 @_none_on_malformed
 def parse_wav_header(payload: bytes) -> dict | None:
     """Metadata from the RIFF chunk walk alone (no sample decode):
-    {sample_rate, channels, bits, n_frames, duration_ms}, or None for
-    non-WAV / non-PCM / malformed payloads. The audio sibling of
-    parse_image_header."""
+    {sample_rate, channels, bits, n_frames, duration_ms} — plus
+    {codec, block_align, samples_per_block} for IMA-ADPCM — or None for
+    non-WAV / unsupported-codec / malformed payloads. Profile: PCM
+    8/16/24-bit (format tag 1) and IMA-ADPCM (format tag 0x0011). The
+    audio sibling of parse_image_header."""
     b = bytes(payload)
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
@@ -2746,27 +2820,62 @@ def parse_wav_header(payload: bytes) -> dict | None:
     audio_fmt, channels, rate, _, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
-    if audio_fmt != 1 or channels == 0 or bits not in (8, 16):
-        return None  # PCM only; compressed codecs are out of profile
-    if block_align != channels * (bits // 8) or block_align == 0:
+    if channels == 0 or block_align == 0:
         return None
-    n_frames = data_len // block_align
-    return {
-        "sample_rate": int(rate),
-        "channels": int(channels),
-        "bits": int(bits),
-        "n_frames": int(n_frames),
-        "duration_ms": int(round(n_frames * 1000 / rate)) if rate else None,
-    }
+    if audio_fmt == 1 and bits in (8, 16, 24):
+        if block_align != channels * (bits // 8):
+            return None
+        n_frames = data_len // block_align
+        return {
+            "codec": "pcm",
+            "sample_rate": int(rate),
+            "channels": int(channels),
+            "bits": int(bits),
+            "n_frames": int(n_frames),
+            "duration_ms": int(round(n_frames * 1000 / rate)) if rate else None,
+        }
+    if audio_fmt == 0x11 and bits == 4:
+        # IMA-ADPCM: fmt extension carries wSamplesPerBlock; full blocks
+        # only (a truncated tail block is out of profile → None).
+        if len(fmt) < 20:
+            return None
+        cb_size, spb = struct.unpack("<HH", fmt[16:20])
+        if cb_size < 2 or spb < 1:
+            return None
+        # geometry must be self-consistent: header word + data words
+        nwords, rem = divmod(spb - 1, 8)
+        if rem != 0 or block_align != 4 * channels * (1 + nwords):
+            return None
+        if data_len % block_align != 0:
+            return None
+        n_frames = (data_len // block_align) * spb
+        return {
+            "codec": "ima_adpcm",
+            "sample_rate": int(rate),
+            "channels": int(channels),
+            "bits": 4,
+            "block_align": int(block_align),
+            "samples_per_block": int(spb),
+            "n_frames": int(n_frames),
+            "duration_ms": int(round(n_frames * 1000 / rate)) if rate else None,
+        }
+    return None  # compressed perceptual codecs are out of profile
 
 
 @_none_on_malformed
 def decode_wav_samples(payload: bytes) -> dict | None:
-    """REAL sample decode for PCM WAV: header walk + raw little-endian
-    sample read. Returns {sample_rate, channels, bits, n_frames,
-    samples} with `samples` an int32 numpy array of shape
-    (n_frames, channels) — 8-bit values re-centered to signed
-    (byte - 128) so both depths share one scale convention."""
+    """REAL sample decode for the supported WAV profile: header walk +
+    raw little-endian sample read for PCM (8-bit re-centered to signed
+    byte-128, 16-bit, 24-bit sign-extended) and the full IMA/DVI state
+    machine for IMA-ADPCM. Returns {sample_rate, channels, bits,
+    n_frames, samples, ...} with `samples` an int32 numpy array of
+    shape (n_frames, channels).
+
+    The ADPCM recurrence is sequential WITHIN a block but blocks are
+    independent (each block header restarts the (predictor, step-index)
+    state), so the decoder vectorizes across all blocks×channels with
+    numpy and loops only over the samples-per-block axis — the shape
+    that stays fast when one payload carries thousands of blocks."""
     import numpy as np
 
     hdr = parse_wav_header(payload)
@@ -2784,12 +2893,59 @@ def decode_wav_samples(payload: bytes) -> dict | None:
         pos += 8 + clen + (clen & 1)
     if raw is None:
         return None
+    nch = hdr["channels"]
+    if hdr["codec"] == "ima_adpcm":
+        ba, spb = hdr["block_align"], hdr["samples_per_block"]
+        nblocks = len(raw) // ba
+        if nblocks == 0:
+            return {**hdr, "n_frames": 0,
+                    "samples": np.zeros((0, nch), dtype=np.int32)}
+        nwords = (spb - 1) // 8
+        blk = np.frombuffer(raw[: nblocks * ba], dtype=np.uint8).reshape(
+            nblocks, ba
+        )
+        heads = blk[:, : 4 * nch].reshape(nblocks, nch, 4).astype(np.int32)
+        pred = heads[:, :, 0] | (heads[:, :, 1] << 8)  # int16 LE
+        pred = np.where(pred >= 32768, pred - 65536, pred)
+        idx = np.clip(heads[:, :, 2], 0, 88)
+        # data: nwords channel-interleaved 4-byte words per channel
+        data = blk[:, 4 * nch :].reshape(nblocks, nwords, nch, 4)
+        nib = np.empty((nblocks, nwords, nch, 8), dtype=np.int32)
+        nib[..., 0::2] = data & 0xF        # low nibble = earlier sample
+        nib[..., 1::2] = data >> 4
+        # → (nblocks, nch, spb-1): nibble t produces block sample t+1
+        nib = nib.transpose(0, 2, 1, 3).reshape(nblocks, nch, nwords * 8)
+        step_t = np.asarray(_IMA_STEP_TABLE, dtype=np.int32)
+        index_t = np.asarray(_IMA_INDEX_TABLE, dtype=np.int32)
+        out = np.empty((nblocks, nch, spb), dtype=np.int32)
+        out[:, :, 0] = pred  # header predictor IS the first sample
+        for t in range(nwords * 8):
+            n = nib[:, :, t]
+            step = step_t[idx]
+            diff = (
+                (step >> 3)
+                + np.where(n & 1, step >> 2, 0)
+                + np.where(n & 2, step >> 1, 0)
+                + np.where(n & 4, step, 0)
+            )
+            pred = np.clip(
+                np.where(n & 8, pred - diff, pred + diff), -32768, 32767
+            )
+            idx = np.clip(idx + index_t[n & 7], 0, 88)
+            out[:, :, t + 1] = pred
+        arr = out.transpose(0, 2, 1).reshape(nblocks * spb, nch)
+        return {**hdr, "samples": arr}
     if hdr["bits"] == 16:
         arr = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif hdr["bits"] == 24:
+        u = np.frombuffer(raw, dtype=np.uint8)
+        u = u[: (len(u) // 3) * 3].reshape(-1, 3).astype(np.int32)
+        arr = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        arr = np.where(arr >= 1 << 23, arr - (1 << 24), arr)
     else:
         arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
-    n = hdr["n_frames"] * hdr["channels"]
-    arr = arr[:n].reshape(hdr["n_frames"], hdr["channels"])
+    n = hdr["n_frames"] * nch
+    arr = arr[:n].reshape(hdr["n_frames"], nch)
     return {**hdr, "samples": arr}
 
 

@@ -7784,6 +7784,165 @@ def _q_multimodal_wav_zcr(spark, sf_dir):
 
 
 @_register(
+    "multimodal_wav24_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS nch,
+             50 + doc_id % 37 AS nframes,
+             CAST([8000, 22050, 48000][1 + (doc_id % 3)] AS INTEGER) AS rate
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    amp AS (
+      SELECT d.doc_id, d.rate, ch.chan, ff.f,
+             ((d.doc_id * 131 + ff.f * 8191 + ch.chan * 59) % 16777216)
+               - 8388608 AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.nch - 1)) AS chan) ch,
+           LATERAL (SELECT unnest(generate_series(0, d.nframes - 1)) AS f) ff
+    )
+    SELECT doc_id, CAST(chan AS INTEGER) AS channel,
+           rate AS sample_rate, count(*)::BIGINT AS n_frames,
+           CAST(sum(v) AS BIGINT) AS amp_sum,
+           CAST(min(v) AS INTEGER) AS amp_min,
+           CAST(max(v) AS INTEGER) AS amp_max,
+           CAST(sum(v * v) AS BIGINT) AS sq_sum,
+           round(sqrt(sum(v * v)::DOUBLE / count(*)), 6) AS rms
+    FROM amp GROUP BY doc_id, chan, rate
+    """,
+    doc="24-bit PCM WAV decode — the studio-master bit depth, stored as "
+    "3-byte little-endian two's complement with no numpy dtype, so the "
+    "decoder sign-extends explicitly (operators/multimodal.py:"
+    "decode_wav_samples 24-bit branch). Same synthesize-then-decode "
+    "shape as multimodal_wav_stats with the pattern spanning the full "
+    "±2^23 range; the oracle recomputes it analytically. Value-exact",
+)
+def _q_multimodal_wav24_stats(spark, sf_dir):
+    from ..operators.multimodal import encode_wav, wav_audio_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nch, nframes = 1 + i % 2, 50 + i % 37
+                rate = [8000, 22050, 48000][i % 3]
+                samples = [
+                    ((i * 131 + f * 8191 + ch * 59) % 16777216) - 8388608
+                    for f in range(nframes) for ch in range(nch)
+                ]
+                payloads.append(encode_wav(samples, rate, nch, bits=24))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return wav_audio_stats(payloads)
+
+
+@_register(
+    "multimodal_wav_adpcm_stats",
+    """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS nch,
+             8 * (3 + doc_id % 5) AS nnib,
+             CAST([8000, 16000, 44100][1 + (doc_id % 3)] AS INTEGER) AS rate
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    chans AS (
+      SELECT d.doc_id, d.rate, d.nnib, ch.chan,
+             ((d.doc_id * 131 + ch.chan * 59) % 65536) - 32768 AS pred0,
+             (d.doc_id * 7 + ch.chan * 13) % 89 AS idx0
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.nch - 1)) AS chan) ch
+    ),
+    dec AS (
+      SELECT doc_id, rate, nnib, chan, 0 AS pos, pred0 AS pred, idx0 AS idx
+      FROM chans
+      UNION ALL
+      SELECT doc_id, rate, nnib, chan, pos,
+             greatest(-32768, least(32767,
+               CASE WHEN nib >= 8 THEN pred - diff ELSE pred + diff END)) AS pred,
+             greatest(0, least(88,
+               idx + ([-1,-1,-1,-1,2,4,6,8])[(nib % 8) + 1])) AS idx
+      FROM (
+        SELECT doc_id, rate, nnib, chan, pos, pred, idx, nib,
+               (step // 8)
+               + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+               + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+               + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END AS diff
+        FROM (
+          SELECT d.doc_id, d.rate, d.nnib, d.chan, d.pos + 1 AS pos,
+                 d.pred, d.idx,
+                 (d.doc_id * 13 + d.chan * 5 + d.pos * 11) % 16 AS nib,
+                 ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+                   50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+                   230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+                   876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+                   2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+                   7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+                   20350,22385,24623,27086,29794,32767])[d.idx + 1] AS step
+          FROM dec d WHERE d.pos < d.nnib
+        )
+      )
+    )
+    SELECT doc_id, CAST(chan AS INTEGER) AS channel,
+           rate AS sample_rate, count(*)::BIGINT AS n_frames,
+           CAST(sum(pred) AS BIGINT) AS amp_sum,
+           CAST(min(pred) AS INTEGER) AS amp_min,
+           CAST(max(pred) AS INTEGER) AS amp_max,
+           CAST(sum(pred * pred) AS BIGINT) AS sq_sum,
+           round(sqrt(sum(pred * pred)::DOUBLE / count(*)), 6) AS rms
+    FROM dec GROUP BY doc_id, chan, rate
+    """,
+    doc="IMA-ADPCM WAV decode (WAVE format tag 0x0011, the public "
+    "IMA/DVI 4-bit codec): per-block (predictor, step-index) headers + "
+    "nibble deltas through the 89-entry step table, vectorized across "
+    "blocks x channels with a numpy state machine that loops only over "
+    "the samples-per-block axis (operators/multimodal.py:"
+    "decode_wav_samples ADPCM branch, encode_wav_ima_adpcm). The query "
+    "synthesizes deterministic compressed payloads in-plan — writing "
+    "the nibble stream directly instead of round-tripping a lossy PCM "
+    "encoder — and the oracle re-runs the SAME public-spec recurrence "
+    "as a DuckDB recursive CTE over the identical nibble pattern: two "
+    "independent implementations of the T.81-style state machine that "
+    "must agree sample-exactly. Value-exact",
+)
+def _q_multimodal_wav_adpcm_stats(spark, sf_dir):
+    from ..operators.multimodal import encode_wav_ima_adpcm, wav_audio_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nch = 1 + i % 2
+                nnib = 8 * (3 + i % 5)
+                rate = [8000, 16000, 44100][i % 3]
+                blk = {
+                    "pred": [((i * 131 + ch * 59) % 65536) - 32768
+                             for ch in range(nch)],
+                    "idx": [(i * 7 + ch * 13) % 89 for ch in range(nch)],
+                    "nibbles": [
+                        [(i * 13 + ch * 5 + p * 11) % 16 for p in range(nnib)]
+                        for ch in range(nch)
+                    ],
+                }
+                payloads.append(encode_wav_ima_adpcm([blk], rate, nch))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return wav_audio_stats(payloads)
+
+
+@_register(
     "multimodal_jpeg_pixel_stats",
     """
     WITH docs AS (
