@@ -262,3 +262,55 @@ def test_maxsim_numpy_strategy_equivalent(spark):
     for key in wr:
         assert wr[key][1] == nr[key][1]                 # same ranking
         assert abs(wr[key][0] - nr[key][0]) < 1e-9      # same scores
+
+
+def _bq_fixture(embeddings):
+    from vectordb_from_scratch_spark.functions import vectormath as vm
+
+    words = vm.bq_encode_words("embedding")
+    staged = embeddings.select(
+        "vec_id", vm.as_double("embedding").alias("v"),
+        words[0].alias("w0"), words[1].alias("w1"),
+    )
+    probes = staged.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("query_embedding"),
+        F.col("w0").alias("qw0"), F.col("w1").alias("qw1"),
+    )
+    return staged, probes
+
+
+def test_knn_hamming_kernel_equals_fold_exactly(embeddings):
+    # integer math: the numpy XOR/popcount kernel must agree with the
+    # vm.hamming_words expression fold EXACTLY — ids, hammings, ranks
+    staged, probes = _bq_fixture(embeddings)
+    w = knn.knn_hamming(staged, probes, k=8, strategy="window").collect()
+    n = knn.knn_hamming(staged, probes, k=8, strategy="numpy").collect()
+    wr = sorted((r.query_id, r.rank, r.id, r.hamming) for r in w)
+    nr = sorted((r.query_id, r.rank, r.id, r.hamming) for r in n)
+    assert wr == nr and len(wr) == 5 * 8
+
+
+def test_knn_hamming_rerank_strategies_and_self_match(embeddings):
+    staged, probes = _bq_fixture(embeddings)
+    raw = staged.select(F.col("vec_id").alias("id"), F.col("v").alias("vec"))
+    w = knn.knn_hamming(
+        staged, probes, k=6, rerank=30, raw=raw, strategy="window"
+    ).collect()
+    n = knn.knn_hamming(
+        staged, probes, k=6, rerank=30, raw=raw, strategy="numpy"
+    ).collect()
+    wr = sorted((r.query_id, r.rank, r.id) for r in w)
+    nr = sorted((r.query_id, r.rank, r.id) for r in n)
+    assert wr == nr
+    # a probe's own code is Hamming-0, so rank 1 after exact re-rank is
+    # the self row at distance 0 (reference self-query invariant)
+    for r in w:
+        if r.rank == 1:
+            assert r.id == r.query_id and r.distance == 0.0
+
+
+def test_knn_hamming_rerank_requires_raw(embeddings):
+    staged, probes = _bq_fixture(embeddings)
+    with pytest.raises(ValueError, match="raw"):
+        knn.knn_hamming(staged, probes, k=3, rerank=10)

@@ -701,6 +701,100 @@ def main() -> int:
                                         rerank=rerank,
                                         raw=ua.select("id", "vec")))
 
+    # Compression-ladder serve cells at 10M (VERDICT r10 #8 stretch):
+    # MRL prefix truncation (2×/4× fewer multiply-adds) and binary
+    # quantization (32× storage, integer XOR/popcount kernel) get the
+    # same decade-scale serve evidence SQ8/PQ/ADC got in r8-r9. Reuses
+    # recall10mu's deterministic 10M uniform base (the hardest geometry:
+    # no cluster structure) — resumable via RECALL10MU_DIR; ground truth
+    # and the packed-word table persist beside it. Timed serve cells use
+    # the noop sink; recall@10 vs brute-force GT is recorded untimed.
+    if want("compress10m"):
+        from vectordb_from_scratch_spark.functions import vectormath as vm
+
+        udir = os.environ.get("RECALL10MU_DIR", "/tmp/recall10mu")
+        # RECALL10MU_N: scale-down knob for smoke-testing the cell wiring
+        # before paying the 10M build (mirrors RECALL100M_N)
+        n_u = int(os.environ.get("RECALL10MU_N", "10000000"))
+        dim_u = 64
+        vec_expr = F.transform(
+            F.sequence(F.lit(0), F.lit(dim_u - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id") * dim_u + j, F.lit(9817)),
+                       F.lit(1_000_003)) / 1_000_003.0 - 0.5
+            ).cast("float"),
+        )
+        if not os.path.isdir(udir + "/base"):
+            t0 = time.monotonic()
+            (
+                spark.range(n_u)
+                .select(F.col("id").alias("vec_id"), vec_expr.alias("embedding"))
+                .repartition(64)
+                .write.mode("overwrite").parquet(udir + "/base")
+            )
+            print(json.dumps({"cell": "compress10m_base_build",
+                              "sec": round(time.monotonic() - t0, 3)}),
+                  flush=True)
+        ub = spark.read.parquet(udir + "/base")
+        uprobes = ub.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"))
+        if not os.path.isdir(udir + "/gt"):
+            t0 = time.monotonic()
+            knn.knn(ub, uprobes, k=K, strategy="numpy").select(
+                "query_id", "id"
+            ).write.mode("overwrite").parquet(udir + "/gt")
+            print(json.dumps({"cell": "compress10m_groundtruth_build",
+                              "sec": round(time.monotonic() - t0, 3)}),
+                  flush=True)
+        gt = spark.read.parquet(udir + "/gt").localCheckpoint()
+        n_gt = gt.count()
+        if not os.path.isdir(udir + "/bqwords"):
+            # the 32× tier's one-off encode: 10M rows → 2 packed longs
+            words = vm.bq_encode_words("embedding", dim=dim_u)
+            t0 = time.monotonic()
+            ub.select("vec_id", words[0].alias("w0"), words[1].alias("w1")
+                      ).repartition(32).write.mode("overwrite").parquet(
+                udir + "/bqwords")
+            print(json.dumps({"cell": "compress10m_bq_encode_write",
+                              "sec": round(time.monotonic() - t0, 3)}),
+                  flush=True)
+        uw = spark.read.parquet(udir + "/bqwords")
+        pw = vm.bq_encode_words("query_embedding", dim=dim_u)
+        wprobes = uprobes.select(
+            "query_id", "query_embedding",
+            pw[0].alias("qw0"), pw[1].alias("qw1"))
+        uraw = ub.select(F.col("vec_id").alias("id"),
+                         F.col("embedding").alias("vec"))
+
+        def c_recall(df) -> float:
+            hits = df.select("query_id", "id").join(gt, ["query_id", "id"]).count()
+            return round(hits / n_gt, 4)
+
+        serves = {
+            "compress10m_bq_direct_k%d" % K: lambda: knn.knn_hamming(
+                uw, wprobes, k=K, strategy="numpy"),
+            "compress10m_bq_rerank%d" % (3 * K): lambda: knn.knn_hamming(
+                uw, wprobes, k=K, rerank=3 * K, raw=uraw, strategy="numpy"),
+        }
+        for m in (16, 32):
+            tdb = ub.select(
+                "vec_id", vm.vec_truncate(vm.as_double("embedding"), m
+                                          ).alias("embedding"))
+            tpr = uprobes.select(
+                "query_id", vm.vec_truncate(
+                    vm.as_double("query_embedding"), m).alias("query_embedding"))
+            serves["compress10m_mrl%d_k%d" % (m, K)] = (
+                lambda tdb=tdb, tpr=tpr: knn.knn(tdb, tpr, k=K,
+                                                 strategy="numpy"))
+        for name, mk in serves.items():
+            if not want(name):
+                continue
+            cell(name, lambda mk=mk: sink(mk()))
+            rec = c_recall(mk())
+            print(json.dumps({"cell": name + "_recall",
+                              "recall_at_%d" % K: rec}), flush=True)
+
     # ANN serving TWO decades up (VERDICT r7 #5): 100M DISTINCT vectors,
     # clustered geometry — 10k deterministic cluster centers + per-id
     # noise, the realistic middle between the uniform floor (recall10mu)

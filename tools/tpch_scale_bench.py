@@ -28,7 +28,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = "/tmp/tpch_sf1"
+# TPCH_BENCH_DIR overrides the timed table set: point it at the sf0.1
+# source dir to record the SAME harness (noop sink, min-of-N, exec
+# bytes) one decade down for the linearity cells in SCALE.md
+DST = os.environ.get("TPCH_BENCH_DIR", "/tmp/tpch_sf1")
 COPIES = 10
 
 # key domain → (owning table, its key col); FK cols listed per table
@@ -143,8 +146,9 @@ def main() -> int:
     names = sorted(n for n in QUERIES if n.startswith("rel_tpch_")) + [
         n for n in extra if n in QUERIES
     ]
-    if only:
-        names = [n for n in names if only in n]
+    if only:  # comma-separated substrings, any-match
+        subs = only.split(",")
+        names = [n for n in names if any(sub in n for sub in subs)]
     import execmetrics as xm
 
     timings: dict[str, float | str] = {}

@@ -45,7 +45,8 @@ from . import cache
 from ..sources.tables import spread
 
 __all__ = ["knn", "knn_filtered", "knn_filtered_overfetch", "self_knn",
-           "radius_search", "maxsim_search", "mmr_diversify", "ranking_metrics"]
+           "knn_hamming", "radius_search", "maxsim_search", "mmr_diversify",
+           "ranking_metrics"]
 
 
 def _local_topk(k: int) -> callable:
@@ -624,6 +625,158 @@ def maxsim_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "score", "rank")
+    )
+
+
+def _numpy_hamming_kernel(probe_rows: list, k: int) -> callable:
+    """mapInPandas kernel: per-partition Hamming top-k over sign-bit
+    packed words. XOR in uint64 + a 16-bit LUT popcount (numpy < 2 has
+    no bitwise_count); emits ≤ n_queries × k rows per partition — same
+    shuffle-shrink shape as _numpy_topk_kernel, integer math instead of
+    BLAS."""
+    import numpy as np
+
+    qids = np.array([r[0] for r in probe_rows])
+    QW = np.array([list(r[1]) for r in probe_rows], dtype=np.uint64)  # (nq, W)
+    lut = np.array(
+        [bin(x).count("1") for x in range(1 << 16)], dtype=np.uint8
+    )
+
+    def popcount(a: "np.ndarray") -> "np.ndarray":
+        # view each uint64 as four uint16 halfwords and LUT-sum them
+        h = lut[a.view(np.uint16).reshape(*a.shape, 4)]
+        return h.sum(axis=-1, dtype=np.int64)
+
+    def reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts: list[pd.DataFrame] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            W = np.array(
+                [list(w) for w in pdf["__words"]], dtype=np.int64
+            ).astype(np.uint64)  # (b, W); signed longs reinterpret as bits
+            ids = pdf["id"].to_numpy()
+            take = min(k, len(ids))
+            out_q, out_id, out_h = [], [], []
+            for j in range(len(qids)):
+                ham = popcount(W ^ QW[j][None, :]).sum(axis=1)  # (b,)
+                order = np.lexsort((ids, ham))[:take]  # (hamming, id) asc
+                out_q.append(np.repeat(qids[j], take))
+                out_id.append(ids[order])
+                out_h.append(ham[order])
+            parts.append(pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "id": np.concatenate(out_id),
+                "hamming": np.concatenate(out_h),
+            }))
+        if parts:
+            both = pd.concat(parts, ignore_index=True)
+            both.sort_values(["hamming", "id"], inplace=True, kind="stable")
+            yield both.groupby("query_id", sort=False).head(k)
+
+    return reduce
+
+
+def knn_hamming(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    word_cols: tuple = ("w0", "w1"),
+    query_id_col: str = "query_id",
+    query_word_cols: tuple = ("qw0", "qw1"),
+    rerank: int | None = None,
+    raw: DataFrame | None = None,
+    raw_id_col: str = "id",
+    raw_vec_col: str = "vec",
+    query_vec_col: str = "query_embedding",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Binary-quantized (sign-bit) k-NN: Hamming distance over packed
+    words — the 32× storage tier of the compression ladder (SQ8 4×,
+    PQ 16×). Vectors/queries carry their codes in `word_cols` /
+    `query_word_cols` (long columns from vm.bq_encode_words).
+
+    Without `rerank`: returns (query_id, id, hamming, rank), rank 1..k
+    ascending by (hamming, id) — deterministic, oracle-reproducible.
+    With `rerank` = R and `raw` (id, vec): Hamming top-R candidates are
+    re-ranked by exact euclidean distance against the raw vectors and
+    the result is (query_id, id, distance, rank) 1..k by (distance, id)
+    — the standard serve shape where only R × n_queries full-precision
+    rows are ever touched.
+
+    strategy mirrors knn(): "window" = vm.hamming_words expression fold
+    (bitwise-exact vs the DuckDB oracle) + WindowGroupLimit; "numpy" =
+    Arrow-batched XOR/popcount kernel with per-partition top-k (integer
+    math — kernel and fold agree EXACTLY, unlike the float kernels);
+    "auto" flips on AUTO_NUMPY_THRESHOLD. At 100 TB the kernel path
+    scans the packed words once, in place — 16 B/row for 64 dims — and
+    shuffles only p × q × k candidate rows."""
+    fetch = rerank if rerank is not None else k
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        *[F.col(c).alias(f"__qw{i}") for i, c in enumerate(query_word_cols)],
+    )
+    if strategy == "auto":
+        strategy = (
+            "numpy" if estimated_rows(vectors) >= AUTO_NUMPY_THRESHOLD else "window"
+        )
+    if strategy == "numpy":
+        probe_rows = [
+            (r["query_id"], [r[f"__qw{i}"] for i in range(len(query_word_cols))])
+            for r in q.collect()
+        ]
+        kernel = _numpy_hamming_kernel(probe_rows, fetch)
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        id_t = vectors.schema[id_col].dataType.simpleString()
+        narrow = spread(vectors).select(
+            F.col(id_col).alias("id"),
+            F.array(*[F.col(c) for c in word_cols]).alias("__words"),
+        ).mapInPandas(
+            kernel, schema=f"query_id {qid_t}, id {id_t}, hamming long"
+        )
+    else:
+        ham = vm.hamming_words(
+            [F.col(f"__qw{i}") for i in range(len(query_word_cols))],
+            [F.col(c) for c in word_cols],
+        )
+        narrow = (
+            spread(vectors)
+            .select(F.col(id_col).alias("id"), *word_cols)
+            .crossJoin(F.broadcast(q))
+            .select("query_id", "id", ham.cast("long").alias("hamming"))
+        )
+    wham = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("id").asc()
+    )
+    cands = (
+        narrow.withColumn("rank", F.row_number().over(wham))
+        .filter(F.col("rank") <= fetch)
+    )
+    if rerank is None:
+        return cands.select("query_id", "id", "hamming", "rank")
+    if raw is None:
+        raise ValueError("rerank requires raw=(id, vec) full-precision table")
+    qv = F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"),
+        vm.as_double(query_vec_col).alias("__qvec"),
+    ))
+    rv = raw.select(
+        F.col(raw_id_col).alias("id"), vm.as_double(raw_vec_col).alias("__vvec")
+    )
+    dist = vm.distance("euclidean", "__qvec", "__vvec")
+    wfin = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc_nulls_last(), F.col("id").asc()
+    )
+    return (
+        cands.select("query_id", "id")
+        .join(rv, "id")  # R × n_queries rows — the only full-precision touch
+        .join(qv, "query_id")
+        .select("query_id", "id", dist.alias("distance"))
+        .withColumn("rank", F.row_number().over(wfin))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
     )
 
 

@@ -404,38 +404,16 @@ def _q_knn_bq_recall(spark, sf_dir):
         probes.select("query_id", F.col("qv").alias("query_embedding")),
         k=k, metric="euclidean", strategy="window",
     ).select("query_id", "id")
-    ham = vm.hamming_words(
-        [F.col("qw0"), F.col("qw1")], [F.col("w0"), F.col("w1")]
-    )
-    ranked = (
-        staged.crossJoin(F.broadcast(probes))
-        .select(
-            "query_id", F.col("vec_id").alias("id"), "qv", F.col("v").alias("ev"),
-            ham.alias("__ham"),
-        )
-        .withColumn(
-            "hrnk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("__ham").asc(), F.col("id").asc()
-                )
-            ),
-        )
-    )
-    direct = ranked.filter(F.col("hrnk") <= k).select("query_id", "id")
-    rerank = (
-        ranked.filter(F.col("hrnk") <= 50)
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    vm.euclidean_distance("qv", "ev").asc(), F.col("id").asc()
-                )
-            ),
-        )
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "id")
-    )
+    # both serve shapes go through the knn_hamming operator (r11), so
+    # this oracle pins it end-to-end — direct Hamming top-k AND
+    # Hamming-candidates → exact re-rank (kernel ≡ fold exactly:
+    # integer math, unlike the float knn kernels)
+    direct = knn.knn_hamming(staged, probes, k=k).select("query_id", "id")
+    rerank = knn.knn_hamming(
+        staged, probes, k=k, rerank=50,
+        raw=staged.select(F.col("vec_id").alias("id"), F.col("v").alias("vec")),
+        query_vec_col="qv",
+    ).select("query_id", "id")
     np_df = probes.agg(F.count(F.lit(1)).alias("__np"))
     out = None
     for cfg, approx in (("bq_hamming", direct), ("bq_rerank50", rerank)):
