@@ -117,9 +117,11 @@ BENCH_QUERIES = [
     "multimodal_png_interlaced_stats",
     "multimodal_png_16bit_stats",
     "multimodal_video_rawdib_stats",
-    # round 11: audio ladder extension — 24-bit PCM and IMA-ADPCM
+    # round 11: audio ladder extension — 24-bit PCM, IMA-ADPCM, G.711
     "multimodal_wav24_stats",
     "multimodal_wav_adpcm_stats",
+    "multimodal_wav_ulaw_stats",
+    "multimodal_wav_alaw_stats",
 ]
 
 # In-plan-build diagnostics (VERDICT r7 #8): these queries rebuild their

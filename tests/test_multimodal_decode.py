@@ -420,6 +420,33 @@ def test_wav_ima_adpcm_clamps_saturate():
         assert int(dec["samples"][-1, 0]) == bound
 
 
+def test_wav_g711_tables_match_audioop():
+    # CPython's audioop is an INDEPENDENT implementation of the same
+    # ITU G.711 expand — the 256-entry tables must agree byte-for-byte
+    audioop = pytest.importorskip("audioop")
+    import numpy as np
+
+    codes = bytes(range(256))
+    ref_u = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    assert (np.array(mm._G711_ULAW_TABLE) == ref_u).all()
+    assert (np.array(mm._G711_ALAW_TABLE) == ref_a).all()
+
+
+def test_wav_g711_roundtrip_both_laws():
+    import numpy as np
+
+    codes = list(range(256)) * 2  # every code value, stereo interleave
+    for law, table in (("ulaw", mm._G711_ULAW_TABLE),
+                       ("alaw", mm._G711_ALAW_TABLE)):
+        payload = mm.encode_wav_g711(codes, 8000, 2, law=law)
+        hdr = mm.parse_wav_header(payload)
+        assert hdr["codec"] == law and hdr["n_frames"] == 256
+        dec = mm.decode_wav_samples(payload)
+        exp = np.asarray(table)[np.array(codes)]
+        assert (dec["samples"].reshape(-1) == exp).all()
+
+
 def test_wav_ima_adpcm_rejects_bad_geometry():
     good = mm.encode_wav_ima_adpcm(
         [{"pred": [0], "idx": [0], "nibbles": [[1] * 8]}], 8000, 1

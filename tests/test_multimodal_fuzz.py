@@ -59,6 +59,20 @@ def _wav():
     return mm.encode_wav(samples, sample_rate=8000, channels=2, bits=16)
 
 
+def _wav_ulaw():
+    rng = np.random.default_rng(31)
+    return mm.encode_wav_g711(
+        [int(x) for x in rng.integers(0, 256, 120)], 8000, 2, law="ulaw"
+    )
+
+
+def _wav_alaw():
+    rng = np.random.default_rng(37)
+    return mm.encode_wav_g711(
+        [int(x) for x in rng.integers(0, 256, 120)], 8000, 1, law="alaw"
+    )
+
+
 def _wav24():
     rng = np.random.default_rng(23)
     samples = rng.integers(-(1 << 23), 1 << 23, size=60).tolist()
@@ -131,6 +145,8 @@ DECODERS = [
     ("wav", mm.decode_wav_samples, _wav),
     ("wav_24bit", mm.decode_wav_samples, _wav24),
     ("wav_ima_adpcm", mm.decode_wav_samples, _wav_adpcm),
+    ("wav_ulaw", mm.decode_wav_samples, _wav_ulaw),
+    ("wav_alaw", mm.decode_wav_samples, _wav_alaw),
     ("avi", mm.decode_avi_frames, _avi),
     ("avi_rawdib", mm.decode_avi_frames, _avi_raw),
     ("header_meta", mm.parse_image_header, _png),

@@ -49,6 +49,7 @@ __all__ = [
     "png_pixel_stats",
     "encode_wav",
     "encode_wav_ima_adpcm",
+    "encode_wav_g711",
     "parse_wav_header",
     "decode_wav_samples",
     "wav_audio_stats",
@@ -2712,6 +2713,32 @@ _IMA_STEP_TABLE = (
 _IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)  # indexed by nibble & 7
 
 
+def _g711_ulaw_to_linear(code: int) -> int:
+    """ITU-T G.711 mu-law expand (the classic Sun ulaw2linear): invert,
+    then magnitude = ((mantissa << 3) + 0x84) << segment, re-biased."""
+    u = ~code & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if u & 0x80 else (t - 0x84)
+
+
+def _g711_alaw_to_linear(code: int) -> int:
+    """ITU-T G.711 A-law expand: XOR 0x55, then segment-shifted
+    mantissa; sign bit SET means positive (Sun alaw2linear)."""
+    a = code ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+_G711_ULAW_TABLE = tuple(_g711_ulaw_to_linear(c) for c in range(256))
+_G711_ALAW_TABLE = tuple(_g711_alaw_to_linear(c) for c in range(256))
+
+
 def encode_wav(
     samples: list[int], sample_rate: int, channels: int, bits: int = 16
 ) -> bytes:
@@ -2793,6 +2820,31 @@ def encode_wav_ima_adpcm(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_g711(
+    codes: list[int], sample_rate: int, channels: int, law: str = "ulaw"
+) -> bytes:
+    """Build a valid G.711 WAVE payload (format tag 7 = mu-law, 6 =
+    A-law) from interleaved 8-bit companded code bytes — the in-plan
+    synthesis twin of the G.711 branch of decode_wav_samples. Like the
+    ADPCM twin, writing the compressed codes directly (not a lossy
+    linear->companded encoder) is what keeps the oracle closed-form."""
+    tag = {"ulaw": 7, "alaw": 6}[law]
+    data = bytes(c & 0xFF for c in codes)
+    block_align = channels
+    fmt = struct.pack(
+        "<HHIIHHH", tag, channels, sample_rate, sample_rate * block_align,
+        block_align, 8, 0,
+    )
+    n_frames = len(codes) // channels
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 @_none_on_malformed
 def parse_wav_header(payload: bytes) -> dict | None:
     """Metadata from the RIFF chunk walk alone (no sample decode):
@@ -2831,6 +2883,19 @@ def parse_wav_header(payload: bytes) -> dict | None:
             "sample_rate": int(rate),
             "channels": int(channels),
             "bits": int(bits),
+            "n_frames": int(n_frames),
+            "duration_ms": int(round(n_frames * 1000 / rate)) if rate else None,
+        }
+    if audio_fmt in (6, 7) and bits == 8:
+        # G.711 A-law (6) / mu-law (7): one code byte per sample
+        if block_align != channels:
+            return None
+        n_frames = data_len // block_align
+        return {
+            "codec": "alaw" if audio_fmt == 6 else "ulaw",
+            "sample_rate": int(rate),
+            "channels": int(channels),
+            "bits": 8,
             "n_frames": int(n_frames),
             "duration_ms": int(round(n_frames * 1000 / rate)) if rate else None,
         }
@@ -2935,6 +3000,12 @@ def decode_wav_samples(payload: bytes) -> dict | None:
             out[:, :, t + 1] = pred
         arr = out.transpose(0, 2, 1).reshape(nblocks * spb, nch)
         return {**hdr, "samples": arr}
+    if hdr["codec"] in ("ulaw", "alaw"):
+        table = _G711_ULAW_TABLE if hdr["codec"] == "ulaw" else _G711_ALAW_TABLE
+        lut = np.asarray(table, dtype=np.int32)
+        arr = lut[np.frombuffer(raw, dtype=np.uint8)]
+        n = hdr["n_frames"] * nch
+        return {**hdr, "samples": arr[:n].reshape(hdr["n_frames"], nch)}
     if hdr["bits"] == 16:
         arr = np.frombuffer(raw, dtype="<i2").astype(np.int32)
     elif hdr["bits"] == 24:

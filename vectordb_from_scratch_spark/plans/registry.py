@@ -7920,6 +7920,109 @@ def _q_multimodal_wav_adpcm_stats(spark, sf_dir):
     return wav_audio_stats(payloads)
 
 
+def _g711_sql(law: str) -> str:
+    if law == "ulaw":
+        # ITU G.711 mu-law expand, closed form: invert, segment-shift
+        # the biased mantissa, re-bias; sign bit of the INVERTED byte
+        lin = """CASE WHEN u >= 128
+                 THEN 132 - ((((u % 16) * 8) + 132) << ((u // 16) % 8))
+                 ELSE ((((u % 16) * 8) + 132) << ((u // 16) % 8)) - 132 END"""
+        pre = "255 - c"
+    else:
+        # A-law expand: XOR 0x55; seg 0 keeps the +8 bias unshifted;
+        # sign bit SET means positive (Sun alaw2linear convention)
+        lin = """CASE WHEN u >= 128 THEN
+                   CASE WHEN (u // 16) % 8 = 0 THEN (u % 16) * 16 + 8
+                        ELSE ((u % 16) * 16 + 264) << (((u // 16) % 8) - 1) END
+                 ELSE -(CASE WHEN (u // 16) % 8 = 0 THEN (u % 16) * 16 + 8
+                        ELSE ((u % 16) * 16 + 264) << (((u // 16) % 8) - 1) END)
+                 END"""
+        pre = "xor(c, 85)"
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS nch,
+             50 + doc_id % 37 AS nframes,
+             CAST([8000, 16000, 11025][1 + (doc_id % 3)] AS INTEGER) AS rate
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    codes AS (
+      SELECT d.doc_id, d.rate, ch.chan,
+             (d.doc_id * 7 + ff.f * 13 + ch.chan * 29) % 256 AS c
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.nch - 1)) AS chan) ch,
+           LATERAL (SELECT unnest(generate_series(0, d.nframes - 1)) AS f) ff
+    ),
+    amp AS (
+      SELECT doc_id, rate, chan, {lin} AS v
+      FROM (SELECT doc_id, rate, chan, {pre} AS u FROM codes)
+    )
+    SELECT doc_id, CAST(chan AS INTEGER) AS channel,
+           rate AS sample_rate, count(*)::BIGINT AS n_frames,
+           CAST(sum(v) AS BIGINT) AS amp_sum,
+           CAST(min(v) AS INTEGER) AS amp_min,
+           CAST(max(v) AS INTEGER) AS amp_max,
+           CAST(sum(v * v) AS BIGINT) AS sq_sum,
+           round(sqrt(sum(v * v)::DOUBLE / count(*)), 6) AS rms
+    FROM amp GROUP BY doc_id, chan, rate
+    """
+
+
+def _q_g711(law: str):
+    def q(spark, sf_dir):
+        from ..operators.multimodal import encode_wav_g711, wav_audio_stats
+
+        d = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id")
+        )
+
+        def synth(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                payloads = []
+                for doc_id in pdf["doc_id"]:
+                    i = int(doc_id)
+                    nch, nframes = 1 + i % 2, 50 + i % 37
+                    rate = [8000, 16000, 11025][i % 3]
+                    codes = [
+                        (i * 7 + f * 13 + ch * 29) % 256
+                        for f in range(nframes) for ch in range(nch)
+                    ]
+                    payloads.append(encode_wav_g711(codes, rate, nch, law=law))
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+        payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+        return wav_audio_stats(payloads)
+
+    return q
+
+
+_G711_DOC = (
+    "G.711 {law}-law WAV decode (WAVE format tag {tag} — telephony's "
+    "8-bit companded codec, ITU-T G.711): the decoder expands each code "
+    "byte through a 256-entry table built from the {law}-law segment "
+    "formula, verified byte-for-byte against CPython's independent "
+    "audioop implementation in tests; the oracle re-derives the SAME "
+    "expansion as closed-form SQL over the deterministic code pattern. "
+    "With ADPCM this completes the compressed-telephony rung of the "
+    "audio ladder (operators/multimodal.py:encode_wav_g711/"
+    "decode_wav_samples G.711 branch). Value-exact"
+)
+
+_REG_G711_ULAW = _register(
+    "multimodal_wav_ulaw_stats", _g711_sql("ulaw"),
+    doc=_G711_DOC.format(law="mu", tag=7),
+)(_q_g711("ulaw"))
+
+_REG_G711_ALAW = _register(
+    "multimodal_wav_alaw_stats", _g711_sql("alaw"),
+    doc=_G711_DOC.format(law="A", tag=6),
+)(_q_g711("alaw"))
+
+
 @_register(
     "multimodal_jpeg_pixel_stats",
     """
