@@ -447,6 +447,47 @@ def test_wav_g711_roundtrip_both_laws():
         assert (dec["samples"].reshape(-1) == exp).all()
 
 
+def test_wav_resample_stats_all_codecs(spark):
+    # one payload per supported codec through the normalize stage; the
+    # expected stats replay decode -> floor-mean downmix -> (t*n)//m
+    # nearest resample manually from decode_wav_samples' own output
+    import numpy as np
+
+    payloads = {
+        0: mm.encode_wav([((f * 17 + ch * 59) % 65536) - 32768
+                          for f in range(40) for ch in range(2)],
+                         8000, 2, bits=16),
+        1: mm.encode_wav([((f * 8191) % 16777216) - 8388608
+                          for f in range(30)], 44100, 1, bits=24),
+        2: mm.encode_wav_g711([(f * 13 + ch * 29) % 256
+                               for f in range(50) for ch in range(2)],
+                              8000, 2, law="ulaw"),
+        3: mm.encode_wav_ima_adpcm(
+            [{"pred": [1000], "idx": [30],
+              "nibbles": [[(p * 11) % 16 for p in range(24)]]}],
+            16000, 1),
+        4: b"not audio at all",  # dropped, no row
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in
+           mm.wav_resample_stats(df, target_rate=16000).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for i in (0, 1, 2, 3):
+        dec = mm.decode_wav_samples(payloads[i])
+        arr = dec["samples"].astype(np.int64)
+        n, nch = arr.shape
+        mono = np.floor_divide(arr.sum(axis=1), nch)
+        m = max(1, (n * 16000) // dec["sample_rate"])
+        out = mono[(np.arange(m) * n) // m]
+        r = got[i]
+        assert r["src_codec"] == dec["codec"] and r["n_out"] == m
+        assert r["amp_sum"] == int(out.sum())
+        assert (r["amp_min"], r["amp_max"]) == (int(out.min()), int(out.max()))
+
+
 def test_wav_ima_adpcm_rejects_bad_geometry():
     good = mm.encode_wav_ima_adpcm(
         [{"pred": [0], "idx": [0], "nibbles": [[1] * 8]}], 8000, 1

@@ -54,6 +54,7 @@ __all__ = [
     "decode_wav_samples",
     "wav_audio_stats",
     "wav_zcr_stats",
+    "wav_resample_stats",
     "encode_jpeg",
     "encode_jpeg_gray",
     "decode_jpeg_pixels",
@@ -3109,6 +3110,62 @@ def wav_zcr_stats(
             f"{id_col} long, channel int, n_frames long, "
             "n_crossings long, zcr double"
         ),
+    )
+
+
+def wav_resample_stats(
+    payloads: DataFrame,
+    target_rate: int = 16000,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """The audio NORMALIZE stage — the WAV twin of media_resize_stats:
+    codec-dispatching decode (any supported profile: PCM 8/16/24,
+    IMA-ADPCM, G.711 mu/A-law) → integer mono downmix → nearest-sample
+    resample to `target_rate` → per-payload amplitude stats. This is
+    the shape a training pipeline runs to land heterogeneous audio on
+    one (mono, fixed-rate) footing before feature extraction.
+
+    Deterministic integer definitions so an oracle can replay them:
+    downmix = floor(sum(channels) / n_channels); output length
+    m = max(1, (n_frames * target_rate) // src_rate); output sample t
+    reads source index (t * n_frames) // m. Unsupported payloads
+    produce no rows. Arrow-batched narrow map, no shuffle."""
+    import math
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = _decode_or_none(decode_wav_samples, payload)
+                if dec is None or dec["n_frames"] == 0 or not dec["sample_rate"]:
+                    continue
+                arr = dec["samples"].astype(np.int64)
+                n, nch = arr.shape
+                mono = np.floor_divide(arr.sum(axis=1), nch)
+                m = max(1, (n * target_rate) // dec["sample_rate"])
+                idx = (np.arange(m, dtype=np.int64) * n) // m
+                out = mono[idx]
+                sq = int((out * out).sum())
+                rows.append(
+                    (int(doc_id), dec["codec"], dec["sample_rate"], n,
+                     m, int(out.sum()), int(out.min()), int(out.max()), sq,
+                     round(math.sqrt(sq / m), 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "src_codec", "src_rate", "src_frames",
+                         "n_out", "amp_sum", "amp_min", "amp_max",
+                         "sq_sum", "rms"],
+            )
+
+    return payloads.mapInPandas(
+        stats,
+        schema=(f"{id_col} long, src_codec string, src_rate int, "
+                "src_frames long, n_out long, amp_sum long, amp_min long, "
+                "amp_max long, sq_sum long, rms double"),
     )
 
 

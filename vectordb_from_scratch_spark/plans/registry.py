@@ -8023,6 +8023,134 @@ _REG_G711_ALAW = _register(
 )(_q_g711("alaw"))
 
 
+def _audio_normalize_sql() -> str:
+    c = "((d.doc_id * 7 + ff.f * 13 + ch.chan * 29) % 256)"
+    u_ulaw = f"(255 - {c})"
+    u_alaw = f"xor({c}, 85)"
+
+    def expand_ulaw(u):
+        t = f"(((({u}) % 16) * 8) + 132) << ((({u}) // 16) % 8)"
+        return f"CASE WHEN ({u}) >= 128 THEN 132 - ({t}) ELSE ({t}) - 132 END"
+
+    def expand_alaw(u):
+        t = (f"CASE WHEN (({u}) // 16) % 8 = 0 THEN (({u}) % 16) * 16 + 8 "
+             f"ELSE ((({u}) % 16) * 16 + 264) << (((({u}) // 16) % 8) - 1) END")
+        return f"CASE WHEN ({u}) >= 128 THEN ({t}) ELSE -({t}) END"
+
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS nch,
+             50 + doc_id % 37 AS nframes,
+             CAST([8000, 16000, 44100][1 + (doc_id % 3)] AS INTEGER) AS rate,
+             doc_id % 4 AS fam
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    px AS (
+      SELECT d.doc_id, d.nch, d.nframes, d.rate, d.fam, ff.f,
+             CASE d.fam
+               WHEN 0 THEN ((d.doc_id * 131 + ff.f * 17 + ch.chan * 59)
+                            % 65536) - 32768
+               WHEN 2 THEN ((d.doc_id * 131 + ff.f * 8191 + ch.chan * 59)
+                            % 16777216) - 8388608
+               WHEN 1 THEN {expand_ulaw(u_ulaw)}
+               ELSE {expand_alaw(u_alaw)}
+             END AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.nch - 1)) AS chan) ch,
+           LATERAL (SELECT unnest(generate_series(0, d.nframes - 1)) AS f) ff
+    ),
+    mono AS (
+      SELECT doc_id, rate, nframes, fam, f,
+             CAST(floor(sum(v)::DOUBLE / nch) AS BIGINT) AS mv
+      FROM px GROUP BY doc_id, rate, nframes, fam, nch, f
+    ),
+    geom AS (
+      SELECT doc_id, greatest(1, (nframes * 16000) // rate) AS m
+      FROM docs
+    ),
+    res AS (
+      SELECT mo.doc_id, mo.rate, mo.nframes, mo.fam, mo.mv
+      FROM geom g,
+           LATERAL (SELECT unnest(generate_series(0, g.m - 1)) AS t) tt
+      JOIN mono mo
+        ON mo.doc_id = g.doc_id AND mo.f = (tt.t * mo.nframes) // g.m
+    )
+    SELECT doc_id,
+           CASE fam WHEN 1 THEN 'ulaw' WHEN 3 THEN 'alaw' ELSE 'pcm' END
+             AS src_codec,
+           rate AS src_rate, CAST(nframes AS BIGINT) AS src_frames,
+           count(*)::BIGINT AS n_out,
+           CAST(sum(mv) AS BIGINT) AS amp_sum,
+           CAST(min(mv) AS BIGINT) AS amp_min,
+           CAST(max(mv) AS BIGINT) AS amp_max,
+           CAST(sum(mv * mv) AS BIGINT) AS sq_sum,
+           round(sqrt(sum(mv * mv)::DOUBLE / count(*)), 6) AS rms
+    FROM res GROUP BY doc_id, fam, rate, nframes
+    """
+
+
+@_register(
+    "multimodal_audio_normalize",
+    _audio_normalize_sql(),
+    doc="The audio NORMALIZE stage — the WAV twin of the mixed-media "
+    "resize pipeline (operators/multimodal.py:wav_resample_stats): one "
+    "Arrow narrow map dispatches on the WAV header codec (the corpus "
+    "cycles 16-bit PCM, G.711 mu-law, 24-bit PCM, A-law at three "
+    "sample rates), decodes for real, downmixes to mono with the "
+    "integer floor-average, nearest-resamples to 16 kHz via the "
+    "deterministic (t*n)//m index map, and emits per-payload amplitude "
+    "stats — heterogeneous telephony/studio audio landing on one "
+    "(mono, 16 kHz) footing, the precondition for any audio feature "
+    "extractor. The oracle replays decode+downmix+resample closed-form "
+    "per codec. No shuffle anywhere. Value-exact",
+)
+def _q_multimodal_audio_normalize(spark, sf_dir):
+    from ..operators.multimodal import (
+        encode_wav,
+        encode_wav_g711,
+        wav_resample_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nch, nframes = 1 + i % 2, 50 + i % 37
+                rate = [8000, 16000, 44100][i % 3]
+                fam = i % 4
+                if fam in (0, 2):
+                    if fam == 0:
+                        samples = [
+                            ((i * 131 + f * 17 + ch * 59) % 65536) - 32768
+                            for f in range(nframes) for ch in range(nch)
+                        ]
+                        payloads.append(encode_wav(samples, rate, nch, bits=16))
+                    else:
+                        samples = [
+                            ((i * 131 + f * 8191 + ch * 59) % 16777216) - 8388608
+                            for f in range(nframes) for ch in range(nch)
+                        ]
+                        payloads.append(encode_wav(samples, rate, nch, bits=24))
+                else:
+                    codes = [
+                        (i * 7 + f * 13 + ch * 29) % 256
+                        for f in range(nframes) for ch in range(nch)
+                    ]
+                    payloads.append(encode_wav_g711(
+                        codes, rate, nch, law="ulaw" if fam == 1 else "alaw"
+                    ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return wav_resample_stats(payloads, target_rate=16000)
+
+
 @_register(
     "multimodal_jpeg_pixel_stats",
     """
