@@ -770,8 +770,12 @@ def knn_hamming(
         F.col("distance").asc_nulls_last(), F.col("id").asc()
     )
     return (
-        cands.select("query_id", "id")
-        .join(rv, "id")  # R × n_queries rows — the only full-precision touch
+        # candidates are bounded at R × n_queries rows — BROADCAST them
+        # so the big raw table streams map-side instead of shuffling
+        # (measured at 10M: the plain join exchanged 3.7 GiB of raw
+        # vectors; the broadcast build exchanges only the candidates)
+        F.broadcast(cands.select("query_id", "id"))
+        .join(rv, "id")
         .join(qv, "query_id")
         .select("query_id", "id", dist.alias("distance"))
         .withColumn("rank", F.row_number().over(wfin))
