@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "multimodal_wav_ulaw_stats",
     "multimodal_wav_alaw_stats",
     "multimodal_audio_normalize",
+    "multimodal_audio_vad",
 ]
 
 # In-plan-build diagnostics (VERDICT r7 #8): these queries rebuild their

@@ -488,6 +488,34 @@ def test_wav_resample_stats_all_codecs(spark):
         assert (r["amp_min"], r["amp_max"]) == (int(out.min()), int(out.max()))
 
 
+def test_wav_vad_segments_islands_and_edges(spark):
+    # hand-built envelopes: known island structure, including an active
+    # run that touches the final frame, an all-silent payload (no rows),
+    # and a trailing partial frame that must be dropped
+    loud, quiet = [100] * 10, [0] * 10
+    payloads = {
+        # frames: L L q L -> segments (0,1) and (3,3)
+        0: mm.encode_wav(loud + loud + quiet + loud, 8000, 1, bits=16),
+        # all silent -> no rows
+        1: mm.encode_wav(quiet * 3, 8000, 1, bits=16),
+        # 25 samples = 2 frames + dropped tail; q L -> segment (1,1)
+        2: mm.encode_wav(quiet + loud + [100] * 5, 8000, 1, bits=16),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    rows = mm.wav_vad_segments(df, frame_len=10, threshold=1).collect()
+    got = sorted((r.doc_id, r.seg_idx, r.start_frame, r.end_frame,
+                  r.n_frames, r.energy_sum) for r in rows)
+    e = 10 * 100 * 100  # energy of one loud frame
+    assert got == [
+        (0, 0, 0, 1, 2, 2 * e),
+        (0, 1, 3, 3, 1, e),
+        (2, 0, 1, 1, 1, e),
+    ]
+
+
 def test_wav_ima_adpcm_rejects_bad_geometry():
     good = mm.encode_wav_ima_adpcm(
         [{"pred": [0], "idx": [0], "nibbles": [[1] * 8]}], 8000, 1

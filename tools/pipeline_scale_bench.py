@@ -192,6 +192,9 @@ def main() -> int:
     if want("wavadpcm"):
         media_wav_adpcm_cell(n=n, runs=runs)
 
+    if want("audionorm"):
+        audio_normalize_cell(n=n, runs=runs)
+
     if want("entropy"):
         entropy_cell(n=n, runs=runs)
 
@@ -1218,6 +1221,110 @@ def media_wav_adpcm_cell(n: int, runs: int) -> None:
         "exact": bool(
             int(row["s"]) == exp_s and int(row["sq"]) == exp_sq
             and row["rows"] == exp_rows
+        ),
+    }), flush=True)
+
+
+def audio_normalize_cell(n: int, runs: int) -> None:
+    """Audio-normalize decade cell (r11): N mixed-codec WAV payloads
+    (cycling 16-bit PCM, G.711 mu-law, 24-bit PCM, A-law; mono+stereo;
+    three rates) through wav_resample_stats — header codec dispatch →
+    real decode → integer mono downmix → nearest resample to 16 kHz →
+    stats. Expected totals are a period-768 (lcm(256,3)) numpy replay
+    of the same deterministic definitions; grand sums in DECIMAL(38,0)
+    (24-bit sq_sums overflow a long grand sum). Narrow Arrow map, no
+    shuffle: the measured cost is decode + resample itself."""
+    import numpy as np
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.multimodal import (
+        _G711_ALAW_TABLE,
+        _G711_ULAW_TABLE,
+        encode_wav,
+        encode_wav_g711,
+        wav_resample_stats,
+    )
+
+    spark = SparkSession.getActiveSession()
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["id"]:
+                i = int(doc_id)
+                nch, nframes = 1 + i % 2, 40 + i % 16
+                rate = [8000, 16000, 44100][i % 3]
+                fam = i % 4
+                if fam == 0:
+                    payloads.append(encode_wav(
+                        [(((i % 256) * 131 + f * 17 + ch * 59) % 65536)
+                         - 32768
+                         for f in range(nframes) for ch in range(nch)],
+                        rate, nch, bits=16))
+                elif fam == 2:
+                    payloads.append(encode_wav(
+                        [(((i % 256) * 65003 + f * 8191 + ch * 59)
+                          % 16777216) - 8388608
+                         for f in range(nframes) for ch in range(nch)],
+                        rate, nch, bits=24))
+                else:
+                    payloads.append(encode_wav_g711(
+                        [(i * 7 + f * 13 + ch * 29) % 256
+                         for f in range(nframes) for ch in range(nch)],
+                        rate, nch, law="ulaw" if fam == 1 else "alaw"))
+            yield pd.DataFrame({"doc_id": pdf["id"], "payload": payloads})
+
+    payloads = spark.range(n).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+    out = wav_resample_stats(payloads, target_rate=16000)
+    sq_dec = F.sum(F.col("sq_sum").cast("decimal(38,0)"))
+    amp_dec = F.sum(F.col("amp_sum").cast("decimal(38,0)"))
+    t = _time(lambda: out.agg(sq_dec).collect(), runs)
+    row = out.agg(
+        amp_dec.alias("s"), sq_dec.alias("sq"),
+        F.count(F.lit(1)).alias("rows"), F.sum("n_out").alias("nout"),
+    ).collect()[0]
+
+    ulaw = np.asarray(_G711_ULAW_TABLE, dtype=np.int64)
+    alaw = np.asarray(_G711_ALAW_TABLE, dtype=np.int64)
+    period = 768  # lcm(256, 3): rate cycles mod 3, everything else mod 256
+    per_sum, per_sq, per_nout = [], [], []
+    for i in range(period):
+        nch, nframes = 1 + i % 2, 40 + i % 16
+        rate = [8000, 16000, 44100][i % 3]
+        fam = i % 4
+        ff, cc = np.ogrid[0:nframes, 0:nch]
+        if fam == 0:
+            v = (((i % 256) * 131 + ff * 17 + cc * 59) % 65536) - 32768
+        elif fam == 2:
+            v = (((i % 256) * 65003 + ff * 8191 + cc * 59)
+                 % 16777216) - 8388608
+        elif fam == 1:
+            v = ulaw[(i * 7 + ff * 13 + cc * 29) % 256]
+        else:
+            v = alaw[(i * 7 + ff * 13 + cc * 29) % 256]
+        mono = np.floor_divide(v.astype(np.int64).sum(axis=1), nch)
+        m = max(1, (nframes * 16000) // rate)
+        out_v = mono[(np.arange(m) * nframes) // m]
+        per_sum.append(int(out_v.sum()))
+        per_sq.append(int((out_v * out_v).sum()))
+        per_nout.append(m)
+    exp_s = (n // period) * sum(per_sum) + sum(per_sum[: n % period])
+    exp_sq = (n // period) * sum(per_sq) + sum(per_sq[: n % period])
+    exp_nout = (n // period) * sum(per_nout) + sum(per_nout[: n % period])
+    print(json.dumps({
+        "cell": "media_audio_normalize",
+        "n_payloads": n,
+        "sec": t,
+        "exec": LAST_EXEC,
+        "rows": int(row["rows"]),
+        "exact": bool(
+            int(row["s"]) == exp_s and int(row["sq"]) == exp_sq
+            and row["rows"] == n and row["nout"] == exp_nout
         ),
     }), flush=True)
 

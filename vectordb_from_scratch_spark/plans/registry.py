@@ -8152,6 +8152,81 @@ def _q_multimodal_audio_normalize(spark, sf_dir):
 
 
 @_register(
+    "multimodal_audio_vad",
+    """
+    WITH docs AS (
+      SELECT doc_id, 20 + doc_id % 7 AS nf, 3 + doc_id % 3 AS blk
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    samp AS (
+      SELECT d.doc_id, ss.s // 10 AS f,
+             (((d.doc_id * 131 + ss.s * 17) % 256) - 128)
+             * (CASE WHEN ((ss.s // 10) // d.blk) % 2 = 0
+                     THEN 40 ELSE 0 END) AS v
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(0, d.nf * 10 - 1)) AS s) ss
+    ),
+    fe AS (
+      SELECT doc_id, f, sum(v * v) AS energy
+      FROM samp GROUP BY doc_id, f
+    ),
+    act AS (
+      SELECT doc_id, f, energy,
+             f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+      FROM fe WHERE energy >= 1
+    ),
+    seg AS (
+      SELECT doc_id, grp, min(f) AS sf, max(f) AS ef,
+             count(*) AS nfr, sum(energy) AS es
+      FROM act GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sf) - 1
+                AS INTEGER) AS seg_idx,
+           CAST(sf AS INTEGER) AS start_frame,
+           CAST(ef AS INTEGER) AS end_frame,
+           CAST(nfr AS INTEGER) AS n_frames,
+           CAST(es AS BIGINT) AS energy_sum
+    FROM seg
+    """,
+    doc="Energy-based voice-activity segmentation (operators/"
+    "multimodal.py:wav_vad_segments) — the silence-trimming stage an "
+    "ASR training pipeline runs: real WAV decode, integer frame "
+    "energies (sum of squares, exact), contiguous active-frame runs as "
+    "segments with start/end/length/energy. The corpus synthesizes "
+    "speech-shaped envelopes (alternating loud/silent frame blocks of "
+    "varying width) so island structure varies per doc; the operator "
+    "finds runs with a vectorized flag-diff while the oracle re-derives "
+    "them with classic gaps-and-islands SQL (f - row_number grouping) "
+    "over the same closed-form energies — two independent segmentation "
+    "algorithms that must agree row-exactly. No shuffle. Value-exact",
+)
+def _q_multimodal_audio_vad(spark, sf_dir):
+    from ..operators.multimodal import encode_wav, wav_vad_segments
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nf, blk = 20 + i % 7, 3 + i % 3
+                samples = [
+                    (((i * 131 + s * 17) % 256) - 128)
+                    * (40 if ((s // 10) // blk) % 2 == 0 else 0)
+                    for s in range(nf * 10)
+                ]
+                payloads.append(encode_wav(samples, 16000, 1, bits=16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return wav_vad_segments(payloads, frame_len=10, threshold=1)
+
+
+@_register(
     "multimodal_jpeg_pixel_stats",
     """
     WITH docs AS (
