@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "multimodal_wav_alaw_stats",
     "multimodal_audio_normalize",
     "multimodal_audio_vad",
+    "multimodal_image_neardup",
 ]
 
 # In-plan-build diagnostics (VERDICT r7 #8): these queries rebuild their

@@ -516,6 +516,91 @@ def test_wav_vad_segments_islands_and_edges(spark):
     ]
 
 
+def _dhash_raster(fam=0, w=13, h=11):
+    import numpy as np
+
+    rr, cc = np.ogrid[0:h, 0:w]
+    p = ((fam * 37 + rr * 11 + cc * 17) % 250).astype(np.int64)
+    return np.broadcast_to(p, (h, w)).copy()
+
+
+def test_image_dhash_container_invariant(spark):
+    # the SAME raster through BMP and PNG must hash identically — the
+    # dispatch layer cannot leak container details into the fingerprint
+    import numpy as np
+
+    p = _dhash_raster()
+    h, w = p.shape
+    px = np.stack([p, p + 3, p + 6], axis=2).astype(np.uint8)
+    bmp = mm.encode_bmp(px.tobytes(), w, h)
+    png = mm.encode_png(px.tobytes(), w, h, 3)
+    df = spark.createDataFrame(
+        [(0, bytearray(bmp)), (1, bytearray(png)),
+         (2, b"junk, not an image")],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: (r.dh0, r.dh1) for r in mm.image_dhash(df).collect()}
+    assert set(got) == {0, 1}  # junk row dropped
+    assert got[0] == got[1]
+    assert 0 <= got[0][0] < (1 << 32) and 0 <= got[0][1] < (1 << 32)
+
+
+def test_image_neardup_banded_equals_bruteforce(spark):
+    # pigeonhole blocking must find EXACTLY the pairs an exhaustive
+    # all-pairs scan finds at radius <= 3
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    payloads = []
+    for i in range(24):
+        p = _dhash_raster(fam=i // 4)
+        h, w = p.shape
+        # perturb a random pixel so some pairs drift past the radius
+        p[rng.integers(0, h), rng.integers(0, w)] = rng.integers(0, 250)
+        px = np.stack([p, p + 3, p + 6], axis=2).astype(np.uint8)
+        payloads.append((i, bytearray(mm.encode_bmp(px.tobytes(), w, h))))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    hashes = {r.doc_id: (r.dh0, r.dh1)
+              for r in mm.image_dhash(df).collect()}
+    brute = set()
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        ham = (bin(hashes[a][0] ^ hashes[b][0]).count("1")
+               + bin(hashes[a][1] ^ hashes[b][1]).count("1"))
+        if ham <= 3:
+            brute.add((a, b, ham))
+    banded = {(r.id_a, r.id_b, r.hamming)
+              for r in mm.image_neardup_pairs(df, max_hamming=3).collect()}
+    assert banded == brute and brute  # non-trivial: families collide
+
+
+def test_image_neardup_bucket_cap_drops_crowded_chunks(spark):
+    # identical images put ALL ids into one bucket per chunk; with
+    # max_bucket below the corpus size every chunk is over-crowded, so
+    # candidate generation finds nothing (the documented recall trade),
+    # while the uncapped run finds every pair
+    import numpy as np
+
+    p = _dhash_raster()
+    h, w = p.shape
+    px = np.stack([p, p + 3, p + 6], axis=2).astype(np.uint8)
+    payload = bytearray(mm.encode_bmp(px.tobytes(), w, h))
+    df = spark.createDataFrame(
+        [(i, payload) for i in range(6)], "doc_id long, payload binary"
+    )
+    uncapped = mm.image_neardup_pairs(df, max_hamming=3).collect()
+    assert len(uncapped) == 15  # C(6,2), all hamming 0
+    capped = mm.image_neardup_pairs(df, max_hamming=3, max_bucket=5).collect()
+    assert capped == []
+
+
+def test_image_neardup_radius_cap(spark):
+    df = spark.createDataFrame([(0, b"x")], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        mm.image_neardup_pairs(df, max_hamming=4)
+
+
 def test_wav_ima_adpcm_rejects_bad_geometry():
     good = mm.encode_wav_ima_adpcm(
         [{"pred": [0], "idx": [0], "nibbles": [[1] * 8]}], 8000, 1

@@ -195,6 +195,9 @@ def main() -> int:
     if want("audionorm"):
         audio_normalize_cell(n=n, runs=runs)
 
+    if want("imgdedup"):
+        image_neardup_cell(n=n, runs=runs)
+
     if want("entropy"):
         entropy_cell(n=n, runs=runs)
 
@@ -1327,6 +1330,91 @@ def audio_normalize_cell(n: int, runs: int) -> None:
             and row["rows"] == n and row["nout"] == exp_nout
         ),
     }), flush=True)
+
+
+def image_neardup_cell(n: int, runs: int) -> None:
+    """Image near-dup decade cells (r11), two legs over N BMPs in
+    4-variant families (each variant perturbs exactly the one source
+    pixel the (0,8) dHash grid cell samples, so intra-family hash
+    distance is ≤ 1 bit — every intra-family pair is within radius 3 BY
+    CONSTRUCTION and the 4-chunk pigeonhole guarantees detection):
+
+    * `diverse` — family-varying gradient multipliers spread the hashes
+      (a normal heterogeneous corpus). Asserts #(intra-family pairs) ==
+      Σ C(family_size, 2) exactly; cross-family collisions are reported
+      (deterministic, no closed form).
+    * `selfsim_capped` — every family shares ONE gradient structure
+      (logo/template corpora look like this), which concentrated chunk
+      buckets into a measured ~1M-pair quadratic blowup at 10k images
+      uncapped. This leg runs with max_bucket so the valve's cost and
+      recall trade are on record; pair counts are reported, not
+      asserted (capped recall is the documented trade)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.multimodal import (
+        encode_bmp,
+        image_neardup_pairs,
+    )
+
+    spark = SparkSession.getActiveSession()
+
+    def mk_synth(diverse: bool):
+        def synth(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                payloads = []
+                for doc_id in pdf["id"]:
+                    i = int(doc_id)
+                    fam, v = i // 4, i % 4
+                    w, h = 12 + fam % 7, 10 + (fam * 3) % 5
+                    rm = 11 + fam % 13 if diverse else 11
+                    cm = 17 + (fam * 3) % 11 if diverse else 17
+                    rr, cc = np.ogrid[0:h, 0:w]
+                    p = (fam * 37 + rr * rm + cc * cm) % 250
+                    p = np.broadcast_to(p, (h, w)).copy()
+                    pc = (8 * w) // 9
+                    p[0, pc] = min(249, int(p[0, pc]) + 50 * v)
+                    px = np.stack([p, p + 3, p + 6], axis=2).astype(np.uint8)
+                    payloads.append(encode_bmp(px.tobytes(), w, h))
+                yield pd.DataFrame({"doc_id": pdf["id"], "payload": payloads})
+
+        return synth
+
+    full, rem = divmod(n, 4)
+    expected_intra = full * 6 + rem * (rem - 1) // 2
+    for leg, diverse, cap in (
+        ("image_neardup_diverse", True, None),
+        ("image_neardup_selfsim_capped", False, 200),
+    ):
+        payloads = spark.range(n).mapInPandas(
+            mk_synth(diverse), schema="doc_id long, payload binary"
+        )
+        pairs = image_neardup_pairs(payloads, max_hamming=3, max_bucket=cap)
+        t = _time(lambda p=pairs: p.groupBy().count().collect(), runs)
+        row = pairs.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(
+                ((F.col("id_a") / 4).cast("long")
+                 == (F.col("id_b") / 4).cast("long")).cast("long")
+            ).alias("intra"),
+        ).collect()[0]
+        intra = int(row["intra"] or 0)
+        out = {
+            "cell": leg,
+            "n_images": n,
+            "max_bucket": cap,
+            "sec": t,
+            "exec": LAST_EXEC,
+            "pairs_total": int(row["total"]),
+            "pairs_intra_family": intra,
+            "pairs_cross_family": int(row["total"]) - intra,
+        }
+        if cap is None:
+            out["exact"] = bool(intra == expected_intra)
+        print(json.dumps(out), flush=True)
 
 
 def entropy_cell(n: int, runs: int) -> None:

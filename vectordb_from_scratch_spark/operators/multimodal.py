@@ -28,6 +28,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 try:  # optional dependency: real pixel decode when the library exists
     from PIL import Image as _PILImage  # noqa: N812
@@ -56,6 +57,8 @@ __all__ = [
     "wav_zcr_stats",
     "wav_resample_stats",
     "wav_vad_segments",
+    "image_dhash",
+    "image_neardup_pairs",
     "encode_jpeg",
     "encode_jpeg_gray",
     "decode_jpeg_pixels",
@@ -3228,6 +3231,150 @@ def wav_vad_segments(
         stats,
         schema=(f"{id_col} long, seg_idx int, start_frame int, "
                 "end_frame int, n_frames int, energy_sum long"),
+    )
+
+
+def image_dhash(
+    payloads: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL image decode — the
+    embedding-free image fingerprint: sniff the container (PNG / JPEG /
+    GIF / BMP, the same dispatch as media_resize_stats), decode,
+    grayscale via the integer floor-mean of the first three channels
+    (single/dual-channel images use channel 0), nearest-resize to the
+    canonical 9x8 grid with the (t*n)//m floor mapping, then one bit
+    per horizontal neighbor pair: bit(r,c) = g[r,c] > g[r,c+1]. The 64
+    bits pack into TWO 32-bit words held in longs (rows 0-3 → dh0,
+    rows 4-7 → dh1) — the same packed-word shape vm.bq_encode_words
+    produces, so the hashes plug directly into knn_hamming and the
+    banded pair join below. Every step is integer arithmetic the oracle
+    reproduces in SQL. Unsupported payloads drop the row. Narrow Arrow
+    map, no shuffle."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                dec, fixed_ch = None, None
+                for _name, magic, decoder, fixed in _MEDIA_DECODERS:
+                    if b.startswith(magic):
+                        dec, fixed_ch = _decode_or_none(decoder, b), fixed
+                        break
+                if dec is None:
+                    continue
+                ch = fixed_ch if fixed_ch is not None else int(dec["channels"])
+                w, h = int(dec["width"]), int(dec["height"])
+                arr = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(
+                    h, w, ch
+                ).astype(np.int64)
+                if ch >= 3:
+                    gray = np.floor_divide(arr[:, :, :3].sum(axis=2), 3)
+                else:
+                    gray = arr[:, :, 0]
+                rr = (np.arange(8) * h) // 8
+                cc = (np.arange(9) * w) // 9
+                g = gray[np.ix_(rr, cc)]  # (8, 9)
+                bits = (g[:, :8] > g[:, 1:]).astype(np.int64)  # (8, 8)
+                weights = 1 << (np.arange(4)[:, None] * 8 + np.arange(8)[None, :])
+                dh0 = int((bits[:4] * weights).sum())
+                dh1 = int((bits[4:] * weights).sum())
+                rows.append((int(doc_id), dh0, dh1))
+            yield pd.DataFrame(rows, columns=[id_col, "dh0", "dh1"])
+
+    return payloads.mapInPandas(
+        hashes, schema=f"{id_col} long, dh0 long, dh1 long"
+    )
+
+
+def image_neardup_pairs(
+    payloads: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-free image near-duplicate pairs: dHash each payload,
+    then find id pairs whose 64-bit hashes differ in ≤ `max_hamming`
+    bits — the image twin of dedup.simhash_neardup_pairs, and the
+    standard cheap screen an image-training pipeline runs before (or
+    instead of) embedding-based dedup. Candidate generation is
+    PIGEONHOLE blocking, never all-pairs: the 64 bits split into four
+    16-bit chunks, and two hashes within Hamming distance ≤ 3 must
+    agree on at least one chunk (4 chunks > 3 differing bits), so a
+    bucket join on (chunk_idx, chunk_value) finds every true pair while
+    only images sharing a chunk ever meet. max_hamming is capped at 3
+    — the guarantee the four fixed chunks give; a larger radius would
+    need more bands. Returns (id_a, id_b, hamming), id_a < id_b. At
+    100 TB the shuffle carries only (chunk, id, two longs) rows and
+    candidate pairs, never pixels.
+
+    `max_bucket` is the skew valve the LSH near-dup path already has
+    (dedup.py bucket caps): a corpus of near-identical images (logos,
+    template screenshots — the realistic adversarial case, measured at
+    ~1M candidate pairs from 10k self-similar synthetics) concentrates
+    one chunk value into a bucket whose pair join is quadratic. With
+    `max_bucket` set, chunks whose bucket exceeds it drop out of
+    candidate generation — pairs detectable ONLY through an
+    over-crowded chunk are lost (recall, never precision), the same
+    documented trade the LSH cap makes. None (default) is exact and is
+    what the oracle pins."""
+    if max_hamming > 3:
+        raise ValueError(
+            "max_hamming > 3 exceeds the 4-chunk pigeonhole guarantee"
+        )
+    dh = image_dhash(payloads, id_col=id_col, payload_col=payload_col)
+    chunks = [
+        (F.col("dh0") % 65536).alias("c0"),
+        (F.col("dh0") / 65536).cast("long").alias("c1"),
+        (F.col("dh1") % 65536).alias("c2"),
+        (F.col("dh1") / 65536).cast("long").alias("c3"),
+    ]
+    staged = dh.select(id_col, "dh0", "dh1", *chunks)
+    banded = None
+    for idx in range(4):
+        piece = staged.select(
+            F.lit(idx).alias("chunk_idx"),
+            F.col(f"c{idx}").alias("chunk_val"),
+            F.col(id_col).alias("id"), "dh0", "dh1",
+        )
+        banded = piece if banded is None else banded.unionByName(piece)
+    if max_bucket is not None:
+        # one partial-agg count per (chunk_idx, chunk_val); oversize
+        # buckets leave candidate generation entirely (documented
+        # recall trade — same shape as the LSH bucket cap)
+        sizes = banded.groupBy("chunk_idx", "chunk_val").agg(
+            F.count(F.lit(1)).alias("__bucket_n")
+        )
+        banded = (
+            banded.join(sizes, ["chunk_idx", "chunk_val"])
+            .filter(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n")
+        )
+    a = banded.select(
+        "chunk_idx", "chunk_val",
+        F.col("id").alias("id_a"),
+        F.col("dh0").alias("h0a"), F.col("dh1").alias("h1a"),
+    )
+    b = banded.select(
+        "chunk_idx", "chunk_val",
+        F.col("id").alias("id_b"),
+        F.col("dh0").alias("h0b"), F.col("dh1").alias("h1b"),
+    )
+    ham = (
+        F.bit_count(F.col("h0a").bitwiseXOR(F.col("h0b")))
+        + F.bit_count(F.col("h1a").bitwiseXOR(F.col("h1b")))
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can collide in several chunks
     )
 
 

@@ -8227,6 +8227,104 @@ def _q_multimodal_audio_vad(spark, sf_dir):
 
 
 @_register(
+    "multimodal_image_neardup",
+    """
+    WITH docs AS (
+      SELECT doc_id, (doc_id // 5) // 4 AS fam, (doc_id // 5) % 4 AS v
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    dims AS (
+      SELECT doc_id, fam, v, 12 + fam % 7 AS w, 10 + (fam * 3) % 5 AS h
+      FROM docs
+    ),
+    grid AS (
+      SELECT d.doc_id, gr.r, gc.c,
+             (gr.r * d.h) // 8 AS sr, (gc.c * d.w) // 9 AS sc,
+             d.fam, d.v, d.w
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, 7)) AS r) gr,
+           LATERAL (SELECT unnest(generate_series(0, 8)) AS c) gc
+    ),
+    gray AS (
+      SELECT doc_id, r, c,
+             CASE WHEN sr = 0 AND sc = (8 * w) // 9
+                  THEN least(249,
+                             ((fam * 37 + sr * 11 + sc * 17) % 250) + 50 * v)
+                       + 3
+                  ELSE ((fam * 37 + sr * 11 + sc * 17) % 250) + 3
+             END AS g
+      FROM grid
+    ),
+    bits AS (
+      SELECT a.doc_id, a.r, a.c,
+             CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+      FROM gray a
+      JOIN gray b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      WHERE a.c < 8
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN r < 4
+                           THEN bit * (1 << (r * 8 + c)) ELSE 0 END)
+                  AS BIGINT) AS h0,
+             CAST(sum(CASE WHEN r >= 4
+                           THEN bit * (1 << ((r - 4) * 8 + c)) ELSE 0 END)
+                  AS BIGINT) AS h1
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+                AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 3
+    """,
+    doc="EMBEDDING-FREE image near-dup (operators/multimodal.py:"
+    "image_dhash/image_neardup_pairs): real decode → integer grayscale "
+    "floor-mean → 9x8 nearest-resize → difference-hash (one bit per "
+    "horizontal neighbor pair, packed into two 32-bit words) → "
+    "PIGEONHOLE-banded Hamming pairs (four 16-bit chunks guarantee "
+    "every pair within radius 3 shares a chunk — bucketed, never "
+    "all-pairs; the image twin of dedup_simhash_pairs). The corpus "
+    "synthesizes 4-variant families of BMPs where each variant "
+    "perturbs exactly the one source pixel the (0,8) grid cell "
+    "samples, so family pairs differ in at most one hash bit; the "
+    "oracle recomputes gray/resize/bits/hash closed-form and joins "
+    "all-pairs — the banded operator must find exactly the pairs the "
+    "exhaustive oracle finds. This is the cheap screen an image "
+    "training pipeline runs before embedding-based dedup. Value-exact",
+)
+def _q_multimodal_image_neardup(spark, sf_dir):
+    from ..operators.multimodal import encode_bmp, image_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                j = i // 5
+                fam, v = j // 4, j % 4
+                w, h = 12 + fam % 7, 10 + (fam * 3) % 5
+                rr, cc = np.ogrid[0:h, 0:w]
+                p = (fam * 37 + rr * 11 + cc * 17) % 250
+                p = np.broadcast_to(p, (h, w)).copy()
+                pc = (8 * w) // 9  # the one pixel grid cell (0,8) samples
+                p[0, pc] = min(249, int(p[0, pc]) + 50 * v)
+                px = np.stack([p, p + 3, p + 6], axis=2).astype(np.uint8)
+                payloads.append(encode_bmp(px.tobytes(), w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return image_neardup_pairs(payloads, max_hamming=3).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming")
+    )
+
+
+@_register(
     "multimodal_jpeg_pixel_stats",
     """
     WITH docs AS (
