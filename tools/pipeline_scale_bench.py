@@ -1339,10 +1339,15 @@ def image_neardup_cell(n: int, runs: int) -> None:
     distance is ≤ 1 bit — every intra-family pair is within radius 3 BY
     CONSTRUCTION and the 4-chunk pigeonhole guarantees detection):
 
-    * `diverse` — family-varying gradient multipliers spread the hashes
-      (a normal heterogeneous corpus). Asserts #(intra-family pairs) ==
-      Σ C(family_size, 2) exactly; cross-family collisions are reported
-      (deterministic, no closed form).
+    * `diverse` — per-(family, pixel) multiplicative-mix values give
+      near-unique hashes (a heterogeneous photo-like corpus). Linear
+      gradient patterns do NOT work here: the family offset cancels in
+      the neighbor comparisons, so a first cut with r·rm + c·cm
+      gradients collided 21M pairs at 100k images — structured
+      synthetic pixels are adversarial for gradient hashes by
+      construction. Asserts #(intra-family pairs) ==
+      Σ C(family_size, 2) exactly; cross-family collisions are
+      reported (deterministic, no closed form).
     * `selfsim_capped` — every family shares ONE gradient structure
       (logo/template corpora look like this), which concentrated chunk
       buckets into a measured ~1M-pair quadratic blowup at 10k images
@@ -1370,10 +1375,15 @@ def image_neardup_cell(n: int, runs: int) -> None:
                     i = int(doc_id)
                     fam, v = i // 4, i % 4
                     w, h = 12 + fam % 7, 10 + (fam * 3) % 5
-                    rm = 11 + fam % 13 if diverse else 11
-                    cm = 17 + (fam * 3) % 11 if diverse else 17
                     rr, cc = np.ogrid[0:h, 0:w]
-                    p = (fam * 37 + rr * rm + cc * cm) % 250
+                    if diverse:
+                        mix = (
+                            (fam ^ (rr * 73856093) ^ (cc * 19349663))
+                            * 2654435761
+                        ) % (1 << 32)
+                        p = (mix >> 8) % 250
+                    else:
+                        p = (fam * 37 + rr * 11 + cc * 17) % 250
                     p = np.broadcast_to(p, (h, w)).copy()
                     pc = (8 * w) // 9
                     p[0, pc] = min(249, int(p[0, pc]) + 50 * v)
