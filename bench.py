@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "multimodal_audio_normalize",
     "multimodal_audio_vad",
     "multimodal_image_neardup",
+    "sketch_heavy_hitters",
 ]
 
 # In-plan-build diagnostics (VERDICT r7 #8): these queries rebuild their

@@ -198,6 +198,9 @@ def main() -> int:
     if want("imgdedup"):
         image_neardup_cell(n=n, runs=runs)
 
+    if want("hhsketch"):
+        heavy_hitters_cell(n=n, runs=runs)
+
     if want("entropy"):
         entropy_cell(n=n, runs=runs)
 
@@ -1425,6 +1428,73 @@ def image_neardup_cell(n: int, runs: int) -> None:
         if cap is None:
             out["exact"] = bool(intra == expected_intra)
         print(json.dumps(out), flush=True)
+
+
+def heavy_hitters_cell(n: int, runs: int) -> None:
+    """Misra-Gries heavy hitters at the corpus shape it exists for
+    (r11): 10% of N rows spread over 50 hot items, 90% NEAR-UNIQUE tail
+    — the typo/id/url dictionary explosion that makes exact vocabulary
+    counting shuffle one row per distinct term. Two legs on the SAME
+    corpus, adjudicated on bytes (the r9 rule):
+
+    * sketch (capacity 4096): shuffle is p x capacity counter rows —
+      INDEPENDENT of the ~0.9N distinct terms. Guarantee asserted
+      exactly: every hot item present, with closed-form true count in
+      [est, est + err_bound].
+    * exact groupBy count(*) >= N/1000: the baseline that must move
+      the whole tail through the exchange.
+    """
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.sketches import heavy_hitters
+
+    spark = SparkSession.getActiveSession()
+    assert n % 500 == 0, "closed form needs 500 | n"
+    items = spark.range(n).select(
+        F.when(
+            F.col("id") % 10 == 0,
+            F.concat(F.lit("hot"), ((F.col("id") / 10).cast("long") % 50)
+                     .cast("string")),
+        ).otherwise(
+            F.concat(F.lit("tail"), F.col("id").cast("string"))
+        ).alias("item")
+    )
+    true_hot = n // 500  # occurrences of each of the 50 hot items
+
+    hh = heavy_hitters(items, "item", capacity=4096, min_est=true_hot // 2)
+    t = _time(lambda: hh.groupBy().count().collect(), runs)
+    rows = {r["item"]: (int(r["est_count"]), int(r["err_bound"]))
+            for r in hh.collect()}
+    hot_ok = all(
+        f"hot{i}" in rows
+        and rows[f"hot{i}"][0] <= true_hot <= sum(rows[f"hot{i}"])
+        for i in range(50)
+    )
+    sketch_exec = LAST_EXEC
+    print(json.dumps({
+        "cell": "heavy_hitters_sketch",
+        "n_rows": n,
+        "n_distinct": 50 + (n - n // 10),
+        "capacity": 4096,
+        "sec": t,
+        "exec": sketch_exec,
+        "err_bound": rows[next(iter(rows))][1] if rows else None,
+        "n_reported": len(rows),
+        "exact": bool(hot_ok),
+    }), flush=True)
+
+    exact = (
+        items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= n // 1000)
+    )
+    t2 = _time(lambda: exact.groupBy().count().collect(), runs)
+    print(json.dumps({
+        "cell": "heavy_hitters_exact_baseline",
+        "n_rows": n,
+        "sec": t2,
+        "exec": LAST_EXEC,
+    }), flush=True)
 
 
 def entropy_cell(n: int, runs: int) -> None:

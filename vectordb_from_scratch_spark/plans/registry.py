@@ -3901,6 +3901,38 @@ def _q_vocabulary(spark, sf_dir):
 
 
 @_register(
+    "sketch_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest({_TOK}) AS item FROM documents),
+    counts AS (
+      SELECT item, count(*)::BIGINT AS est_count FROM toks GROUP BY item
+    )
+    SELECT item, est_count, CAST(0 AS BIGINT) AS err_bound
+    FROM counts WHERE est_count >= 5
+    """,
+    doc="Misra-Gries heavy hitters (operators/sketches.py — the "
+    "sublinear-memory vocabulary screen for web-scale corpora: each "
+    "partition emits at most `capacity` counter rows regardless of how "
+    "long the token tail is, so the shuffle is p x capacity instead of "
+    "one row per distinct term; true counts live in [est, est + "
+    "err_bound] with the bound emitted exactly by the kernel, no "
+    "second pass). The oracle pins the capacity-sufficient regime "
+    "where MG degrades into exact counts with err_bound 0 — the sketch "
+    "must agree with DuckDB's exact aggregation term-for-term; "
+    "undersized-capacity behavior is property-tested against the "
+    "Misra-Gries guarantee in tests/test_sketches.py. Value-exact",
+)
+def _q_sketch_heavy_hitters(spark, sf_dir):
+    from ..functions.text import tokens as _tokens
+    from ..operators.sketches import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.explode(_tokens("text")).alias("item")
+    )
+    return heavy_hitters(d, "item", capacity=200_000, min_est=5)
+
+
+@_register(
     "text_fingerprints",
     f"""
     SELECT doc_id, md5({_NT}) AS fingerprint, substr(md5({_NT}), 1, 4) AS shard_key
