@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "multimodal_audio_vad",
     "multimodal_image_neardup",
     "sketch_heavy_hitters",
+    "pipeline_decontaminate_bloom",
 ]
 
 # In-plan-build diagnostics (VERDICT r7 #8): these queries rebuild their

@@ -109,3 +109,27 @@ def test_prep_v2_composes_flag_only_screen(spark, planted):
         assert flagged.count() == n_train
     finally:
         dedup.release_caches()
+
+
+def test_bloom_screen_is_answer_invisible(spark, planted):
+    """decontamination_report_bloom must return EXACTLY the flag-only
+    report — the bloom only thins the verify join's input. Pinned at
+    the default sizing AND at an adversarially tiny bitmap (m_bits=64,
+    ~every screen test passes → maximal false positives), because false
+    positives may cost work but never answers."""
+    exact = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in dedup.decontamination_report(
+            planted, n=4, eval_mod=EVAL_MOD, max_eval_df=2,
+            attribution=False,
+        ).collect()
+    }
+    for m_bits in (1 << 18, 64):
+        got = {
+            (r["doc_id"], r["n_shared_grams"])
+            for r in dedup.decontamination_report_bloom(
+                planted, n=4, eval_mod=EVAL_MOD, max_eval_df=2,
+                m_bits=m_bits,
+            ).collect()
+        }
+        assert got == exact, m_bits

@@ -53,6 +53,7 @@ __all__ = [
     "incremental_delivery_report",
     "build_corpus_dedup_index",
     "decontamination_report",
+    "decontamination_report_bloom",
     "decontamination_cap_report",
     "release_caches",
 ]
@@ -1355,6 +1356,89 @@ def decontamination_cap_report(
         "eval_rows_dropped": int(row["eval_rows_dropped"]),
         "max_eval_df_seen": int(row["max_eval_df_seen"]),
     }
+
+
+def decontamination_report_bloom(
+    documents: DataFrame,
+    n: int = 3,
+    eval_mod: int = 50,
+    *,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 5,
+    max_eval_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag-only decontamination behind an in-plan BLOOM pre-screen —
+    the scale path for when the eval gram set outgrows a comfortable
+    broadcast. Output is IDENTICAL to
+    ``decontamination_report(attribution=False)`` (same guards, same
+    columns): the Bloom filter only thins the verify join's input;
+    survivors are still verified against the true distinct eval gram
+    set, so false positives cost work, never wrong answers.
+
+    Mechanics, all public textbook Bloom: the eval grams' k_hashes bit
+    positions are computed IN SPARK (xxhash64(gram_hash, seed) mod
+    m_bits — the screen later recomputes the identical expressions, so
+    there is no cross-language hash-parity risk), collected as distinct
+    ints (≤ k·|eval grams|, benchmark-sized), folded into an m_bits
+    bitmap on the driver, and embedded in the plan as an
+    m_bits/64-element long-array LITERAL. The train-side screen is then
+    pure whole-stage-codegen integer math — element_at + variable
+    shiftright + mask per hash — with NO join, NO shuffle, and NO
+    broadcast of gram strings: the corpus scan carries a 32 KiB bitmap
+    (default 2^18 bits) instead of the full gram digest table, and only
+    bloom-surviving grams reach the exact verify join. At the default
+    sizing a benchmark of ~36k distinct grams sees k=5, m/n≈7 → ~5%
+    false-positive rate: the verify join's input shrinks ~20× for
+    uncontaminated corpora (the common case at 100 TB)."""
+    ev = documents.filter((F.col(id_col) % eval_mod) == 0)
+    tr = documents.filter((F.col(id_col) % eval_mod) != 0)
+    ev_grams = _distinct_gram_hashes(ev, n, text_col, id_col)
+    if max_eval_df is not None:
+        keep = (
+            ev_grams.groupBy("gram_hash")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_eval_df)
+            .select("gram_hash")
+        )
+        ev_gram_set = keep
+    else:
+        ev_gram_set = ev_grams.select("gram_hash").distinct()
+
+    def positions(col: str, i: int):
+        return F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits)).cast("long")
+
+    pos_rows = (
+        ev_gram_set.select(
+            F.explode(
+                F.array(*[positions("gram_hash", i) for i in range(k_hashes)])
+            ).alias("__pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in pos_rows:
+        p = int(r["__pos"])
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed longs for the literal array
+    lits = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.array(*[F.lit(w) for w in lits])
+
+    tr_grams = _distinct_gram_hashes(tr, n, text_col, id_col)
+    screened = tr_grams.withColumn("__bm", bitmap)
+    for i in range(k_hashes):
+        screened = screened.withColumn(f"__p{i}", positions("gram_hash", i))
+    cond = " AND ".join(
+        f"((element_at(__bm, CAST(__p{i} / 64 AS INT) + 1)"
+        f" >> CAST(__p{i} % 64 AS INT)) & 1) = 1"
+        for i in range(k_hashes)
+    )
+    cand = screened.filter(F.expr(cond)).select(id_col, "gram_hash")
+    # exact verify: only bloom survivors reach the join
+    flags = cand.join(F.broadcast(ev_gram_set), "gram_hash")
+    return flags.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared_grams"))
 
 
 def substring_overlap_pairs(

@@ -3320,6 +3320,38 @@ def _q_decontaminate_flagonly(spark, sf_dir):
 
 
 @_register(
+    "pipeline_decontaminate_bloom",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK_HOT} AS w FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct({_SH4})) AS gram FROM t),
+    ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0),
+    evg AS (SELECT gram FROM ev GROUP BY gram HAVING count(*) <= 2),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, count(*) AS n_shared_grams
+    FROM tr JOIN evg USING (gram) GROUP BY tr.doc_id
+    """,
+    doc="Flag-only decontamination behind an in-plan BLOOM pre-screen "
+    "(operators/dedup.py:decontamination_report_bloom) — the scale path "
+    "when the eval gram set outgrows a comfortable broadcast: eval-gram "
+    "bit positions fold into a 2^18-bit bitmap embedded as a plan "
+    "LITERAL, the corpus screen is pure codegen'd integer math "
+    "(element_at + variable shiftright + mask, no join/shuffle/"
+    "broadcast of gram digests), and only bloom survivors reach the "
+    "exact verify join. False positives cost work, never answers, so "
+    "the oracle is the SAME exact SQL as the unscreened flag-only "
+    "query — the screen must be answer-invisible, and this pins it. "
+    "Value-exact",
+)
+def _q_decontaminate_bloom(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit(_HOT_FOOTER))
+    )
+    return dedup.decontamination_report_bloom(
+        d, n=4, eval_mod=97, max_eval_df=2
+    )
+
+
+@_register(
     "pipeline_corpus_prep_v2",
     f"""
     WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
