@@ -162,6 +162,9 @@ def main() -> int:
     if want("decontam_adversarial"):
         decontam_adversarial_cell(n=n, runs=runs)
 
+    if want("decontambloom"):
+        decontam_bloom_cell(n=n, runs=runs)
+
     if want("corpusprep"):
         corpus_prep_cell(n=n, runs=runs)
 
@@ -419,6 +422,61 @@ def decontam_cell(n: int, runs: int) -> None:
             and row["emin"] == row["emax"] == expected_eval
         ),
     }))
+
+
+def decontam_bloom_cell(n: int, runs: int) -> None:
+    """Bloom-screened flag-only decontamination on the SAME corpus as
+    decontam_cell, vs the unscreened flag-only baseline (r11). The
+    screen's claim is that the corpus-side verify join input shrinks to
+    bloom survivors while answers stay identical — both asserted: the
+    contaminated set is the decontam_cell closed form, and the two legs
+    are compared on bytes (the r9 rule)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_from_scratch_spark.operators.dedup import (
+        decontamination_report,
+        decontamination_report_bloom,
+    )
+
+    spark = SparkSession.getActiveSession()
+    sid = F.col("id").cast("string")
+    uniq = F.concat_ws(
+        " ", *[F.concat(F.lit(f"w{j}tok"), sid) for j in range(5)]
+    )
+    blk = (F.col("id") / 970).cast("long").cast("string")
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10 == 0,
+            F.concat(uniq, F.lit(" common contaminated phrase b"), blk),
+        ).otherwise(uniq).alias("text"),
+    )
+    expected_rows = sum(1 for i in range(0, n, 10) if i % 97 != 0)
+    for leg, mk in (
+        ("decontaminate_bloom", lambda: decontamination_report_bloom(
+            docs, n=4, eval_mod=97)),
+        ("decontaminate_flagonly_base", lambda: decontamination_report(
+            docs, n=4, eval_mod=97, attribution=False)),
+    ):
+        out = mk()
+        t = _time(lambda o=out: o.agg(F.count(F.lit(1))).collect(), runs)
+        row = out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("n_shared_grams").alias("gmin"),
+            F.max("n_shared_grams").alias("gmax"),
+        ).collect()[0]
+        print(json.dumps({
+            "cell": leg,
+            "n_docs": n,
+            "sec": t,
+            "exec": LAST_EXEC,
+            "contaminated": int(row["rows"]),
+            "exact": bool(
+                row["rows"] == expected_rows
+                and row["gmin"] == row["gmax"] == 1
+            ),
+        }), flush=True)
 
 
 def corpus_prep_cell(n: int, runs: int) -> None:
