@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "multimodal_image_neardup",
     "sketch_heavy_hitters",
     "pipeline_decontaminate_bloom",
+    "multimodal_audio_neardup",
 ]
 
 # In-plan-build diagnostics (VERDICT r7 #8): these queries rebuild their

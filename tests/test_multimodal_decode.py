@@ -601,6 +601,63 @@ def test_image_neardup_radius_cap(spark):
         mm.image_neardup_pairs(df, max_hamming=4)
 
 
+def test_audio_fingerprint_loudness_and_codec_invariant(spark):
+    # the envelope hash must survive (a) uniform gain and (b) the same
+    # recording stored at a different bit depth; junk and too-short
+    # payloads drop
+    import numpy as np
+
+    rng = np.random.default_rng(43)
+    base = rng.integers(-800, 800, 400).tolist()
+    payloads = [
+        (0, mm.encode_wav(base, 16000, 1, bits=16)),
+        (1, mm.encode_wav([v * 3 for v in base], 16000, 1, bits=16)),
+        (2, mm.encode_wav([v * 3 for v in base], 16000, 1, bits=24)),
+        (3, mm.encode_wav(base[:60], 16000, 1, bits=16)),  # < 65 samples
+        (4, b"not audio"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: (r.dh0, r.dh1)
+           for r in mm.audio_fingerprint(df).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0] == got[1] == got[2]
+
+
+def test_audio_neardup_banded_equals_bruteforce(spark):
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(47)
+    payloads = []
+    for i in range(24):
+        fam = i // 4
+        f_rng = np.random.default_rng(100 + fam)
+        sig = f_rng.integers(-500, 500, 300)
+        # per-variant local perturbation so some pairs drift
+        j = rng.integers(0, 300)
+        sig = sig.copy()
+        sig[j] = rng.integers(-500, 500)
+        payloads.append(
+            (i, bytearray(mm.encode_wav(sig.tolist(), 16000, 1, bits=16)))
+        )
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    hashes = {r.doc_id: (r.dh0, r.dh1)
+              for r in mm.audio_fingerprint(df).collect()}
+    brute = set()
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        ham = (bin(hashes[a][0] ^ hashes[b][0]).count("1")
+               + bin(hashes[a][1] ^ hashes[b][1]).count("1"))
+        if ham <= 3:
+            brute.add((a, b, ham))
+    banded = {(r.id_a, r.id_b, r.hamming)
+              for r in mm.audio_neardup_pairs(df, max_hamming=3).collect()}
+    assert banded == brute and brute
+
+
 def test_wav_ima_adpcm_rejects_bad_geometry():
     good = mm.encode_wav_ima_adpcm(
         [{"pred": [0], "idx": [0], "nibbles": [[1] * 8]}], 8000, 1

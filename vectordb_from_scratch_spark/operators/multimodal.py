@@ -59,6 +59,8 @@ __all__ = [
     "wav_vad_segments",
     "image_dhash",
     "image_neardup_pairs",
+    "audio_fingerprint",
+    "audio_neardup_pairs",
     "encode_jpeg",
     "encode_jpeg_gray",
     "decode_jpeg_pixels",
@@ -3323,18 +3325,30 @@ def image_neardup_pairs(
     over-crowded chunk are lost (recall, never precision), the same
     documented trade the LSH cap makes. None (default) is exact and is
     what the oracle pins."""
+    dh = image_dhash(payloads, id_col=id_col, payload_col=payload_col)
+    return _hamming_pairs_banded(dh, id_col, max_hamming, max_bucket)
+
+
+def _hamming_pairs_banded(
+    hashes: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Shared pigeonhole pair join over (id, dh0, dh1) two-word
+    fingerprints — serves both the image dHash and the audio envelope
+    fingerprint. Four 16-bit chunks guarantee radius ≤ 3."""
     if max_hamming > 3:
         raise ValueError(
             "max_hamming > 3 exceeds the 4-chunk pigeonhole guarantee"
         )
-    dh = image_dhash(payloads, id_col=id_col, payload_col=payload_col)
     chunks = [
         (F.col("dh0") % 65536).alias("c0"),
         (F.col("dh0") / 65536).cast("long").alias("c1"),
         (F.col("dh1") % 65536).alias("c2"),
         (F.col("dh1") / 65536).cast("long").alias("c3"),
     ]
-    staged = dh.select(id_col, "dh0", "dh1", *chunks)
+    staged = hashes.select(id_col, "dh0", "dh1", *chunks)
     banded = None
     for idx in range(4):
         piece = staged.select(
@@ -3376,6 +3390,74 @@ def image_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()  # a pair can collide in several chunks
     )
+
+
+def audio_fingerprint(
+    payloads: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Energy-envelope audio fingerprint — the audio rung of the
+    embedding-free near-dup ladder (text SimHash, image dHash, and now
+    audio): decode (any supported WAV codec), integer mono downmix,
+    resample the ENERGY ENVELOPE onto a canonical 65-point grid —
+    sample s belongs to window (s·65)//n, i.e. window boundaries are
+    ceil(t·n/65) (the ceil boundary is what makes the per-sample
+    assignment the exact SQL-expressible inverse; floor boundaries are
+    NOT invertible by (s·65)//n when 65∤n) — then one bit per
+    neighboring window pair: bit(t) = E[t] > E[t+1], the dHash recipe
+    transposed to time. Loudness-invariant up to ties (scaling every sample by c
+    scales every window energy by c², preserving all comparisons) and
+    robust to codec/bit-depth differences of the same recording. The 64
+    bits pack into the same two 32-bit words as image_dhash, so
+    fingerprints feed the shared banded pair join and knn_hamming.
+    Payloads shorter than 65 samples drop. Narrow Arrow map, no
+    shuffle."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = _decode_or_none(decode_wav_samples, payload)
+                if dec is None or dec["n_frames"] < 65:
+                    continue
+                arr = dec["samples"].astype(np.int64)
+                n, nch = arr.shape
+                mono = np.floor_divide(arr.sum(axis=1), nch)
+                bounds = (np.arange(66) * n + 64) // 65  # ceil(t*n/65)
+                sq = np.concatenate(([0], np.cumsum(mono * mono)))
+                energy = sq[bounds[1:]] - sq[bounds[:-1]]  # (65,)
+                bits = (energy[:64] > energy[1:]).astype(np.int64)
+                weights = 1 << np.arange(32, dtype=np.int64)
+                dh0 = int((bits[:32] * weights).sum())
+                dh1 = int((bits[32:] * weights).sum())
+                rows.append((int(doc_id), dh0, dh1))
+            yield pd.DataFrame(rows, columns=[id_col, "dh0", "dh1"])
+
+    return payloads.mapInPandas(
+        fp, schema=f"{id_col} long, dh0 long, dh1 long"
+    )
+
+
+def audio_neardup_pairs(
+    payloads: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Audio near-duplicate pairs over the energy-envelope fingerprint —
+    same contract, guarantees, and skew valve as image_neardup_pairs
+    (the two share the banded pair join): (id_a, id_b, hamming) with
+    id_a < id_b, every radius-≤3 pair found via the 4-chunk pigeonhole,
+    `max_bucket` capping crowded chunks with the documented recall
+    trade. The screen a speech/music training pipeline runs to drop
+    re-encoded copies of the same recording before paying an acoustic
+    embedding."""
+    fps = audio_fingerprint(payloads, id_col=id_col, payload_col=payload_col)
+    return _hamming_pairs_banded(fps, id_col, max_hamming, max_bucket)
 
 
 def fake_decode(payload: bytes) -> dict:

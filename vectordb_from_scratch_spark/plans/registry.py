@@ -8389,6 +8389,94 @@ def _q_multimodal_image_neardup(spark, sf_dir):
 
 
 @_register(
+    "multimodal_audio_neardup",
+    """
+    WITH docs AS (
+      SELECT doc_id, (doc_id // 5) // 4 AS fam, (doc_id // 5) % 4 AS v
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    dims AS (
+      SELECT doc_id, fam, v, 130 + (fam % 7) * 13 AS n FROM docs
+    ),
+    samp AS (
+      SELECT d.doc_id, (ss.s * 65) // d.n AS w,
+             (((d.fam * 131 + ss.s * 17) % 256) - 128)
+             * (CASE WHEN (ss.s * 65) // d.n = 64 THEN 1 + d.v ELSE 1 END)
+               AS val
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS s) ss
+    ),
+    env AS (
+      SELECT doc_id, w, sum(val * val) AS e
+      FROM samp GROUP BY doc_id, w
+    ),
+    bits AS (
+      SELECT a.doc_id, a.w AS t,
+             CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+      FROM env a JOIN env b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+      WHERE a.w < 64
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN t < 32
+                           THEN bit * (1 << t) ELSE 0 END) AS BIGINT) AS h0,
+             CAST(sum(CASE WHEN t >= 32
+                           THEN bit * (1 << (t - 32)) ELSE 0 END)
+                  AS BIGINT) AS h1
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+                AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 3
+    """,
+    doc="Audio near-dup over the energy-envelope fingerprint "
+    "(operators/multimodal.py:audio_fingerprint/audio_neardup_pairs) — "
+    "the audio rung of the embedding-free near-dup ladder beside text "
+    "SimHash and image dHash: real WAV decode → integer mono downmix → "
+    "65 equal-count energy windows on the (t*n)//65 floor partition → "
+    "one bit per neighboring-window comparison (loudness-invariant: "
+    "scaling samples by c scales every window energy by c^2, "
+    "preserving all comparisons) → the SAME 4-chunk pigeonhole pair "
+    "join the image screen uses. The corpus synthesizes 4-variant "
+    "families whose variants rescale exactly the final window, so "
+    "family pairs differ in at most one envelope bit; the oracle "
+    "recomputes window energies via the (s*65)//n inverse of the floor "
+    "partition, derives bits/hashes closed-form, and joins "
+    "exhaustively — the banded operator must find exactly the "
+    "exhaustive pairs. Value-exact",
+)
+def _q_multimodal_audio_neardup(spark, sf_dir):
+    from ..operators.multimodal import audio_neardup_pairs, encode_wav
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                j = i // 5
+                fam, v = j // 4, j % 4
+                n = 130 + (fam % 7) * 13
+                samples = [
+                    (((fam * 131 + s * 17) % 256) - 128)
+                    * ((1 + v) if (s * 65) // n == 64 else 1)
+                    for s in range(n)
+                ]
+                payloads.append(encode_wav(samples, 16000, 1, bits=16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return audio_neardup_pairs(payloads, max_hamming=3).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+@_register(
     "multimodal_jpeg_pixel_stats",
     """
     WITH docs AS (
