@@ -25,21 +25,28 @@ M, KS, DIM, D_SUB = 8, 8, 64, 8
 def emb(spark):
     e = load_table(spark, SF_SMOKE, "embeddings")
     e.persist().count()
-    return e
+    yield e
+    # unpersist at module teardown: a leaked cache of the RAW table turns
+    # every later test's parquet scan into an InMemoryTableScan, silently
+    # breaking pushdown assertions in plan tests that run after this
+    # module (order-dependent red — the r8 "fix the leak" rule)
+    e.unpersist()
 
 
 @pytest.fixture(scope="module")
 def cb(spark, emb):
     c = pq.pq_codebook(emb, m=M, ks=KS, dim=DIM, iters=1)
     c.persist().count()
-    return c
+    yield c
+    c.unpersist()
 
 
 @pytest.fixture(scope="module")
 def codes(spark, emb, cb):
     c = pq.pq_encode(emb, cb, M, D_SUB)
     c.persist().count()
-    return c
+    yield c
+    c.unpersist()
 
 
 @pytest.fixture(scope="module")

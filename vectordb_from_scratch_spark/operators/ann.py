@@ -469,21 +469,47 @@ def build_ivf(
 def assign_ivf_det(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid (euclidean, tie-break
     on list_id asc). `vectors` is (id, vec); `centroids` is (list_id,
-    cvec) — tiny (n_lists rows), so the cross join is a broadcast
-    nested-loop over a handful of rows, never a shuffle.
+    cvec) — tiny (n_lists rows), collapsed to ONE array row and
+    broadcast, so the assignment is a zero-shuffle per-row expression.
 
     Distances use the same left-fold euclidean as exact k-NN, so the
     assignment an external engine computes with the same fold is
-    bit-identical (the property the DuckDB oracle relies on)."""
-    from pyspark.sql import Window
+    bit-identical (the property the DuckDB oracle relies on). The
+    argmin is a lexicographic array_min over (distance, list_id)
+    structs — exactly the (distance asc, list_id asc) winner the
+    oracle's row_number picks, without materializing rows × n_lists
+    pairs through an Exchange + per-id window sort (the pre-r11 shape:
+    at 100M rows × 640 lists that window shuffled 64B vector-carrying
+    rows; this is one narrow map over the vectors — guide §2.4).
+    Verified exceptAll-empty against the window form, and the full
+    build_ivf_det centroid chain through it, at sf0.01/sf0.1.
 
-    w = Window.partitionBy("id").orderBy(F.col("__d").asc(), F.col("list_id").asc())
+    spread(): the removed exchange was also what spread a small
+    single-file scan across cores before the (interpreted) fold
+    evaluations — keep that parallelism explicitly; at real scale
+    inputs arrive pre-split and spread is a no-op."""
+    from ..sources.tables import spread
+
+    vectors = spread(vectors)
+    cent_arr = centroids.groupBy().agg(
+        F.collect_list(F.struct("list_id", "cvec")).alias("__cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                vm.euclidean_distance(F.col("vec"), c["cvec"]).alias("d"),
+                c["list_id"].alias("list_id"),
+            ),
+        )
+    )
     return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .withColumn("__d", vm.euclidean_distance("vec", "cvec"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", "vec", "list_id")
+        vectors.crossJoin(F.broadcast(cent_arr))
+        .select("id", "vec", best["list_id"].alias("list_id"))
+        # empty-centroids faithfulness: the pre-r11 crossJoin emitted no
+        # rows against an empty centroid table; the global collect_list
+        # agg always emits one (empty-array) row, so drop the NULL argmin
+        .filter(F.col("list_id").isNotNull())
     )
 
 
@@ -697,6 +723,57 @@ def build_ivf_det(
     return cent
 
 
+def _route_queries(
+    q: DataFrame, centers_df: DataFrame, n_probe: int, *, keep_center: bool = False
+) -> DataFrame:
+    """Route each query row (query_id, __qvec) to its `n_probe` nearest
+    centroids: centers collapse to ONE broadcast array row; per query the
+    routing is array_sort over (cdist, list_id) structs + slice + explode
+    — a narrow expression, no Exchange and no window sort (the pre-r11
+    shape shuffled queries × n_lists rows into a per-query row_number).
+    Lexicographic struct sort == the old (cdist asc, list_id asc)
+    tie-break; euclidean uses the same left-fold, so the probed list set
+    is bit-identical (verified exceptAll-empty at sf0.01/sf0.1).
+    Returns (query_id, __qvec, list_id) — plus `center` with
+    ``keep_center`` (the residual-PQ path needs the probed centroid to
+    form r_q = q − c; the center field sits THIRD in the sort struct, so
+    it is only ever compared on a (d, list_id) tie, which list_id
+    uniqueness rules out)."""
+    cent_arr = centers_df.groupBy().agg(
+        F.collect_list(F.struct("list_id", "center")).alias("__cents")
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                vm.euclidean_distance(F.col("__qvec"), c["center"]).alias("d"),
+                c["list_id"].alias("list_id"),
+                *([c["center"].alias("center")] if keep_center else []),
+            ),
+        )
+    )
+    if not keep_center:
+        return q.crossJoin(F.broadcast(cent_arr)).select(
+            "query_id",
+            "__qvec",
+            F.explode(F.slice(ranked, 1, n_probe)["list_id"]).alias("list_id"),
+        )
+    return (
+        q.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "query_id",
+            "__qvec",
+            F.explode(F.slice(ranked, 1, n_probe)).alias("__probe"),
+        )
+        .select(
+            "query_id",
+            "__qvec",
+            F.col("__probe.list_id").alias("list_id"),
+            F.col("__probe.center").alias("center"),
+        )
+    )
+
+
 def ann_knn_ivf(
     assigned: DataFrame,
     centers: list[list[float]] | DataFrame,
@@ -731,37 +808,27 @@ def ann_knn_ivf(
     (list_id, cvec) DataFrame build_ivf_det returns — the latter keeps
     the whole probe driver-free (no collect anywhere in the chain).
 
-    Plan shape: queries ⨯ centers (tiny broadcast) → top-n_probe lists per
-    query → equi-join on list_id (hash-prunable) → distance → top-k.
+    Plan shape: queries ⨯ centers (ONE broadcast array row) → per-query
+    routing as a narrow sort-slice-explode expression (no Exchange, no
+    window: array_sort over (cdist, list_id) structs picks exactly the
+    (cdist asc, list_id asc) top-n_probe the old row_number did —
+    guide §2.4) → equi-join on list_id (hash-prunable) → distance →
+    top-k.
     """
     from pyspark.sql import Window
 
     spark = assigned.sparkSession
     if isinstance(centers, DataFrame):
-        centers_df = F.broadcast(
-            centers.select("list_id", F.col("cvec").alias("center"))
-        )
+        centers_df = centers.select("list_id", F.col("cvec").alias("center"))
     else:
-        centers_df = F.broadcast(
-            spark.createDataFrame(
-                [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-                "list_id int, center array<double>",
-            )
+        centers_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            "list_id int, center array<double>",
         )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qvec")
     )
-    w_route = Window.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("list_id").asc())
-    routed = (
-        q.crossJoin(centers_df)
-        .select(
-            "query_id", "__qvec", "list_id",
-            vm.euclidean_distance("__qvec", "center").alias("cdist"),
-        )
-        .withColumn("__r", F.row_number().over(w_route))
-        .filter(F.col("__r") <= n_probe)
-        .select("query_id", "__qvec", "list_id")
-    )
+    routed = _route_queries(q, centers_df, n_probe)
     if predicate is not None and attrs is None:
         assigned = assigned.filter(predicate)
     cands = assigned.join(F.broadcast(routed), on="list_id").select(
@@ -856,23 +923,12 @@ def ann_knn_ivf_sq8(
     oracle-twinnable."""
     from pyspark.sql import Window
 
-    centers_df = F.broadcast(centers.select("list_id", F.col("cvec").alias("center")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         vm.as_double(query_vec_col).alias("__qvec"),
     )
-    w_route = Window.partitionBy("query_id").orderBy(
-        F.col("cdist").asc(), F.col("list_id").asc()
-    )
-    routed = (
-        q.crossJoin(centers_df)
-        .select(
-            "query_id", "__qvec", "list_id",
-            vm.euclidean_distance("__qvec", "center").alias("cdist"),
-        )
-        .withColumn("__r", F.row_number().over(w_route))
-        .filter(F.col("__r") <= n_probe)
-        .select("query_id", "__qvec", "list_id")
+    routed = _route_queries(
+        q, centers.select("list_id", F.col("cvec").alias("center")), n_probe
     )
     decoded = vm.sq8_decode("codes", F.col("vmin"), F.col("scale"))
     cands = index.join(F.broadcast(routed), on="list_id").select(

@@ -171,10 +171,18 @@ def pagerank(
     output."""
     # e / nodes / outdeg each feed every iteration: localCheckpoint runs
     # the (possibly expensive) edge derivation + distinct ONCE instead of
-    # once per iteration per consumer — same device as the pr chain below
+    # once per iteration per consumer — same device as the pr chain below.
+    # repartition(src) BEFORE the checkpoint: LogicalRDD keeps the
+    # physical hash-partitioning, so every iteration's e⋈pr equi-join on
+    # src reuses it instead of re-shuffling the (big) edge table per
+    # round — the standard distributed-PageRank layout (guide §2.4
+    # "two operations keyed the same way share one exchange"); measured
+    # 5.2 → 4.0 s at sf0.1, values identical (decimal sums are
+    # order-independent)
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
+        .repartition(F.col("src"))
         .transform(cache.checkpoint)
     )
     nodes = (
@@ -244,7 +252,17 @@ def label_propagation(
     pairs only — never adjacency lists.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
-    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # checkpoint + pre-partition by dst (the per-round join key): without
+    # it every round re-expands the whole upstream edge derivation (e.g.
+    # an SRP similarity build) in its plan AND re-shuffles it for the
+    # dst-keyed join — same device as pagerank's src-partitioned edges
+    # (r11, guide §2.4)
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition(F.col("dst"))
+        .transform(cache.checkpoint)
+    )
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()

@@ -67,22 +67,33 @@ def subvectors(vectors: DataFrame, m: int, d_sub: int,
 def _assign_codes(subvecs: DataFrame, codebook: DataFrame) -> DataFrame:
     """Nearest-centroid code per (sub, id): euclidean over the subspace,
     tie-break code asc — the per-subspace twin of ann.assign_ivf_det.
-    The codebook (m·ks rows) broadcasts; the argmin is a lexicographic
-    struct-min AGGREGATION, not a window: min(struct(d, code)) picks
-    exactly the (distance asc, code asc) winner the oracle's row_number
-    does, but combines map-side — the shuffle carries one partial row
-    per (sub, id) instead of ks sorted candidates (a ks× cut; at 1M
-    rows × m=16 × ks=32 that is 512M window rows avoided)."""
-    dc = F.struct(
-        vm.euclidean_distance("svec", "cvec").alias("d"),
-        F.col("code").alias("c"),
+    The codebook groups to m rows of (code, cvec) arrays and broadcasts;
+    the argmin is a lexicographic array_min over (d, code) structs
+    evaluated PER ROW — it picks exactly the (distance asc, code asc)
+    winner the oracle's row_number does, with ZERO exchange of the
+    subvector table (the pre-r11 struct-min aggregation still shuffled
+    one partial row per (sub, id); at 1M rows × m=16 that is 16M rows of
+    shuffle per Lloyd round this no longer pays — guide §2.4). Verified
+    exceptAll-empty against the aggregation form at sf0.01. spread()
+    keeps small-scan parallelism now that no exchange re-spreads the
+    rows (no-op at real scale)."""
+    from ..sources.tables import spread
+
+    subvecs = spread(subvecs)
+    cb_arr = codebook.groupBy("sub").agg(
+        F.collect_list(F.struct("code", "cvec")).alias("__cb")
     )
-    return (
-        subvecs.join(F.broadcast(codebook), on="sub")
-        .select("sub", "id", "svec", dc.alias("__dc"))
-        .groupBy("sub", "id")
-        .agg(F.min("__dc").alias("__m"), F.first("svec").alias("svec"))
-        .select("sub", "id", "svec", F.col("__m.c").alias("code"))
+    best = F.array_min(
+        F.transform(
+            F.col("__cb"),
+            lambda c: F.struct(
+                vm.euclidean_distance(F.col("svec"), c["cvec"]).alias("d"),
+                c["code"].alias("c"),
+            ),
+        )
+    )
+    return subvecs.join(F.broadcast(cb_arr), on="sub").select(
+        "sub", "id", "svec", best["c"].alias("code")
     )
 
 
@@ -182,18 +193,66 @@ def pq_encode(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as its m nearest-subspace-centroid codes:
     (id long, codes array<int>), codes ordered sub-ascending. This is
     the stored index — ~m bytes/vector in parquet (int codes ≤ ks
-    dictionary-encode to ~1 byte) vs 4·dim raw."""
-    v = vectors.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
-    assigned = _assign_codes(subvectors(v, m, d_sub, id_col=id_col, vec_col=vec_col),
-                             codebook)
-    return assigned.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
-        ).alias("codes")
+    dictionary-encode to ~1 byte) vs 4·dim raw.
+
+    ONE narrow map over the vectors: the whole codebook collapses to a
+    single broadcast row of per-subspace (code, cvec) arrays and every
+    subspace's argmin evaluates as a per-row array_min expression —
+    same left-fold distances, same (d asc, code asc) tie-break, so the
+    codes are bit-identical to the pre-r11 explode → argmin →
+    groupBy(id) collect shape, with its TWO exchanges of rows×m /
+    rows×1 records removed outright (guide §2.4; verified
+    exceptAll-empty at sf0.01). ``passthrough`` copies extra `vectors`
+    columns to the output unchanged (saves the id-join when the caller
+    needs them alongside codes — same contract as pq_encode_kernel).
+
+    NOTE on parallelism: this is a pure narrow map — it inherits its
+    input's partitioning. Callers encoding a small single-file scan
+    should spread() the SHALLOW input themselves (assign_ivf_det and
+    _assign_codes already do); probing partition counts here would
+    force a full physical planning pass over arbitrarily deep input
+    plans at DataFrame-build time (measured: tens of driver seconds on
+    the ivf_pq chain — guide §7.3 'planning is driver-side work')."""
+    cb_nested = (
+        codebook.groupBy("sub")
+        .agg(F.collect_list(F.struct("code", "cvec")).alias("cbs"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cbs"))),
+                lambda s: s["cbs"],
+            ).alias("__cbm")
+        )
+    )
+    vd = vm.as_double(vec_col)
+    # index-lambda transform, NOT an m-way unrolled F.array: unrolling
+    # builds an m·ks-fold expression tree that Catalyst/codegen choke on
+    # (measured: 100 s of plan-side stall on the ivf_pq chain); this
+    # form is one fold lambda evaluated m×ks times per row — same
+    # arithmetic, constant-size tree
+    codes = F.transform(
+        F.col("__cbm"),
+        lambda cbs, i: F.array_min(
+            F.transform(
+                cbs,
+                lambda c: F.struct(
+                    vm.euclidean_distance(
+                        F.slice(vd, i * F.lit(d_sub) + 1, F.lit(d_sub)), c["cvec"]
+                    ).alias("d"),
+                    c["code"].alias("c"),
+                ),
+            )
+        )["c"],
+    )
+    return vectors.crossJoin(F.broadcast(cb_nested)).select(
+        F.col(id_col).cast("long").alias("id"),
+        codes.alias("codes"),
+        *[F.col(c) for c in passthrough],
     )
 
 
@@ -620,9 +679,12 @@ def ivf_pq_index(
             assigned, codebook, m, d_sub,
             id_col=id_col, vec_col=vec_col, passthrough=("list_id",),
         ).select("id", "codes", F.col("list_id").cast("int").alias("list_id"))
-    codes = pq_encode(assigned, codebook, m, d_sub, id_col=id_col, vec_col=vec_col)
-    lists = assigned.select(F.col(id_col).cast("long").alias("id"), "list_id")
-    return codes.join(lists, on="id")
+    # list_id rides through the narrow encode — the pre-r11 shape paid a
+    # join of the encoded table back against (id, list_id) for it
+    return pq_encode(
+        assigned, codebook, m, d_sub,
+        id_col=id_col, vec_col=vec_col, passthrough=("list_id",),
+    )
 
 
 def ann_knn_ivf_pq(
@@ -672,24 +734,15 @@ def ann_knn_ivf_pq(
     code candidates BEFORE the shortlist window, so shortlist and top-k
     fill from qualifying rows only — filter × coarse index × PQ, the
     full serve composition."""
+    from .ann import _route_queries
+
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         vm.as_double(query_vec_col).alias("__qvec"),
     )
-    centers_df = F.broadcast(centers.select("list_id", F.col("cvec").alias("center")))
-    w_route = Window.partitionBy("query_id").orderBy(
-        F.col("cdist").asc(), F.col("list_id").asc()
-    )
-    routed = (
-        q.crossJoin(centers_df)
-        .select(
-            "query_id", "__qvec", "list_id",
-            vm.euclidean_distance("__qvec", "center").alias("cdist"),
-        )
-        .withColumn("__r", F.row_number().over(w_route))
-        .filter(F.col("__r") <= n_probe)
-        .select("query_id", "list_id")
-    )
+    routed = _route_queries(
+        q, centers.select("list_id", F.col("cvec").alias("center")), n_probe
+    ).select("query_id", "list_id")
     qslice = F.slice(F.col("__qvec"), F.col("sub") * d_sub + 1, F.lit(d_sub))
     lut = (
         q.crossJoin(F.broadcast(codebook))
@@ -908,26 +961,18 @@ def ann_knn_ivf_pq_residual(
     matching every other kernel flip; requires integral query ids and
     list ids (composite-key routing), which every index built here has.
     """
+    from .ann import _route_queries
+
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         vm.as_double(query_vec_col).alias("__qvec"),
     )
-    centers_df = F.broadcast(centers.select("list_id", F.col("cvec").alias("center")))
-    w_route = Window.partitionBy("query_id").orderBy(
-        F.col("cdist").asc(), F.col("list_id").asc()
-    )
-    routed = (
-        q.crossJoin(centers_df)
-        .select(
-            "query_id", "__qvec", "list_id", "center",
-            vm.euclidean_distance("__qvec", "center").alias("cdist"),
-        )
-        .withColumn("__r", F.row_number().over(w_route))
-        .filter(F.col("__r") <= n_probe)
-        .select(
-            "query_id", "list_id", "__qvec",
-            vm.vec_sub("__qvec", "center").alias("__rq"),
-        )
+    routed = _route_queries(
+        q, centers.select("list_id", F.col("cvec").alias("center")), n_probe,
+        keep_center=True,
+    ).select(
+        "query_id", "list_id", "__qvec",
+        vm.vec_sub("__qvec", "center").alias("__rq"),
     )
     rq_slice = F.slice(F.col("__rq"), F.col("sub") * d_sub + 1, F.lit(d_sub))
     lut = (

@@ -173,7 +173,12 @@ def dsir_logweights(
     log-likelihood-ratio table broadcasts back. Nothing driver-side,
     no UDF. Output: (id, n_bigrams, logw) for docs with ≥1 bigram.
     """
-    staged = documents.withColumn("__is_t", target_filter.cast("int"))
+    # spread: the bigram explode + per-gram md5 is compute-heavy NARROW
+    # work — a 1-split scan would serialize it on one core; no-op at
+    # real scale (r11)
+    from ..sources.tables import spread
+
+    staged = spread(documents).withColumn("__is_t", target_filter.cast("int"))
     grams = staged.select(
         F.col(id_col),
         F.col("__is_t"),

@@ -156,8 +156,12 @@ def pack_sequences(
 def quality_scores(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality score in [0,1]: rewards mid-length docs with low
     punctuation/digit density and some stopword coverage — the standard
-    pretraining-filter shape (Gopher/C4-style rules, public recipes)."""
-    documents = documents.withColumn("__toks", X.tokens(text_col))
+    pretraining-filter shape (Gopher/C4-style rules, public recipes).
+
+    spread(): the scoring is a compute-heavy NARROW map (interpreted
+    higher-order token/feature lambdas) — a 1-split scan would serialize
+    it on one core; no-op at real scale (r11)."""
+    documents = spread(documents).withColumn("__toks", X.tokens(text_col))
     feats = X.quality_features(text_col, toks=F.col("__toks"))
     len_score = F.least(feats["n_tokens"] / F.lit(50.0), F.lit(1.0))
     punct_pen = F.least(F.coalesce(feats["punct_ratio"], F.lit(0.0)) * F.lit(4.0), F.lit(1.0))
@@ -215,8 +219,10 @@ def quality_model_scores(
     Returns (doc_id, lang, p_keep, keep): p = sigmoid(w·x + b),
     keep = p >= threshold. Every feature and the sigmoid are
     deterministic closed-form doubles — value-exact oracle-twinnable.
+
+    spread(): same narrow-map parallelism note as quality_scores (r11).
     """
-    documents = documents.withColumn("__toks", X.tokens(text_col))
+    documents = spread(documents).withColumn("__toks", X.tokens(text_col))
     p = quality_p_keep(text_col, toks=F.col("__toks"))
     return documents.select(
         F.col(id_col),
@@ -260,7 +266,8 @@ def lang_id(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     langs = list(LANG_MARKERS)
     # Stage tokens, then hits, so the tokenizer runs once per row and each
     # array_intersect once — pred references the staged hits columns.
-    staged = documents.withColumn("__toks", X.tokens(text_col)).select(
+    # spread: heavy narrow map, see quality_scores (r11).
+    staged = spread(documents).withColumn("__toks", X.tokens(text_col)).select(
         F.col(id_col),
         F.col("lang"),
         *[

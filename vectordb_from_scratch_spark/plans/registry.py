@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..functions import text as X
 from ..functions import vectormath as vm
 from ..operators import ann, cache, crud, dedup, filters, knn, pq, profile, sampling, textops
-from ..sources import load_table
+from ..sources import load_table, spread
 from . import relational as rel
 
 # --------------------------------------------------------------------------
@@ -7201,7 +7201,7 @@ def _q_multimodal_png_pixels(spark, sf_dir):
                 payloads.append(encode_png(px, w, h, ch))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return png_pixel_stats(payloads)
 
 
@@ -7260,7 +7260,7 @@ def _q_multimodal_png_interlaced(spark, sf_dir):
                 payloads.append(encode_png(px, w, h, ch, interlace=True))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return png_pixel_stats(payloads)
 
 
@@ -7323,7 +7323,7 @@ def _q_multimodal_png_16bit(spark, sf_dir):
                 payloads.append(encode_png(px, w, h, ch, bit_depth=16))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return png_pixel_stats(payloads)
 
 
@@ -7446,7 +7446,9 @@ _CARD_SQL = f"""
     "Value-exact vs the identical DuckDB rollup",
 )
 def _q_dataset_card(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select(
+    # spread: token_count + md5(normalize) per doc is heavy narrow work
+    # over a 1-split scan (no-op at scale; r11)
+    d = spread(_t(spark, sf_dir, "documents")).select(
         "lang",
         "source",
         X.token_count(F.col("text")).cast("long").alias("nt"),
@@ -7758,7 +7760,7 @@ def _q_multimodal_wav_stats(spark, sf_dir):
                 payloads.append(encode_wav(samples, rate, nch, bits=16))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return wav_audio_stats(payloads)
 
 
@@ -7821,7 +7823,7 @@ def _q_multimodal_wav_zcr(spark, sf_dir):
                 payloads.append(encode_wav(samples, rate, nch, bits=16))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return wav_zcr_stats(payloads)
 
 
@@ -7880,7 +7882,7 @@ def _q_multimodal_wav24_stats(spark, sf_dir):
                 payloads.append(encode_wav(samples, rate, nch, bits=24))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return wav_audio_stats(payloads)
 
 
@@ -7980,7 +7982,7 @@ def _q_multimodal_wav_adpcm_stats(spark, sf_dir):
                 payloads.append(encode_wav_ima_adpcm([blk], rate, nch))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return wav_audio_stats(payloads)
 
 
@@ -8058,7 +8060,7 @@ def _q_g711(law: str):
                     payloads.append(encode_wav_g711(codes, rate, nch, law=law))
                 yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-        payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+        payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
         return wav_audio_stats(payloads)
 
     return q
@@ -8211,7 +8213,7 @@ def _q_multimodal_audio_normalize(spark, sf_dir):
                     ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return wav_resample_stats(payloads, target_rate=16000)
 
 
@@ -8286,7 +8288,7 @@ def _q_multimodal_audio_vad(spark, sf_dir):
                 payloads.append(encode_wav(samples, 16000, 1, bits=16))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return wav_vad_segments(payloads, frame_len=10, threshold=1)
 
 
@@ -8382,7 +8384,7 @@ def _q_multimodal_image_neardup(spark, sf_dir):
                 payloads.append(encode_bmp(px.tobytes(), w, h))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return image_neardup_pairs(payloads, max_hamming=3).select(
         F.col("id_a"), F.col("id_b"), F.col("hamming")
     )
@@ -8470,7 +8472,7 @@ def _q_multimodal_audio_neardup(spark, sf_dir):
                 payloads.append(encode_wav(samples, 16000, 1, bits=16))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return audio_neardup_pairs(payloads, max_hamming=3).select(
         "id_a", "id_b", "hamming"
     )
@@ -8537,7 +8539,7 @@ def _q_multimodal_jpeg_pixels(spark, sf_dir):
                 payloads.append(encode_jpeg_gray(px, w, h))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return jpeg_pixel_stats(payloads)
 
 
@@ -8601,7 +8603,7 @@ def _q_multimodal_jpeg_progressive(spark, sf_dir):
                 payloads.append(encode_jpeg_progressive(px, w, h))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return jpeg_pixel_stats(payloads)
 
 
@@ -8671,7 +8673,7 @@ def _q_multimodal_jpeg_color(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return jpeg_pixel_stats(payloads)
 
 
@@ -8738,7 +8740,7 @@ def _q_multimodal_gif_pixels(spark, sf_dir):
                 payloads.append(encode_gif(idx, w, h, pal))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return gif_pixel_stats(payloads)
 
 
@@ -8793,7 +8795,7 @@ def _q_multimodal_bmp_pixels(spark, sf_dir):
                 payloads.append(encode_bmp(rgb, w, h))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return bmp_pixel_stats(payloads)
 
 
@@ -8847,7 +8849,7 @@ def _q_multimodal_resize(spark, sf_dir):
                 payloads.append(encode_bmp(rgb, w, h))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return bmp_resize_stats(payloads, out_w=8, out_h=6)
 
 
@@ -8942,7 +8944,7 @@ def _q_multimodal_media_resize(spark, sf_dir):
                     payloads.append(encode_png(rgb, w, h, 3))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return media_resize_stats(payloads, out_w=8, out_h=6)
 
 
@@ -9067,7 +9069,7 @@ def _q_multimodal_video_frames(spark, sf_dir):
                 payloads.append(encode_avi_mjpeg(frames, w, h))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return avi_frame_stats(payloads)
 
 
@@ -9134,7 +9136,7 @@ def _q_multimodal_video_rawdib(spark, sf_dir):
                 payloads.append(encode_avi_rawdib(frames, w, h))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return avi_frame_stats(payloads)
 
 
@@ -9206,7 +9208,7 @@ def _q_multimodal_video_resize(spark, sf_dir):
                 payloads.append(encode_avi_mjpeg(frames, w, h))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
     return media_resize_stats(payloads, out_w=8, out_h=6)
 
 
