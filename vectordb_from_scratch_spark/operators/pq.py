@@ -779,8 +779,20 @@ def ann_knn_ivf_pq(
     if strategy == "arrow":
         import numpy as np
 
-        qrows = lut.select("query_id", "__lut").collect()
-        pair_rows = routed.select("query_id", "list_id").collect()
+        # ONE collect for routing AND LUTs (r11): the two separate
+        # collects each ran a driver-blocking job whose shared subtree
+        # (queries × centers, incl. forcing the persisted centroid
+        # build) executed twice at DataFrame-build time
+        both = (
+            routed.select("query_id", "list_id")
+            .join(lut.select("query_id", "__lut"), "query_id")
+            .collect()
+        )
+        pair_rows = [{"query_id": r["query_id"], "list_id": r["list_id"]} for r in both]
+        _luts: dict = {}
+        for r in both:
+            _luts.setdefault(r["query_id"], r["__lut"])
+        qrows = [{"query_id": q, "__lut": l} for q, l in _luts.items()]
         # empty queries OR empty routing (e.g. no centers): the kernel's
         # composite-key build (max over pair_rows) would raise on an empty
         # sequence — expr returns the same (empty) result (ADVICE r9)

@@ -8384,7 +8384,11 @@ def _q_multimodal_image_neardup(spark, sf_dir):
                 payloads.append(encode_bmp(px.tobytes(), w, h))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
+    # NOT spread (r11 A/B): these tiny fixtures feed a banded self-join
+    # that duplicates the Python synth+fingerprint subtree on both sides;
+    # 32-way spread turned ~1k cheap payloads into 64 task launches and
+    # LOST 0.9->4.5s. At scale the scan arrives pre-split either way.
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
     return image_neardup_pairs(payloads, max_hamming=3).select(
         F.col("id_a"), F.col("id_b"), F.col("hamming")
     )
@@ -8472,7 +8476,8 @@ def _q_multimodal_audio_neardup(spark, sf_dir):
                 payloads.append(encode_wav(samples, 16000, 1, bits=16))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = spread(d).mapInPandas(synth, schema="doc_id long, payload binary")
+    # NOT spread — same banded-self-join A/B as image_neardup above (r11)
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
     return audio_neardup_pairs(payloads, max_hamming=3).select(
         "id_a", "id_b", "hamming"
     )
