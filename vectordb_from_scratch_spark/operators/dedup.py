@@ -505,14 +505,43 @@ def _pair_cosine_kernel(threshold: float, round_to: int | None = None):
     q = Decimal(1).scaleb(-round_to) if round_to is not None else None
     cut = threshold if round_to is None else threshold - 10.0 ** (-round_to)
 
+    import pyarrow.compute as pc
+
     def scan(batches):
         for batch in batches:
-            n = batch.num_rows
-            if n == 0:
+            if batch.num_rows == 0:
                 continue
+            va, vb = batch.column("vec_a"), batch.column("vec_b")
+            # NULL vectors: the expression twin yields NULL similarity,
+            # which never reaches the threshold — drop the pair up front
+            # so the flatten-reshape below stays aligned (ADVICE r11: a
+            # NULL list would silently shift every later row's values)
+            if va.null_count or vb.null_count:
+                batch = batch.filter(
+                    pc.and_kleene(pc.is_valid(va), pc.is_valid(vb))
+                )
+                if batch.num_rows == 0:
+                    continue
+                va, vb = batch.column("vec_a"), batch.column("vec_b")
+            n = batch.num_rows
+            # ragged lengths would mis-reshape the whole batch into
+            # wrong similarities — a data bug this must fail loudly on,
+            # not silently mis-score (ADVICE r11)
+            la = pc.min_max(pc.list_value_length(va))
+            lb = pc.min_max(pc.list_value_length(vb))
+            if (
+                la["min"] != la["max"]
+                or lb["min"] != lb["max"]
+                or la["min"] != lb["min"]
+            ):
+                raise ValueError(
+                    "pair-cosine kernel: ragged/mismatched vector lengths "
+                    f"in batch (vec_a {la['min']}..{la['max']}, "
+                    f"vec_b {lb['min']}..{lb['max']})"
+                )
             ida, idb = batch.column("id_a"), batch.column("id_b")
-            A = batch.column("vec_a").flatten().to_numpy(zero_copy_only=False)
-            B = batch.column("vec_b").flatten().to_numpy(zero_copy_only=False)
+            A = va.flatten().to_numpy(zero_copy_only=False)
+            B = vb.flatten().to_numpy(zero_copy_only=False)
             dim = A.size // n
             A = A.reshape(n, dim)
             B = B.reshape(n, dim)
@@ -648,7 +677,10 @@ def semantic_dedup(
     from ..functions import vectormath as vm
     from .ann import assign_ivf_det
 
-    v = embeddings.select(
+    # spread the shallow source once — assign_ivf_det no longer spreads
+    # internally (VERDICT r11 #2); the persisted assignment keeps this
+    # partitioning for every consumer
+    v = spread(embeddings).select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )

@@ -74,12 +74,14 @@ def _assign_codes(subvecs: DataFrame, codebook: DataFrame) -> DataFrame:
     subvector table (the pre-r11 struct-min aggregation still shuffled
     one partial row per (sub, id); at 1M rows × m=16 that is 16M rows of
     shuffle per Lloyd round this no longer pays — guide §2.4). Verified
-    exceptAll-empty against the aggregation form at sf0.01. spread()
-    keeps small-scan parallelism now that no exchange re-spreads the
-    rows (no-op at real scale)."""
-    from ..sources.tables import spread
+    exceptAll-empty against the aggregation form at sf0.01.
 
-    subvecs = spread(subvecs)
+    Parallelism contract (r12, VERDICT r11 #2): pure narrow map, NO
+    spread() here — the r11 in-function spread probed partition counts
+    of the deep Lloyd-loop plan per call (a full physical planning pass
+    each round) and stacked RoundRobin exchanges; pq_codebook spreads
+    its shallow source once and every round's subvector table inherits
+    that partitioning."""
     cb_arr = codebook.groupBy("sub").agg(
         F.collect_list(F.struct("code", "cvec")).alias("__cb")
     )
@@ -167,7 +169,18 @@ def pq_codebook(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
-    v = vectors.select(
+    from ..sources.tables import spread
+
+    # spread ONCE at the (shallow) source, sized for the ×m subvector
+    # explode the Lloyd rounds actually iterate over: subvectors() is
+    # narrow, so sv inherits this partitioning for every round with no
+    # per-round probe or exchange (VERDICT r11 #2; no-op at real scale)
+    from ..sources.tables import _footer_rows
+
+    n_rows = _footer_rows(vectors)
+    v = spread(
+        vectors, rows=None if n_rows is None else n_rows * m
+    ).select(
         F.col(id_col).cast("long").alias("id"), vm.as_double(vec_col).alias("vec")
     )
     seed_key = F.md5(F.col("id").cast("string"))
@@ -782,17 +795,23 @@ def ann_knn_ivf_pq(
         # ONE collect for routing AND LUTs (r11): the two separate
         # collects each ran a driver-blocking job whose shared subtree
         # (queries × centers, incl. forcing the persisted centroid
-        # build) executed twice at DataFrame-build time
+        # build) executed twice at DataFrame-build time. The routed
+        # list_ids aggregate per query BEFORE the LUT join (r12, ADVICE
+        # r11): the flat join shipped each query's m·ks-double LUT once
+        # per probed list — n_probe× the necessary driver transfer and
+        # collect memory; one row per query crosses the wire instead.
         both = (
-            routed.select("query_id", "list_id")
+            routed.groupBy("query_id")
+            .agg(F.collect_list("list_id").alias("__lists"))
             .join(lut.select("query_id", "__lut"), "query_id")
             .collect()
         )
-        pair_rows = [{"query_id": r["query_id"], "list_id": r["list_id"]} for r in both]
-        _luts: dict = {}
-        for r in both:
-            _luts.setdefault(r["query_id"], r["__lut"])
-        qrows = [{"query_id": q, "__lut": l} for q, l in _luts.items()]
+        pair_rows = [
+            {"query_id": r["query_id"], "list_id": l}
+            for r in both
+            for l in r["__lists"]
+        ]
+        qrows = [{"query_id": r["query_id"], "__lut": r["__lut"]} for r in both]
         # empty queries OR empty routing (e.g. no centers): the kernel's
         # composite-key build (max over pair_rows) would raise on an empty
         # sequence — expr returns the same (empty) result (ADVICE r9)

@@ -2126,10 +2126,12 @@ def _q_ivf_det_centroids(spark, sf_dir):
 )
 def _q_ivf_det_knn(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    cent = ann.build_ivf_det(
+    cent = cache.checkpoint(ann.build_ivf_det(
         e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
-    )
-    v = e.select(
+    ))
+    # spread the shallow source once; assign_ivf_det no longer spreads
+    # internally (VERDICT r11 #2) and the whole chain inherits this
+    v = spread(e).select(
         F.col("vec_id").cast("long").alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
@@ -2178,10 +2180,12 @@ def _q_ivf_det_knn(spark, sf_dir):
 )
 def _q_ivf_filtered_knn(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    cent = ann.build_ivf_det(
+    cent = cache.checkpoint(ann.build_ivf_det(
         e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
-    )
-    v = e.select(
+    ))
+    # spread the shallow source once; assign_ivf_det no longer spreads
+    # internally (VERDICT r11 #2) and the whole chain inherits this
+    v = spread(e).select(
         F.col("vec_id").cast("long").alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
@@ -2264,10 +2268,14 @@ def _q_ivf_sq8_knn(spark, sf_dir):
     # consuming branch in one plan (in production index+centroids are
     # written tables — this is the session-local stand-in, released per
     # query by release_caches)
-    cent = track(ann.build_ivf_det(
+    # tiny (n_lists rows) and multiply-consumed: checkpoint truncates the
+    # Lloyd-build lineage out of every consumer plan (r12)
+    cent = cache.checkpoint(ann.build_ivf_det(
         e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
     ))
-    v = e.select(
+    # spread the shallow source once; assign_ivf_det no longer spreads
+    # internally (VERDICT r11 #2) and the whole chain inherits this
+    v = spread(e).select(
         F.col("vec_id").cast("long").alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
@@ -2432,7 +2440,7 @@ def _q_pq_adc_knn(spark, sf_dir):
     # codebook feeds encode AND the per-query LUT; codes feed the scan —
     # persist both so the det-Lloyd build runs once per query, not once
     # per consuming branch (released per query by release_caches)
-    cb = track(pq.pq_codebook(
+    cb = cache.checkpoint(pq.pq_codebook(
         e, m=_PQ["m"], ks=_PQ["ks"], dim=64, iters=_PQ["iters"], block=_PQ["block"],
     ))
     codes = track(pq.pq_encode(e, cb, _PQ["m"], _PQ["d_sub"]))
@@ -2497,7 +2505,7 @@ def _q_knn_pq_recall(spark, sf_dir):
     from ..operators.cache import track
 
     e = _t(spark, sf_dir, "embeddings")
-    cb = track(pq.pq_codebook(
+    cb = cache.checkpoint(pq.pq_codebook(
         e, m=_PQ["m"], ks=_PQ["ks"], dim=64, iters=_PQ["iters"], block=_PQ["block"],
     ))
     codes = track(pq.pq_encode(e, cb, _PQ["m"], _PQ["d_sub"]))
@@ -2584,15 +2592,19 @@ def _q_ivf_pq_knn(spark, sf_dir):
     from ..operators.cache import track
 
     e = _t(spark, sf_dir, "embeddings")
-    cent = track(ann.build_ivf_det(
+    # tiny (n_lists rows) and multiply-consumed: checkpoint truncates the
+    # Lloyd-build lineage out of every consumer plan (r12)
+    cent = cache.checkpoint(ann.build_ivf_det(
         e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
     ))
-    v = e.select(
+    # spread the shallow source once; assign_ivf_det no longer spreads
+    # internally (VERDICT r11 #2) and the whole chain inherits this
+    v = spread(e).select(
         F.col("vec_id").cast("long").alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
     assigned = track(ann.assign_ivf_det(v, cent))
-    cb = track(pq.pq_codebook(
+    cb = cache.checkpoint(pq.pq_codebook(
         e, m=_PQ["m"], ks=_PQ["ks"], dim=64, iters=_PQ["iters"], block=_PQ["block"],
     ))
     idx = pq.ivf_pq_index(assigned, cb, _PQ["m"], _PQ["d_sub"], id_col="id", vec_col="vec")
@@ -2697,7 +2709,9 @@ def _q_ivf_pq_res_knn(spark, sf_dir):
     cent = ann.build_ivf_det(
         e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
     ).transform(cache.checkpoint)
-    v = e.select(
+    # spread the shallow source once; assign_ivf_det no longer spreads
+    # internally (VERDICT r11 #2) and the whole chain inherits this
+    v = spread(e).select(
         F.col("vec_id").cast("long").alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
@@ -2760,7 +2774,12 @@ def _q_dedup_semantic(spark, sf_dir):
     from ..operators.cache import track
 
     e = _t(spark, sf_dir, "embeddings")
-    cent = track(ann.build_ivf_det(
+    # checkpoint (not persist): the 8-row centroid table is referenced by
+    # the assignment, the pair join's BOTH sides and the join-back — the
+    # persisted form reprinted (and re-planned) the whole Lloyd build
+    # under each consumer; the checkpoint truncates it to an 8-row
+    # LogicalRDD (r12, same device as ann_ivf_pq_res_knn)
+    cent = cache.checkpoint(ann.build_ivf_det(
         e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
     ))
     res = dedup.semantic_dedup(e, cent, min_sim=_SEMDEDUP_MIN_SIM)
@@ -2950,10 +2969,12 @@ def _q_ivf_recall_curve(spark, sf_dir):
         "query_id", "id"
     )
     np_df = probes.agg(F.count(F.lit(1)).alias("__np"))
-    cent = ann.build_ivf_det(
+    cent = cache.checkpoint(ann.build_ivf_det(
         e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
-    )
-    v = e.select(
+    ))
+    # spread the shallow source once; assign_ivf_det no longer spreads
+    # internally (VERDICT r11 #2) and the whole chain inherits this
+    v = spread(e).select(
         F.col("vec_id").cast("long").alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
@@ -4301,10 +4322,14 @@ def _q_eval_ann_ndcg(spark, sf_dir):
     from ..operators.cache import track
 
     e = _t(spark, sf_dir, "embeddings")
-    cent = track(ann.build_ivf_det(
+    # tiny (n_lists rows) and multiply-consumed: checkpoint truncates the
+    # Lloyd-build lineage out of every consumer plan (r12)
+    cent = cache.checkpoint(ann.build_ivf_det(
         e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
     ))
-    v = e.select(
+    # spread the shallow source once; assign_ivf_det no longer spreads
+    # internally (VERDICT r11 #2) and the whole chain inherits this
+    v = spread(e).select(
         F.col("vec_id").cast("long").alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
@@ -5609,10 +5634,10 @@ def _q_tpch_q22(spark, sf_dir):
 )
 def _q_pipeline_cluster_sample(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    cent = ann.build_ivf_det(
+    cent = cache.checkpoint(ann.build_ivf_det(
         e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"]
-    )
-    v = e.select(F.col("vec_id").cast("long").alias("id"), vm.as_double("embedding").alias("vec"))
+    ))
+    v = spread(e).select(F.col("vec_id").cast("long").alias("id"), vm.as_double("embedding").alias("vec"))
     assigned = ann.assign_ivf_det(v, cent)
     picked = sampling.cluster_sample(
         assigned.select("list_id", "id"), per_cluster=25,
@@ -7636,7 +7661,9 @@ def _q_outlier_scores(spark, sf_dir):
             e, n_lists=p["n_lists"], iters=p["iters"], block=p["block"]
         )
     )
-    v = e.select(
+    # spread the shallow source once; assign_ivf_det no longer spreads
+    # internally (VERDICT r11 #2) and the whole chain inherits this
+    v = spread(e).select(
         F.col("vec_id").cast("long").alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )

@@ -85,18 +85,88 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Ensure compute-heavy narrow stages get full parallelism.
+# Rows of input each spread() task should own. Caps how far a small scan
+# fans out: a 5k-row fixture becomes ceil(5000/640)=8 partitions, not
+# defaultParallelism — the r11 always-32-way spread made EVERY media
+# fixture query 1.4-3.4× slower on the driver's ground-truth box, where
+# the added full shuffle + 32 task launches cost more than the Python
+# work they parallelized (VERDICT r11 #1). ≤640 rows stays on one
+# partition (the work is under the task-overhead floor). At production
+# scale inputs arrive pre-split wider than any cap and spread is a
+# no-op either way; override per-deployment via the
+# spark.vectordb.spread.rowsPerTask conf when per-row work is far from
+# the ~0.1-1 ms/row these fixtures exhibit.
+SPREAD_ROWS_PER_TASK = 640
+
+_SPREAD_FOOTER_MAX_FILES = 64
+
+
+def _footer_rows(df: DataFrame) -> int | None:
+    """EXACT row count for small local file-backed scans, from parquet
+    footer metadata only — no Spark job, no physical planning. Returns
+    None for non-file plans, remote filesystems, or tables with more
+    than _SPREAD_FOOTER_MAX_FILES files (that many splits already beats
+    any spread target, so the caller's no-op answer is right anyway).
+    Filters on the scan don't shrink the estimate — an over-count only
+    errs toward a few more (cheap) tasks."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # RDD/in-memory-backed plans
+        return None
+    if not files or len(files) > _SPREAD_FOOTER_MAX_FILES:
+        return None
+    total = 0
+    try:
+        import pyarrow.parquet as pq
+        from urllib.parse import urlparse
+
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                return None
+            total += pq.ParquetFile(p.path or f).metadata.num_rows
+    except Exception:
+        return None
+    return total
+
+
+def spread(df: DataFrame, rows: int | None = None) -> DataFrame:
+    """Ensure compute-heavy narrow stages get parallelism PROPORTIONAL to
+    their input.
 
     A small single-file parquet scan arrives as ONE partition, serializing
-    any expensive per-row work (md5 minhashing, shingling) onto one core.
-    Repartition up to the cluster's default parallelism when the scan has
-    fewer splits; at real scale inputs arrive pre-split and this is a
-    no-op (no shuffle)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    any expensive per-row work (md5 minhashing, shingling, Python media
+    synth) onto one core. Repartition round-robin to
+    min(defaultParallelism, ceil(rows / SPREAD_ROWS_PER_TASK)) when the
+    scan has fewer splits — size-aware so tiny fixtures get a few tasks,
+    not a full-width fan-out whose task overhead exceeds the work
+    (VERDICT r11 #1). At real scale inputs arrive pre-split and this is
+    a no-op (no shuffle, and with rows known, no .rdd planning probe).
+
+    ``rows``: optional caller-known row count; when omitted, parquet
+    footers provide an exact count for file-backed scans and non-file
+    plans fall back to the full defaultParallelism target (the pre-r12
+    behavior — only tiny in-memory facades hit this).
+
+    Contract: call this on SHALLOW plans (a scan plus narrow projections)
+    only. The partition-count probe forces physical planning of the
+    input, which on a deep/iterative plan is driver seconds per call
+    (VERDICT r11 #2 — the r11 IVF/PQ Lloyd loops paid it per iteration);
+    loop bodies must inherit a spread done once at the source."""
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    rpt = SPREAD_ROWS_PER_TASK
+    conf_rpt = sc.getConf().get("spark.vectordb.spread.rowsPerTask", None)
+    if conf_rpt is not None:
+        rpt = max(1, int(conf_rpt))
+    if rows is None:
+        rows = _footer_rows(df)
+    target = dp if rows is None else min(dp, -(-rows // rpt))
+    if target <= 1:
+        return df
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
