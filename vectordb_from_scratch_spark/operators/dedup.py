@@ -1545,6 +1545,11 @@ def decontamination_report_bloom(
         ev_gram_set = keep
     else:
         ev_gram_set = ev_grams.select("gram_hash").distinct()
+    # benchmark-sized (the broadcast-comfort premise of this whole path):
+    # materialize ONCE — the positions collect below and the exact verify
+    # broadcast otherwise each re-derive the eval tokenize+shingle+md5
+    # subtree (r12; the duplicated-subtree rule of §2.4)
+    ev_gram_set = cache.checkpoint(ev_gram_set)
 
     def positions(col: str, i: int):
         return F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits)).cast("long")
@@ -1562,9 +1567,16 @@ def decontamination_report_bloom(
     for r in pos_rows:
         p = int(r["__pos"])
         words[p // 64] |= 1 << (p % 64)
-    # two's-complement into signed longs for the literal array
-    lits = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bitmap = F.array(*[F.lit(w) for w in lits])
+    # two's-complement into signed longs for the literal array. Built
+    # through ONE parser call: element-wise F.lit/F.array marshals 4096
+    # values through py4j one JVM roundtrip each — measured 2-26 s of
+    # pure DRIVER time per DataFrame build vs 6 ms for the parsed string
+    # (r12; the same driver-side planning cost class as VERDICT r11 #2).
+    bitmap = F.expr(
+        "array(" + ",".join(f"{w}L" for w in (
+            w - (1 << 64) if w >= (1 << 63) else w for w in words
+        )) + ")"
+    )
 
     tr_grams = _distinct_gram_hashes(tr, n, text_col, id_col)
     screened = tr_grams.withColumn("__bm", bitmap)
