@@ -54,7 +54,26 @@ def lexical_topk(
 
     Decimal-exact dot/norm sums (order-independent across
     partitionings), the same parity rule as tfidf_cosine_pairs. Docs
-    sharing no term with the probe never appear — they'd carry sim 0."""
+    sharing no term with the probe never appear — they'd carry sim 0.
+
+    Plan shape (r12): the pre-r12 form re-derived the CORPUS
+    tokenize+tf tree four times — under the probe semi-join, under the
+    dot join, and once per side of the norm join-backs (30 parquet
+    scans / 92 exchanges in the one weighted plan). tf and the norm are
+    per-document quantities, so (a) the probe side tokenizes ONLY the
+    probe docs (identical tf values — no corpus aggregate feeds them
+    except the broadcast df table idf needs anyway), (b) the corpus
+    norm rides the inv tree as an id-keyed window (the same
+    order-independent decimal sum the groupBy computed, attached
+    without a join-back), and (c) the probe rows broadcast into the
+    term join, so the corpus index is never shuffled by term. The
+    corpus explode+tf now appears once under inv + once under the
+    broadcast df table — the two passes TF-IDF fundamentally needs
+    (idf requires corpus df before weights exist).
+    NOT persisted/checkpointed — A/B'd r8 (persist lost at sf0.1) and
+    re-A/B'd r12 at c32 AND c8 (checkpoint variants inside the ±20%
+    noise band); with the duplication gone the remaining tree is
+    single-consumer anyway."""
     toks = spread(documents).select(
         F.col(id_col), F.explode(X.tokens(text_col)).alias("term")
     )
@@ -64,46 +83,58 @@ def lexical_topk(
     idf = F.log(
         (F.col("__n") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)).cast("double")
     )
-    # NOT persisted — A/B'd (r8): caching inv+norms LOST at sf0.1 (rrf
-    # 3.43 vs 2.75 s, weighted 3.28 vs 2.30): the index re-derives from
-    # a 2-agg tree cheap enough that materializing ~1M rows through the
-    # block manager costs more than the recompute, and the persist
-    # barrier stops Catalyst pruning each consumer's branch (the probe
-    # projection otherwise pushes its semi-join into the tf agg).
-    # Contrast dsir/substring_overlap, where the shared stage carries a
-    # per-gram md5 and the persist WON — the rule is "persist when the
-    # shared subtree is hash-heavy, not when it's pure aggregation".
     inv = (
         tf.join(F.broadcast(df_tbl), "term")
         .crossJoin(F.broadcast(nd))
         .select("term", F.col(id_col), (F.col("tf") * idf).alias("w"))
     )
-    norms = inv.groupBy(id_col).agg(
+    # corpus norm: same decimal sum as the former groupBy(id)+join-back,
+    # attached in-tree by an id-keyed window (sum over the whole
+    # partition frame — order-independent, value-identical)
+    wid = Window.partitionBy(id_col)
+    inv_n = inv.withColumn(
+        "dnrm",
         F.sqrt(
-            F.sum((F.col("w") * F.col("w")).cast("decimal(18,12)")).cast("double")
-        ).alias("nrm")
+            F.sum((F.col("w") * F.col("w")).cast("decimal(18,12)"))
+            .over(wid)
+            .cast("double")
+        ),
     )
-    probe_inv = inv.join(
-        documents.filter(probe_pred).select(id_col), id_col, "left_semi"
-    ).select(F.col(id_col).alias("query_id"), "term", F.col("w").alias("qw"))
+    # probe side: tf/weights from the probe docs alone (per-doc values),
+    # idf from the SAME broadcast df table — bit-identical to the former
+    # corpus-tree semi-join, at probe cost instead of corpus cost
+    ptoks = documents.filter(probe_pred).select(
+        F.col(id_col), F.explode(X.tokens(text_col)).alias("term")
+    )
+    ptf = ptoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    pinv = (
+        ptf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(F.col(id_col), "term", (F.col("tf") * idf).alias("qw"))
+    )
+    qn = pinv.groupBy(id_col).agg(
+        F.sqrt(
+            F.sum((F.col("qw") * F.col("qw")).cast("decimal(18,12)")).cast("double")
+        ).alias("qnrm")
+    )
+    probe_inv = pinv.join(F.broadcast(qn), id_col).select(
+        F.col(id_col).alias("query_id"), "term", "qw", "qnrm"
+    )
     dots = (
-        probe_inv.join(inv, "term")
+        F.broadcast(probe_inv)
+        .join(inv_n, "term")
         .groupBy("query_id", F.col(id_col).alias("id"))
         .agg(
             F.sum((F.col("qw") * F.col("w")).cast("decimal(18,12)"))
             .cast("double")
-            .alias("dot")
+            .alias("dot"),
+            F.first("qnrm").alias("qnrm"),   # constant per query
+            F.first("dnrm").alias("dnrm"),   # constant per id
         )
     )
-    nq = norms.select(F.col(id_col).alias("query_id"), F.col("nrm").alias("qnrm"))
-    ndoc = norms.select(F.col(id_col).alias("id"), F.col("nrm").alias("dnrm"))
-    sim = (
-        dots.join(F.broadcast(nq), "query_id")
-        .join(ndoc, "id")
-        .select(
-            "query_id", "id",
-            (F.col("dot") / (F.col("qnrm") * F.col("dnrm"))).alias("sim"),
-        )
+    sim = dots.select(
+        "query_id", "id",
+        (F.col("dot") / (F.col("qnrm") * F.col("dnrm"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
     return (
