@@ -728,8 +728,20 @@ def build_ivf_det(
         F.col("vec").alias("cvec"),
     )
     assign = assign_ivf_det if assign_strategy == "fold" else assign_ivf_kernel
+    from .cache import checkpoint as _checkpoint
+
     for _ in range(iters):
-        cent = _det_centroids(assign(train, cent), cent, block)
+        # each round references the incoming centroids TWICE (the assign
+        # and the empty-cluster fallback join), so an unmaterialized loop
+        # nests the previous round's whole subtree 2× per iteration —
+        # 2^iters copies of the seed selection in the final plan, each
+        # re-planned and re-executed wherever exchange reuse misses
+        # (r12). The centroid table is n_lists rows: an eager
+        # localCheckpoint per round linearizes the build into `iters`
+        # small sequential jobs (the shape MLlib's own Lloyd runs) and
+        # keeps every consumer's plan shallow. Values unchanged — a
+        # checkpoint is a pure materialization barrier.
+        cent = _checkpoint(_det_centroids(assign(train, cent), cent, block))
     return cent
 
 

@@ -193,8 +193,15 @@ def pq_codebook(
         "sub", F.col("id").cast("int").alias("code"), F.col("svec").alias("cvec")
     )
     sv = subvectors(v, m, d_sub)
+    from .cache import checkpoint as _checkpoint
+
     for _ in range(iters):
-        cb = _update_codebook(_assign_codes(sv, cb), cb, block)
+        # same loop linearization as ann.build_ivf_det (r12): `cb` feeds
+        # both the assignment and the empty-cell fallback join, so the
+        # unmaterialized loop nests 2^iters copies of the seed slice in
+        # the final plan. The codebook is m·ks rows — checkpoint each
+        # round; values unchanged (pure materialization barrier).
+        cb = _checkpoint(_update_codebook(_assign_codes(sv, cb), cb, block))
     return cb
 
 
