@@ -2589,14 +2589,34 @@ def _q_knn_pq_recall(spark, sf_dir):
     "all lists, accuracy gap re-ranked away)",
 )
 def _q_ivf_pq_knn(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.cache import track
 
     e = _t(spark, sf_dir, "embeddings")
-    # tiny (n_lists rows) and multiply-consumed: checkpoint truncates the
-    # Lloyd-build lineage out of every consumer plan (r12)
-    cent = cache.checkpoint(ann.build_ivf_det(
-        e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"], block=_IVF_DET["block"],
-    ))
+    # The coarse-IVF Lloyd chain and the PQ-codebook Lloyd chain are
+    # INDEPENDENT job sequences of small eager steps (per-round
+    # checkpoints, r12) — run them from two driver threads so the
+    # second chain's stages back-fill the cores the first one's tiny
+    # 8/512-group aggregations leave idle (guide §2.6 "overlap
+    # independent jobs"). Results are unchanged: each chain is the
+    # identical deterministic build, just scheduled concurrently.
+    # Each table is tiny (n_lists / m·ks rows) and multiply-consumed:
+    # the checkpoint truncates the build lineage out of every consumer.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cent = pool.submit(
+            lambda: cache.checkpoint(ann.build_ivf_det(
+                e, n_lists=_IVF_DET["n_lists"], iters=_IVF_DET["iters"],
+                block=_IVF_DET["block"],
+            ))
+        )
+        f_cb = pool.submit(
+            lambda: cache.checkpoint(pq.pq_codebook(
+                e, m=_PQ["m"], ks=_PQ["ks"], dim=64, iters=_PQ["iters"],
+                block=_PQ["block"],
+            ))
+        )
+        cent, cb = f_cent.result(), f_cb.result()
     # spread the shallow source once; assign_ivf_det no longer spreads
     # internally (VERDICT r11 #2) and the whole chain inherits this
     v = spread(e).select(
@@ -2604,9 +2624,6 @@ def _q_ivf_pq_knn(spark, sf_dir):
         F.col("embedding").cast("array<double>").alias("vec"),
     )
     assigned = track(ann.assign_ivf_det(v, cent))
-    cb = cache.checkpoint(pq.pq_codebook(
-        e, m=_PQ["m"], ks=_PQ["ks"], dim=64, iters=_PQ["iters"], block=_PQ["block"],
-    ))
     idx = pq.ivf_pq_index(assigned, cb, _PQ["m"], _PQ["d_sub"], id_col="id", vec_col="vec")
     probes = _probes(spark, sf_dir, F.col("vec_id") < 5)
     res = pq.ann_knn_ivf_pq(
