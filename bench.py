@@ -176,7 +176,11 @@ def _box_fingerprint() -> dict:
 def _prev_round_reference() -> dict[str, float]:
     """Per-query seconds from the newest BENCH_r*.json next to this file
     (the driver's own prior-round artifact). Used ONLY to flag >1.5×
-    slowdowns for an isolated re-run — never to skip or alter work."""
+    slowdowns for an isolated re-run — never to skip or alter work.
+    A reference recorded at a DIFFERENT core count is skipped: the
+    driver also benches at a low core count, where genuinely-parallel
+    queries are legitimately >1.5× their c32 reference and blanket
+    reruns would just pad that run."""
     import glob
     import re
 
@@ -189,6 +193,9 @@ def _prev_round_reference() -> dict[str, float]:
         try:
             with open(path) as fh:
                 doc = json.load(fh)
+            ref_cpus = doc.get("cpus")
+            if ref_cpus is not None and str(ref_cpus) != str(CPUS):
+                continue
             queries = (doc.get("parsed") or {}).get("queries") or {}
             ref = {n: t for n, t in queries.items() if isinstance(t, (int, float))}
             rnd = int(m.group(1))
